@@ -1,13 +1,147 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.ScreenMetrics
+import graft.queries.Core
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 demonstrated
+  * over the driver testdata; [[oracleSql]] carries the DuckDB-equivalent SQL
+  * for the correctness gate. Column names and numeric conventions are kept
+  * bit-identical between the two (see [[graft.queries.Core]] scaladoc).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the refresh_stock_metrics-shaped screening program
+    * (SURVEY §3.2) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ScreenMetrics.run(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg" -> (Core.q01PricingAgg _),
+    "q02_latest_order" -> (Core.q02LatestOrder _),
+    "q03_sector_percentile" -> (Core.q03SectorPercentile _),
+    "q04_sector_zscore" -> (Core.q04SectorZscore _),
+    "q05_momentum_pivot" -> (Core.q05MomentumPivot _),
+    "q06_asof_join" -> (Core.q06AsofJoin _),
+    "q07_cum_tax_product" -> (Core.q07CumTaxProduct _),
+    "q08_scd2_intervals" -> (Core.q08Scd2Intervals _),
+    "q09_dedup_exact" -> (Core.q09DedupExact _),
+    "q10_screen_metrics" -> ((s: SparkSession, d: String) => ScreenMetrics.run(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |        * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_latest_order" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey,
+        |  CAST(o_orderdate AS DATE) AS latest_orderdate,
+        |  o_totalprice AS latest_totalprice
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q03_sector_percentile" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  CASE WHEN c_acctbal IS NOT NULL THEN
+        |    (1 - percent_rank() OVER (PARTITION BY c_nationkey, c_acctbal IS NULL
+        |                              ORDER BY c_acctbal DESC)) * 100 END AS bal_pctile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q04_sector_zscore" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  CASE WHEN msq - mu*mu > 0
+        |       THEN (c_acctbal - mu) / sqrt(msq - mu*mu) END AS bal_z
+        |FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        |      / COUNT(*) OVER w AS mu,
+        |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+        |          * CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(30,6))) OVER w
+        |         AS DOUBLE) / COUNT(*) OVER w AS msq
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey)
+        |) t ORDER BY c_custkey""".stripMargin,
+
+    "q05_momentum_pivot" ->
+      """SELECT o_custkey,
+        |  MAX(CASE WHEN rn = 1 THEN o_totalprice END) AS price_rn1,
+        |  MAX(CASE WHEN rn = 3 THEN o_totalprice END) AS price_rn3,
+        |  MAX(CASE WHEN rn = 5 THEN o_totalprice END) AS price_rn5
+        |FROM (SELECT o_custkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q06_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
+        |    CASE WHEN event_type = 'purchase' THEN event_id END AS p_eid,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS p_val
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id, user_id, asof_event_id, asof_value FROM (
+        |  SELECT event_id, user_id, side,
+        |    last_value(p_eid IGNORE NULLS) OVER w AS asof_event_id,
+        |    last_value(p_val IGNORE NULLS) OVER w AS asof_value
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |) t WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "q07_cum_tax_product" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  product(floor(l_tax * 100 + 0.5) + 100.0) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_tax
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  / power(100.0, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY l_orderkey ORDER BY l_linenumber, l_tax) AS DOUBLE))
+        |  AS cum_tax_factor
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q08_scd2_intervals" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), runs AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM flagged
+        |), iv AS (
+        |  SELECT user_id, run_id, MIN(event_type) AS state, MIN(ts) AS valid_from
+        |  FROM runs GROUP BY user_id, run_id
+        |)
+        |SELECT user_id, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin,
+
+    "q09_dedup_exact" ->
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id,
+        |          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |        FROM documents) t
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q10_screen_metrics" -> ScreenMetrics.oracle,
+  )
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver testdata tables (TESTDATA.md).
+  *
+  * Mirrors the reference's fixed-schema discipline
+  * (`src/lib/jquants/endpoints/equity-bars-daily.ts:48-117`: explicit
+  * field-by-field mapping, no inference) — here the parquet footer already
+  * carries the authoritative schema, so loaders are thin; every query casts
+  * explicitly at the use site for oracle (DuckDB) parity.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively — read it as a nanosecond long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
+    * with integer division, matching DuckDB's ns→µs truncation on read so
+    * the oracle sees identical timestamps. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

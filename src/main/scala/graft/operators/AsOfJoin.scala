@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for every left row, the latest right row with
+  * `right.time <= left.time` sharing the join key.
+  *
+  * The reference does this three ways — correlated LATERAL top-1
+  * (`basket-valuation.ts:239-252` via `pitFy`), validity-interval range join
+  * built with `lead()` (`00116_create_bottomup_per_bands_rpc.sql:146-195`),
+  * and an as-of filter on `released_at`
+  * (`00033_create_get_latest_macro_indicators.sql:13-21`).
+  *
+  * Spark-first implementation: the **union-sort trick** — tag both sides,
+  * union on (key, time), a single window pass carries the last right payload
+  * forward onto each left row. One shuffle on the key, no row explosion, no
+  * range-join blowup; scales linearly with input (the right plan at 100 TB,
+  * where an interval join of two fact tables would be quadratic per key
+  * without a specialized range-join strategy).
+  */
+object AsOfJoin {
+
+  /** @param left       left (probe) rows
+    * @param right      right (build/state) rows
+    * @param keyCols    equi-join key column names present on both sides
+    * @param leftTime   ordering column on the left
+    * @param rightTime  ordering column on the right
+    * @param payload    right columns to carry (must not collide with left)
+    * @param strict     if true, require right.time < left.time (exclusive)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTime: String, rightTime: String,
+               payload: Seq[String], strict: Boolean = false): DataFrame = {
+    // At equal timestamps the right (state) row must be visible to the left
+    // (probe) row in the inclusive mode, and hidden in strict mode: order the
+    // side marker accordingly within the same timestamp.
+    val rightMarker = if (strict) 1 else 0
+    val leftMarker = 1 - rightMarker
+
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(rightMarker).as("__side"),
+          struct(payload.map(col): _*).as("__payload"),
+          lit(null).cast("long").as("__rowid")): _*)
+    val l = left.withColumn("__rowid", monotonically_increasing_id())
+    val lTagged = l.select(
+      keyCols.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(leftMarker).as("__side"),
+          lit(null).cast(r.schema("__payload").dataType).as("__payload"),
+          col("__rowid")): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = r.unionByName(lTagged)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__rowid").isNotNull)
+      .select(col("__rowid"), col("__carried"))
+
+    val joined = l.join(carried, Seq("__rowid"), "left")
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, col("__carried").getField(p))
+    }.drop("__carried", "__rowid")
+  }
+}

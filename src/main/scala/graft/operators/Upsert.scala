@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent keyed upsert + atomic publication — the reference's two core
+  * sink disciplines.
+  *
+  * - `batchUpsert` with `ON CONFLICT` (`src/lib/utils/batch.ts:81-141`):
+  *   re-running the same day's ingest must be a no-op
+  *   (`scripts/cron/cron-a-direct.ts:9`).
+  * - Atomic snapshot publication via marker flip
+  *   (`scripts/cron/refresh-technical.ts:181-196`,
+  *   `00050_create_technical_metrics.sql:23,46`).
+  *
+  * Spark-first: upsert = anti-join keep + union (one shuffle on the key;
+  * with date-partitioned tables prefer dynamic partition overwrite instead —
+  * zero read of untouched partitions at 100 TB). Publication = write a
+  * versioned directory then flip a tiny `_PUBLISHED` pointer file.
+  */
+object Upsert {
+
+  /** New rows win on key collision; old non-colliding rows are kept.
+    * Exactly `ON CONFLICT (keys) DO UPDATE`. */
+  def keyed(existing: DataFrame, incoming: DataFrame,
+            keys: Seq[String]): DataFrame = {
+    val kept = existing.join(incoming.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+    incoming.unionByName(kept.select(incoming.columns.map(col): _*))
+  }
+
+  /** Dedup incoming on the key first (last writer wins by `orderCol` desc),
+    * then upsert — mirrors the reference's per-chunk upsert where later
+    * corrections supersede (`cron-c.ts:29-60`). */
+  def keyedLatest(existing: DataFrame, incoming: DataFrame,
+                  keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    val dedup = incoming.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    keyed(existing, dedup, keys)
+  }
+
+  /** Staged write + pointer swap: write `<root>/v=<version>/`, then atomically
+    * replace `<root>/_PUBLISHED` with the version string. Readers resolve the
+    * pointer first; a crashed writer never exposes a partial snapshot. */
+  def publishSnapshot(df: DataFrame, root: String, version: String): String = {
+    val dir = s"$root/v=$version"
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    val marker = new java.io.File(s"$root/_PUBLISHED")
+    val tmp = new java.io.File(s"$root/_PUBLISHED.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, version)
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  /** Resolve the currently published snapshot directory, if any. */
+  def resolvePublished(root: String): Option[String] = {
+    val marker = new java.io.File(s"$root/_PUBLISHED")
+    if (marker.exists())
+      Some(s"$root/v=${java.nio.file.Files.readString(marker.toPath).trim}")
+    else None
+  }
+}

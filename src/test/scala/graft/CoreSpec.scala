@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class CoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is explicitly rows-only") {
+    // every oracle key must exist in queries (the converse is allowed:
+    // rows-only queries have no oracle)
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs),
+      s"orphan oracles: ${SparkEntry.oracleSql.keySet -- qs}")
+  }
+
+  test("all queries execute and return rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("jsRound matches JS Math.round semantics") {
+    import spark.implicits._
+    val df = Seq(2.675, 2.5, -2.5, 0.125, 1.005).toDF("x")
+      .select(graft.functions.jsRound(col("x"), 2).as("r"))
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    // JS: Math.round(x*100)/100 on the double values (2.675*100.0 == 267.5
+    // exactly in IEEE-754, so it rounds up; 1.005*100.0 == 100.49999…, down)
+    assert(got.toSeq == Seq(2.68, 2.5, -2.5, 0.13, 1.0))
+  }
+
+  test("rowMean is null-aware") {
+    import spark.implicits._
+    val df = Seq((Some(10.0), Some(20.0)), (Some(10.0), None),
+        (None, None): (Option[Double], Option[Double]))
+      .toDF("a", "b")
+      .select(graft.functions.rowMean(col("a"), col("b")).as("m"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(15.0), Some(10.0), None))
+  }
+
+  test("asof join picks latest at-or-before, per key") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 6L, 60.0))
+      .toDF("k", "t", "v")
+    val out = graft.operators.AsOfJoin.backward(
+        left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("tag").collect()
+    // l1@10 sees v=100 (inclusive); l2@20 sees v=150; l3@5 sees nothing
+    assert(out.map(r => Option(r.getAs[Any]("v"))).toSeq ==
+      Seq(Some(100.0), Some(150.0), None))
+  }
+
+  test("keyed upsert is idempotent and new rows win") {
+    import spark.implicits._
+    val existing = Seq((1, "old"), (2, "keep")).toDF("k", "v")
+    val incoming = Seq((1, "new"), (3, "add")).toDF("k", "v")
+    val up = graft.operators.Upsert.keyed(existing, incoming, Seq("k"))
+    val m = up.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m == Map(1 -> "new", 2 -> "keep", 3 -> "add"))
+    val again = graft.operators.Upsert.keyed(up, incoming, Seq("k"))
+    assert(again.count() == 3)
+  }
+}
