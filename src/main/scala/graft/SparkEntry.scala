@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.Core
+import graft.queries.{Core, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +30,14 @@ object SparkEntry {
     "q08_scd2_intervals" -> (Core.q08Scd2Intervals _),
     "q09_dedup_exact" -> (Core.q09DedupExact _),
     "q10_screen_metrics" -> ((s: SparkSession, d: String) => ScreenMetrics.run(s, d)),
+    "q11_token_stats" -> (TextQueries.q11TokenStats _),
+    "q12_lang_id" -> (TextQueries.q12LangId _),
+    "q13_quality_score" -> (TextQueries.q13QualityScore _),
+    "q14_minhash_candidates" -> (TextQueries.q14MinhashCandidates _),
+    "q15_neardup_pairs" -> (TextQueries.q15NearDupPairs _),
+    "q16_simhash" -> (TextQueries.q16Simhash _),
+    "q17_cosine_topk" -> (TextQueries.q17CosineTopK _),
+    "q18_embedding_neardup" -> (TextQueries.q18EmbeddingNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -143,5 +151,13 @@ object SparkEntry {
         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q10_screen_metrics" -> ScreenMetrics.oracle,
+    "q11_token_stats" -> TextQueries.oracleQ11,
+    "q12_lang_id" -> TextQueries.oracleQ12,
+    "q13_quality_score" -> TextQueries.oracleQ13,
+    "q14_minhash_candidates" -> TextQueries.oracleQ14,
+    "q15_neardup_pairs" -> TextQueries.oracleQ15,
+    "q16_simhash" -> TextQueries.oracleQ16,
+    "q17_cosine_topk" -> TextQueries.oracleQ17,
+    "q18_embedding_neardup" -> TextQueries.oracleQ18,
   )
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Near-duplicate detection for the training-data pipeline: exact
+  * fingerprint dedup, character-shingle Jaccard, MinHash + LSH banding, and
+  * SimHash. All hash math is built on [[Text.hash60]] (md5-derived 60-bit
+  * hash) with modular arithmetic kept below 2^62, so every step is exact,
+  * portable across engines (DuckDB oracle included), and overflow-free.
+  *
+  * Scale design: shingling explodes each document into O(len) rows — at
+  * 100 TB this is a map-side generate + one shuffle per aggregation, all
+  * keyed by doc or shingle (high cardinality, well balanced). LSH banding
+  * turns the quadratic all-pairs problem into per-bucket self-joins; bucket
+  * sizes are bounded in practice and the verify step only touches candidate
+  * pairs, mirroring the standard MinHash-LSH pipeline (Broder; MMDS ch.3).
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31-1: (a*h'+b) mod P with h',a,b < 2^31 never exceeds
+    * 2^62 — no overflow in Spark longs or DuckDB BIGINTs. */
+  val P: Long = 2147483647L
+
+  /** Deterministic hash-family parameters (i = 0..n-1). */
+  def hashParamsA(i: Int): Long = 2L * i + 3
+  def hashParamsB(i: Int): Long = 7L * i + 1
+
+  /** Explode a docs table into (id, shingle) rows of character k-grams over
+    * the normalized text; distinct per doc. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val norm = Text.normalize(col(textCol))
+    docs.select(col(idCol), norm.as("__norm"))
+      .filter(length(col("__norm")) >= k)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, length(__norm) - ${k - 1}), " +
+          s"i -> substring(__norm, i, $k))")).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact pairwise Jaccard over shingle sets, restricted to candidate
+    * pairs (both docs share at least one shingle) with id1 < id2. O(pairs
+    * sharing a shingle); use [[minhashCandidates]] first at scale. */
+  def jaccardPairs(sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id1"), col("shingle"))
+    val b = sh.select(col(idCol).as("id2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")))
+  }
+
+  /** MinHash signatures: for each doc, n minima of (a_i*h'+b_i) mod P over
+    * its shingle hashes (h' = hash60 mod P). Output: (id, i, minhash). */
+  def minhashSignatures(sh: DataFrame, idCol: String, n: Int): DataFrame = {
+    val h = Text.hash60(col("shingle")) % P
+    val hashes = sh.select(col(idCol), h.as("__h"))
+    val is = (0 until n).map(i => (i, hashParamsA(i), hashParamsB(i)))
+    val iDf = hashes.sparkSession.createDataFrame(is)
+      .toDF("i", "a", "b")
+    hashes.crossJoin(broadcast(iDf))
+      .select(col(idCol), col("i"),
+        ((col("a") * col("__h") + col("b")) % P).as("__hv"))
+      .groupBy(col(idCol), col("i"))
+      .agg(min(col("__hv")).as("minhash"))
+  }
+
+  /** LSH banding over signatures: band = i / rowsPerBand; band key = the
+    * ordered concat of the band's minhashes. Docs sharing any (band, key)
+    * bucket become candidate pairs (id1 < id2, distinct). */
+  def minhashCandidates(sig: DataFrame, idCol: String,
+                        rowsPerBand: Int): DataFrame = {
+    val posAggs = (0 until rowsPerBand).map(p =>
+      max(when(col("i") % rowsPerBand === p, col("minhash"))).as(s"__m$p"))
+    val banded = sig.withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(posAggs.head, posAggs.tail: _*)
+      .withColumn("bkey",
+        concat_ws(":", (0 until rowsPerBand).map(p => col(s"__m$p")): _*))
+      .select(col(idCol), col("band"), col("bkey"))
+    banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
+      .join(banded.select(col("band"), col("bkey"), col(idCol).as("id2")),
+        Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** SimHash (64-bit, packed as 8 byte-planes of the md5-derived hash):
+    * per doc, for each bit position sum ±1 over token hashes; bit set when
+    * the sum is positive. Returns (id, simhash as 16 lowercase hex chars).
+    * Implemented with integer ops only — portable. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(Text.normalize(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val h = Text.hash60(col("tok"))
+    // 60-bit hash → 60 bit-planes; accumulate sign per plane
+    val withH = toks.select(col(idCol), h.as("__h"))
+    val bitCols = (0 until 60).map { bit =>
+      sum(when(shiftright(col("__h"), bit) % 2 === 1, 1).otherwise(-1))
+        .as(s"__b$bit")
+    }
+    val acc = withH.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+    val value = (0 until 60).map { bit =>
+      when(col(s"__b$bit") > 0,
+        lit(BigDecimal(2).pow(bit).toLong)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    acc.select(col(idCol), value.as("simhash"))
+  }
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * text statistics, language ID, quality scoring, exact + MinHash-LSH +
+  * SimHash dedup, and cosine similarity search. Every query has a DuckDB
+  * oracle; hashes are md5-derived (portable) and all scores are
+  * deterministic integer-derived double math.
+  */
+object TextQueries {
+
+  val ShingleK = 5
+  val NumHashes = 16
+  val RowsPerBand = 4
+  val JaccardThreshold = 0.3
+  val CosineThreshold = 0.4
+
+  def q11TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(Text.subwordCount(col("text")).cast("long")).as("total_subwords"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  def q12LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        Text.langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  def q13QualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def q14MinhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+    val sig = Dedup.minhashSignatures(sh, "doc_id", NumHashes)
+    Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** LSH candidates verified by exact shingle Jaccard ≥ τ — the full
+    * near-dup pipeline (candidate generation bounds the quadratic join;
+    * the verify join touches only candidates). */
+  def q15NearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+    val sig = Dedup.minhashSignatures(sh, "doc_id", NumHashes)
+    val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
+    val jac = Dedup.jaccardPairs(sh, "doc_id")
+      .select(col("id1"), col("id2"), col("jaccard"))
+    cand.join(jac, Seq("id1", "id2"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def q16Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Exact cosine top-k vs the vec_id=0 query vector (pgvector `<=>` top-k,
+    * 00101:86-95) — query vector joined in-plan (broadcast), math in double. */
+  def q17CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("qv"))
+    val dot = graft.functions.dotProduct(col("v"), col("qv"))
+    val sim = dot / (sqrt(graft.functions.dotProduct(col("v"), col("v"))) *
+      sqrt(graft.functions.dotProduct(col("qv"), col("qv"))))
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), sim.as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding near-dup pairs within a label block above a cosine
+    * threshold. */
+  def q18EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.select(col("label"), col("vec_id").as("id1"),
+      Similarity.asDouble(col("embedding")).as("v1"))
+    val b = emb.select(col("label"), col("vec_id").as("id2"),
+      Similarity.asDouble(col("embedding")).as("v2"))
+    val dot = graft.functions.dotProduct(col("v1"), col("v2"))
+    val sim = dot / (sqrt(graft.functions.dotProduct(col("v1"), col("v1"))) *
+      sqrt(graft.functions.dotProduct(col("v2"), col("v2"))))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .select(col("label"), col("id1"), col("id2"), sim.as("cosine_sim"))
+      .filter(col("cosine_sim") > CosineThreshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // --------------------------------------------------------------------
+  // DuckDB oracles (generated from the same constants/word lists so the
+  // two sides cannot drift).
+  // --------------------------------------------------------------------
+
+  private def hitsExpr(words: Seq[String]): String =
+    s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+
+  val oracleQ11: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  SUM(len(regexp_extract_all(text, '\w+'))) AS total_tokens,
+      |  SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_subwords,
+      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(len(regexp_extract_all(text, '\w+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val oracleQ12: String = {
+    val langs = Text.stopwordLists
+    val hitCols = langs.map { case (l, ws) => s"${hitsExpr(ws)} AS h_$l" }
+      .mkString(",\n    ")
+    // fold argmax with strict > so earlier lists win ties — same as the
+    // Column reduceLeft in Text.langId
+    var bestH = s"h_${langs.head._1}"
+    var bestL = s"'${langs.head._1}'"
+    for ((l, _) <- langs.tail) {
+      val nh = s"CASE WHEN h_$l > ($bestH) THEN h_$l ELSE ($bestH) END"
+      val nl = s"CASE WHEN h_$l > ($bestH) THEN '$l' ELSE ($bestL) END"
+      bestH = nh; bestL = nl
+    }
+    s"""SELECT doc_id, actual_lang,
+       |  CASE WHEN ($bestH) > 0 THEN ($bestL) ELSE 'und' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang AS actual_lang,
+       |    $hitCols
+       |  FROM documents
+       |) t ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleQ13: String = {
+    val allStops = Text.stopwordLists.flatMap(_._2).distinct
+    s"""SELECT doc_id, n_tokens,
+       |  (least(CAST(len(text) AS DOUBLE) / 400.0, 1.0) * 0.3)
+       |  + ((CASE WHEN CAST(len(text) AS DOUBLE) > 0
+       |        THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+       |             / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3)
+       |  + ((CASE WHEN len(toks) > 0
+       |        THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |        ELSE 0.0 END) * 0.2)
+       |  + ((CASE WHEN CAST(n_tokens AS DOUBLE) > 0
+       |        THEN least(CAST(${hitsExpr(allStops)} AS DOUBLE)
+       |             / CAST(n_tokens AS DOUBLE) * 4.0, 1.0) ELSE 0.0 END) * 0.2)
+       |  AS quality
+       |FROM (
+       |  SELECT doc_id, text,
+       |    len(regexp_extract_all(text, '\\w+')) AS n_tokens,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents
+       |) t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTE prefix: shingles → hashes → minhash signatures → bands. */
+  private val minhashCtes: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $ShingleK) AS shingle
+       |  FROM norm, range(1, 100000) r(i)
+       |  WHERE len(t) >= $ShingleK AND i <= len(t) - ${ShingleK - 1}
+       |), hs AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % ${Dedup.P} AS h
+       |  FROM sh
+       |), params AS (
+       |  SELECT i, 2*i + 3 AS a, 7*i + 1 AS b FROM range(0, $NumHashes) t(i)
+       |), sig AS (
+       |  SELECT doc_id, i, MIN((a*h + b) % ${Dedup.P}) AS mh
+       |  FROM hs, params GROUP BY doc_id, i
+       |), banded AS (
+       |  SELECT doc_id, CAST(i // $RowsPerBand AS INT) AS band,
+       |    concat_ws(':',
+       |      ${(0 until RowsPerBand).map(p =>
+            s"MAX(CASE WHEN i % $RowsPerBand = $p THEN mh END)").mkString(", ")}) AS bkey
+       |  FROM sig GROUP BY doc_id, band
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b USING (band, bkey)
+       |  WHERE a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  val oracleQ14: String =
+    s"""$minhashCtes
+       |SELECT id1, id2 FROM cand ORDER BY id1, id2""".stripMargin
+
+  val oracleQ15: String =
+    s"""$minhashCtes, sz AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS i1, b.doc_id AS i2, COUNT(*) AS i
+       |  FROM sh a JOIN sh b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+       |)
+       |SELECT c.id1, c.id2,
+       |  CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jaccard
+       |FROM cand c
+       |JOIN inter ON inter.i1 = c.id1 AND inter.i2 = c.id2
+       |JOIN sz s1 ON s1.doc_id = c.id1
+       |JOIN sz s2 ON s2.doc_id = c.id2
+       |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= $JaccardThreshold
+       |ORDER BY id1, id2""".stripMargin
+
+  val oracleQ16: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n    ")
+    val value = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM documents
+       |), hs AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks WHERE len(tok) > 0
+       |), acc AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hs GROUP BY doc_id
+       |)
+       |SELECT doc_id, $value AS simhash FROM acc ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleQ17: String =
+    """WITH q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+      |)
+      |SELECT vec_id,
+      |  list_dot_product(v, qv)
+      |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+      |  AS cosine_sim
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |      FROM embeddings WHERE vec_id <> 0) e, q
+      |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  val oracleQ18: String =
+    s"""SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+       |  list_dot_product(av, bv)
+       |    / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))
+       |  AS cosine_sim
+       |FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a
+       |JOIN (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings) b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(av, bv)
+       |    / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))
+       |  > $CosineThreshold
+       |ORDER BY id1, id2""".stripMargin
+}

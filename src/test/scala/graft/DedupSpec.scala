@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different content about spark engines"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("near-identical docs collide in minhash LSH; unrelated do not") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    // 2 rows/band → collision prob ≈ 1-(1-j²)⁸ ≈ 1 at j≈0.8 (4-row bands
+    // would miss a 0.8-jaccard pair ~16% of the time with a fixed family)
+    val sig = Dedup.minhashSignatures(sh, "doc_id", 16)
+    val cand = Dedup.minhashCandidates(sig, "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+  }
+
+  test("exact jaccard ranks the near-dup pair highest") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
+    val jac = Dedup.jaccardPairs(sh, "doc_id")
+      .collect().map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(jac((1L, 2L)) > 0.7)
+    assert(jac.getOrElse((1L, 3L), 0.0) < 0.1)
+  }
+
+  test("simhash of identical docs is equal, near-dups are close in hamming") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+
+  test("brute-force cosine top-k returns self-similar vector first") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(top.head.getDouble(1) === 1.0)
+  }
+
+  test("ann top-k finds the bucket-local neighbor") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.0f, 0.0f)
+      else Seq(0.0f, 1.0f, 0.0f, 0.0f)
+      (i.toLong, base.map(v => v + i * 0.001f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.annTopK(emb, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), dims = 4, nPlanes = 4, k = 3).collect()
+    assert(top.nonEmpty)
+    // all returned ids should be from the x-axis family (even ids)
+    assert(top.forall(_.getLong(0) % 2 == 0))
+  }
+}
