@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Core, TextQueries}
+import graft.queries.{AnalyticsQueries, Core, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,18 @@ object SparkEntry {
     "q16_simhash" -> (TextQueries.q16Simhash _),
     "q17_cosine_topk" -> (TextQueries.q17CosineTopK _),
     "q18_embedding_neardup" -> (TextQueries.q18EmbeddingNearDup _),
+    "q19_breadth" -> (AnalyticsQueries.q19Breadth _),
+    "q20_rolling_spine" -> (AnalyticsQueries.q20RollingSpine _),
+    "q21_median_bands" -> (AnalyticsQueries.q21MedianBands _),
+    "q22_unpivot" -> (AnalyticsQueries.q22Unpivot _),
+    "q23_missing_dates" -> (AnalyticsQueries.q23MissingDates _),
+    "q24_freshness" -> (AnalyticsQueries.q24Freshness _),
+    "q25_factor_vectors" -> (AnalyticsQueries.q25FactorVectors _),
+    "q26_corr_stats" -> (AnalyticsQueries.q26CorrStats _),
+    "q27_chained_index" -> (AnalyticsQueries.q27ChainedIndex _),
+    "q28_session_expand" -> (AnalyticsQueries.q28SessionExpand _),
+    "q29_rebase_factors" -> (AnalyticsQueries.q29RebaseFactors _),
+    "q30_harmonic_agg" -> (AnalyticsQueries.q30HarmonicAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -81,7 +93,7 @@ object SparkEntry {
         |    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER w AS DOUBLE)
         |      / COUNT(*) OVER w AS mu,
         |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2))
-        |          * CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(30,6))) OVER w
+        |          * CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(30,4))) OVER w
         |         AS DOUBLE) / COUNT(*) OVER w AS msq
         |  FROM customer
         |  WINDOW w AS (PARTITION BY c_nationkey)
@@ -159,5 +171,17 @@ object SparkEntry {
     "q16_simhash" -> TextQueries.oracleQ16,
     "q17_cosine_topk" -> TextQueries.oracleQ17,
     "q18_embedding_neardup" -> TextQueries.oracleQ18,
+    "q19_breadth" -> AnalyticsQueries.oracleQ19,
+    "q20_rolling_spine" -> AnalyticsQueries.oracleQ20,
+    "q21_median_bands" -> AnalyticsQueries.oracleQ21,
+    "q22_unpivot" -> AnalyticsQueries.oracleQ22,
+    "q23_missing_dates" -> AnalyticsQueries.oracleQ23,
+    "q24_freshness" -> AnalyticsQueries.oracleQ24,
+    "q25_factor_vectors" -> AnalyticsQueries.oracleQ25,
+    "q26_corr_stats" -> AnalyticsQueries.oracleQ26,
+    "q27_chained_index" -> AnalyticsQueries.oracleQ27,
+    "q28_session_expand" -> AnalyticsQueries.oracleQ28,
+    "q29_rebase_factors" -> AnalyticsQueries.oracleQ29,
+    "q30_harmonic_agg" -> AnalyticsQueries.oracleQ30,
   )
 }

@@ -55,7 +55,7 @@ object ScreenMetrics {
     val fin = orders.join(lineitem, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(
-        sum((price * disc).cast("decimal(30,6)")).cast("double").as("sales"),
+        sum((price * disc).cast("decimal(30,4)")).cast("double").as("sales"),
         sum(col("l_quantity").cast(D2)).cast("double").as("units"))
 
     // dim: current master (broadcast — 25 nations, 150k customers max).
@@ -84,7 +84,7 @@ object ScreenMetrics {
     val xd = col("c_acctbal").cast(D2)
     val n = count(lit(1)).over(wSeg)
     val mu = sum(xd).over(wSeg).cast("double") / n
-    val msq = sum((xd * xd).cast("decimal(30,6)")).over(wSeg).cast("double") / n
+    val msq = sum((xd * xd).cast("decimal(30,4)")).over(wSeg).cast("double") / n
     val variance = msq - mu * mu
     val scored = pct2.withColumn("bal_z",
       when(variance > 0, (col("c_acctbal") - mu) / sqrt(variance)))
@@ -115,7 +115,7 @@ object ScreenMetrics {
       |), fin AS (
       |  SELECT o_custkey,
       |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-      |               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,6)))
+      |               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)))
       |              AS DOUBLE) AS sales,
       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS units
       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -140,7 +140,7 @@ object ScreenMetrics {
       |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER wseg AS DOUBLE)
       |      / COUNT(*) OVER wseg AS mu,
       |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2))
-      |          * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(30,6))) OVER wseg
+      |          * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(30,4))) OVER wseg
       |         AS DOUBLE) / COUNT(*) OVER wseg AS msq
       |  FROM base
       |  WINDOW wseg AS (PARTITION BY segment)

@@ -1,0 +1,534 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Derived-analytics operators (SURVEY.md §2.4–§2.8): market-breadth
+  * conditional counts, calendar-spine rolling windows, exact median bands,
+  * unpivot, catch-up anti-joins, freshness unions, the winsorize→z→clamp
+  * factor-vector pipeline, exact-sum Pearson correlation, chained index
+  * levels, session expansion, reverse-cumulative rebase products, and
+  * weighted harmonic basket aggregates.
+  */
+object AnalyticsQueries {
+
+  private val D2 = "decimal(12,2)"
+
+  /** §2.5 breadth pass (BreadthAccumulator re-expressed as windows,
+    * market-breadth.ts:121-275): daily last value per user = "close";
+    * advancers/decliners/unchanged per day vs previous available day. */
+  def q19Breadth(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = ev.withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("close"))
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val withPrev = daily.withColumn("prev_close", lag(col("close"), 1).over(wUser))
+    withPrev.groupBy(col("day")).agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("prev_close").isNotNull && col("close") > col("prev_close"), 1)
+          .otherwise(0)).as("advancers"),
+        sum(when(col("prev_close").isNotNull && col("close") < col("prev_close"), 1)
+          .otherwise(0)).as("decliners"),
+        sum(when(col("close") === col("prev_close"), 1).otherwise(0)).as("unchanged"))
+      .orderBy(col("day"))
+  }
+
+  /** §2.5 rolling window on a canonical calendar spine with a full-coverage
+    * guard (25-day adv/dec ratio, computeAdvDecRatio25,
+    * market-breadth.ts:283-299): 5-day rolling sum, null unless all 5
+    * consecutive days are present. */
+  def q20RollingSpine(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("value").cast(D2)).as("dval"))
+    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val users = ev.select(col("user_id")).distinct()
+    val spine = users.crossJoin(days)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-4, 0)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("roll5",
+        when(count(col("dval")).over(w) === 5,
+          sum(col("dval")).over(w).cast("double")))
+      .select(col("user_id"), col("day"), col("dval").cast("double").as("dval"),
+        col("roll5"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** §2.4 exact median/quartile bands from sorted arrays — the PER-band
+    * construction (00116:197-219: array_agg ORDER BY → middle elements),
+    * NOT percentile_approx. Type-7 interpolation done with explicit
+    * identical arithmetic in both engines. */
+  def q21MedianBands(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val grouped = p.groupBy(col("p_type"))
+      .agg(sort_array(collect_list(col("p_retailprice"))).as("arr"),
+        count(lit(1)).as("n"),
+        min(col("p_retailprice")).as("lo"),
+        max(col("p_retailprice")).as("hi"))
+    def q(frac: Double): Column = {
+      val pos = (col("n") - 1) * lit(frac)
+      val lower = floor(pos).cast("int")
+      val g = pos - floor(pos)
+      (lit(1.0) - g) * element_at(col("arr"), lower + 1) +
+        g * element_at(col("arr"), lower + 2)
+    }
+    def qExact(frac: Double): Column = {
+      val pos = (col("n") - 1) * lit(frac)
+      val lower = floor(pos).cast("int")
+      when(pos === lower.cast("double"), element_at(col("arr"), lower + 1))
+        .otherwise(q(frac))
+    }
+    grouped.select(col("p_type"), col("n"), col("lo"), col("hi"),
+        qExact(0.25).as("p25"), qExact(0.5).as("median"), qExact(0.75).as("p75"))
+      .orderBy(col("p_type"))
+  }
+
+  /** §1.1 unpivot / long format (investor_type_trading vertical fact,
+    * 00003:95-119; stack mapping): lineitem measures → (metric, value)
+    * rows, then exact per-metric sums per return flag. */
+  def q22Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val long = li.select(col("l_returnflag"),
+      explode(array(
+        struct(lit("quantity").as("metric"), col("l_quantity").as("value")),
+        struct(lit("extendedprice").as("metric"), col("l_extendedprice").as("value")),
+        struct(lit("discount").as("metric"), col("l_discount").as("value"))
+      )).as("m"))
+      .select(col("l_returnflag"), col("m.metric"), col("m.value"))
+    long.groupBy(col("l_returnflag"), col("metric"))
+      .agg(sum(col("value").cast(D2)).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  /** §2.7 catch-up anti-join (catch-up.ts:99-106): calendar days in the
+    * orders date range with no orders at all. */
+  def q23MissingDates(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val bounds = o.agg(min(to_date(col("o_orderdate"))).as("d0"),
+      max(to_date(col("o_orderdate"))).as("d1"))
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val present = o.select(to_date(col("o_orderdate")).as("day")).distinct()
+    days.join(present, Seq("day"), "left_anti").orderBy(col("day"))
+  }
+
+  /** §2.7 UNION ALL freshness view over tables (00012:7-49): per-table
+    * max date + row count. */
+  def q24Freshness(s: SparkSession, dir: String): DataFrame = {
+    def fresh(df: DataFrame, name: String, dateCol: Column): DataFrame =
+      df.agg(max(to_date(dateCol)).as("max_date"), count(lit(1)).as("n_rows"))
+        .select(lit(name).as("table_name"), col("max_date"), col("n_rows"))
+    fresh(Tables.orders(s, dir), "orders", col("o_orderdate"))
+      .unionByName(fresh(Tables.lineitem(s, dir), "lineitem", col("l_shipdate")))
+      .unionByName(fresh(Tables.events(s, dir), "events", col("ts")))
+      .orderBy(col("table_name"))
+  }
+
+  /** §2.8 factor-vector pipeline (transformColumn, factor-vectors.ts:254-309):
+    * winsorize at nearest-rank p01/p99 → population z-score (exact sums) →
+    * clamp ±3 → null→0, per dimension over the full cross-section. Output:
+    * the transformed dimension values per entity. */
+  def q25FactorVectors(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val wRank = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val px = o.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_totalprice").as("p1"))
+    val base = c.join(px, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal"), col("p1"))
+
+    // Two 1-row aggregate passes broadcast back onto the rows (never a
+    // whole-column window collect — that is quadratic in partition size):
+    // (1) sorted array → nearest-rank winsorize bounds; (2) exact decimal
+    // sums of the clamped values → population z parameters.
+    def transformed(x: Column, name: String)(df: DataFrame): DataFrame = {
+      val b = df.agg(sort_array(collect_list(x)).as("arr"))
+        .select(
+          element_at(col("arr"),
+            floor((size(col("arr")) - 1).cast("double") * lit(0.01)).cast("int") + 1)
+            .as(s"__lo_$name"),
+          element_at(col("arr"),
+            floor((size(col("arr")) - 1).cast("double") * lit(0.99)).cast("int") + 1)
+            .as(s"__hi_$name"))
+      val clamped = df.crossJoin(broadcast(b))
+        .withColumn(s"__wz_$name",
+          least(greatest(x, col(s"__lo_$name")), col(s"__hi_$name")))
+      // z parameters from FLOORED winsorized values: scale-0 decimal sums
+      // keep the scaled integer < 2^53 at any sf (squares of 2-decimal
+      // values at scale 4 overflow the exact-double range past ~1e11 rows·x²)
+      val xd = floor(col(s"__wz_$name")).cast("decimal(18,0)")
+      val zStats = clamped.agg(
+        count(col(s"__wz_$name")).as(s"__n_$name"),
+        sum(xd).cast("double").as(s"__sx_$name"),
+        sum((xd * xd).cast("decimal(30,0)")).cast("double").as(s"__sxx_$name"))
+      val withZ = clamped.crossJoin(broadcast(zStats))
+      val mu = col(s"__sx_$name") / col(s"__n_$name")
+      val msq = col(s"__sxx_$name") / col(s"__n_$name")
+      val variance = msq - mu * mu
+      val z = when(variance > 0, (col(s"__wz_$name") - mu) / sqrt(variance))
+      withZ
+        .withColumn(name,
+          coalesce(least(greatest(z, lit(-3.0)), lit(3.0)), lit(0.0)))
+        .drop(s"__lo_$name", s"__hi_$name", s"__wz_$name",
+          s"__n_$name", s"__sx_$name", s"__sxx_$name")
+    }
+    transformed(col("c_acctbal"), "f_bal")(
+      transformed(col("p1"), "f_p1")(base))
+      .select(col("c_custkey"), col("f_bal"), col("f_p1"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** §2.8 Pearson correlation from exact decimal sums (basket validation,
+    * basket-valuation.ts:623-651) — order-insensitive, bit-stable. */
+  def q26CorrStats(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val spend = o.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(D2)).cast("double").as("spend"),
+        count(lit(1)).as("n_orders"))
+    val base = c.join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey"), col("c_acctbal").as("x"), col("spend").as("y"))
+    val xd = col("x").cast(D2)
+    // y is a ~1e6-magnitude sum: floored to a scale-0 decimal so y² sums
+    // stay under 2^53 when cast back to double
+    val yd = floor(col("y")).cast("decimal(14,0)")
+    base.groupBy(col("c_nationkey")).agg(
+        count(lit(1)).as("n"),
+        sum(xd).cast("double").as("sx"),
+        sum(yd).cast("double").as("sy"),
+        sum((xd * xd).cast("decimal(30,4)")).cast("double").as("sxx"),
+        sum((yd * yd).cast("decimal(30,0)")).cast("double").as("syy"),
+        sum((xd * yd).cast("decimal(30,2)")).cast("double").as("sxy"))
+      .withColumn("corr_xy",
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+             (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy")))))
+      .select(col("c_nationkey"), col("n"), col("corr_xy"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** §2.5 chained index levels (chainIndexSeries,
+    * basket-valuation.ts:568-616): daily revenue per nation → daily return
+    * vs previous day → index = 100 × cumulative product of returns from the
+    * anchor day. Product accumulates left-to-right in both engines; the
+    * result is js-rounded to 6 digits to absorb final-ulp association
+    * differences. */
+  def q27ChainedIndex(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val daily = o.join(c, col("c_custkey") === col("o_custkey"))
+      .withColumn("day", to_date(col("o_orderdate")))
+      .groupBy(col("c_nationkey"), col("day"))
+      .agg(sum(col("o_totalprice").cast(D2)).cast("double").as("rev"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("day"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRet = daily
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .withColumn("ret",
+        when(col("prev_rev").isNotNull && col("prev_rev") > 0,
+          col("rev") / col("prev_rev")).otherwise(lit(1.0)))
+    withRet
+      .withColumn("index_level",
+        graft.functions.jsRound(
+          lit(100.0) * aggregate(collect_list(col("ret")).over(wf),
+            lit(1.0), (acc, x) => acc * x), 6))
+      .select(col("c_nationkey"), col("day"), col("index_level"))
+      .orderBy(col("c_nationkey"), col("day"))
+  }
+
+  /** §2.2 session expansion (1 API row → ≤3 session rows,
+    * equity-bars-daily.ts:125-144): explode + filter of conditional
+    * struct projections. */
+  def q28SessionExpand(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val am = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+      struct(lit("AM").as("session"), (col("o_totalprice") * 0.6).as("amount")))
+    val pm = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+      struct(lit("PM").as("session"), (col("o_totalprice") * 0.4).as("amount")))
+    val day = struct(lit("DAY").as("session"), col("o_totalprice").as("amount"))
+    o.select(col("o_orderkey"),
+        explode(filter(array(day, am, pm), x => x.isNotNull)).as("s"))
+      .select(col("o_orderkey"), col("s.session"), col("s.amount"))
+      .orderBy(col("o_orderkey"), col("session"))
+  }
+
+  /** §2.5 split/merge rebase factors (00093:60-70): reverse-cumulative
+    * product over trade date DESC with ROWS UNBOUNDED PRECEDING AND 1
+    * PRECEDING — the frame *excludes* the current row. Integer-scaled
+    * factors keep the product exact. */
+  def q29RebaseFactors(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val factorScaled = floor(col("l_tax") * 100 + lit(0.5)) + lit(100.0)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").desc, col("l_tax").desc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, -1)
+    li.withColumn("__f", factorScaled)
+      .withColumn("__cnt", count(lit(1)).over(wf))
+      .withColumn("__prod",
+        coalesce(aggregate(collect_list(col("__f")).over(wf), lit(1.0),
+          (acc, x) => acc * x), lit(1.0)))
+      .withColumn("cum_factor", col("__prod") / pow(lit(100.0), col("__cnt")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_tax"),
+        col("cum_factor"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_tax"))
+  }
+
+  /** §2.4 weighted harmonic basket aggregate (harmonicRatio,
+    * basket-valuation.ts:512-556): ratio = Σ(w·num)/Σ(w·den) over rows
+    * where both legs are non-null; null when the denominator ≤ 0. */
+  def q30HarmonicAgg(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val wgt = col("p_size").cast(D2)
+    val mcap = col("p_retailprice").cast(D2)
+    // a deliberately sign-mixed "earnings" leg to exercise the ≤0 guard
+    val earn = (col("p_retailprice") - lit(1000.0)).cast(D2)
+    val agg = p.groupBy(col("p_brand")).agg(
+      sum(when(mcap.isNotNull && earn.isNotNull, (wgt * mcap).cast("decimal(30,4)")))
+        .cast("double").as("num"),
+      sum(when(mcap.isNotNull && earn.isNotNull, (wgt * earn).cast("decimal(30,4)")))
+        .cast("double").as("den"),
+      count(lit(1)).as("n"))
+    agg.withColumn("per_like", when(col("den") > 0, col("num") / col("den")))
+      .select(col("p_brand"), col("n"), col("num"), col("den"), col("per_like"))
+      .orderBy(col("p_brand"))
+  }
+
+  // --------------------------------------------------------------------
+  // DuckDB oracles
+  // --------------------------------------------------------------------
+
+  val oracleQ19: String =
+    """WITH daily AS (
+      |  SELECT user_id, day, close FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS day, value AS close,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) t WHERE rn = 1
+      |), withprev AS (
+      |  SELECT *, lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+      |  FROM daily
+      |)
+      |SELECT day, COUNT(*) AS n_users,
+      |  SUM(CASE WHEN prev_close IS NOT NULL AND close > prev_close THEN 1 ELSE 0 END) AS advancers,
+      |  SUM(CASE WHEN prev_close IS NOT NULL AND close < prev_close THEN 1 ELSE 0 END) AS decliners,
+      |  SUM(CASE WHEN close = prev_close THEN 1 ELSE 0 END) AS unchanged
+      |FROM withprev GROUP BY day ORDER BY day""".stripMargin
+
+  val oracleQ20: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS dval
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+      |), days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds
+      |), spine AS (
+      |  SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM events) u, days d
+      |)
+      |SELECT s.user_id, s.day, CAST(dval AS DOUBLE) AS dval,
+      |  CASE WHEN COUNT(dval) OVER w = 5
+      |       THEN CAST(SUM(dval) OVER w AS DOUBLE) END AS roll5
+      |FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+      |WINDOW w AS (PARTITION BY s.user_id ORDER BY s.day
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY s.user_id, s.day""".stripMargin
+
+  private def sqlQuantile(frac: String): String =
+    s"""CASE WHEN (n-1) * $frac = floor((n-1) * $frac)
+       |  THEN arr[CAST(floor((n-1) * $frac) AS INT) + 1]
+       |  ELSE (1.0 - ((n-1) * $frac - floor((n-1) * $frac)))
+       |         * arr[CAST(floor((n-1) * $frac) AS INT) + 1]
+       |       + ((n-1) * $frac - floor((n-1) * $frac))
+       |         * arr[CAST(floor((n-1) * $frac) AS INT) + 2] END""".stripMargin
+
+  val oracleQ21: String =
+    s"""WITH g AS (
+       |  SELECT p_type, list_sort(list(p_retailprice)) AS arr, COUNT(*) AS n,
+       |    MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi
+       |  FROM part GROUP BY p_type
+       |)
+       |SELECT p_type, n, lo, hi,
+       |  ${sqlQuantile("0.25")} AS p25,
+       |  ${sqlQuantile("0.5")} AS median,
+       |  ${sqlQuantile("0.75")} AS p75
+       |FROM g ORDER BY p_type""".stripMargin
+
+  val oracleQ22: String =
+    """WITH long AS (
+      |  SELECT l_returnflag, 'quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+      |)
+      |SELECT l_returnflag, metric,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n
+      |FROM long GROUP BY l_returnflag, metric
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  val oracleQ23: String =
+    """WITH bounds AS (
+      |  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+      |         MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders
+      |), days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds
+      |)
+      |SELECT day FROM days
+      |WHERE day NOT IN (SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders)
+      |ORDER BY day""".stripMargin
+
+  val oracleQ24: String =
+    """SELECT 'orders' AS table_name, MAX(CAST(o_orderdate AS DATE)) AS max_date,
+      |       COUNT(*) AS n_rows FROM orders
+      |UNION ALL
+      |SELECT 'lineitem', MAX(CAST(l_shipdate AS DATE)), COUNT(*) FROM lineitem
+      |UNION ALL
+      |SELECT 'events', MAX(CAST(ts AS DATE)), COUNT(*) FROM events
+      |ORDER BY table_name""".stripMargin
+
+  private def sqlTransform(xExpr: String, from: String, name: String): String =
+    s"""b_$name AS (
+       |  SELECT
+       |    arr[CAST(floor((len(arr)-1) * 0.01) AS INT) + 1] AS lo,
+       |    arr[CAST(floor((len(arr)-1) * 0.99) AS INT) + 1] AS hi
+       |  FROM (SELECT list_sort(list($xExpr) FILTER (WHERE $xExpr IS NOT NULL)) AS arr
+       |        FROM $from)
+       |), c_$name AS (
+       |  SELECT t.*, least(greatest($xExpr, b.lo), b.hi) AS wz_$name
+       |  FROM $from t, b_$name b
+       |), s_$name AS (
+       |  SELECT COUNT(wz_$name) AS n,
+       |    CAST(SUM(CAST(floor(wz_$name) AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(CAST(floor(wz_$name) AS DECIMAL(18,0))
+       |         * CAST(floor(wz_$name) AS DECIMAL(18,0)) AS DECIMAL(30,0))) AS DOUBLE) AS sxx
+       |  FROM c_$name
+       |)""".stripMargin
+
+  val oracleQ25: String =
+    s"""WITH px AS (
+       |  SELECT o_custkey, o_totalprice AS p1 FROM (
+       |    SELECT o_custkey, o_totalprice,
+       |      ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+       |  WHERE rn = 1
+       |), base AS (
+       |  SELECT c_custkey, c_acctbal, p1
+       |  FROM customer LEFT JOIN px ON o_custkey = c_custkey
+       |), ${sqlTransform("c_acctbal", "base", "bal")},
+       |${sqlTransform("p1", "base", "p1")}
+       |SELECT b1.c_custkey,
+       |  COALESCE(least(greatest(
+       |    CASE WHEN s1.sxx/s1.n - (s1.sx/s1.n)*(s1.sx/s1.n) > 0
+       |         THEN (b1.wz_bal - s1.sx/s1.n)
+       |              / sqrt(s1.sxx/s1.n - (s1.sx/s1.n)*(s1.sx/s1.n)) END,
+       |    -3.0), 3.0), 0.0) AS f_bal,
+       |  COALESCE(least(greatest(
+       |    CASE WHEN s2.sxx/s2.n - (s2.sx/s2.n)*(s2.sx/s2.n) > 0
+       |         THEN (b2.wz_p1 - s2.sx/s2.n)
+       |              / sqrt(s2.sxx/s2.n - (s2.sx/s2.n)*(s2.sx/s2.n)) END,
+       |    -3.0), 3.0), 0.0) AS f_p1
+       |FROM c_bal b1
+       |JOIN c_p1 b2 ON b2.c_custkey = b1.c_custkey, s_bal s1, s_p1 s2
+       |ORDER BY b1.c_custkey""".stripMargin
+
+  val oracleQ26: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |), base AS (
+      |  SELECT c_nationkey, c_acctbal AS x, spend AS y
+      |  FROM customer JOIN spend ON o_custkey = c_custkey
+      |), agg AS (
+      |  SELECT c_nationkey, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(floor(y) AS DECIMAL(14,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(CAST(x AS DECIMAL(12,2)) * CAST(x AS DECIMAL(12,2))
+      |         AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(CAST(floor(y) AS DECIMAL(14,0)) * CAST(floor(y) AS DECIMAL(14,0))
+      |         AS DECIMAL(30,0))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(CAST(x AS DECIMAL(12,2)) * CAST(floor(y) AS DECIMAL(14,0))
+      |         AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+      |  FROM base GROUP BY c_nationkey
+      |)
+      |SELECT c_nationkey, n,
+      |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+      |       THEN (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+      |  END AS corr_xy
+      |FROM agg ORDER BY c_nationkey""".stripMargin
+
+  val oracleQ27: String =
+    """WITH daily AS (
+      |  SELECT c_nationkey, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1, 2
+      |), withret AS (
+      |  SELECT *, CASE WHEN lag(rev) OVER w IS NOT NULL AND lag(rev) OVER w > 0
+      |                 THEN rev / lag(rev) OVER w ELSE 1.0 END AS ret
+      |  FROM daily WINDOW w AS (PARTITION BY c_nationkey ORDER BY day)
+      |)
+      |SELECT c_nationkey, day,
+      |  floor(100.0 * product(ret) OVER (PARTITION BY c_nationkey ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5)
+      |  / 1000000.0 AS index_level
+      |FROM withret ORDER BY c_nationkey, day""".stripMargin
+
+  val oracleQ28: String =
+    """SELECT o_orderkey, session, amount FROM (
+      |  SELECT o_orderkey, 'DAY' AS session, o_totalprice AS amount FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'AM', o_totalprice * 0.6 FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  UNION ALL
+      |  SELECT o_orderkey, 'PM', o_totalprice * 0.4 FROM orders
+      |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |) t ORDER BY o_orderkey, session""".stripMargin
+
+  val oracleQ29: String =
+    """SELECT l_orderkey, l_linenumber, l_tax,
+      |  COALESCE(product(floor(l_tax * 100 + 0.5) + 100.0) OVER (
+      |    PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_tax DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0)
+      |  / power(100.0, CAST(COUNT(*) OVER (
+      |      PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_tax DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE))
+      |  AS cum_factor
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_tax""".stripMargin
+
+  val oracleQ30: String =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(p_size AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))
+      |       AS DECIMAL(30,4))) AS DOUBLE) AS num,
+      |  CAST(SUM(CAST(CAST(p_size AS DECIMAL(12,2))
+      |       * CAST(p_retailprice - 1000.0 AS DECIMAL(12,2))
+      |       AS DECIMAL(30,4))) AS DOUBLE) AS den,
+      |  CASE WHEN CAST(SUM(CAST(CAST(p_size AS DECIMAL(12,2))
+      |       * CAST(p_retailprice - 1000.0 AS DECIMAL(12,2)) AS DECIMAL(30,4)))
+      |       AS DOUBLE) > 0
+      |    THEN CAST(SUM(CAST(CAST(p_size AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))
+      |         AS DECIMAL(30,4))) AS DOUBLE)
+      |       / CAST(SUM(CAST(CAST(p_size AS DECIMAL(12,2))
+      |         * CAST(p_retailprice - 1000.0 AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DOUBLE)
+      |  END AS per_like
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+}

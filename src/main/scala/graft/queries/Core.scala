@@ -71,7 +71,7 @@ object Core {
     val xd = col("c_acctbal").cast(D2)
     val n = count(lit(1)).over(w)
     val mu = sum(xd).over(w).cast("double") / n
-    val msq = sum((xd * xd).cast("decimal(30,6)")).over(w).cast("double") / n
+    val msq = sum((xd * xd).cast("decimal(30,4)")).over(w).cast("double") / n
     val variance = msq - mu * mu
     c.withColumn("bal_z",
         when(variance > 0, (col("c_acctbal") - mu) / sqrt(variance)))
