@@ -50,6 +50,9 @@ object SparkEntry {
     "q28_session_expand" -> (AnalyticsQueries.q28SessionExpand _),
     "q29_rebase_factors" -> (AnalyticsQueries.q29RebaseFactors _),
     "q30_harmonic_agg" -> (AnalyticsQueries.q30HarmonicAgg _),
+    "q31_technical_snapshot" ->
+      ((s: SparkSession, d: String) => graft.analytics.TechnicalJob.fromEvents(s, d)),
+    "q32_window_indicators" -> (AnalyticsQueries.q32WindowIndicators _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -183,5 +186,8 @@ object SparkEntry {
     "q28_session_expand" -> AnalyticsQueries.oracleQ28,
     "q29_rebase_factors" -> AnalyticsQueries.oracleQ29,
     "q30_harmonic_agg" -> AnalyticsQueries.oracleQ30,
+    // q31_technical_snapshot: recursive kernels (EMA/RSI/ATR/MACD) are not
+    // SQL-expressible — rows-only check; pinned by the golden-vector spec.
+    "q32_window_indicators" -> AnalyticsQueries.oracleQ32,
   )
 }

@@ -308,6 +308,77 @@ object AnalyticsQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** §2.5 frame-expressible indicator subset WITH an oracle: rolling SMA
+    * (count-guarded), Bollinger bands from exact sums, rolling high/low and
+    * raw stochastic %K — the window-function face of the technical kernels
+    * (recursive EMA/RSI/ATR live in [[graft.analytics.TechnicalJob]], checked
+    * by the golden-vector spec instead). */
+  def q32WindowIndicators(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = ev.withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("close"))
+    val w5 = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-4, 0)
+    val xd = col("close").cast(D2)
+    val n5 = count(col("close")).over(w5)
+    val sma5 = when(n5 === 5, sum(xd).over(w5).cast("double") / 5)
+    val msq5 = sum((xd * xd).cast("decimal(30,4)")).over(w5).cast("double") / 5
+    val mu5 = sum(xd).over(w5).cast("double") / 5
+    val sd5 = sqrt(msq5 - mu5 * mu5)
+    val hh5 = max(col("close")).over(w5)
+    val ll5 = min(col("close")).over(w5)
+    daily
+      .withColumn("sma_5", sma5)
+      .withColumn("bb_upper", when(n5 === 5, mu5 + lit(2.0) * sd5))
+      .withColumn("bb_lower", when(n5 === 5, mu5 - lit(2.0) * sd5))
+      .withColumn("hh_5", when(n5 === 5, hh5))
+      .withColumn("ll_5", when(n5 === 5, ll5))
+      .withColumn("stoch_k_raw",
+        when(n5 === 5 && hh5 =!= ll5,
+          (col("close") - ll5) / (hh5 - ll5) * 100))
+      .select(col("user_id"), col("day"), col("close"), col("sma_5"),
+        col("bb_upper"), col("bb_lower"), col("hh_5"), col("ll_5"),
+        col("stoch_k_raw"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val oracleQ32: String =
+    """WITH daily AS (
+      |  SELECT user_id, day, close FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS day, value AS close,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) t WHERE rn = 1
+      |)
+      |SELECT user_id, day, close,
+      |  CASE WHEN COUNT(close) OVER w = 5
+      |       THEN CAST(SUM(CAST(close AS DECIMAL(12,2))) OVER w AS DOUBLE) / 5 END AS sma_5,
+      |  CASE WHEN COUNT(close) OVER w = 5 THEN
+      |    CAST(SUM(CAST(close AS DECIMAL(12,2))) OVER w AS DOUBLE) / 5
+      |    + 2.0 * sqrt(CAST(SUM(CAST(CAST(close AS DECIMAL(12,2))
+      |          * CAST(close AS DECIMAL(12,2)) AS DECIMAL(30,4))) OVER w AS DOUBLE) / 5
+      |        - (CAST(SUM(CAST(close AS DECIMAL(12,2))) OVER w AS DOUBLE) / 5)
+      |          * (CAST(SUM(CAST(close AS DECIMAL(12,2))) OVER w AS DOUBLE) / 5)) END AS bb_upper,
+      |  CASE WHEN COUNT(close) OVER w = 5 THEN
+      |    CAST(SUM(CAST(close AS DECIMAL(12,2))) OVER w AS DOUBLE) / 5
+      |    - 2.0 * sqrt(CAST(SUM(CAST(CAST(close AS DECIMAL(12,2))
+      |          * CAST(close AS DECIMAL(12,2)) AS DECIMAL(30,4))) OVER w AS DOUBLE) / 5
+      |        - (CAST(SUM(CAST(close AS DECIMAL(12,2))) OVER w AS DOUBLE) / 5)
+      |          * (CAST(SUM(CAST(close AS DECIMAL(12,2))) OVER w AS DOUBLE) / 5)) END AS bb_lower,
+      |  CASE WHEN COUNT(close) OVER w = 5 THEN MAX(close) OVER w END AS hh_5,
+      |  CASE WHEN COUNT(close) OVER w = 5 THEN MIN(close) OVER w END AS ll_5,
+      |  CASE WHEN COUNT(close) OVER w = 5 AND MAX(close) OVER w <> MIN(close) OVER w
+      |       THEN (close - MIN(close) OVER w)
+      |            / (MAX(close) OVER w - MIN(close) OVER w) * 100 END AS stoch_k_raw
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin
+
   // --------------------------------------------------------------------
   // DuckDB oracles
   // --------------------------------------------------------------------
