@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{AnalyticsQueries, Core, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, Core, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,10 @@ object SparkEntry {
     "q31_technical_snapshot" ->
       ((s: SparkSession, d: String) => graft.analytics.TechnicalJob.fromEvents(s, d)),
     "q32_window_indicators" -> (AnalyticsQueries.q32WindowIndicators _),
+    "q33_interval_asof" -> (Advanced.q33IntervalAsof _),
+    "q34_era_dates" -> (Advanced.q34EraDates _),
+    "q35_multimodal_meta" -> (Advanced.q35MultimodalMeta _),
+    "q36_product_agg" -> (Advanced.q36ProductAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,5 +193,27 @@ object SparkEntry {
     // q31_technical_snapshot: recursive kernels (EMA/RSI/ATR/MACD) are not
     // SQL-expressible — rows-only check; pinned by the golden-vector spec.
     "q32_window_indicators" -> AnalyticsQueries.oracleQ32,
+    // q33 must agree with q06 exactly — the two as-of formulations share
+    // one oracle
+    "q33_interval_asof" -> asofOracle,
+    "q34_era_dates" -> Advanced.oracleQ34,
+    "q35_multimodal_meta" -> Advanced.oracleQ35,
+    "q36_product_agg" -> Advanced.oracleQ36,
   )
+
+  private val asofOracle: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
+      |    CASE WHEN event_type = 'purchase' THEN event_id END AS p_eid,
+      |    CASE WHEN event_type = 'purchase' THEN value END AS p_val
+      |  FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT event_id, user_id, asof_event_id, asof_value FROM (
+      |  SELECT event_id, user_id, side,
+      |    last_value(p_eid IGNORE NULLS) OVER w AS asof_event_id,
+      |    last_value(p_val IGNORE NULLS) OVER w AS asof_value
+      |  FROM tagged
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |) t WHERE side = 1 ORDER BY event_id""".stripMargin
 }

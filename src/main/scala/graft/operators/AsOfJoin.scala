@@ -64,4 +64,40 @@ object AsOfJoin {
       df.withColumn(p, col("__carried").getField(p))
     }.drop("__carried", "__rowid")
   }
+
+  /** Validity-interval formulation of the same as-of join — the reference's
+    * `eff_span` pattern (`00116_create_bottomup_per_bands_rpc.sql:146-195`):
+    * each right row gets `eff_to = lead(time)` per key, then the left range-
+    * joins on `eff_from <= t < eff_to`.
+    *
+    * Trade-off vs [[backward]]: the interval join is a band join — Spark
+    * executes it as a broadcast-range or sort-merge-with-filter plan and it
+    * can explode when intervals overlap heavily, but it keeps the right
+    * side reusable as a materialized interval table (the reference
+    * materializes exactly that). Prefer [[backward]] for one-shot fact-fact
+    * as-of at scale; prefer this when the interval table is small or reused
+    * (e.g. an SCD2 dimension). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTime: String, rightTime: String,
+                   payload: Seq[String]): DataFrame = {
+    // rename every interval-side column so the join is unambiguous even
+    // when left and right share lineage (self-join on the same source)
+    val keyed = keyCols.zipWithIndex
+    val intervals0 = right.select(
+      keyed.map { case (k, i) => col(k).as(s"__k$i") } ++
+        Seq(col(rightTime).as("__eff_from")) ++
+        payload.map(p => col(p).as(s"__p_$p")): _*)
+    val w = Window.partitionBy(keyed.map { case (_, i) => col(s"__k$i") }: _*)
+      .orderBy(col("__eff_from"))
+    val intervals = intervals0.withColumn("__eff_to",
+      lead(col("__eff_from"), 1).over(w))
+    val cond = keyed.map { case (k, i) => col(k) === col(s"__k$i") }
+      .reduce(_ && _) &&
+      col(leftTime) >= col("__eff_from") &&
+      (col("__eff_to").isNull || col(leftTime) < col("__eff_to"))
+    val joined = left.join(intervals, cond, "left")
+    payload.foldLeft(joined)((df, p) => df.withColumn(p, col(s"__p_$p")))
+      .drop(keyed.map { case (_, i) => s"__k$i" } ++
+        Seq("__eff_from", "__eff_to") ++ payload.map(p => s"__p_$p"): _*)
+  }
 }

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.EraDate
+import graft.operators.{AsOfJoin, Multimodal, ProductAgg}
+
+/** Remaining operator surface: interval-formulated as-of joins, era-date
+  * parsing, multimodal feature extraction, and the custom exact product
+  * Aggregator as a group aggregate.
+  */
+object Advanced {
+
+  /** §2.3 as-of join, validity-interval formulation (00116:146-195) —
+    * must produce exactly the rows of the union-sort q06 plan. */
+  def q33IntervalAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("asof_event_id"), col("value").as("asof_value"))
+    AsOfJoin.intervalJoin(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("asof_event_id", "asof_value"))
+      .select(col("event_id"), col("user_id"), col("asof_event_id"),
+        col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** §2.8 era-date round trip (mof/client.ts:45-95): format each order
+    * date as a 元号 string, parse it back with the engine's parser. */
+  def q34EraDates(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val dt = to_date(col("o_orderdate"))
+    o.select(col("o_orderkey"), dt.as("orderdate"),
+        EraDate.formatEraDate(dt).as("era_str"))
+      .withColumn("parsed", EraDate.parseEraDate(col("era_str")))
+      .withColumn("roundtrip_ok", col("parsed") <=> col("orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Multimodal metadata extraction: binary payloads → deterministic
+    * stub-decoded features via typed mapPartitions (schema/plumbing real,
+    * codec stubbed — Multimodal.stubDecode). */
+  def q35MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.features(s, dir)
+
+  /** §2.10 custom exact product Aggregator as a group aggregate
+    * (numeric_product, 00093:24-37): per-order product of integer-scaled
+    * tax factors via the registered UDAF. */
+  def q36ProductAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val factorScaled = floor(col("l_tax") * 100 + lit(0.5)) + lit(100.0)
+    // cap at 7 factors per group: 108^7 < 2^53 keeps the product exactly
+    // representable in double regardless of combination order (108^11 does
+    // not — an 11-line order surfaced as a 1-ulp oracle divergence)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_tax"))
+    li.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 7)
+      .withColumn("__f", factorScaled.cast("decimal(10,0)"))
+      .groupBy(col("l_orderkey"))
+      .agg(ProductAgg.decimalProduct(col("__f")).as("prod_scaled"),
+        count(lit(1)).as("n"))
+      .withColumn("tax_factor",
+        col("prod_scaled").cast("double") / pow(lit(100.0), col("n")))
+      .select(col("l_orderkey"), col("n"), col("tax_factor"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  // --------------------------------------------------------------------
+  // Oracles
+  // --------------------------------------------------------------------
+
+  val oracleQ34: String = {
+    // era string + parse result computed analytically from the date; the
+    // Spark side does the actual string round trip
+    val eraCase = EraDate.eraOffsets.map { case (name, off) =>
+      s"WHEN year(orderdate) > $off THEN '$name' || (year(orderdate) - $off) " +
+        s"|| '.' || month(orderdate) || '.' || day(orderdate)"
+    }.mkString(" ")
+    s"""SELECT o_orderkey, orderdate,
+       |  CASE $eraCase END AS era_str,
+       |  CASE WHEN year(orderdate) > 1867 THEN orderdate END AS parsed,
+       |  CASE WHEN year(orderdate) > 1867 THEN orderdate END IS NOT DISTINCT FROM orderdate AS roundtrip_ok
+       |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate FROM orders) t
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
+  val oracleQ35: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    text, strlen(text) AS n_bytes
+      |  FROM documents
+      |), chk AS (
+      |  SELECT doc_id, SUM(ord(substr(text, CAST(i AS INT), 1))) AS checksum
+      |  FROM base, range(1, 100000) r(i) WHERE i <= strlen(text)
+      |  GROUP BY doc_id
+      |)
+      |SELECT b.doc_id, b.media_type, b.n_bytes,
+      |  CAST(64 + b.n_bytes % 1024 AS INT) AS width,
+      |  CAST(64 + (b.n_bytes * 7) % 768 AS INT) AS height,
+      |  CAST(1 + b.n_bytes % 30 AS INT) AS n_frames,
+      |  c.checksum
+      |FROM base b JOIN chk c USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
+  val oracleQ36: String =
+    """SELECT l_orderkey, COUNT(*) AS n,
+      |  product(floor(l_tax * 100 + 0.5) + 100.0)
+      |    / power(100.0, CAST(COUNT(*) AS DOUBLE)) AS tax_factor
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |        ORDER BY l_linenumber, l_tax) AS rn FROM lineitem) t
+      |WHERE rn <= 7
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+}
