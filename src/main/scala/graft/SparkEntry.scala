@@ -57,6 +57,7 @@ object SparkEntry {
     "q34_era_dates" -> (Advanced.q34EraDates _),
     "q35_multimodal_meta" -> (Advanced.q35MultimodalMeta _),
     "q36_product_agg" -> (Advanced.q36ProductAgg _),
+    "q37_json_payload" -> (Advanced.q37JsonPayload _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -199,6 +200,7 @@ object SparkEntry {
     "q34_era_dates" -> Advanced.oracleQ34,
     "q35_multimodal_meta" -> Advanced.oracleQ35,
     "q36_product_agg" -> Advanced.oracleQ36,
+    "q37_json_payload" -> Advanced.oracleQ37,
   )
 
   private val asofOracle: String =

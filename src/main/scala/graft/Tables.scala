@@ -38,6 +38,12 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts DIV 1000)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings arrive as a single parquet file — one input
+    * partition — while their consumers (shingling, hashing, vector math)
+    * are compute-heavy per row. Spread them across the cluster up front;
+    * the shuffle is tiny relative to the per-row work it parallelizes. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 }

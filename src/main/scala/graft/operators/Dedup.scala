@@ -59,34 +59,68 @@ object Dedup {
           (col("sz1") + col("sz2") - col("inter")))
   }
 
-  /** MinHash signatures: for each doc, n minima of (a_i*h'+b_i) mod P over
-    * its shingle hashes (h' = hash60 mod P). Output: (id, i, minhash). */
-  def minhashSignatures(sh: DataFrame, idCol: String, n: Int): DataFrame = {
-    val h = Text.hash60(col("shingle")) % P
-    val hashes = sh.select(col(idCol), h.as("__h"))
-    val is = (0 until n).map(i => (i, hashParamsA(i), hashParamsB(i)))
-    val iDf = hashes.sparkSession.createDataFrame(is)
-      .toDF("i", "a", "b")
-    hashes.crossJoin(broadcast(iDf))
-      .select(col(idCol), col("i"),
-        ((col("a") * col("__h") + col("b")) % P).as("__hv"))
-      .groupBy(col(idCol), col("i"))
-      .agg(min(col("__hv")).as("minhash"))
+  /** Exact Jaccard restricted to a given candidate-pair set — the verify
+    * stage of the LSH pipeline. Work is bounded by Σ|shingles(id1)| over
+    * candidate pairs (NOT by co-occurrence: a stop-shingle present in every
+    * doc makes [[jaccardPairs]] quadratic — 210s vs ~2s on the 500-doc
+    * table — and would be fatal at real scale). */
+  def jaccardForCandidates(cand0: DataFrame, sh: DataFrame,
+                           idCol: String): DataFrame = {
+    val cand = cand0.persist() // referenced twice (intersection + output)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val s1 = sh.select(col(idCol).as("id1"), col("shingle"))
+    val s2 = sh.select(col(idCol).as("id2"), col("shingle"))
+    val inter = cand.join(s1, Seq("id1"))
+      .join(s2, Seq("id2", "shingle"), "left_semi")
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("id1", "id2"), "left")
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")))
   }
 
-  /** LSH banding over signatures: band = i / rowsPerBand; band key = the
-    * ordered concat of the band's minhashes. Docs sharing any (band, key)
-    * bucket become candidate pairs (id1 < id2, distinct). */
+  /** MinHash signatures, wide form: one row per doc with columns
+    * `mh0..mh{n-1}` = min over the doc's shingle hashes of (a_i·h'+b_i)
+    * mod P (h' = hash60 mod P).
+    *
+    * Deliberately ONE aggregation with n min columns rather than an
+    * n-way row explosion: partial (map-side) aggregation collapses each
+    * input partition to one row per doc before the shuffle — the exploded
+    * form shuffles |shingles|·n rows instead and was the dominant cost of
+    * the LSH pipeline. */
+  def minhashSignatures(sh: DataFrame, idCol: String, n: Int): DataFrame = {
+    val h = (Text.hash60(col("shingle")) % P).as("__h")
+    val aggs = (0 until n).map { i =>
+      min((lit(hashParamsA(i)) * col("__h") + lit(hashParamsB(i))) % P)
+        .as(s"mh$i")
+    }
+    sh.select(col(idCol), h)
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over wide signatures: band b's key is the ordered concat
+    * of `mh(b·rowsPerBand) .. mh(b·rowsPerBand + rowsPerBand - 1)`. Docs
+    * sharing any (band, key) bucket become candidate pairs (id1 < id2,
+    * distinct). */
   def minhashCandidates(sig: DataFrame, idCol: String,
                         rowsPerBand: Int): DataFrame = {
-    val posAggs = (0 until rowsPerBand).map(p =>
-      max(when(col("i") % rowsPerBand === p, col("minhash"))).as(s"__m$p"))
-    val banded = sig.withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(posAggs.head, posAggs.tail: _*)
-      .withColumn("bkey",
-        concat_ws(":", (0 until rowsPerBand).map(p => col(s"__m$p")): _*))
-      .select(col(idCol), col("band"), col("bkey"))
+    val n = sig.columns.count(_.startsWith("mh"))
+    val nBands = n / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until rowsPerBand).map(p =>
+          col(s"mh${b * rowsPerBand + p}")): _*).as("bkey"))
+    }
+    // persisted: the bucket self-join below would otherwise recompute the
+    // whole signature pipeline for each side
+    val banded = sig.select(col(idCol),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bkey"))
+      .persist()
     banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
       .join(banded.select(col("band"), col("bkey"), col(idCol).as("id2")),
         Seq("band", "bkey"))

@@ -45,14 +45,22 @@ object Windows {
     * inputs get a null percentile but are kept as rows. */
   def invertedPercentile(df: DataFrame, partitionCol: Column, valueCol: Column,
                          outCol: String, lowerIsBetter: Boolean): DataFrame = {
-    val ord = if (lowerIsBetter) valueCol.asc else valueCol.desc
-    // percent_rank over only the non-null rows: windowing on the full
-    // partition would count nulls in the denominator (Postgres parity trap,
-    // SURVEY §7.4.2). Restrict the window with a null-partition trick: rows
-    // with null value are shunted to their own partition and nulled out.
-    val w = Window.partitionBy(partitionCol, valueCol.isNull).orderBy(ord)
+    // percent_rank over only the non-null rows (windowing on the full
+    // partition would count nulls in the denominator — Postgres parity
+    // trap, SURVEY §7.4.2), computed as rank arithmetic over a window
+    // partitioned by the sector key ALONE: nulls sort last so non-null
+    // rows get the correct rank, and the denominator is count(value).
+    // Keeping every scoring window on the same partitioning key lets
+    // Catalyst plan ONE exchange + per-window sorts instead of a shuffle
+    // per score column.
+    val ord = if (lowerIsBetter) valueCol.asc_nulls_last
+      else valueCol.desc_nulls_last
+    val w = Window.partitionBy(partitionCol).orderBy(ord)
+    val nNonNull = count(valueCol).over(Window.partitionBy(partitionCol))
+    val pr = when(nNonNull > 1,
+      (rank().over(w) - 1).cast("double") / (nNonNull - 1)).otherwise(lit(0.0))
     df.withColumn(outCol,
-      when(valueCol.isNotNull, (lit(1.0) - percent_rank().over(w)) * 100.0))
+      when(valueCol.isNotNull, (lit(1.0) - pr) * 100.0))
   }
 
   /** Population z-score per partition (`00108:151-156`): (x - avg)/stddev_pop,

@@ -71,9 +71,38 @@ object Advanced {
       .orderBy(col("l_orderkey"))
   }
 
+  /** §2.1 landed-JSON payload scan (scrape payloads parsed set-oriented
+    * with from_json): events.props is a JSON string — parse, extract, and
+    * aggregate per event type. */
+  def q37JsonPayload(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    graft.sources.Sources.parseJsonPayload(ev, "props", schema)
+      .select(col("event_type"), col("__payload.k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .withColumn("avg_k", col("sum_k").cast("double") / col("n_with_k"))
+      .orderBy(col("event_type"))
+  }
+
   // --------------------------------------------------------------------
   // Oracles
   // --------------------------------------------------------------------
+
+  val oracleQ37: String =
+    """SELECT event_type,
+      |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+      |  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
+      |    / COUNT(CAST(props->>'$.k' AS BIGINT)) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracleQ34: String = {
     // era string + parse result computed analytically from the date; the

@@ -59,12 +59,12 @@ object TextQueries {
     * the verify join touches only candidates). */
   def q15NearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+      .persist() // reused by signatures AND the verify stage
     val sig = Dedup.minhashSignatures(sh, "doc_id", NumHashes)
     val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
-    val jac = Dedup.jaccardPairs(sh, "doc_id")
-      .select(col("id1"), col("id2"), col("jaccard"))
-    cand.join(jac, Seq("id1", "id2"))
+    Dedup.jaccardForCandidates(cand, sh, "doc_id")
       .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
 
