@@ -58,6 +58,7 @@ object SparkEntry {
     "q35_multimodal_meta" -> (Advanced.q35MultimodalMeta _),
     "q36_product_agg" -> (Advanced.q36ProductAgg _),
     "q37_json_payload" -> (Advanced.q37JsonPayload _),
+    "q38_columngroup_merge" -> (AnalyticsQueries.q38ColumnGroupMerge _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -201,6 +202,7 @@ object SparkEntry {
     "q35_multimodal_meta" -> Advanced.oracleQ35,
     "q36_product_agg" -> Advanced.oracleQ36,
     "q37_json_payload" -> Advanced.oracleQ37,
+    "q38_columngroup_merge" -> AnalyticsQueries.oracleQ38,
   )
 
   private val asofOracle: String =

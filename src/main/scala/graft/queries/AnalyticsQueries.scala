@@ -379,6 +379,51 @@ object AnalyticsQueries {
       |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, day""".stripMargin
 
+  /** §1.1 wide indicator table with per-column-group ownership
+    * (analytics.market_indicators, 00068:21-60; per-group upsert
+    * indicators-sync.ts:225-235): independent per-day metric groups merged
+    * by full-outer join on the date axis, `coalesce` per column — a group
+    * refresh never clobbers another group's columns. */
+  def q38ColumnGroupMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val day = to_date(col("ts")).as("day")
+    // group A (owner: trading metrics): click volume + value sum
+    val a = ev.filter(col("event_type") === "click")
+      .groupBy(day).agg(count(lit(1)).as("click_count"),
+        sum(col("value").cast(D2)).cast("double").as("click_value"))
+    // group B (owner: conversion metrics): purchase count + value
+    val b = ev.filter(col("event_type") === "purchase")
+      .groupBy(day).agg(count(lit(1)).as("purchase_count"),
+        sum(col("value").cast(D2)).cast("double").as("purchase_value"))
+    // group C (owner: reliability): error count
+    val c = ev.filter(col("event_type") === "error")
+      .groupBy(day).agg(count(lit(1)).as("error_count"))
+    a.join(b, Seq("day"), "full_outer")
+      .join(c, Seq("day"), "full_outer")
+      .select(col("day"), col("click_count"), col("click_value"),
+        col("purchase_count"), col("purchase_value"), col("error_count"))
+      .orderBy(col("day"))
+  }
+
+  val oracleQ38: String =
+    """WITH a AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS click_count,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1
+      |), b AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS purchase_count,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), c AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS error_count
+      |  FROM events WHERE event_type = 'error' GROUP BY 1
+      |)
+      |SELECT COALESCE(a.day, b.day, c.day) AS day,
+      |  click_count, click_value, purchase_count, purchase_value, error_count
+      |FROM a FULL OUTER JOIN b ON b.day = a.day
+      |FULL OUTER JOIN c ON c.day = COALESCE(a.day, b.day)
+      |ORDER BY day""".stripMargin
+
   // --------------------------------------------------------------------
   // DuckDB oracles
   // --------------------------------------------------------------------

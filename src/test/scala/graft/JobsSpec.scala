@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.DailyRefreshJob
+
+class JobsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("daily refresh DAG publishes every stage atomically and is idempotent") {
+    val root = Files.createTempDirectory("refresh").toFile.getAbsolutePath
+    val r1 = DailyRefreshJob.run(spark, "/root/testdata/sf0.001", root, "v1")
+    assert(r1.forall(_.error.isEmpty), r1.filter(_.error.isDefined).toString)
+    assert(r1.forall(_.rows > 0))
+    // pointer resolves to v1 for every stage
+    r1.foreach { s =>
+      assert(graft.operators.Upsert.resolvePublished(s"$root/${s.name}")
+        .exists(_.endsWith("v=v1")))
+    }
+    // re-run as v2: same row counts (idempotent over the same inputs),
+    // pointer flips, v1 snapshot still intact on disk
+    val r2 = DailyRefreshJob.run(spark, "/root/testdata/sf0.001", root, "v2")
+    assert(r2.map(s => s.name -> s.rows) == r1.map(s => s.name -> s.rows))
+    r2.foreach { s =>
+      assert(graft.operators.Upsert.resolvePublished(s"$root/${s.name}")
+        .exists(_.endsWith("v=v2")))
+      assert(new java.io.File(s"$root/${s.name}/v=v1").exists())
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Technical
+import graft.operators.{Skew, Upsert}
+
+/** Property tests for the kernel/operator invariants SURVEY §5 calls out:
+  * upsert idempotence, SMA window-count guards, jaccard bounds, salted
+  * aggregation equivalence, JS-round stability. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Deterministic sampling driver over ScalaCheck generators (the
+    * scalatest-scalacheck bridge isn't on the offline classpath). */
+  private def forSamples[A](g: Gen[A], n: Int = 20)(f: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    var seed = seed0
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 20) {
+      g.apply(Gen.Parameters.default, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced > 0, "generator produced no samples")
+  }
+
+  val priceGen: Gen[List[Double]] =
+    Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1.0, 10000.0).map(v =>
+        math.floor(v * 100) / 100)))
+
+  test("sma: defined exactly from index period-1; mean of its window") {
+    forSamples(Gen.zip(priceGen, Gen.chooseNum(1, 30))) { case (xs, period) =>
+      val out = Technical.sma(xs.toArray, period)
+      xs.indices.foreach { i =>
+        if (i < period - 1) assert(out(i).isEmpty)
+        else {
+          assert(out(i).isDefined)
+          val expect = xs.slice(i - period + 1, i + 1).sum / period
+          assert(math.abs(out(i).get - expect) < 1e-6)
+        }
+      }
+    }
+  }
+
+  test("ema/rsi defined iff enough bars; rsi within [0,100]") {
+    forSamples(priceGen) { xs =>
+      val r = Technical.rsi(xs.toArray, 14)
+      xs.indices.foreach { i =>
+        if (i < 14) assert(r(i).isEmpty)
+        else {
+          assert(r(i).isDefined)
+          assert(r(i).get >= 0.0 && r(i).get <= 100.0)
+        }
+      }
+    }
+  }
+
+  test("jsRound: idempotent and within half-ulp of target granularity") {
+    forSamples(Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0, 6)), 50) { case (x, d) =>
+      val once = Technical.jsRound(x, d).get
+      val twice = Technical.jsRound(once, d).get
+      assert(once == twice)
+      assert(math.abs(once - x) <= math.pow(10.0, -d) / 2 + 1e-9)
+    }
+  }
+
+  test("keyed upsert: idempotent, key-unique, latest wins") {
+    import spark.implicits._
+    forSamples(Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0, 100))), 5) { pairs =>
+      {
+        val existing = pairs.toDF("k", "v")
+        val incoming = pairs.map { case (k, v) => (k, v + 1000) }.toDF("k", "v")
+        val up = Upsert.keyedLatest(existing, incoming, Seq("k"), "v")
+        val rows = up.collect().map(r => r.getInt(0) -> r.getInt(1))
+        // key-unique
+        assert(rows.map(_._1).distinct.length == rows.length)
+        // every value came from incoming (incoming wins)
+        assert(rows.forall(_._2 >= 1000))
+        // idempotent
+        val again = Upsert.keyedLatest(up, incoming, Seq("k"), "v")
+        assert(again.count() == up.count())
+      }
+    }
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(200,
+      Gen.zip(Gen.oneOf("hot", "hot", "hot", "a", "b"),
+        Gen.chooseNum(1, 1000))), 3) { rows =>
+      {
+        val df = rows.toDF("k", "v")
+        val plain = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val salted = Skew.saltedAgg(df, Seq("k"), col("v"), buckets = 8,
+            partialAggs = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+            finalAggs = Seq(sum("ps").as("s"), sum("pn").as("n")))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(salted == plain)
+      }
+    }
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val fact = (1 to 300).map(i => (if (i % 2 == 0) "hot" else s"k${i % 7}", i))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k3", "B")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), col("v"), buckets = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+  }
+}
