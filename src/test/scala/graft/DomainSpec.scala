@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Baskets, Rebase}
+
+/** Domain-semantics fixtures (FIXTURES.md §2): split-day rebasing with
+  * multi-session rows and alphanumeric codes, PIT financial selection with
+  * correction tie-breaks and the forward-EPS target-FY rule, harmonic
+  * basket aggregation guards, and chained index levels with gap
+  * truncation. Expected values are hand-computed.
+  */
+class DomainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+
+  // ---------------- rebase (00093) ----------------
+
+  def bars = {
+    import spark.implicits._
+    // 1→5 split on d3 (factor 0.2 on the ex-rights day; that day's raw is
+    // post-split). d3 has two session rows, factor on DAY only.
+    Seq(
+      ("285A0", d("2024-01-01"), "DAY", 1000.0, Some(100L), None: Option[Double]),
+      ("285A0", d("2024-01-02"), "DAY", 1010.0, Some(110L), None),
+      ("285A0", d("2024-01-03"), "DAY", 205.0, Some(520L), Some(0.2)),
+      ("285A0", d("2024-01-03"), "AM", 204.0, None, None),
+      ("285A0", d("2024-01-04"), "DAY", 206.0, Some(530L), None),
+      ("7203", d("2024-01-01"), "DAY", 50.0, Some(10L), None),
+    ).toDF("local_code", "trade_date", "session", "close", "volume",
+        "adjustment_factor")
+      .withColumn("open", col("close")).withColumn("high", col("close"))
+      .withColumn("low", col("close"))
+      .withColumn("adj_open", lit(null).cast("decimal(18,6)"))
+      .withColumn("adj_high", lit(null).cast("decimal(18,6)"))
+      .withColumn("adj_low", lit(null).cast("decimal(18,6)"))
+      .withColumn("adj_close", lit(null).cast("decimal(18,6)"))
+      .withColumn("adj_volume", lit(null).cast("long"))
+  }
+
+  test("rebase: split factor applies to strictly earlier days only") {
+    val out = Rebase.rebase(bars)
+    val m = out.collect().map(r => (r.getAs[String]("local_code"),
+      r.getAs[java.sql.Date]("trade_date").toString,
+      r.getAs[String]("session")) ->
+      (Option(r.getAs[java.math.BigDecimal]("adj_close")).map(_.doubleValue),
+        Option(r.getAs[Any]("adj_volume")))).toMap
+    assert(m(("285A0", "2024-01-01", "DAY"))._1.contains(200.0))
+    assert(m(("285A0", "2024-01-01", "DAY"))._2.contains(500L))
+    assert(m(("285A0", "2024-01-02", "DAY"))._1.contains(202.0))
+    // ex-rights day and later: factor not applied to own row
+    assert(m(("285A0", "2024-01-03", "DAY"))._1.contains(205.0))
+    assert(m(("285A0", "2024-01-03", "AM"))._1.contains(204.0))
+    // null volume stays null after rebase
+    assert(m(("285A0", "2024-01-03", "AM"))._2.forall(_ == null))
+    assert(m(("285A0", "2024-01-04", "DAY"))._1.contains(206.0))
+    assert(m(("7203", "2024-01-01", "DAY"))._1.contains(50.0))
+  }
+
+  test("rebase is idempotent") {
+    val once = Rebase.rebase(bars)
+    val twice = Rebase.rebase(once)
+    val a = once.orderBy("local_code", "trade_date", "session").collect()
+    val b = twice.orderBy("local_code", "trade_date", "session").collect()
+    assert(a.sameElements(b))
+  }
+
+  // ---------------- PIT financials ----------------
+
+  def fyDisclosures = {
+    import spark.implicits._
+    Seq(
+      // original FY2023 filing, then a correction 3 weeks later
+      ("X", d("2024-01-10"), "15:00", d("2023-12-31"), 5000.0, 10.0, 50.0, 2.0, 1000.0),
+      ("X", d("2024-02-01"), "15:00", d("2023-12-31"), 5000.0, 11.0, 50.0, 2.0, 1000.0),
+      // FY2024 actuals, a year later
+      ("X", d("2025-02-01"), "15:00", d("2024-12-31"), 6000.0, 13.0, 60.0, 2.5, 1000.0),
+    ).toDF("code", "disclosed_date", "disclosed_time", "fiscal_year_end",
+      "sales", "eps", "bps", "dividend_annual", "shares")
+  }
+
+  def forwardDisclosures = {
+    import spark.implicits._
+    Seq(("X", d("2024-01-15"), "15:00", d("2024-12-31"), 12.0))
+      .toDF("code", "disclosed_date", "disclosed_time", "target_fy_end",
+        "forecast_eps")
+  }
+
+  def valuationDays = {
+    import spark.implicits._
+    Seq(("X", d("2024-01-05")), ("X", d("2024-01-20")), ("X", d("2024-02-15")),
+      ("X", d("2024-07-01")), ("X", d("2025-03-01")))
+      .toDF("code", "day")
+  }
+
+  test("pitFy: corrections win within a fiscal year; nothing before first disclosure") {
+    val pit = Baskets.pitFy(fyDisclosures, valuationDays)
+    val eps = pit.collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+      Option(r.getAs[Any]("eps"))).toMap
+    assert(eps("2024-01-05").isEmpty)          // before any disclosure
+    assert(eps("2024-01-20").contains(10.0))   // original filing
+    assert(eps("2024-02-15").contains(11.0))   // correction supersedes
+    assert(eps("2025-03-01").contains(13.0))   // FY2024 actuals
+  }
+
+  test("pitForward: forecast valid only until actuals catch up to its target FY") {
+    val pit = Baskets.pitFy(fyDisclosures, valuationDays)
+    val fwd = Baskets.pitForward(forwardDisclosures, pit)
+    val f = fwd.collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+      Option(r.getAs[Any]("forecast_eps"))).toMap
+    assert(f("2024-01-05").isEmpty)            // not yet disclosed
+    assert(f("2024-01-20").contains(12.0))     // live forecast
+    assert(f("2024-07-01").contains(12.0))
+    assert(f("2025-03-01").isEmpty)            // FY2024 actuals landed → stale
+  }
+
+  // ---------------- harmonic basket aggregation ----------------
+
+  test("harmonic aggregates: both-leg guard and denominator sign guard") {
+    import spark.implicits._
+    val items = Seq(
+      // basket B, one day: two constituents with earnings, one without
+      ("B", d("2024-07-01"), 1.0, 0.4, 200000.0, Some(11000.0), Some(12000.0), Some(50000.0), Some(5000.0), Some(2000.0)),
+      ("B", d("2024-07-01"), 1.0, 0.3, 100000.0, Some(9000.0), None, Some(40000.0), Some(4000.0), None),
+      ("B", d("2024-07-01"), 1.0, 0.1, 50000.0, None, None, None, None, None),
+      // basket L: aggregate earnings negative → null PER
+      ("L", d("2024-07-01"), 1.0, 1.0, 80000.0, Some(-5000.0), None, None, None, None),
+    ).toDF("basket", "day", "factor", "official_weight", "mcap", "earnings",
+      "forward_earnings", "book", "sales", "dividend_total")
+    val agg = Baskets.aggregateBasketDays(items).collect()
+      .map(r => r.getAs[String]("basket") -> r).toMap
+    val b = agg("B")
+    // PER = (200000+100000)/(11000+9000) = 15; third constituent excluded
+    assert(b.getAs[Double]("weighted_per") == 15.0)
+    // forward PER only over the one code with a live forecast
+    assert(b.getAs[Double]("weighted_per_forward") == 200000.0 / 12000.0)
+    // dividend yield = Σ(f·div)/Σ(f·mcap)×100 over rows with div
+    assert(b.getAs[Double]("weighted_div_yield") == 2000.0 / 200000.0 * 100)
+    assert(math.abs(b.getAs[Double]("coverage_pct") - 0.8) < 1e-12)
+    // negative-aggregate denominator → null
+    assert(agg("L").isNullAt(agg("L").fieldIndex("weighted_per")))
+  }
+
+  // ---------------- chained index ----------------
+
+  test("chained index: forward and backward from anchor, gap truncates") {
+    import spark.implicits._
+    val weights = Seq(
+      ("B", d("2024-01-01"), "X", 0.5), ("B", d("2024-01-01"), "Y", 0.5),
+      ("B", d("2024-01-02"), "X", 0.5), ("B", d("2024-01-02"), "Y", 0.5),
+      ("B", d("2024-01-03"), "X", 0.5), ("B", d("2024-01-03"), "Y", 0.5),
+      ("B", d("2024-01-04"), "X", 0.5), ("B", d("2024-01-04"), "Y", 0.5),
+    ).toDF("basket", "day", "code", "weight")
+    val px = Seq(
+      ("X", d("2024-01-01"), 100.0), ("Y", d("2024-01-01"), 200.0),
+      ("X", d("2024-01-02"), 110.0), ("Y", d("2024-01-02"), 190.0),
+      ("X", d("2024-01-03"), 121.0), ("Y", d("2024-01-03"), 190.0),
+      // d4: Y missing → r(d4) computed over X only (renormalized)
+      ("X", d("2024-01-04"), 133.1),
+    ).toDF("code", "day", "adj_close")
+    val out = Baskets.chainIndex(weights, px, d("2024-01-02"), 100.0)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        Option(r.getAs[Any]("level")).map(_.asInstanceOf[Double])).toMap
+    assert(out("2024-01-02").contains(100.0))
+    // r(d2) = 0.5*(110/100) + 0.5*(190/200) = 1.025 → level(d1) = 100/1.025
+    assert(math.abs(out("2024-01-01").get - 100.0 / 1.025) < 1e-9)
+    // r(d3) = 0.5*(121/110) + 0.5*(190/190) = 1.05
+    assert(math.abs(out("2024-01-03").get - 105.0) < 1e-9)
+    // r(d4): only X has both closes → renormalized to (133.1/121) = 1.1
+    assert(math.abs(out("2024-01-04").get - 115.5) < 1e-9)
+  }
+}
