@@ -73,6 +73,49 @@ object Similarity {
                         dims: Int, nPlanes: Int): DataFrame =
     emb.withColumn("bucket", bucketExpr(asDouble(col(vecCol)), dims, nPlanes))
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus;
+    * probe only the `nProbe` cells nearest the query. The standard
+    * scale path beyond hyperplane LSH — centroids broadcast, one
+    * partition-pruned scan per query batch.
+    *
+    * @return (assignments with `cell`, centroids) — pass both to
+    *         [[ivfTopK]] so the (expensive) training is reusable. */
+  def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.feature.{VectorAssembler => _}
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val mlReady = vecs.map { r =>
+      (r.getAs[Long](0), Vectors.dense(r.getSeq[Double](1).toArray))
+    }.toDF(idCol, "features")
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell")
+    val model = km.fit(mlReady)
+    val assigned = model.transform(mlReady)
+      .select(col(idCol), col("cell"))
+      .join(vecs, Seq(idCol))
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Probe the nProbe nearest cells and rank exactly within them. */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+              idCol: String, query: Seq[Double], nProbe: Int,
+              k: Int): DataFrame = {
+    def dist2(c: Array[Double]): Double =
+      c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }
+      .take(nProbe).map(_._2)
+    val q = array(query.map(lit): _*)
+    assigned.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col(idCol), cosineSim(col("v"), q).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k: exact cosine ranking restricted to the query's bucket. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], dims: Int, nPlanes: Int, k: Int): DataFrame = {

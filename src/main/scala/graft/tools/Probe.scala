@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratchpad: schema/plan probes against the driver testdata. */
+/** Dev scratchpad: regenerates PLANS.md (physical-plan review artifact). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -11,8 +11,22 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.analytics.ScreenMetrics.run(spark, "/root/testdata/sf0.1")
-    df.explain("formatted")
+    val dir = "/root/testdata/sf0.1"
+    val targets = Seq(
+      "q10_screen_metrics" -> graft.analytics.ScreenMetrics.run(spark, dir),
+      "q06_asof_join" -> graft.queries.Core.q06AsofJoin(spark, dir),
+      "q01_pricing_agg" -> graft.queries.Core.q01PricingAgg(spark, dir),
+      "q15_neardup_pairs" -> graft.queries.TextQueries.q15NearDupPairs(spark, dir),
+    )
+    val sb = new StringBuilder
+    targets.foreach { case (name, df) =>
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.treeString.take(9000))
+      sb.append("\n```\n")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/plans_body.md"), sb.toString)
+    println("WROTE /tmp/plans_body.md")
     spark.stop()
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("IVF top-k recalls the brute-force neighbors on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // query = vec 0's embedding
+    val query = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")))
+      .collect()(0).getSeq[Double](0)
+
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+
+    val (assigned, centroids) = Similarity.ivfTrain(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", nCells = 8)
+    val approx = Similarity.ivfTopK(assigned, centroids, "vec_id", query,
+      nProbe = 4, k = 10).collect().map(_.getLong(0)).toSet
+
+    // probing half the cells should recall most of the exact top-10
+    assert(approx.intersect(exact).size >= 6,
+      s"recall too low: ${approx.intersect(exact).size}/10")
+    // full probe degenerates to exact
+    val full = Similarity.ivfTopK(assigned, centroids, "vec_id", query,
+      nProbe = 8, k = 10).collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b").join(spark.table("orders_b"),
+      col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located bucketed join: no shuffle exchange on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in bucketed join plan:\n$plan")
+    assert(joined.count() == li.count())
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+}
