@@ -135,14 +135,18 @@ object SparkEntry {
         |) t WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "q07_cum_tax_product" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  product(floor(l_tax * 100 + 0.5) + 100.0) OVER (
-        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_tax
+      """WITH factors AS (
+        |  SELECT l_orderkey, l_linenumber, MIN(l_tax) AS tax
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  product(floor(tax * 100 + 0.5) + 100.0) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |  / power(100.0, CAST(ROW_NUMBER() OVER (
-        |      PARTITION BY l_orderkey ORDER BY l_linenumber, l_tax) AS DOUBLE))
+        |      PARTITION BY l_orderkey ORDER BY l_linenumber) AS DOUBLE))
         |  AS cum_tax_factor
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM factors ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q08_scd2_intervals" ->
       """WITH flagged AS (

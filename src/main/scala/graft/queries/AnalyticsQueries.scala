@@ -273,19 +273,24 @@ object AnalyticsQueries {
     * factors keep the product exact. */
   def q29RebaseFactors(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val factorScaled = floor(col("l_tax") * 100 + lit(0.5)) + lit(100.0)
+    // distinct-on first (00093 day_factors): one factor per (order, line),
+    // which also bounds the product depth ≤ 7 so the integer-scaled
+    // product stays below 2^53 (exact under any combination order)
+    val factors = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_tax")).as("tax"))
+    val factorScaled = floor(col("tax") * 100 + lit(0.5)) + lit(100.0)
     val w = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_linenumber").desc, col("l_tax").desc)
+      .orderBy(col("l_linenumber").desc)
     val wf = w.rowsBetween(Window.unboundedPreceding, -1)
-    li.withColumn("__f", factorScaled)
+    factors.withColumn("__f", factorScaled)
       .withColumn("__cnt", count(lit(1)).over(wf))
       .withColumn("__prod",
         coalesce(aggregate(collect_list(col("__f")).over(wf), lit(1.0),
           (acc, x) => acc * x), lit(1.0)))
       .withColumn("cum_factor", col("__prod") / pow(lit(100.0), col("__cnt")))
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_tax"),
+      .select(col("l_orderkey"), col("l_linenumber"), col("tax"),
         col("cum_factor"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_tax"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   /** §2.4 weighted harmonic basket aggregate (harmonicRatio,
@@ -621,15 +626,19 @@ object AnalyticsQueries {
       |) t ORDER BY o_orderkey, session""".stripMargin
 
   val oracleQ29: String =
-    """SELECT l_orderkey, l_linenumber, l_tax,
-      |  COALESCE(product(floor(l_tax * 100 + 0.5) + 100.0) OVER (
-      |    PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_tax DESC
+    """WITH factors AS (
+      |  SELECT l_orderkey, l_linenumber, MIN(l_tax) AS tax
+      |  FROM lineitem GROUP BY l_orderkey, l_linenumber
+      |)
+      |SELECT l_orderkey, l_linenumber, tax,
+      |  COALESCE(product(floor(tax * 100 + 0.5) + 100.0) OVER (
+      |    PARTITION BY l_orderkey ORDER BY l_linenumber DESC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0)
       |  / power(100.0, CAST(COUNT(*) OVER (
-      |      PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_tax DESC
+      |      PARTITION BY l_orderkey ORDER BY l_linenumber DESC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE))
       |  AS cum_factor
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_tax""".stripMargin
+      |FROM factors ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   val oracleQ30: String =
     """SELECT p_brand, COUNT(*) AS n,

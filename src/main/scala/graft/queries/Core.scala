@@ -112,14 +112,17 @@ object Core {
     * product is exact in double regardless of combination order. */
   def q07CumTaxProduct(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val factorScaled = floor(col("l_tax") * 100 + lit(0.5)) + lit(100.0)
-    // (l_orderkey, l_linenumber) is not unique in the testdata — include
-    // the factor itself in the sort so the cumulative-product multiset is
-    // deterministic (identical tied rows then commute harmlessly).
-    val w = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_linenumber"), col("l_tax"))
+    // one factor per (order, line) first — the reference's day_factors
+    // distinct-on discipline (00093:50-58). Also the exactness guard:
+    // (l_orderkey, l_linenumber) is not unique, and 40-deep duplicate
+    // chains push the integer-scaled product past 2^53 where combination
+    // order starts to matter (surfaced as a 1-ulp divergence at sf0.1).
+    val factors = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_tax")).as("tax"))
+    val factorScaled = floor(col("tax") * 100 + lit(0.5)) + lit(100.0)
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
     val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    li.withColumn("__f", factorScaled)
+    factors.withColumn("__f", factorScaled)
       .withColumn("__prod",
         aggregate(collect_list(col("__f")).over(wf), lit(1.0), (acc, x) => acc * x))
       .withColumn("cum_tax_factor",
