@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BusinessDay, Text}
+import graft.operators.{AsOfJoin, Windows}
+
+/** Edge-case unit coverage for the window/join/text operator surface. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+
+  test("asof strict mode hides same-timestamp state rows") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 99.0)).toDF("k", "t", "v")
+    val incl = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect()(0)
+    assert(incl.getAs[Any]("v") == 99.0)
+    val strict = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"),
+      strict = true).collect()(0)
+    assert(strict.isNullAt(strict.fieldIndex("v")))
+  }
+
+  test("invertedPercentile: ties share rank, nulls excluded, single row = 100") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(2.0)),
+      ("a", None), ("b", Some(7.0))).toDF("g", "x")
+    val out = Windows.invertedPercentile(df, col("g"), col("x"), "pct",
+        lowerIsBetter = false)
+      .collect().map(r => (r.getString(0), Option(r.getAs[Any]("x")),
+        Option(r.getAs[Any]("pct")))).toSet
+    // n=3 non-null in a: best pct 100 for the tied 2.0s ((1-0)*100),
+    // 1.0 gets (1-(3-1)/2)*100 = 0; null row gets null pct
+    assert(out.contains(("a", Some(2.0), Some(100.0))))
+    assert(out.contains(("a", Some(1.0), Some(0.0))))
+    assert(out.contains(("a", None, None)))
+    // singleton partition: percent_rank 0 → 100
+    assert(out.contains(("b", Some(7.0), Some(100.0))))
+  }
+
+  test("rankPivot returns values at exactly the requested ranks") {
+    import spark.implicits._
+    val df = Seq((1, d("2024-01-01"), 10.0), (1, d("2024-01-02"), 20.0),
+      (1, d("2024-01-03"), 30.0)).toDF("k", "dt", "v")
+    val out = Windows.rankPivot(df, col("k"), Seq(col("dt")), col("v"),
+      Seq(1, 2, 5), "v_rn").collect()(0)
+    assert(out.getAs[Double]("v_rn1") == 30.0) // latest
+    assert(out.getAs[Double]("v_rn2") == 20.0)
+    assert(out.isNullAt(out.fieldIndex("v_rn5"))) // beyond history
+  }
+
+  test("langId: und for no stopword hits; quality score bounded [0,1]") {
+    import spark.implicits._
+    val df = Seq("zzz qqq xxx", "the cat and the dog is in the house",
+      "").toDF("text")
+      .select(Text.langId(col("text")).as("lang"),
+        Text.qualityScore(col("text")).as("q"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "und")
+    assert(rows(1).getString(0) == "en")
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("business-day navigation: next and shift snap over weekends") {
+    import spark.implicits._
+    // Jan 2024: 6th/7th and 13th/14th are weekends
+    val cal = (1 to 20).map { i =>
+      val dt = d(f"2024-01-$i%02d")
+      val dow = java.time.LocalDate.parse(dt.toString).getDayOfWeek.getValue
+      (dt, dow <= 5)
+    }.toDF("calendar_date", "is_business_day")
+    val df = Seq(Tuple1(d("2024-01-05"))).toDF("dt") // Friday
+    val nxt = BusinessDay.next(df, "dt", cal).collect()(0)
+      .getAs[java.sql.Date]("next_business_day")
+    assert(nxt == d("2024-01-08")) // Monday
+    val shifted = BusinessDay.addBusinessDays(
+        Seq(Tuple1(d("2024-01-06"))).toDF("dt"), "dt", cal, 2) // Saturday
+      .collect()(0).getAs[java.sql.Date]("shifted_day")
+    // snaps to Fri 5th, +2 business days → Tue 9th
+    assert(shifted == d("2024-01-09"))
+  }
+}
