@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.WindowedAgg
+import graft.streaming.WindowedAgg.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("watermarked tumbling window: in-order data aggregates; stale data is dropped") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val stream = MemoryStream[Event]
+    val q = WindowedAgg.tumbling(stream.toDS(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+
+    // batch 1: two windows for user 1; advances the watermark to 10:25
+    stream.addData(
+      Event(ts("2024-01-01 10:01:00"), 1, 10.0),
+      Event(ts("2024-01-01 10:04:00"), 1, 5.0),
+      Event(ts("2024-01-01 10:12:00"), 1, 7.0),
+      Event(ts("2024-01-01 10:30:00"), 2, 1.0))
+    q.processAllAvailable()
+    // batch 2: an event far behind the watermark → its window is closed
+    stream.addData(Event(ts("2024-01-01 10:02:00"), 1, 99.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close and emit all windows
+    stream.addData(Event(ts("2024-01-01 11:00:00"), 2, 2.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("winagg").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    // the 10:00 window contains only the two on-time events — the late
+    // 99.0 arrived after the watermark passed the window end
+    assert(rows.contains(("2024-01-01 10:00:00.0", 1L, 2L, 15.0)))
+    assert(rows.contains(("2024-01-01 10:10:00.0", 1L, 1L, 7.0)))
+    assert(rows.contains(("2024-01-01 10:30:00.0", 2L, 1L, 1.0)))
+    assert(!rows.exists(_._4 == 114.0), "late event leaked into closed window")
+  }
+
+  test("same aggregation runs identically as a batch plan") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(ts("2024-01-01 10:01:00"), 1, 10.0),
+      Event(ts("2024-01-01 10:04:00"), 1, 5.0),
+      Event(ts("2024-01-01 10:12:00"), 1, 7.0)).toDS()
+    val out = WindowedAgg.tumbling(batch, "10 minutes", "5 minutes")
+      .orderBy(col("win_start")).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((2L, 15.0), (1L, 7.0)))
+  }
+}
