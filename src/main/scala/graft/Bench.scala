@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // let AQE coalesce partitions inside cached (persisted) subtrees —
+      // otherwise persist() freezes small shuffles at the full partition
+      // count and schedules empty tasks (~2x on the LSH pipeline)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the JVM/codegen/parquet reader so the first measured query

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE coalesce partitions inside cached (persisted) subtrees —
+      // otherwise persist() freezes small shuffles at the full partition
+      // count and schedules empty tasks (~2x on the LSH pipeline)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
