@@ -59,6 +59,8 @@ object SparkEntry {
     "q36_product_agg" -> (Advanced.q36ProductAgg _),
     "q37_json_payload" -> (Advanced.q37JsonPayload _),
     "q38_columngroup_merge" -> (AnalyticsQueries.q38ColumnGroupMerge _),
+    "q39_multikey_semi" -> (Advanced.q39MultiKeySemi _),
+    "q40_topk_per_group" -> (Advanced.q40TopKPerGroup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -207,6 +209,8 @@ object SparkEntry {
     "q36_product_agg" -> Advanced.oracleQ36,
     "q37_json_payload" -> Advanced.oracleQ37,
     "q38_columngroup_merge" -> AnalyticsQueries.oracleQ38,
+    "q39_multikey_semi" -> Advanced.oracleQ39,
+    "q40_topk_per_group" -> Advanced.oracleQ40,
   )
 
   private val asofOracle: String =

@@ -90,9 +90,67 @@ object Advanced {
       .orderBy(col("event_type"))
   }
 
+  /** §2.3 multi-key in-list (semi) join — bars for (codes × dates)
+    * (refresh-basket-metrics.ts:357-386): keep lineitems whose
+    * (orderkey, shipdate-month) appears in a derived key set. */
+  def q39MultiKeySemi(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    // key set: urgent orders × their order-month
+    val keys = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("k_month"))
+      .distinct()
+    li.withColumn("ship_month",
+        date_trunc("month", col("l_shipdate")).cast("date"))
+      .join(keys, col("l_orderkey") === col("k_orderkey") &&
+        col("ship_month") === col("k_month"), "left_semi")
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** §2.6 top-k per group with k>1 (latest-3 orders per customer —
+    * the per-series history limit, 00042:16-25). */
+  def q40TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    graft.operators.Windows.topKPerGroup(o, Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc), k = 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   // --------------------------------------------------------------------
   // Oracles
   // --------------------------------------------------------------------
+
+  val oracleQ39: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT o_orderkey AS k_orderkey,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS k_month
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |)
+      |SELECT ship_month, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      |FROM (
+      |  SELECT l_quantity,
+      |    CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      |    l_orderkey
+      |  FROM lineitem) li
+      |WHERE EXISTS (SELECT 1 FROM keys
+      |              WHERE k_orderkey = li.l_orderkey
+      |                AND k_month = li.ship_month)
+      |GROUP BY ship_month ORDER BY ship_month""".stripMargin
+
+  val oracleQ40: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
   val oracleQ37: String =
     """SELECT event_type,
