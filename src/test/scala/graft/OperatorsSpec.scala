@@ -63,6 +63,27 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
+  test("native js_round expression matches the composed helper and codegens") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => i * 0.0137 - 5.0).toDF("x")
+    val both = df.select(
+      graft.functions.jsRound(col("x"), 3).as("composed"),
+      graft.functions.JsRoundExpr.jsRoundNative(col("x"), 3).as("native"))
+    assert(both.filter(col("composed") =!= col("native")).count() == 0)
+    // registered SQL form
+    graft.functions.JsRoundExpr.register(spark)
+    df.createOrReplaceTempView("jsr_probe")
+    val viaSql = spark.sql("SELECT js_round(x, 3) r FROM jsr_probe")
+      .agg(sum("r")).collect()(0).getDouble(0)
+    val viaCol = both.agg(sum("native")).collect()(0).getDouble(0)
+    assert(viaSql == viaCol)
+    // null propagates
+    val n = Seq[Option[Double]](None).toDF("x")
+      .select(graft.functions.JsRoundExpr.jsRoundNative(col("x"), 2).as("r"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("business-day navigation: next and shift snap over weekends") {
     import spark.implicits._
     // Jan 2024: 6th/7th and 13th/14th are weekends
