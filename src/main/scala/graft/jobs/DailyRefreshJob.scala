@@ -26,6 +26,22 @@ object DailyRefreshJob {
   final case class StageResult(name: String, rows: Long,
                                error: Option[String])
 
+  /** Publish gate (refresh-technical.ts:98-112,129-135): a derived
+    * snapshot only publishes when it covers at least `minCoverage` of the
+    * entity universe — two scalar counts and a guard, never a collect of
+    * the data itself. */
+  def coverageGate(snapshot: org.apache.spark.sql.DataFrame,
+                   universe: org.apache.spark.sql.DataFrame,
+                   minCoverage: Double): Either[String, Long] = {
+    val got = snapshot.count()
+    val want = universe.count()
+    if (want == 0) Left("empty universe")
+    else if (got.toDouble / want < minCoverage)
+      Left(f"coverage ${got.toDouble / want}%.3f below $minCoverage%.2f " +
+        s"($got of $want entities)")
+    else Right(got)
+  }
+
   /** Run the derived-analytics chain over a testdata snapshot dir,
     * publishing each stage under `outRoot/<stage>/v=<version>`. */
   def run(spark: SparkSession, sfDir: String, outRoot: String,
@@ -41,9 +57,19 @@ object DailyRefreshJob {
         AnalyticsQueries.q25FactorVectors(spark, sfDir)),
       "neardup_pairs" -> (() => TextQueries.q15NearDupPairs(spark, sfDir)),
     )
+    val universe = graft.Tables.customer(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("c_custkey"))
     stages.map { case (name, mk) =>
       try {
         val df = mk()
+        // entity-keyed snapshots must clear the coverage gate first
+        if (name == "screen_metrics" || name == "factor_vectors") {
+          coverageGate(df, universe, minCoverage = 0.8) match {
+            case Left(reason) =>
+              throw new IllegalStateException(s"publish blocked: $reason")
+            case Right(_) =>
+          }
+        }
         Upsert.publishSnapshot(df, s"$outRoot/$name", version)
         val published = Upsert.resolvePublished(s"$outRoot/$name").get
         StageResult(name, spark.read.parquet(published).count(), None)

@@ -28,4 +28,14 @@ class JobsSpec extends AnyFunSuite {
       assert(new java.io.File(s"$root/${s.name}/v=v1").exists())
     }
   }
+
+  test("coverage gate blocks under-covered snapshots") {
+    import spark.implicits._
+    val universe = (1 to 100).toDF("c_custkey")
+    val thin = (1 to 50).toDF("c_custkey")
+    val full = (1 to 90).toDF("c_custkey")
+    assert(DailyRefreshJob.coverageGate(thin, universe, 0.8).isLeft)
+    assert(DailyRefreshJob.coverageGate(full, universe, 0.8) == Right(90L))
+    assert(DailyRefreshJob.coverageGate(full, full.limit(0), 0.8).isLeft)
+  }
 }
