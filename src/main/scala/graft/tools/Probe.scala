@@ -2,25 +2,32 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratchpad. */
+/** Regenerates the raw physical-plan dumps PLANS.md reviews
+  * (writes /tmp/plans_body.md). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    for (p <- Seq("32", "8")) {
-      val spark = SparkSession.builder().master("local[32]")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", p)
-        .appName(s"probe$p")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("ERROR")
-      spark.range(100).count()
-      val t0 = System.nanoTime()
-      graft.queries.TextQueries.q15NearDupPairs(spark, "/root/testdata/sf0.1").count()
-      println(f"partitions=$p q15 ${(System.nanoTime()-t0)/1e9}%6.2f s")
-      val t1 = System.nanoTime()
-      graft.queries.TextQueries.q14MinhashCandidates(spark, "/root/testdata/sf0.1").count()
-      println(f"partitions=$p q14 ${(System.nanoTime()-t1)/1e9}%6.2f s")
-      spark.stop()
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val targets = Seq(
+      "q10_screen_metrics" -> graft.analytics.ScreenMetrics.run(spark, dir),
+      "q06_asof_join" -> graft.queries.Core.q06AsofJoin(spark, dir),
+      "q01_pricing_agg" -> graft.queries.Core.q01PricingAgg(spark, dir),
+      "q15_neardup_pairs" -> graft.queries.TextQueries.q15NearDupPairs(spark, dir),
+    )
+    val sb = new StringBuilder
+    targets.foreach { case (name, df) =>
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.treeString.take(9000))
+      sb.append("\n```\n")
     }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/plans_body.md"), sb.toString)
+    println("WROTE /tmp/plans_body.md")
+    spark.stop()
   }
 }
