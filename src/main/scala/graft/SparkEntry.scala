@@ -61,6 +61,7 @@ object SparkEntry {
     "q38_columngroup_merge" -> (AnalyticsQueries.q38ColumnGroupMerge _),
     "q39_multikey_semi" -> (Advanced.q39MultiKeySemi _),
     "q40_topk_per_group" -> (Advanced.q40TopKPerGroup _),
+    "q41_distinct_on" -> (Advanced.q41DistinctOnPreferNonNull _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -211,6 +212,7 @@ object SparkEntry {
     "q38_columngroup_merge" -> AnalyticsQueries.oracleQ38,
     "q39_multikey_semi" -> Advanced.oracleQ39,
     "q40_topk_per_group" -> Advanced.oracleQ40,
+    "q41_distinct_on" -> Advanced.oracleQ41,
   )
 
   private val asofOracle: String =

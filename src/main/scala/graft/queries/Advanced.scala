@@ -122,9 +122,33 @@ object Advanced {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** §2.4 `DISTINCT ON` with non-null preference (day_factors,
+    * 00093:50-58; top-1-per-series 00033:13-21): one event row per
+    * (user, day), preferring rows with a props payload, then latest. */
+  def q41DistinctOnPreferNonNull(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("day"))
+      .orderBy(col("props").isNull.cast("int"), col("ts").desc,
+        col("event_id").desc)
+    ev.withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   // --------------------------------------------------------------------
   // Oracles
   // --------------------------------------------------------------------
+
+  val oracleQ41: String =
+    """SELECT user_id, day, event_id, value FROM (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |      ORDER BY CAST(props IS NULL AS INT), ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, day""".stripMargin
 
   val oracleQ39: String =
     """WITH keys AS (
