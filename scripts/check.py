@@ -20,13 +20,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(v):
+    # Dtype-faithful: the driver's comparator hashes values together with
+    # their type, so int64 5 != float64 5.0 (the r01 HUGEINT failures).
+    # Tag every value with a type class so the local replay can't pass
+    # what the driver fails.
     if v is None:
-        return "∅"
+        return ("null", "∅")
+    if hasattr(v, "item"):  # unwrap numpy scalars
+        v = v.item()
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "∅"
-        return v
-    return v
+            return ("null", "∅")
+        return ("float", v)
+    if isinstance(v, int):
+        return ("int", v)
+    return (type(v).__name__, str(v))
 
 
 def skey(row):

@@ -179,7 +179,7 @@ object Advanced {
   val oracleQ37: String =
     """SELECT event_type,
       |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
-      |  SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
       |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
       |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE)
@@ -209,7 +209,7 @@ object Advanced {
       |    text, strlen(text) AS n_bytes
       |  FROM documents
       |), chk AS (
-      |  SELECT doc_id, SUM(ord(substr(text, CAST(i AS INT), 1))) AS checksum
+      |  SELECT doc_id, CAST(SUM(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS checksum
       |  FROM base, range(1, 100000) r(i) WHERE i <= strlen(text)
       |  GROUP BY doc_id
       |)

@@ -445,9 +445,9 @@ object AnalyticsQueries {
       |  FROM daily
       |)
       |SELECT day, COUNT(*) AS n_users,
-      |  SUM(CASE WHEN prev_close IS NOT NULL AND close > prev_close THEN 1 ELSE 0 END) AS advancers,
-      |  SUM(CASE WHEN prev_close IS NOT NULL AND close < prev_close THEN 1 ELSE 0 END) AS decliners,
-      |  SUM(CASE WHEN close = prev_close THEN 1 ELSE 0 END) AS unchanged
+      |  CAST(SUM(CASE WHEN prev_close IS NOT NULL AND close > prev_close THEN 1 ELSE 0 END) AS BIGINT) AS advancers,
+      |  CAST(SUM(CASE WHEN prev_close IS NOT NULL AND close < prev_close THEN 1 ELSE 0 END) AS BIGINT) AS decliners,
+      |  CAST(SUM(CASE WHEN close = prev_close THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
       |FROM withprev GROUP BY day ORDER BY day""".stripMargin
 
   val oracleQ20: String =

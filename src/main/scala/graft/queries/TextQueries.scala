@@ -117,9 +117,9 @@ object TextQueries {
 
   val oracleQ11: String =
     """SELECT source, COUNT(*) AS n_docs,
-      |  SUM(len(regexp_extract_all(text, '\w+'))) AS total_tokens,
-      |  SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_subwords,
-      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(len(regexp_extract_all(text, '\w+'))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_subwords,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM(len(regexp_extract_all(text, '\w+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
