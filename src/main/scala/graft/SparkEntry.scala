@@ -199,8 +199,9 @@ object SparkEntry {
     "q28_session_expand" -> AnalyticsQueries.oracleQ28,
     "q29_rebase_factors" -> AnalyticsQueries.oracleQ29,
     "q30_harmonic_agg" -> AnalyticsQueries.oracleQ30,
-    // q31_technical_snapshot: recursive kernels (EMA/RSI/ATR/MACD) are not
-    // SQL-expressible — rows-only check; pinned by the golden-vector spec.
+    // q31: the recursive kernels are replayed in DuckDB as a recursive CTE
+    // doing the identical IEEE-754 op sequence (see TechnicalJob.oracleQ31).
+    "q31_technical_snapshot" -> graft.analytics.TechnicalJob.oracleQ31,
     "q32_window_indicators" -> AnalyticsQueries.oracleQ32,
     // q33 must agree with q06 exactly — the two as-of formulations share
     // one oracle
