@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, Core, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, Breadth, Core, PerBands, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,8 @@ object SparkEntry {
     "q39_multikey_semi" -> (Advanced.q39MultiKeySemi _),
     "q40_topk_per_group" -> (Advanced.q40TopKPerGroup _),
     "q41_distinct_on" -> (Advanced.q41DistinctOnPreferNonNull _),
+    "q42_market_breadth" -> (Breadth.q42MarketBreadth _),
+    "q43_per_bands" -> (PerBands.q43PerBands _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -214,6 +216,8 @@ object SparkEntry {
     "q39_multikey_semi" -> Advanced.oracleQ39,
     "q40_topk_per_group" -> Advanced.oracleQ40,
     "q41_distinct_on" -> Advanced.oracleQ41,
+    "q42_market_breadth" -> Breadth.oracleQ42,
+    "q43_per_bands" -> PerBands.oracleQ43,
   )
 
   private val asofOracle: String =
