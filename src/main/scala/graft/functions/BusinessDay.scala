@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   * (joins against the calendar), never scalar UDFs: the calendar is tiny
   * and broadcasts, so navigation is a map-side lookup at any scale.
   *
+  * Navigation is two EQUALITY joins against calendar-derived lookups
+  * (snap spine + business-day index): no inequality join (which would
+  * materialize |rows|×|matching-days| intermediates) and no
+  * groupBy-all-columns (which would silently collapse duplicate input
+  * rows — see the duplicate-row regression in OperatorsSpec). Dates
+  * outside the calendar's span resolve to null.
+  *
+  * The calendar-only windows below are unpartitioned by design: the
+  * calendar is bounded (decades ≈ tens of thousands of rows), so a
+  * single-task pass over it is constant-cost at any fact-table scale.
+  *
   * Calendar schema: `calendar_date date, is_business_day boolean`
   * (00003:5-15).
   */
@@ -21,33 +32,38 @@ object BusinessDay {
         row_number().over(Window.orderBy(col("calendar_date"))))
       .select(col("calendar_date"), col("bd_idx"))
 
-  /** For each row of `df`, the next business day strictly after `dateCol`
-    * (null when the calendar runs out). */
-  def next(df: DataFrame, dateCol: String, calendar: DataFrame): DataFrame = {
-    val cal = indexed(calendar)
-    val asOf = df.join(broadcast(cal.select(
-        col("calendar_date").as("__cd"), col("bd_idx").as("__i"))),
-      col("__cd") > col(dateCol), "left")
-      .groupBy(df.columns.map(col): _*)
-      .agg(min(col("__cd")).as("next_business_day"))
-    asOf
+  /** Every calendar date → running count of business days so far =
+    * bd_idx of the latest business day ≤ that date (0 before the first). */
+  private def snapSpine(calendar: DataFrame): DataFrame = {
+    val wCum = Window.orderBy(col("__cd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.select(col("calendar_date").as("__cd"),
+        col("is_business_day").as("__bd"))
+      .withColumn("__snap_idx",
+        sum(when(col("__bd"), 1).otherwise(0)).over(wCum))
+      .select(col("__cd"), col("__snap_idx"))
   }
 
+  /** For each row of `df`, the next business day strictly after `dateCol`
+    * (null when the date is off-calendar or the calendar runs out). */
+  def next(df: DataFrame, dateCol: String, calendar: DataFrame): DataFrame =
+    df.join(broadcast(snapSpine(calendar)), col(dateCol) === col("__cd"), "left")
+      .join(broadcast(indexed(calendar).select(col("bd_idx").as("__nb_idx"),
+          col("calendar_date").as("next_business_day"))),
+        col("__nb_idx") === col("__snap_idx") + 1, "left")
+      .drop("__cd", "__snap_idx", "__nb_idx")
+
   /** Shift each row's `dateCol` by `n` business days (n may be negative).
-    * Dates not on the calendar resolve via the previous business day's
-    * index, matching the reference's snap-then-shift behavior. */
+    * Dates not on a business day resolve via the previous business day's
+    * index, matching the reference's snap-then-shift behavior; dates
+    * before the first business day (or off-calendar) yield null. */
   def addBusinessDays(df: DataFrame, dateCol: String, calendar: DataFrame,
-                      n: Int): DataFrame = {
-    val cal = indexed(calendar)
-    // snap: index of the latest business day <= dateCol
-    val snapped = df.join(broadcast(cal.select(
-        col("calendar_date").as("__cd"), col("bd_idx").as("__i"))),
-      col("__cd") <= col(dateCol), "left")
-      .groupBy(df.columns.map(col): _*)
-      .agg(max(col("__i")).as("__idx"))
-    snapped.join(broadcast(cal.select(col("bd_idx"),
-        col("calendar_date").as("shifted_day"))),
-        col("bd_idx") === col("__idx") + n, "left")
-      .drop("__idx", "bd_idx")
-  }
+                      n: Int): DataFrame =
+    df.join(broadcast(snapSpine(calendar)
+          .select(col("__cd"), when(col("__snap_idx") > 0, col("__snap_idx")).as("__idx"))),
+        col(dateCol) === col("__cd"), "left")
+      .join(broadcast(indexed(calendar).select(col("bd_idx").as("__tb_idx"),
+          col("calendar_date").as("shifted_day"))),
+        col("__tb_idx") === col("__idx") + n, "left")
+      .drop("__cd", "__idx", "__tb_idx")
 }

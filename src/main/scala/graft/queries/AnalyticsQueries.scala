@@ -136,7 +136,8 @@ object AnalyticsQueries {
   }
 
   /** §2.8 factor-vector pipeline (transformColumn, factor-vectors.ts:254-309):
-    * winsorize at nearest-rank p01/p99 → population z-score (exact sums) →
+    * winsorize at type-7-interpolated p01/p99 (percentile(), :191-213) →
+    * population z-score (exact sums) →
     * clamp ±3 → null→0, per dimension over the full cross-section. Output:
     * the transformed dimension values per entity. */
   def q25FactorVectors(s: SparkSession, dir: String): DataFrame = {
@@ -150,22 +151,42 @@ object AnalyticsQueries {
     val base = c.join(px, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_acctbal"), col("p1"))
 
-    // Two 1-row aggregate passes broadcast back onto the rows (never a
-    // whole-column window collect — that is quadratic in partition size):
-    // (1) sorted array → nearest-rank winsorize bounds; (2) exact decimal
-    // sums of the clamped values → population z parameters.
+    // Winsorize bounds: type-7 linear interpolation (factor-vectors.ts
+    // percentile(), :191-213) computed DISTRIBUTED — a global range-
+    // partitioned sort plus zipWithIndex (one count job for partition
+    // offsets), from which only the ≤4 rank values are collected. Never a
+    // whole-column collect into one task, never a single-partition window:
+    // at 100× the cross-section this still spreads the sort across the
+    // cluster and moves 4 doubles to the driver.
+    def interpBounds(df: DataFrame, x: Column): (Double, Double) = {
+      val sorted = df.select(x.cast("double").as("v"))
+        .na.drop.sort(col("v"))
+      val n = sorted.count()
+      if (n == 1) { val v = sorted.head().getDouble(0); (v, v) }
+      else {
+        def ranks(p: Double): (Long, Long, Double) = {
+          val idx = p * (n - 1).toDouble
+          (math.floor(idx).toLong, math.ceil(idx).toLong, idx)
+        }
+        val (l1, h1, i1) = ranks(0.01)
+        val (l2, h2, i2) = ranks(0.99)
+        val want = Set(l1, h1, l2, h2)
+        val got = sorted.rdd.zipWithIndex()
+          .filter { case (_, i) => want(i) }
+          .map { case (r, i) => (i, r.getDouble(0)) }
+          .collect().toMap
+        // s[lo] + (s[hi] - s[lo]) * frac — the JS formula verbatim, so the
+        // oracle (same expression in SQL doubles) agrees bit-for-bit
+        def interp(lo: Long, hi: Long, idx: Double): Double =
+          if (lo == hi) got(lo) else got(lo) + (got(hi) - got(lo)) * (idx - lo)
+        (interp(l1, h1, i1), interp(l2, h2, i2))
+      }
+    }
+
     def transformed(x: Column, name: String)(df: DataFrame): DataFrame = {
-      val b = df.agg(sort_array(collect_list(x)).as("arr"))
-        .select(
-          element_at(col("arr"),
-            floor((size(col("arr")) - 1).cast("double") * lit(0.01)).cast("int") + 1)
-            .as(s"__lo_$name"),
-          element_at(col("arr"),
-            floor((size(col("arr")) - 1).cast("double") * lit(0.99)).cast("int") + 1)
-            .as(s"__hi_$name"))
-      val clamped = df.crossJoin(broadcast(b))
-        .withColumn(s"__wz_$name",
-          least(greatest(x, col(s"__lo_$name")), col(s"__hi_$name")))
+      val (loB, hiB) = interpBounds(df, x)
+      val clamped = df
+        .withColumn(s"__wz_$name", least(greatest(x, lit(loB)), lit(hiB)))
       // z parameters from FLOORED winsorized values: scale-0 decimal sums
       // keep the scaled integer < 2^53 at any sf (squares of 2-decimal
       // values at scale 4 overflow the exact-double range past ~1e11 rows·x²)
@@ -182,8 +203,7 @@ object AnalyticsQueries {
       withZ
         .withColumn(name,
           coalesce(least(greatest(z, lit(-3.0)), lit(3.0)), lit(0.0)))
-        .drop(s"__lo_$name", s"__hi_$name", s"__wz_$name",
-          s"__n_$name", s"__sx_$name", s"__sxx_$name")
+        .drop(s"__wz_$name", s"__n_$name", s"__sx_$name", s"__sxx_$name")
     }
     transformed(col("c_acctbal"), "f_bal")(
       transformed(col("p1"), "f_p1")(base))
@@ -526,12 +546,25 @@ object AnalyticsQueries {
       |SELECT 'events', MAX(CAST(ts AS DATE)), COUNT(*) FROM events
       |ORDER BY table_name""".stripMargin
 
+  /** Type-7 interpolated bound (percentile(), factor-vectors.ts:191-213):
+    * idx = p·(n−1); s[lo] + (s[hi]−s[lo])·(idx−lo) — identical double ops
+    * to the Spark side's interp(). */
+  private def sqlBound(p: String, name: String): String =
+    s"""CASE WHEN len(arr) = 1 THEN arr[1]
+       |         WHEN floor($p * CAST(len(arr)-1 AS DOUBLE)) = ceil($p * CAST(len(arr)-1 AS DOUBLE))
+       |         THEN arr[CAST(floor($p * CAST(len(arr)-1 AS DOUBLE)) AS INT) + 1]
+       |         ELSE arr[CAST(floor($p * CAST(len(arr)-1 AS DOUBLE)) AS INT) + 1]
+       |            + (arr[CAST(ceil($p * CAST(len(arr)-1 AS DOUBLE)) AS INT) + 1]
+       |               - arr[CAST(floor($p * CAST(len(arr)-1 AS DOUBLE)) AS INT) + 1])
+       |              * ($p * CAST(len(arr)-1 AS DOUBLE) - floor($p * CAST(len(arr)-1 AS DOUBLE)))
+       |    END AS $name""".stripMargin
+
   private def sqlTransform(xExpr: String, from: String, name: String): String =
     s"""b_$name AS (
        |  SELECT
-       |    arr[CAST(floor((len(arr)-1) * 0.01) AS INT) + 1] AS lo,
-       |    arr[CAST(floor((len(arr)-1) * 0.99) AS INT) + 1] AS hi
-       |  FROM (SELECT list_sort(list($xExpr) FILTER (WHERE $xExpr IS NOT NULL)) AS arr
+       |    ${sqlBound("0.01", "lo")},
+       |    ${sqlBound("0.99", "hi")}
+       |  FROM (SELECT list_sort(list(CAST($xExpr AS DOUBLE)) FILTER (WHERE $xExpr IS NOT NULL)) AS arr
        |        FROM $from)
        |), c_$name AS (
        |  SELECT t.*, least(greatest($xExpr, b.lo), b.hi) AS wz_$name

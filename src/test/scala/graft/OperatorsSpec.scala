@@ -102,4 +102,26 @@ class OperatorsSpec extends AnyFunSuite {
     // snaps to Fri 5th, +2 business days → Tue 9th
     assert(shifted == d("2024-01-09"))
   }
+
+  test("business-day navigation preserves duplicate input rows") {
+    import spark.implicits._
+    val cal = (1 to 20).map { i =>
+      val dt = d(f"2024-01-$i%02d")
+      val dow = java.time.LocalDate.parse(dt.toString).getDayOfWeek.getValue
+      (dt, dow <= 5)
+    }.toDF("calendar_date", "is_business_day")
+    // identical rows must stay distinct through navigation (the old
+    // groupBy-all-columns formulation collapsed them to one)
+    val dup = Seq(Tuple1(d("2024-01-05")), Tuple1(d("2024-01-05")),
+      Tuple1(d("2024-01-10"))).toDF("dt")
+    val nxt = BusinessDay.next(dup, "dt", cal)
+    assert(nxt.count() == 3)
+    assert(nxt.filter(col("next_business_day") === d("2024-01-08")).count() == 2)
+    val shifted = BusinessDay.addBusinessDays(dup, "dt", cal, 1)
+    assert(shifted.count() == 3)
+    assert(shifted.filter(col("shifted_day") === d("2024-01-08")).count() == 2)
+    // off-calendar date resolves to null, row still present
+    val off = BusinessDay.next(Seq(Tuple1(d("2025-06-01"))).toDF("dt"), "dt", cal)
+    assert(off.count() == 1 && off.collect()(0).isNullAt(1))
+  }
 }
