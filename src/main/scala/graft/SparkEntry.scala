@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, Breadth, Core, PerBands, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, Breadth, Cleanse, Core, PerBands, Screen, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,9 @@ object SparkEntry {
     "q41_distinct_on" -> (Advanced.q41DistinctOnPreferNonNull _),
     "q42_market_breadth" -> (Breadth.q42MarketBreadth _),
     "q43_per_bands" -> (PerBands.q43PerBands _),
+    "q44_tracking_error" -> (AnalyticsQueries.q44TrackingError _),
+    "q45_screen_published" -> (Screen.q45ScreenPublished _),
+    "q46_fins_cleanse" -> (Cleanse.q46FinsCleanse _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -218,6 +221,9 @@ object SparkEntry {
     "q41_distinct_on" -> Advanced.oracleQ41,
     "q42_market_breadth" -> Breadth.oracleQ42,
     "q43_per_bands" -> PerBands.oracleQ43,
+    "q44_tracking_error" -> AnalyticsQueries.oracleQ44,
+    "q45_screen_published" -> Screen.oracleQ45,
+    "q46_fins_cleanse" -> Cleanse.oracleQ46,
   )
 
   private val asofOracle: String =

@@ -242,6 +242,86 @@ object AnalyticsQueries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** §2.8 annualized tracking error + distribution stats — the backfill-
+    * validation math (annualizedTrackingError, basket-valuation.ts:643-651;
+    * distributionStats, factor-vectors.ts:336-352). Daily return series per
+    * sector vs the whole-market benchmark, diff series per day, then:
+    * TE = √(sample variance of diffs) · √252 · 100 (null below 2 points),
+    * plus count/min/max/mean of the diffs.
+    *
+    * Numeric parity: the reference folds plain double arrays in
+    * chronological order, so the mean and squared-deviation sums here are
+    * per-group ordered-array folds (functions.aggregate over
+    * sort_array(collect_list)) — bounded by the trading calendar per group,
+    * never a whole-column collect — with DuckDB list_reduce doing the
+    * identical left-to-right IEEE ops. */
+  def q44TrackingError(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.withColumn("day", to_date(col("ts")))
+      .groupBy((col("user_id") % 20).cast("long").as("sector"), col("day"))
+      .agg(sum(col("value").cast(D2)).cast("double").as("v"))
+    val bench = ev.withColumn("day", to_date(col("ts")))
+      .groupBy(col("day")).agg(sum(col("value").cast(D2)).cast("double").as("b"))
+    val wS = Window.partitionBy(col("sector")).orderBy(col("day"))
+    // benchmark series is one row per calendar day — bounded, the
+    // unpartitioned window is safe at any input scale
+    val wB = Window.orderBy(col("day"))
+    val rs = daily.withColumn("ra", col("v") / lag(col("v"), 1).over(wS) - 1.0)
+      .filter(col("ra").isNotNull)
+    val rb = bench.withColumn("rb", col("b") / lag(col("b"), 1).over(wB) - 1.0)
+      .filter(col("rb").isNotNull)
+    val g = rs.join(rb, Seq("day"))
+      .withColumn("diff", col("ra") - col("rb"))
+      .groupBy(col("sector")).agg(
+        count(lit(1)).as("n"),
+        min(col("diff")).as("diff_min"),
+        max(col("diff")).as("diff_max"),
+        sort_array(collect_list(struct(col("day"), col("diff")))).as("arr"))
+    val diffs = col("arr.diff")
+    val s1 = aggregate(diffs, lit(0.0), (acc, x) => acc + x)
+    val withMean = g.withColumn("diff_mean", s1 / col("n"))
+    val sumsq = aggregate(diffs, lit(0.0),
+      (acc, x) => acc + (x - col("diff_mean")) * (x - col("diff_mean")))
+    withMean
+      .withColumn("te_annualized",
+        when(col("n") >= 2,
+          sqrt(sumsq / (col("n") - 1)) * sqrt(lit(252.0)) * 100.0))
+      .select(col("sector"), col("n"), col("te_annualized"),
+        col("diff_min"), col("diff_max"), col("diff_mean"))
+      .orderBy(col("sector"))
+  }
+
+  val oracleQ44: String =
+    """WITH daily AS (
+      |  SELECT CAST(user_id % 20 AS BIGINT) AS sector, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2
+      |), bench AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS b
+      |  FROM events GROUP BY 1
+      |), rs AS (
+      |  SELECT sector, day, v / lag(v) OVER (PARTITION BY sector ORDER BY day) - 1.0 AS ra
+      |  FROM daily QUALIFY ra IS NOT NULL
+      |), rb AS (
+      |  SELECT day, b / lag(b) OVER (ORDER BY day) - 1.0 AS rb
+      |  FROM bench QUALIFY rb IS NOT NULL
+      |), g AS (
+      |  SELECT sector, CAST(count(*) AS BIGINT) AS n,
+      |    min(ra - rb) AS diff_min, max(ra - rb) AS diff_max,
+      |    list(ra - rb ORDER BY day) AS arr
+      |  FROM rs JOIN rb USING (day) GROUP BY sector
+      |), m AS (
+      |  SELECT *, list_reduce(arr, (a, b) -> a + b) / n AS diff_mean FROM g
+      |)
+      |SELECT sector, n,
+      |  CASE WHEN n >= 2 THEN
+      |    sqrt(list_reduce(list_transform(arr, x -> (x - diff_mean) * (x - diff_mean)),
+      |                     (a, b) -> a + b) / (n - 1)) * sqrt(252.0) * 100.0
+      |    END AS te_annualized,
+      |  diff_min, diff_max, diff_mean
+      |FROM m ORDER BY sector""".stripMargin
+
   /** §2.5 chained index levels (chainIndexSeries,
     * basket-valuation.ts:568-616): daily revenue per nation → daily return
     * vs previous day → index = 100 × cumulative product of returns from the
