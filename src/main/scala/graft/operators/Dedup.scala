@@ -28,18 +28,28 @@ object Dedup {
   def hashParamsA(i: Int): Long = 2L * i + 3
   def hashParamsB(i: Int): Long = 7L * i + 1
 
-  /** Explode a docs table into (id, shingle) rows of character k-grams over
-    * the normalized text; distinct per doc. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String,
-               k: Int): DataFrame = {
+  /** Per-doc DISTINCT character-k-gram array over the normalized text,
+    * computed entirely map-side: generation AND dedup happen inside one
+    * projection (`array_distinct` on the per-doc array), so no shuffle is
+    * spent deduplicating |shingles| exploded rows — at 100 TB that shuffle
+    * was the single largest cost of the LSH pipeline. */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
     val norm = Text.normalize(col(textCol))
     docs.select(col(idCol), norm.as("__norm"))
       .filter(length(col("__norm")) >= k)
       .select(col(idCol),
-        explode(expr(s"transform(sequence(1, length(__norm) - ${k - 1}), " +
-          s"i -> substring(__norm, i, $k))")).as("shingle"))
-      .distinct()
+        expr(s"array_distinct(transform(sequence(1, length(__norm) - ${k - 1}), " +
+          s"i -> substring(__norm, i, $k)))").as("sharr"))
   }
+
+  /** Exploded (id, shingle) rows — already distinct per doc (see
+    * [[shingleArrays]]); kept for the pairwise/verify joins which need the
+    * row form. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame =
+    shingleArrays(docs, idCol, textCol, k)
+      .select(col(idCol), explode(col("sharr")).as("shingle"))
 
   /** Exact pairwise Jaccard over shingle sets, restricted to candidate
     * pairs (both docs share at least one shingle) with id1 < id2. O(pairs
@@ -65,9 +75,16 @@ object Dedup {
     * doc makes [[jaccardPairs]] quadratic — 210s vs ~2s on the 500-doc
     * table — and would be fatal at real scale). */
   def jaccardForCandidates(cand0: DataFrame, sh: DataFrame,
-                           idCol: String): DataFrame = {
+                           idCol: String): DataFrame =
+    jaccardForCandidates(cand0, sh,
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), idCol)
+
+  /** Variant taking precomputed per-doc set sizes (`idCol`, `sz`) — with
+    * [[shingleArrays]] the sizes are a map-side `size(sharr)`, removing the
+    * count shuffle. */
+  def jaccardForCandidates(cand0: DataFrame, sh: DataFrame,
+                           sizes: DataFrame, idCol: String): DataFrame = {
     val cand = cand0.persist() // referenced twice (intersection + output)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val s1 = sh.select(col(idCol).as("id1"), col("shingle"))
     val s2 = sh.select(col(idCol).as("id2"), col("shingle"))
     val inter = cand.join(s1, Seq("id1"))
@@ -100,6 +117,25 @@ object Dedup {
     sh.select(col(idCol), h)
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signatures straight from the per-doc shingle arrays — zero
+    * shuffle: one md5 pass per shingle (`transform` into h' = hash60 mod P),
+    * then n affine `array_min` folds, all inside a single codegen'd
+    * projection. Identical values to [[minhashSignatures]] (same hash
+    * family, same min over the same distinct-shingle set); preferred at
+    * scale because the signature stage stops being an aggregation
+    * entirely. */
+  def minhashSignaturesFromArrays(arrs: DataFrame, idCol: String,
+                                  n: Int): DataFrame = {
+    val hs = expr("transform(sharr, x -> " +
+      "CAST(conv(substring(md5(CAST(x AS BINARY)), 1, 15), 16, 10) AS BIGINT)" +
+      s" % $P)").as("__hs")
+    val mins = (0 until n).map { i =>
+      expr(s"array_min(transform(__hs, h -> " +
+        s"(${hashParamsA(i)}L * h + ${hashParamsB(i)}L) % $P))").as(s"mh$i")
+    }
+    arrs.select(col(idCol), hs).select(col(idCol) +: mins: _*)
   }
 
   /** LSH banding over wide signatures: band b's key is the ordered concat

@@ -48,21 +48,26 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   def q14MinhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ShingleK)
-    val sig = Dedup.minhashSignatures(sh, "doc_id", NumHashes)
+    val arrs = Dedup.shingleArrays(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+    val sig = Dedup.minhashSignaturesFromArrays(arrs, "doc_id", NumHashes)
     Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
       .orderBy(col("id1"), col("id2"))
   }
 
   /** LSH candidates verified by exact shingle Jaccard ≥ τ — the full
     * near-dup pipeline (candidate generation bounds the quadratic join;
-    * the verify join touches only candidates). */
+    * the verify join touches only candidates). Shingle generation + dedup
+    * and the MinHash signatures are all map-side (shingleArrays /
+    * minhashSignaturesFromArrays): the only shuffles left are the banded
+    * bucket self-join and the candidate-verify join. */
   def q15NearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", ShingleK)
-      .persist() // reused by signatures AND the verify stage
-    val sig = Dedup.minhashSignatures(sh, "doc_id", NumHashes)
+    val arrs = Dedup.shingleArrays(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+      .persist() // reused by signatures, the verify stage, and set sizes
+    val sig = Dedup.minhashSignaturesFromArrays(arrs, "doc_id", NumHashes)
     val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
-    Dedup.jaccardForCandidates(cand, sh, "doc_id")
+    val sh = arrs.select(col("doc_id"), explode(col("sharr")).as("shingle"))
+    val sizes = arrs.select(col("doc_id"), size(col("sharr")).cast("long").as("sz"))
+    Dedup.jaccardForCandidates(cand, sh, sizes, "doc_id")
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
