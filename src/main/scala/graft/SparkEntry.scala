@@ -67,6 +67,8 @@ object SparkEntry {
     "q44_tracking_error" -> (AnalyticsQueries.q44TrackingError _),
     "q45_screen_published" -> (Screen.q45ScreenPublished _),
     "q46_fins_cleanse" -> (Cleanse.q46FinsCleanse _),
+    "q47_ann_multiprobe" -> (TextQueries.q47AnnMultiprobe _),
+    "q48_neardup_capped" -> (TextQueries.q48NearDupCapped _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -224,6 +226,8 @@ object SparkEntry {
     "q44_tracking_error" -> AnalyticsQueries.oracleQ44,
     "q45_screen_published" -> Screen.oracleQ45,
     "q46_fins_cleanse" -> Cleanse.oracleQ46,
+    "q47_ann_multiprobe" -> TextQueries.oracleQ47,
+    "q48_neardup_capped" -> TextQueries.oracleQ48,
   )
 
   private val asofOracle: String =

@@ -116,6 +116,72 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-plane query dots — the probe-selection inputs, computed with the
+    * same ascending-d left fold as [[bucketExpr]]'s dotProduct so the SQL
+    * oracle agrees bitwise. */
+  private def queryDots(query: Seq[Double], dims: Int,
+                        nPlanes: Int): IndexedSeq[Double] =
+    (0 until nPlanes).map { p =>
+      var acc = 0.0
+      var d = 0
+      while (d < dims) { acc += query(d) * planeComponent(p, d, dims); d += 1 }
+      acc
+    }
+
+  /** Multi-probe ANN top-k: probe the query's own bucket plus the buckets
+    * reached by flipping the `nProbe−1` planes whose margins |q·plane| are
+    * smallest (the near-boundary planes — the classic multi-probe LSH
+    * heuristic, Lv et al. VLDB'07). Single-probe recall falls off a cliff
+    * as planes grow; multi-probe recovers most of it for a bounded
+    * candidate-set increase. Probe selection is O(nPlanes) driver math
+    * (like IVF's probe-cell choice); the scan stays a bucket-pruned
+    * broadcast-free filter. */
+  def annTopKMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+                        query: Seq[Double], dims: Int, nPlanes: Int,
+                        k: Int, nProbe: Int): DataFrame = {
+    val dots = queryDots(query, dims, nPlanes)
+    var base = 0L
+    dots.zipWithIndex.foreach { case (dt, p) => if (dt >= 0) base += (1L << p) }
+    val flips = dots.zipWithIndex
+      .sortBy { case (dt, p) => (math.abs(dt), p) } // deterministic tie-break
+      .take(nProbe - 1).map { case (_, p) => base ^ (1L << p) }
+    val probes = base +: flips
+    hyperplaneBuckets(emb, idCol, vecCol, dims, nPlanes)
+      .filter(col("bucket").isin(probes.map(Long.box): _*))
+      .select(col(idCol),
+        cosineSim(asDouble(col(vecCol)), array(query.map(lit): _*))
+          .as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact cosine pairs with a per-block size cap: blocks no larger than
+    * `maxBlock` are compared exactly; hot blocks (the skew risk of plain
+    * label blocking) are split by hyperplane sub-bucket, bounding each
+    * task's quadratic work at the cost of missing cross-sub-bucket pairs —
+    * the standard recall-for-boundedness trade, and the 100 TB-safe shape
+    * of [[cosinePairs]]. */
+  def cosinePairsCapped(emb: DataFrame, idCol: String, vecCol: String,
+                        blockCol: String, dims: Int, nPlanes: Int,
+                        maxBlock: Int, minSim: Double): DataFrame = {
+    val wBlk = Window.partitionBy(col(blockCol))
+    val keyed = emb
+      .withColumn("__bsz", count(lit(1)).over(wBlk))
+      .withColumn("__sub",
+        when(col("__bsz") > maxBlock,
+          bucketExpr(asDouble(col(vecCol)), dims, nPlanes))
+          .otherwise(lit(-1L)))
+    val a = keyed.select(col(blockCol), col("__sub"), col(idCol).as("id1"),
+      asDouble(col(vecCol)).as("v1"))
+    val b = keyed.select(col(blockCol), col("__sub"), col(idCol).as("id2"),
+      asDouble(col(vecCol)).as("v2"))
+    a.join(b, Seq(blockCol, "__sub"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine_sim", cosineSim(col("v1"), col("v2")))
+      .filter(col("cosine_sim") > minSim)
+      .select(col(blockCol), col("id1"), col("id2"), col("cosine_sim"))
+  }
+
   /** ANN top-k: exact cosine ranking restricted to the query's bucket. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], dims: Int, nPlanes: Int, k: Int): DataFrame = {

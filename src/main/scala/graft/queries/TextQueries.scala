@@ -20,6 +20,11 @@ object TextQueries {
   val RowsPerBand = 4
   val JaccardThreshold = 0.3
   val CosineThreshold = 0.4
+  val AnnDims = 64
+  val AnnPlanes = 8
+  val AnnProbes = 4
+  val SubPlanes = 4
+  val MaxBlock = 50
 
   def q11TokenStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -112,10 +117,99 @@ object TextQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** §2.6 multi-probe hyperplane-LSH ANN — q17's 100 TB scale path with
+    * the recall cliff of single-probe LSH addressed: probe the query's
+    * bucket plus the near-boundary 1-bit flips (Similarity.annTopKMultiProbe).
+    * The query vector + probe set are O(nPlanes) driver scalars (same
+    * pattern as IVF probe-cell selection). */
+  def q47AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")).as("q"))
+      .head().getSeq[Double](0).toIndexedSeq
+    Similarity.annTopKMultiProbe(emb.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", query, AnnDims, AnnPlanes, k = 10, nProbe = AnnProbes)
+  }
+
+  /** §2.6 embedding near-dup with the hot-block cap: blocks over MaxBlock
+    * members are split by hyperplane sub-bucket (bounded quadratic work per
+    * task — q18's documented skew risk closed), small blocks stay exact. */
+  def q48NearDupCapped(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsCapped(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", AnnDims, SubPlanes, MaxBlock, CosineThreshold)
+      .orderBy(col("id1"), col("id2"))
+
   // --------------------------------------------------------------------
   // DuckDB oracles (generated from the same constants/word lists so the
   // two sides cannot drift).
   // --------------------------------------------------------------------
+
+  /** LCG hyperplane table (Similarity.planeComponent) as a DuckDB CTE —
+    * identical integer math and double scaling. */
+  private def planesSql(nPlanes: Int): String =
+    s"""planes AS (
+       |  SELECT p, list_transform(range(0, $AnnDims), d ->
+       |    CAST((1103515245 * (p*$AnnDims + d) + 12345) % 2147483647 AS DOUBLE)
+       |      / 2147483647.0 * 2.0 - 1.0) AS plane
+       |  FROM range(0, $nPlanes) t(p)
+       |)""".stripMargin
+
+  val oracleQ47: String =
+    s"""WITH ${planesSql(AnnPlanes)},
+       |q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+       |), qd AS (
+       |  SELECT p.p, list_dot_product(q.qv, p.plane) AS dt FROM planes p, q
+       |), qb AS (
+       |  SELECT CAST(SUM(CASE WHEN dt >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS b
+       |  FROM qd
+       |), probes AS (
+       |  SELECT b AS bucket FROM qb
+       |  UNION ALL
+       |  SELECT xor(qb.b, CAST(1 AS BIGINT) << f.p)
+       |  FROM (SELECT p FROM qd ORDER BY abs(dt), p LIMIT ${AnnProbes - 1}) f, qb
+       |), corpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id <> 0
+       |), bucketed AS (
+       |  SELECT c.vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(c.v, p.plane) >= 0
+       |         THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM corpus c, planes p GROUP BY c.vec_id
+       |)
+       |SELECT c.vec_id,
+       |  list_dot_product(v, qv)
+       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+       |  AS cosine_sim
+       |FROM corpus c JOIN bucketed bk ON bk.vec_id = c.vec_id, q
+       |WHERE bk.bucket IN (SELECT bucket FROM probes)
+       |ORDER BY cosine_sim DESC, c.vec_id LIMIT 10""".stripMargin
+
+  val oracleQ48: String =
+    s"""WITH ${planesSql(SubPlanes)},
+       |base AS (
+       |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    count(*) OVER (PARTITION BY label) AS bsz
+       |  FROM embeddings
+       |), keyed AS (
+       |  SELECT b.label, b.vec_id, b.v,
+       |    CASE WHEN b.bsz > $MaxBlock THEN (
+       |      SELECT CAST(SUM(CASE WHEN list_dot_product(b.v, p.plane) >= 0
+       |             THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS BIGINT)
+       |      FROM planes p)
+       |    ELSE CAST(-1 AS BIGINT) END AS sub
+       |  FROM base b
+       |)
+       |SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+       |  list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |  AS cosine_sim
+       |FROM keyed a JOIN keyed b
+       |  ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+       |  > $CosineThreshold
+       |ORDER BY id1, id2""".stripMargin
 
   private def hitsExpr(words: Seq[String]): String =
     s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"

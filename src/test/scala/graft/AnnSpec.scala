@@ -33,6 +33,38 @@ class AnnSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("multi-probe LSH recalls at least as much as single-probe") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")))
+      .collect()(0).getSeq[Double](0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      query, 10).collect().map(_.getLong(0)).toSet
+    val single = Similarity.annTopK(corpus, "vec_id", "embedding",
+      query, 64, 8, 10).collect().map(_.getLong(0)).toSet
+    val multi = Similarity.annTopKMultiProbe(corpus, "vec_id", "embedding",
+      query, 64, 8, 10, nProbe = 4).collect().map(_.getLong(0)).toSet
+    assert(multi.intersect(exact).size >= single.intersect(exact).size,
+      s"multi-probe recall ${multi.intersect(exact).size} < single ${single.intersect(exact).size}")
+    // the probe set contains the query's own bucket, so single-probe's
+    // candidates are a subset of multi-probe's
+    assert(single.subsetOf(multi) || multi.size == 10)
+  }
+
+  test("capped block pairs bound hot blocks and keep small blocks exact") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val capped = Similarity.cosinePairsCapped(emb, "vec_id", "embedding",
+      "label", 64, 4, maxBlock = 30, minSim = 0.0)
+    val exactPairs = Similarity.cosinePairs(emb, "vec_id", "embedding",
+      "label", 0.0)
+    // capped output is a subset of the exact block pairs
+    val c = capped.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = exactPairs.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c.subsetOf(e))
+    assert(c.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle") {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
