@@ -69,6 +69,8 @@ object SparkEntry {
     "q46_fins_cleanse" -> (Cleanse.q46FinsCleanse _),
     "q47_ann_multiprobe" -> (TextQueries.q47AnnMultiprobe _),
     "q48_neardup_capped" -> (TextQueries.q48NearDupCapped _),
+    "q49_constituents_diff" -> (Advanced.q49ConstituentsDiff _),
+    "q50_html_scrape" -> (Advanced.q50HtmlScrape _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -228,6 +230,8 @@ object SparkEntry {
     "q46_fins_cleanse" -> Cleanse.oracleQ46,
     "q47_ann_multiprobe" -> TextQueries.oracleQ47,
     "q48_neardup_capped" -> TextQueries.oracleQ48,
+    "q49_constituents_diff" -> Advanced.oracleQ49,
+    "q50_html_scrape" -> Advanced.oracleQ50,
   )
 
   private val asofOracle: String =

@@ -229,4 +229,69 @@ object Advanced {
       |        ORDER BY l_linenumber, l_tax) AS rn FROM lineitem) t
       |WHERE rn <= 7
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** §2.7 set difference both directions — the constituents diff
+    * (diffSectorConstituents, basket-valuation.ts:442-448): target vs
+    * current membership → (to_add, to_close) via `except` (set semantics,
+    * deduped — tiny relations per the reference's usage). */
+  def q49ConstituentsDiff(s: SparkSession, dir: String): DataFrame = {
+    val c = graft.Tables.customer(s, dir)
+    val current = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("code"))
+    val target = c.filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("code"))
+    val toAdd = target.except(current).withColumn("action", lit("add"))
+    val toClose = current.except(target).withColumn("action", lit("close"))
+    toAdd.unionByName(toClose)
+      .select(col("action"), col("code"))
+      .orderBy(col("action"), col("code"))
+  }
+
+  val oracleQ49: String =
+    """SELECT 'add' AS action, code FROM (
+      |  SELECT c_custkey AS code FROM customer WHERE c_acctbal > 5000.0
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |UNION ALL
+      |SELECT 'close' AS action, code FROM (
+      |  SELECT c_custkey AS code FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      |ORDER BY action, code""".stripMargin
+
+  /** §2.1 HTML/JS scrape payload parse (parseNikkei225jpDaily /
+    * parseYahooChart): the landed page embeds the data as a JS object;
+    * extraction = one regexp group + from_json, set-oriented end to end.
+    * The page envelope is built from the events payload column so the
+    * oracle can rebuild the identical pages in SQL. */
+  def q50HtmlScrape(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val page = concat(lit("<html><body><script>var data = "), col("props"),
+      lit(";</script></body></html>"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    graft.sources.Sources.parseEmbeddedJson(
+        ev.withColumn("page", page), "page", "var data = (\\{.*?\\});", schema)
+      .select(col("event_type"), col("__payload.k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_payloads"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val oracleQ50: String =
+    """WITH pages AS (
+      |  SELECT event_type,
+      |    '<html><body><script>var data = ' || props || ';</script></body></html>' AS page
+      |  FROM events
+      |), parsed AS (
+      |  SELECT event_type,
+      |    CAST(nullif(regexp_extract(page, 'var data = (\{.*?\});', 1), '')
+      |         AS JSON)->>'$.k' AS kv
+      |  FROM pages
+      |)
+      |SELECT event_type,
+      |  COUNT(CAST(kv AS BIGINT)) AS n_payloads,
+      |  CAST(SUM(CAST(kv AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin
 }

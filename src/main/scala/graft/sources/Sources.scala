@@ -45,6 +45,17 @@ object Sources {
   def parseJsonPayload(df: DataFrame, jsonCol: String,
                        schema: StructType): DataFrame =
     df.withColumn("__payload", from_json(col(jsonCol), schema))
+
+  /** HTML/JS-scrape payload parse (parseYahooChart
+    * `yahoo-chart-client.ts:93`, parseNikkei225jpDaily
+    * `nikkei225jp-client.ts:144-272`): landed HTML pages carry the data as
+    * an embedded JS object — extract it with one regexp group and parse
+    * with `from_json`, all set-oriented expressions (no driver-side HTML
+    * walking). A page without the marker parses to null. */
+  def parseEmbeddedJson(df: DataFrame, htmlCol: String, pattern: String,
+                        schema: StructType): DataFrame =
+    df.withColumn("__payload",
+      from_json(regexp_extract(col(htmlCol), pattern, 1), schema))
 }
 
 /** Partition-retention archival sink (`archive-equity-bars.ts:22-39`):

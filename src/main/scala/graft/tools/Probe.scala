@@ -18,6 +18,9 @@ object Probe {
       "q06_asof_join" -> graft.queries.Core.q06AsofJoin(spark, dir),
       "q01_pricing_agg" -> graft.queries.Core.q01PricingAgg(spark, dir),
       "q15_neardup_pairs" -> graft.queries.TextQueries.q15NearDupPairs(spark, dir),
+      "q42_market_breadth" -> graft.queries.Breadth.q42MarketBreadth(spark, dir),
+      "q43_per_bands" -> graft.queries.PerBands.q43PerBands(spark, dir),
+      "q47_ann_multiprobe" -> graft.queries.TextQueries.q47AnnMultiprobe(spark, dir),
     )
     val sb = new StringBuilder
     targets.foreach { case (name, df) =>
