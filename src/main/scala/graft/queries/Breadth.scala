@@ -52,8 +52,12 @@ object Breadth {
 
     // Daily per-code bars: close = last print of the day (deterministic
     // order), high/low = extremes, turnover = exact decimal sum.
+    // extendedprice DESC final key: duplicate (orderkey, linenumber) rows
+    // exist in the synthetic lineitem — without it the close pick is not a
+    // total order and engines may disagree
     val wDay = Window.partitionBy(col("key"), col("day"))
-      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc,
+        col("l_extendedprice").desc)
     val bars = li
       .select(col("l_suppkey").as("key"), to_date(col("l_shipdate")).as("day"),
         col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
@@ -155,7 +159,7 @@ object Breadth {
       |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS turn
       |  FROM (
       |    SELECT *, row_number() OVER (PARTITION BY l_suppkey, CAST(l_shipdate AS DATE)
-      |      ORDER BY l_orderkey DESC, l_linenumber DESC) AS rn_day
+      |      ORDER BY l_orderkey DESC, l_linenumber DESC, l_extendedprice DESC) AS rn_day
       |    FROM lineitem) t
       |  GROUP BY 1, 2
       |), yearly AS (

@@ -97,8 +97,12 @@ object PerBands {
         col("l_orderkey"), col("l_linenumber"))
       .filter(col("trade_date") >= lit(Cutoff).cast("date") && col("price") > 0)
 
+    // price DESC as the final key: the synthetic lineitem has duplicate
+    // (orderkey, linenumber) rows, so without it the ordering is not total
+    // and the two engines may pick different rows (3/15k at sf0.1)
     val wCur = Window.partitionBy(col("code"))
-      .orderBy(col("trade_date").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+      .orderBy(col("trade_date").desc, col("l_orderkey").desc,
+        col("l_linenumber").desc, col("price").desc)
     val cur = px.withColumn("rn", row_number().over(wCur))
       .filter(col("rn") === 1)
       .select(col("code").as("c_code"), col("price").as("current_price"))
@@ -181,7 +185,7 @@ object PerBands {
       |), cur AS (
       |  SELECT code, price AS current_price FROM (
       |    SELECT code, price, row_number() OVER (PARTITION BY code
-      |      ORDER BY trade_date DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+      |      ORDER BY trade_date DESC, l_orderkey DESC, l_linenumber DESC, price DESC) AS rn
       |    FROM px) t WHERE rn = 1
       |), per_rows AS (
       |  SELECT px.code, px.trade_date, px.price / e.t_eps AS per
