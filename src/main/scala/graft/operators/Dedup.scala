@@ -79,6 +79,25 @@ object Dedup {
     jaccardForCandidates(cand0, sh,
       sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")), idCol)
 
+  /** Exact Jaccard on candidate pairs straight from the per-doc shingle
+    * arrays: two id-keyed joins attach the compact arrays to each pair, and
+    * the intersection is a per-row `array_intersect` (hash-set, O(n+m)) —
+    * no exploded shingle rows ever shuffle, so the verify stage costs
+    * O(candidates · avg set size) CPU with only candidate-sized joins.
+    * Identical results to the exploded formulation (the arrays ARE the
+    * distinct shingle sets). */
+  def jaccardForCandidatesArrays(cand: DataFrame, arrs: DataFrame,
+                                 idCol: String): DataFrame = {
+    val a1 = arrs.select(col(idCol).as("id1"), col("sharr").as("__s1"))
+    val a2 = arrs.select(col(idCol).as("id2"), col("sharr").as("__s2"))
+    cand.join(a1, Seq("id1")).join(a2, Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("__s1"), col("__s2"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("__s1")).cast("long") + size(col("__s2")).cast("long") - col("inter")))
+      .drop("__s1", "__s2")
+  }
+
   /** Variant taking precomputed per-doc set sizes (`idCol`, `sz`) — with
     * [[shingleArrays]] the sizes are a map-side `size(sharr)`, removing the
     * count shuffle. */

@@ -67,12 +67,10 @@ object TextQueries {
     * bucket self-join and the candidate-verify join. */
   def q15NearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val arrs = Dedup.shingleArrays(Tables.documents(s, dir), "doc_id", "text", ShingleK)
-      .persist() // reused by signatures, the verify stage, and set sizes
+      .persist() // reused by signatures and both sides of the verify join
     val sig = Dedup.minhashSignaturesFromArrays(arrs, "doc_id", NumHashes)
     val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
-    val sh = arrs.select(col("doc_id"), explode(col("sharr")).as("shingle"))
-    val sizes = arrs.select(col("doc_id"), size(col("sharr")).cast("long").as("sz"))
-    Dedup.jaccardForCandidates(cand, sh, sizes, "doc_id")
+    Dedup.jaccardForCandidatesArrays(cand, arrs, "doc_id")
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
