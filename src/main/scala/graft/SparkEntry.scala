@@ -71,6 +71,7 @@ object SparkEntry {
     "q48_neardup_capped" -> (TextQueries.q48NearDupCapped _),
     "q49_constituents_diff" -> (Advanced.q49ConstituentsDiff _),
     "q50_html_scrape" -> (Advanced.q50HtmlScrape _),
+    "q51_frame_sample" -> (Advanced.q51FrameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -232,6 +233,7 @@ object SparkEntry {
     "q48_neardup_capped" -> TextQueries.oracleQ48,
     "q49_constituents_diff" -> Advanced.oracleQ49,
     "q50_html_scrape" -> Advanced.oracleQ50,
+    "q51_frame_sample" -> Advanced.oracleQ51,
   )
 
   private val asofOracle: String =

@@ -69,4 +69,28 @@ object Multimodal {
     extractFeatures(attachPayloads(graft.Tables.documents(s, dir)))
       .toDF()
       .orderBy(col("doc_id"))
+
+  /** Frame sampling + resize planning over video features — the remaining
+    * multimodal pipeline stages, expressed as declarative generators (no
+    * UDF): one output row per every-`everyN`-th frame via
+    * `explode(sequence(...))`, with fit-into-`target`² letterbox dims
+    * (scale = min(target/w, target/h), floor) and a deterministic per-frame
+    * checksum derived from the stub decode. The frame-bytes extraction
+    * itself would live in [[stubDecode]]'s codec slot; the row explosion,
+    * dims math, and downstream schema are the production shape — frames
+    * multiply ROWS map-side, bytes still never shuffle. */
+  def sampleFrames(feats: DataFrame, everyN: Int, target: Int): DataFrame = {
+    val scale = least(lit(target.toDouble) / col("width"),
+      lit(target.toDouble) / col("height"))
+    feats.filter(col("media_type") === "video")
+      .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+        col("checksum"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        floor(col("width") * scale).cast("int").as("out_w"),
+        floor(col("height") * scale).cast("int").as("out_h"),
+        ((col("checksum") * 31 + col("frame_idx")) % 1000000007L)
+          .as("frame_checksum"))
+  }
 }

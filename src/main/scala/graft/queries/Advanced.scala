@@ -294,4 +294,40 @@ object Advanced {
       |  COUNT(CAST(kv AS BIGINT)) AS n_payloads,
       |  CAST(SUM(CAST(kv AS BIGINT)) AS BIGINT) AS sum_k
       |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Multimodal frame-sample + resize planning (the video stages of the
+    * training pipeline): every-3rd-frame explosion with 224-letterbox dims
+    * over the q35 feature table — declarative generator, bytes never
+    * shuffle (Multimodal.sampleFrames). */
+  def q51FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.features(s, dir), everyN = 3, target = 224)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val oracleQ51: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    text, strlen(text) AS n_bytes
+      |  FROM documents
+      |), chk AS (
+      |  SELECT doc_id, CAST(SUM(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS checksum
+      |  FROM base, range(1, 100000) r(i) WHERE i <= strlen(text)
+      |  GROUP BY doc_id
+      |), f AS (
+      |  SELECT b.doc_id,
+      |    CAST(64 + b.n_bytes % 1024 AS INT) AS width,
+      |    CAST(64 + (b.n_bytes * 7) % 768 AS INT) AS height,
+      |    CAST(1 + b.n_bytes % 30 AS INT) AS n_frames,
+      |    c.checksum
+      |  FROM base b JOIN chk c USING (doc_id)
+      |  WHERE b.media_type = 'video'
+      |)
+      |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      |  CAST(floor(width * least(224.0 / width, 224.0 / height)) AS INT) AS out_w,
+      |  CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_h,
+      |  CAST((checksum * 31 + i) % 1000000007 AS BIGINT) AS frame_checksum
+      |FROM f, range(0, 100) r(i)
+      |WHERE i <= n_frames - 1 AND i % 3 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
 }
