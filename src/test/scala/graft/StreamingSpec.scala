@@ -57,4 +57,38 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(2), r.getDouble(3))).toSeq
     assert(out == Seq((2L, 15.0), (1L, 7.0)))
   }
+
+  test("streaming fingerprint dedup keeps first occurrence within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.Doc
+
+    val stream = MemoryStream[Doc]
+    val q = StreamDedup.dedup(stream.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+
+    stream.addData(
+      Doc(ts("2024-01-01 10:00:00"), 1, "Hello  World"),
+      Doc(ts("2024-01-01 10:01:00"), 2, "hello world"), // same fingerprint
+      Doc(ts("2024-01-01 10:02:00"), 3, "something else"))
+    q.processAllAvailable()
+    // a later duplicate inside the watermark is dropped too
+    stream.addData(Doc(ts("2024-01-01 10:05:00"), 4, "HELLO WORLD"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("sdedup").collect().map(_.getAs[Long]("docId")).toSet
+    assert(ids == Set(1L, 3L))
+
+    // batch equivalence: the same operator over a static Dataset keeps one
+    // row per fingerprint
+    val static = Seq(
+      Doc(ts("2024-01-01 10:00:00"), 1, "Hello  World"),
+      Doc(ts("2024-01-01 10:01:00"), 2, "hello world"),
+      Doc(ts("2024-01-01 10:02:00"), 3, "something else")).toDS()
+    assert(StreamDedup.dedup(static, "10 minutes")
+      .select("fp").distinct().count() == 2)
+  }
 }
