@@ -70,6 +70,9 @@ object Retention {
     * least `keepDays` of the newest. Returns (hot, archive). */
   def split(df: DataFrame, dateCol: String, archiveDays: Int,
             keepDays: Int): (DataFrame, DataFrame) = {
+    // driver-side collect is deliberate and bounded: distinct DATES, i.e.
+    // the trading calendar (thousands of rows at any fact-table scale) —
+    // metadata, not data (PLANS.md rule 6)
     val dates = df.select(col(dateCol)).distinct()
       .orderBy(col(dateCol)).collect().map(_.get(0))
     val nArchivable = math.max(0, math.min(archiveDays, dates.length - keepDays))

@@ -118,4 +118,46 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
     assert(salted == plain)
   }
+
+  test("array-form Jaccard verify agrees with the exploded formulation") {
+    import spark.implicits._
+    val textGen: Gen[String] = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("abcab")).map(_.mkString))
+    forSamples(Gen.listOfN(12, textGen), n = 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val arrs = graft.operators.Dedup.shingleArrays(docs, "doc_id", "text", 3)
+      val sh = arrs.select(col("doc_id"),
+        explode(col("sharr")).as("shingle"))
+      val ids = arrs.select(col("doc_id")).collect().map(_.getLong(0))
+      val cand = ids.flatMap(a => ids.filter(_ > a).map(b => (a, b))).toSeq
+        .toDF("id1", "id2")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("id1", "id2", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exploded = rows(graft.operators.Dedup.jaccardForCandidates(cand, sh, "doc_id"))
+      val arrayed = rows(graft.operators.Dedup.jaccardForCandidatesArrays(cand, arrs, "doc_id"))
+      assert(exploded == arrayed)
+    }
+  }
+
+  test("business-day shift invariants: next is strictly later; +n then -n is identity on business days") {
+    import spark.implicits._
+    val cal = (1 to 31).map { i =>
+      val d = java.time.LocalDate.of(2024, 3, i)
+      (java.sql.Date.valueOf(d), d.getDayOfWeek.getValue <= 5)
+    }.toDF("calendar_date", "is_business_day")
+    val bdays = cal.filter(col("is_business_day"))
+      .select(col("calendar_date").as("dt"))
+    val nxt = graft.functions.BusinessDay.next(bdays, "dt", cal)
+      .filter(col("next_business_day").isNotNull)
+    assert(nxt.filter(col("next_business_day") <= col("dt")).count() == 0)
+    val fwd = graft.functions.BusinessDay.addBusinessDays(bdays, "dt", cal, 3)
+      .filter(col("shifted_day").isNotNull)
+      .select(col("dt").as("d0"), col("shifted_day").as("dt"))
+    val back = graft.functions.BusinessDay.addBusinessDays(fwd, "dt", cal, -3)
+      .filter(col("shifted_day").isNotNull)
+    assert(back.filter(col("shifted_day") =!= col("d0")).count() == 0)
+    assert(back.count() > 0)
+  }
 }
