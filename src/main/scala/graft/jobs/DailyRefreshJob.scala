@@ -51,6 +51,9 @@ object DailyRefreshJob {
       "technical_snapshot" -> (() =>
         graft.analytics.TechnicalJob.fromEvents(spark, sfDir)),
       "market_breadth" -> (() => AnalyticsQueries.q19Breadth(spark, sfDir)),
+      "market_breadth_full" -> (() =>
+        graft.queries.Breadth.q42MarketBreadth(spark, sfDir)),
+      "per_bands" -> (() => graft.queries.PerBands.q43PerBands(spark, sfDir)),
       "market_indicators" -> (() =>
         AnalyticsQueries.q38ColumnGroupMerge(spark, sfDir)),
       "factor_vectors" -> (() =>
@@ -63,7 +66,8 @@ object DailyRefreshJob {
       try {
         val df = mk()
         // entity-keyed snapshots must clear the coverage gate first
-        if (name == "screen_metrics" || name == "factor_vectors") {
+        if (name == "screen_metrics" || name == "factor_vectors" ||
+            name == "per_bands") {
           coverageGate(df, universe, minCoverage = 0.8) match {
             case Left(reason) =>
               throw new IllegalStateException(s"publish blocked: $reason")
