@@ -72,6 +72,7 @@ object SparkEntry {
     "q49_constituents_diff" -> (Advanced.q49ConstituentsDiff _),
     "q50_html_scrape" -> (Advanced.q50HtmlScrape _),
     "q51_frame_sample" -> (Advanced.q51FrameSample _),
+    "q52_salted_agg" -> (AnalyticsQueries.q52SaltedAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -234,6 +235,7 @@ object SparkEntry {
     "q49_constituents_diff" -> Advanced.oracleQ49,
     "q50_html_scrape" -> Advanced.oracleQ50,
     "q51_frame_sample" -> Advanced.oracleQ51,
+    "q52_salted_agg" -> AnalyticsQueries.oracleQ52,
   )
 
   private val asofOracle: String =

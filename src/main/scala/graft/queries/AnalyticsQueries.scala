@@ -322,6 +322,37 @@ object AnalyticsQueries {
       |  diff_min, diff_max, diff_mean
       |FROM m ORDER BY sector""".stripMargin
 
+  /** Skew-safe two-phase salted aggregation as a gate query: events
+    * grouped by event_type — 5 hot keys over the whole table, the exact
+    * shape that stalls a naive shuffle at 100 TB — aggregated via
+    * Skew.saltedAgg (partial on (key, salt-of-user), final on key).
+    * Salting is internal and algebraic, so the oracle is the plain GROUP
+    * BY; exact decimal sums make the two-phase combine bit-stable. */
+  def q52SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.operators.Skew.saltedAgg(ev, Seq("event_type"), col("user_id"),
+        buckets = 16,
+        partialAggs = Seq(
+          sum(col("value").cast(D2)).as("__ps"),
+          count(lit(1)).as("__pc"),
+          min(col("value")).as("__pm"),
+          max(col("value")).as("__px")),
+        finalAggs = Seq(
+          sum(col("__ps")).cast("double").as("total"),
+          sum(col("__pc")).as("n_events"),
+          min(col("__pm")).as("min_value"),
+          max(col("__px")).as("max_value")))
+      .orderBy(col("event_type"))
+  }
+
+  val oracleQ52: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  min(value) AS min_value,
+      |  max(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** §2.5 chained index levels (chainIndexSeries,
     * basket-valuation.ts:568-616): daily revenue per nation → daily return
     * vs previous day → index = 100 × cumulative product of returns from the
