@@ -170,12 +170,16 @@ object Dedup {
         concat_ws(":", (0 until rowsPerBand).map(p =>
           col(s"mh${b * rowsPerBand + p}")): _*).as("bkey"))
     }
-    // persisted: the bucket self-join below would otherwise recompute the
-    // whole signature pipeline for each side
+    // persisted AND eagerly materialized: the bucket self-join reads this
+    // relation from both sides concurrently — with a lazy cache the two
+    // scans race the unpopulated cache and can each recompute the whole
+    // signature pipeline (cache stampede); the count() barrier fills the
+    // cache once before the join starts
     val banded = sig.select(col(idCol),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bkey"))
       .persist()
+    banded.count()
     banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
       .join(banded.select(col("band"), col("bkey"), col(idCol).as("id2")),
         Seq("band", "bkey"))

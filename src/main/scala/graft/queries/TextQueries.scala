@@ -68,6 +68,7 @@ object TextQueries {
   def q15NearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val arrs = Dedup.shingleArrays(Tables.documents(s, dir), "doc_id", "text", ShingleK)
       .persist() // reused by signatures and both sides of the verify join
+    arrs.count() // eager: three concurrent consumers must not stampede the cache
     val sig = Dedup.minhashSignaturesFromArrays(arrs, "doc_id", NumHashes)
     val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
     Dedup.jaccardForCandidatesArrays(cand, arrs, "doc_id")
