@@ -104,6 +104,7 @@ object Dedup {
   def jaccardForCandidates(cand0: DataFrame, sh: DataFrame,
                            sizes: DataFrame, idCol: String): DataFrame = {
     val cand = cand0.persist() // referenced twice (intersection + output)
+    cand.count() // eager fill — see the stampede note in minhashCandidates
     val s1 = sh.select(col(idCol).as("id1"), col("shingle"))
     val s2 = sh.select(col(idCol).as("id2"), col("shingle"))
     val inter = cand.join(s1, Seq("id1"))
