@@ -43,7 +43,7 @@ object Screen {
     // …v2 = newer data, staged but NEVER published (no marker flip)
     val v2 = techSnapshot(o)
 
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_screen_pub_" +
+    val root = s"${System.getProperty("user.dir")}/target/graft_screen_pub_" +
       java.lang.Integer.toHexString(dir.hashCode)
     Upsert.publishSnapshot(v1, root, "1")
     v2.write.mode(SaveMode.Overwrite).parquet(s"$root/v=2")
