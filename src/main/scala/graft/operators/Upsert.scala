@@ -63,4 +63,23 @@ object Upsert {
       Some(s"$root/v=${java.nio.file.Files.readString(marker.toPath).trim}")
     else None
   }
+
+  /** Freshness-guarded resolve (00117_precompute_bottomup_per_bands.sql:
+    * the reader RPC errors when the precomputed table is older than the
+    * staleness bound instead of silently serving stale data, so the caller
+    * can fall back to the live computation). Age is the marker flip time —
+    * the atomic publication instant. */
+  def resolvePublishedFresh(root: String, maxAgeMillis: Long,
+                            nowMillis: Long = System.currentTimeMillis())
+      : Either[String, String] = {
+    val marker = new java.io.File(s"$root/_PUBLISHED")
+    if (!marker.exists()) Left(s"no _PUBLISHED marker under $root")
+    else {
+      val age = nowMillis - marker.lastModified()
+      if (age > maxAgeMillis)
+        Left(s"published snapshot is stale: age ${age}ms > ${maxAgeMillis}ms")
+      else
+        Right(s"$root/v=${java.nio.file.Files.readString(marker.toPath).trim}")
+    }
+  }
 }

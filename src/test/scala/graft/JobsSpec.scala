@@ -29,6 +29,26 @@ class JobsSpec extends AnyFunSuite {
     }
   }
 
+  test("freshness-guarded resolve refuses stale published snapshots") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("fresh").toFile.getAbsolutePath
+    graft.operators.Upsert.publishSnapshot(
+      Seq(1, 2, 3).toDF("x"), root, "v1")
+    val now = System.currentTimeMillis()
+    // within the bound → resolves to the published dir
+    assert(graft.operators.Upsert
+      .resolvePublishedFresh(root, maxAgeMillis = 60000, nowMillis = now)
+      .exists(_.endsWith("v=v1")))
+    // beyond the bound → an explicit stale error, never a silent stale read
+    val stale = graft.operators.Upsert
+      .resolvePublishedFresh(root, maxAgeMillis = 0,
+        nowMillis = now + 10000)
+    assert(stale.isLeft && stale.swap.exists(_.contains("stale")))
+    // missing marker → error
+    assert(graft.operators.Upsert
+      .resolvePublishedFresh(root + "_nope", 60000, now).isLeft)
+  }
+
   test("coverage gate blocks under-covered snapshots") {
     import spark.implicits._
     val universe = (1 to 100).toDF("c_custkey")
