@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the scale properties PLANS.md reviews:
+  * small dims must broadcast, nothing may degenerate to a cartesian
+  * product, and the bucket-pruned ANN scan must stay shuffle-free. These
+  * are deliberately loose (substring checks on the physical plan) so they
+  * catch structural regressions without pinning exact operator trees. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("flagship screen metrics broadcasts its dimension join") {
+    assert(plan("q10_screen_metrics").contains("BroadcastHashJoin"))
+  }
+
+  test("full market breadth: universe flag + year roll join broadcast; no cartesian") {
+    val p = plan("q42_market_breadth")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PER bands: interval join broadcasts the span table; no self-join cartesian") {
+    val p = plan("q43_per_bands")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("multi-probe ANN scan plans without a hash-partition exchange") {
+    val p = plan("q47_ann_multiprobe")
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("no gate query degenerates to an unintended cartesian product") {
+    // the deliberate broadcast-1-row cross joins (q17 query vector) are
+    // BroadcastNestedLoopJoin, not CartesianProduct
+    for (name <- Seq("q01_pricing_agg", "q06_asof_join", "q39_multikey_semi",
+        "q44_tracking_error", "q52_salted_agg")) {
+      assert(!plan(name).contains("CartesianProduct"), name)
+    }
+  }
+}
