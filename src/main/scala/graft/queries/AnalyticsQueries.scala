@@ -159,10 +159,12 @@ object AnalyticsQueries {
     // at 100× the cross-section this still spreads the sort across the
     // cluster and moves 4 doubles to the driver.
     def interpBounds(df: DataFrame, x: Column): (Double, Double) = {
+      // persisted: count + zipWithIndex(+its size job) are three actions
+      // over the same global sort — without the cache each re-executes it
       val sorted = df.select(x.cast("double").as("v"))
-        .na.drop.sort(col("v"))
+        .na.drop.sort(col("v")).persist()
       val n = sorted.count()
-      if (n == 1) { val v = sorted.head().getDouble(0); (v, v) }
+      try if (n == 1) { val v = sorted.head().getDouble(0); (v, v) }
       else {
         def ranks(p: Double): (Long, Long, Double) = {
           val idx = p * (n - 1).toDouble
@@ -180,7 +182,7 @@ object AnalyticsQueries {
         def interp(lo: Long, hi: Long, idx: Double): Double =
           if (lo == hi) got(lo) else got(lo) + (got(hi) - got(lo)) * (idx - lo)
         (interp(l1, h1, i1), interp(l2, h2, i2))
-      }
+      } finally sorted.unpersist()
     }
 
     def transformed(x: Column, name: String)(df: DataFrame): DataFrame = {
