@@ -36,21 +36,35 @@ object TechnicalJob {
 
   /** Per-key latest snapshot from a (key, ord, o, h, l, c, v) frame.
     *
-    * The group iterator is consumed through a bounded min-heap on `ord`
-    * (capacity = lookback), so per-key task memory is O(lookback) even for
-    * entities with decade-long histories — the iterator streams from the
-    * shuffle, only the newest `lookback` bars are ever retained. Equivalent
-    * to sort-then-takeRight but without materializing the full history. */
+    * The group iterator is consumed through a bounded min-heap on
+    * `(ord, arrival seq)` (capacity = lookback), so per-key task memory is
+    * O(lookback) even for entities with decade-long histories — the
+    * iterator streams from the shuffle, only the newest `lookback` bars are
+    * ever retained. Ties on duplicate `ord` break deterministically on
+    * arrival order (later-seen wins), matching a stable
+    * sort-then-takeRight — but note duplicate ords within a key have no
+    * meaningful kernel semantics (which bar is "the" bar for that day?);
+    * callers such as [[fromEvents]] must supply unique ords per key. */
   def snapshots(bars: Dataset[KeyedBar], lookback: Int = 400): Dataset[KeyedSnapshot] = {
     import bars.sparkSession.implicits._
     bars.groupByKey(_.key).mapGroups { (k, it) =>
-      val heap = scala.collection.mutable.PriorityQueue.empty[KeyedBar](
-        Ordering.by((b: KeyedBar) => -b.ord)) // min-heap on ord
+      // min-heap on (ord, seq): lexicographic, so equal-ord bars evict the
+      // earlier-seen one — deterministic regardless of shuffle order only
+      // when ords are unique (see scaladoc)
+      val heap = scala.collection.mutable.PriorityQueue
+        .empty[(Long, Long, KeyedBar)](
+          Ordering.by((t: (Long, Long, KeyedBar)) => (-t._1, -t._2)))
+      var seq = 0L
       it.foreach { b =>
-        if (heap.size < lookback) heap.enqueue(b)
-        else if (b.ord > heap.head.ord) { heap.dequeue(); heap.enqueue(b) }
+        if (heap.size < lookback) heap.enqueue((b.ord, seq, b))
+        else if (b.ord > heap.head._1 ||
+                 (b.ord == heap.head._1 && seq > heap.head._2)) {
+          heap.dequeue(); heap.enqueue((b.ord, seq, b))
+        }
+        seq += 1
       }
-      val sorted = heap.dequeueAll.toArray.sortBy(_.ord)
+      val sorted = heap.dequeueAll.toArray
+        .sortBy(t => (t._1, t._2)).map(_._3)
       val arr = sorted.map(b => Technical.Bar(b.open, b.high, b.low, b.close, b.volume))
       val s = Technical.snapshot(arr).get // group is non-empty by construction
       KeyedSnapshot(k, arr.length, s.close, s.sma25, s.sma75, s.sma200,

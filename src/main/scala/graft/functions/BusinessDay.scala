@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   * rows — see the duplicate-row regression in OperatorsSpec). Dates
   * outside the calendar's span resolve to null.
   *
+  * DENSE-CALENDAR PRECONDITION: the calendar must contain EVERY date in
+  * its span, each flagged `is_business_day` (the reference's
+  * trading_calendar is dense by construction, 00003:5-15). The equality
+  * join resolves a fact date by looking up its calendar row — a date
+  * inside the span but missing from the calendar yields null (the old
+  * inequality-join formulation would still have resolved it). Use
+  * [[validateDense]] once per calendar load to fail loudly instead of
+  * silently nulling.
+  *
   * The calendar-only windows below are unpartitioned by design: the
   * calendar is bounded (decades ≈ tens of thousands of rows), so a
   * single-task pass over it is constant-cost at any fact-table scale.
@@ -24,6 +33,20 @@ import org.apache.spark.sql.functions._
   * (00003:5-15).
   */
 object BusinessDay {
+
+  /** Assert the dense-calendar precondition: every date between min and
+    * max calendar_date has exactly one row. One tiny aggregation over the
+    * (bounded) calendar — run once per calendar load, not per query. */
+  def validateDense(calendar: DataFrame): Unit = {
+    val r = calendar.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("calendar_date")).as("nd"),
+      (datediff(max(col("calendar_date")), min(col("calendar_date"))) + 1)
+        .as("span")).head()
+    val (n, nd, span) = (r.getLong(0), r.getLong(1), r.getInt(2).toLong)
+    require(n == nd && n == span,
+      s"calendar is not dense: $n rows ($nd distinct dates) over a $span-day span")
+  }
 
   /** Index business days 1..N in date order (the navigation backbone). */
   def indexed(calendar: DataFrame): DataFrame =

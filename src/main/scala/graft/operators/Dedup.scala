@@ -100,7 +100,15 @@ object Dedup {
 
   /** Variant taking precomputed per-doc set sizes (`idCol`, `sz`) — with
     * [[shingleArrays]] the sizes are a map-side `size(sharr)`, removing the
-    * count shuffle. */
+    * count shuffle.
+    *
+    * Cache lifecycle: `cand0` is persisted here (it feeds both the
+    * intersection join and the output join) and CANNOT be unpersisted
+    * before the returned lazy DataFrame is consumed — the CALLER owns the
+    * cache and should `spark.catalog.clearCache()` (or
+    * `cand0.unpersist()`) once the result is materialized, as Verify and
+    * Bench do between gate queries. Same contract as [[minhashCandidates]]'
+    * banded relation. */
   def jaccardForCandidates(cand0: DataFrame, sh: DataFrame,
                            sizes: DataFrame, idCol: String): DataFrame = {
     val cand = cand0.persist() // referenced twice (intersection + output)

@@ -164,7 +164,11 @@ object AnalyticsQueries {
       val sorted = df.select(x.cast("double").as("v"))
         .na.drop.sort(col("v")).persist()
       val n = sorted.count()
-      try if (n == 1) { val v = sorted.head().getDouble(0); (v, v) }
+      // n == 0 (all-null/empty column): winsorize degenerates to the
+      // identity clamp — without this, ranks(0.01) would be -1 and the
+      // rank lookup below would throw on the empty map
+      try if (n == 0) (Double.NegativeInfinity, Double.PositiveInfinity)
+      else if (n == 1) { val v = sorted.head().getDouble(0); (v, v) }
       else {
         def ranks(p: Double): (Long, Long, Double) = {
           val idx = p * (n - 1).toDouble

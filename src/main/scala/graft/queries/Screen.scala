@@ -43,8 +43,15 @@ object Screen {
     // …v2 = newer data, staged but NEVER published (no marker flip)
     val v2 = techSnapshot(o)
 
+    // Root is derived from the SANITIZED sfDir (no hashCode: collisions
+    // between different dirs would silently share one root) plus a fresh
+    // per-invocation suffix, so concurrent gate runs (Verify + Bench,
+    // parallel CI) never race SaveMode.Overwrite against each other's
+    // reader. The published content is a pure function of the base tables,
+    // so a unique root per call changes nothing downstream.
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = s"${System.getProperty("user.dir")}/target/graft_screen_pub_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      s"${safe}_${java.util.UUID.randomUUID().toString.take(8)}"
     Upsert.publishSnapshot(v1, root, "1")
     v2.write.mode(SaveMode.Overwrite).parquet(s"$root/v=2")
 

@@ -124,4 +124,15 @@ class OperatorsSpec extends AnyFunSuite {
     val off = BusinessDay.next(Seq(Tuple1(d("2025-06-01"))).toDF("dt"), "dt", cal)
     assert(off.count() == 1 && off.collect()(0).isNullAt(1))
   }
+
+  test("validateDense accepts a dense calendar and rejects a gapped one") {
+    import spark.implicits._
+    val dense = (1 to 10).map(i => (d(f"2024-01-$i%02d"), true))
+      .toDF("calendar_date", "is_business_day")
+    BusinessDay.validateDense(dense) // must not throw
+    val gapped = dense.filter(col("calendar_date") =!= d("2024-01-05"))
+    intercept[IllegalArgumentException] {
+      BusinessDay.validateDense(gapped)
+    }
+  }
 }

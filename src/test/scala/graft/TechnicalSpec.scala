@@ -85,6 +85,19 @@ class TechnicalSpec extends AnyFunSuite {
     assert(df.filter(col("rsi_14").isNotNull).count() > 0)
   }
 
+  test("snapshots breaks duplicate-ord ties by arrival order (later wins)") {
+    import spark.implicits._
+    import graft.analytics.TechnicalJob
+    // single input partition → stable arrival order; lookback 1 forces the
+    // boundary eviction to pick between the two ord=1 bars
+    val bars = Seq(
+      TechnicalJob.KeyedBar(1L, 1L, 10, 10, 10, 10.0, 1),
+      TechnicalJob.KeyedBar(1L, 1L, 20, 20, 20, 20.0, 1)
+    ).toDS().coalesce(1)
+    val snap = TechnicalJob.snapshots(bars, lookback = 1).collect()(0)
+    assert(snap.close.contains(20.0)) // later-seen duplicate survives
+  }
+
   test("obv accumulates signed volume") {
     val o = Technical.obv(Array(1.0, 2.0, 1.5, 1.5, 3.0),
       Array(10, 20, 30, 40, 50))
