@@ -43,6 +43,27 @@ object Dedup {
           s"i -> substring(__norm, i, $k)))").as("sharr"))
   }
 
+  /** Per-doc DISTINCT 60-bit shingle-hash array ([[Text.hash60]] of each
+    * k-gram), computed entirely map-side — the scale-preferred carrier for
+    * the whole LSH pipeline: signatures fold over it, the verify stage
+    * intersects it, and it is what gets cached/shuffled. Longs are ~2-3×
+    * smaller than the string shingles and intersect faster; md5 is computed
+    * once per shingle occurrence here and never again. Distinctness is on
+    * the hash (not the string): a 60-bit collision within one ~300-shingle
+    * doc has probability ~4e-14, and BOTH engines (the DuckDB oracle uses
+    * the identical md5-derived hash) see the same collisions, so results
+    * stay bit-identical. */
+  def shingleHashArrays(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val norm = Text.normalize(col(textCol))
+    docs.select(col(idCol), norm.as("__norm"))
+      .filter(length(col("__norm")) >= k)
+      .select(col(idCol),
+        expr(s"array_distinct(transform(sequence(1, length(__norm) - ${k - 1}), " +
+          s"i -> CAST(conv(substring(md5(CAST(substring(__norm, i, $k) AS BINARY)), " +
+          "1, 15), 16, 10) AS BIGINT)))").as("harr"))
+  }
+
   /** Exploded (id, shingle) rows — already distinct per doc (see
     * [[shingleArrays]]); kept for the pairwise/verify joins which need the
     * row form. */
@@ -96,6 +117,23 @@ object Dedup {
         col("inter").cast("double") /
           (size(col("__s1")).cast("long") + size(col("__s2")).cast("long") - col("inter")))
       .drop("__s1", "__s2")
+  }
+
+  /** Exact Jaccard on candidate pairs from the per-doc HASHED shingle
+    * arrays ([[shingleHashArrays]]) — same shape as
+    * [[jaccardForCandidatesArrays]] but the joins ship long arrays and the
+    * per-row intersection compares longs, the cheapest formulation at
+    * scale. */
+  def jaccardForCandidatesHashes(cand: DataFrame, harrs: DataFrame,
+                                 idCol: String): DataFrame = {
+    val a1 = harrs.select(col(idCol).as("id1"), col("harr").as("__h1"))
+    val a2 = harrs.select(col(idCol).as("id2"), col("harr").as("__h2"))
+    cand.join(a1, Seq("id1")).join(a2, Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("__h1"), col("__h2"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("__h1")).cast("long") + size(col("__h2")).cast("long") - col("inter")))
+      .drop("__h1", "__h2")
   }
 
   /** Variant taking precomputed per-doc set sizes (`idCol`, `sz`) — with
@@ -164,6 +202,21 @@ object Dedup {
         s"(${hashParamsA(i)}L * h + ${hashParamsB(i)}L) % $P))").as(s"mh$i")
     }
     arrs.select(col(idCol), hs).select(col(idCol) +: mins: _*)
+  }
+
+  /** MinHash signatures from the HASHED shingle arrays — the md5 work is
+    * already done in [[shingleHashArrays]], so this is just n affine
+    * `array_min` folds over longs in one codegen'd projection. Same values
+    * as the other two formulations: min over h' mod P of the same distinct
+    * shingle set (duplicate post-mod values cannot change a min). */
+  def minhashSignaturesFromHashes(harrs: DataFrame, idCol: String,
+                                  n: Int): DataFrame = {
+    val hs = expr(s"transform(harr, x -> x % $P)").as("__hs")
+    val mins = (0 until n).map { i =>
+      expr(s"array_min(transform(__hs, h -> " +
+        s"(${hashParamsA(i)}L * h + ${hashParamsB(i)}L) % $P))").as(s"mh$i")
+    }
+    harrs.select(col(idCol), hs).select(col(idCol) +: mins: _*)
   }
 
   /** LSH banding over wide signatures: band b's key is the ordered concat

@@ -53,25 +53,26 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   def q14MinhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val arrs = Dedup.shingleArrays(Tables.documents(s, dir), "doc_id", "text", ShingleK)
-    val sig = Dedup.minhashSignaturesFromArrays(arrs, "doc_id", NumHashes)
+    val harrs = Dedup.shingleHashArrays(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+    val sig = Dedup.minhashSignaturesFromHashes(harrs, "doc_id", NumHashes)
     Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
       .orderBy(col("id1"), col("id2"))
   }
 
   /** LSH candidates verified by exact shingle Jaccard ≥ τ — the full
     * near-dup pipeline (candidate generation bounds the quadratic join;
-    * the verify join touches only candidates). Shingle generation + dedup
-    * and the MinHash signatures are all map-side (shingleArrays /
-    * minhashSignaturesFromArrays): the only shuffles left are the banded
-    * bucket self-join and the candidate-verify join. */
+    * the verify join touches only candidates). The whole pipeline rides the
+    * hashed-shingle carrier (shingleHashArrays): shingle generation, dedup,
+    * md5 and the MinHash signatures are all map-side, the cached relation
+    * holds long arrays (not strings), and the only shuffles left are the
+    * banded bucket self-join and the candidate-verify join. */
   def q15NearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val arrs = Dedup.shingleArrays(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+    val harrs = Dedup.shingleHashArrays(Tables.documents(s, dir), "doc_id", "text", ShingleK)
       .persist() // reused by signatures and both sides of the verify join
-    arrs.count() // eager: three concurrent consumers must not stampede the cache
-    val sig = Dedup.minhashSignaturesFromArrays(arrs, "doc_id", NumHashes)
+    harrs.count() // eager: three concurrent consumers must not stampede the cache
+    val sig = Dedup.minhashSignaturesFromHashes(harrs, "doc_id", NumHashes)
     val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
-    Dedup.jaccardForCandidatesArrays(cand, arrs, "doc_id")
+    Dedup.jaccardForCandidatesHashes(cand, harrs, "doc_id")
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
@@ -265,7 +266,9 @@ object TextQueries {
        |) t ORDER BY doc_id""".stripMargin
   }
 
-  /** Shared CTE prefix: shingles → hashes → minhash signatures → bands. */
+  /** Shared CTE prefix: shingles → 60-bit hashes (the dedup carrier,
+    * mirroring shingleHashArrays: DISTINCT on the hash, not the string) →
+    * minhash signatures → bands. */
   private val minhashCtes: String =
     s"""WITH norm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
@@ -274,10 +277,12 @@ object TextQueries {
        |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $ShingleK) AS shingle
        |  FROM norm, range(1, 100000) r(i)
        |  WHERE len(t) >= $ShingleK AND i <= len(t) - ${ShingleK - 1}
-       |), hs AS (
-       |  SELECT doc_id,
-       |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % ${Dedup.P} AS h
+       |), hs0 AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h60
        |  FROM sh
+       |), hs AS (
+       |  SELECT doc_id, h60 % ${Dedup.P} AS h FROM hs0
        |), params AS (
        |  SELECT i, 2*i + 3 AS a, 7*i + 1 AS b FROM range(0, $NumHashes) t(i)
        |), sig AS (
@@ -301,10 +306,10 @@ object TextQueries {
 
   val oracleQ15: String =
     s"""$minhashCtes, sz AS (
-       |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+       |  SELECT doc_id, COUNT(*) AS sz FROM hs0 GROUP BY doc_id
        |), inter AS (
        |  SELECT a.doc_id AS i1, b.doc_id AS i2, COUNT(*) AS i
-       |  FROM sh a JOIN sh b USING (shingle)
+       |  FROM hs0 a JOIN hs0 b USING (h60)
        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
        |)
        |SELECT c.id1, c.id2,

@@ -20,9 +20,9 @@ object Probe15 {
       r
     }
     val docs = graft.Tables.documents(spark, dir)
-    val arrs = graft.operators.Dedup.shingleArrays(docs, "doc_id", "text", 5).persist()
+    val arrs = graft.operators.Dedup.shingleHashArrays(docs, "doc_id", "text", 5).persist()
     time("arrs")(println("  n=" + arrs.count()))
-    val sig = graft.operators.Dedup.minhashSignaturesFromArrays(arrs, "doc_id", 16)
+    val sig = graft.operators.Dedup.minhashSignaturesFromHashes(arrs, "doc_id", 16)
     time("sig")(println("  n=" + sig.count()))
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -38,7 +38,7 @@ object Probe15 {
         Seq("band", "bkey"))
       .filter(col("id1") < col("id2")).select("id1", "id2").distinct().persist()
     time("cand")(println("  n=" + cand.count()))
-    val ver = graft.operators.Dedup.jaccardForCandidatesArrays(cand, arrs, "doc_id")
+    val ver = graft.operators.Dedup.jaccardForCandidatesHashes(cand, arrs, "doc_id")
       .filter(col("jaccard") >= 0.3)
     time("verify")(println("  n=" + ver.count()))
     time("verify2")(println("  n=" + ver.count()))
