@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, Breadth, Cleanse, Core, PerBands, Screen, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, Breadth, Cleanse, Colocate, Core, PerBands, Screen, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +73,7 @@ object SparkEntry {
     "q50_html_scrape" -> (Advanced.q50HtmlScrape _),
     "q51_frame_sample" -> (Advanced.q51FrameSample _),
     "q52_salted_agg" -> (AnalyticsQueries.q52SaltedAgg _),
+    "q53_bucketed_join" -> (Colocate.q53BucketedJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -236,6 +237,7 @@ object SparkEntry {
     "q50_html_scrape" -> Advanced.oracleQ50,
     "q51_frame_sample" -> Advanced.oracleQ51,
     "q52_salted_agg" -> AnalyticsQueries.oracleQ52,
+    "q53_bucketed_join" -> Colocate.oracleQ53,
   )
 
   private val asofOracle: String =

@@ -35,6 +35,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
+  test("bucketed co-located join plans with zero exchanges") {
+    // write both sides bucketed once, then assert the join + aggregation
+    // plan contains a sort-merge join and NO shuffle of any kind — the
+    // property the bucketed layout exists to buy
+    val sfx = "planspec"
+    val root = s"${System.getProperty("user.dir")}/target/graft_bucketed_test_$sfx"
+    graft.sources.Bucketed.writeBucketed(
+      Tables.customer(spark, dir), s"customer_b_$sfx", s"$root/c", "c_custkey", 4)
+    graft.sources.Bucketed.writeBucketed(
+      Tables.orders(spark, dir), s"orders_b_$sfx", s"$root/o", "o_custkey", 4)
+    val p = graft.queries.Colocate
+      .aggregated(spark, s"customer_b_$sfx", s"orders_b_$sfx")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("no gate query degenerates to an unintended cartesian product") {
     // the deliberate broadcast-1-row cross joins (q17 query vector) are
     // BroadcastNestedLoopJoin, not CartesianProduct
