@@ -74,6 +74,7 @@ object SparkEntry {
     "q51_frame_sample" -> (Advanced.q51FrameSample _),
     "q52_salted_agg" -> (AnalyticsQueries.q52SaltedAgg _),
     "q53_bucketed_join" -> (Colocate.q53BucketedJoin _),
+    "q54_winnow_fingerprint" -> (TextQueries.q54WinnowFingerprint _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -238,6 +239,7 @@ object SparkEntry {
     "q51_frame_sample" -> Advanced.oracleQ51,
     "q52_salted_agg" -> AnalyticsQueries.oracleQ52,
     "q53_bucketed_join" -> Colocate.oracleQ53,
+    "q54_winnow_fingerprint" -> TextQueries.oracleQ54,
   )
 
   private val asofOracle: String =

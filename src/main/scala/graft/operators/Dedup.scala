@@ -249,6 +249,35 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm): over the ORDERED k-gram hash sequence, slide a
+    * window of `w` hashes and keep each window's minimum; the distinct kept
+    * values are the fingerprint set. Guarantees any shared substring of
+    * length ≥ w+k-1 contributes at least one common fingerprint, at a
+    * fraction ~2/(w+1) of all k-grams — the standard sub-linear sketch for
+    * partial-overlap detection (containment, clone detection), which
+    * MinHash (whole-set resemblance) does not give.
+    *
+    * Entirely map-side per document, like the rest of the pipeline. The
+    * windowed min here is the O(m·w) array formulation — fine for
+    * documents (m = doc length); a custom Expression with the ascending-
+    * minima O(m) algorithm is the upgrade path for book-length texts.
+    * Docs shorter than w+k-1 chars (no full window) are dropped, per the
+    * algorithm's contract. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    val norm = Text.normalize(col(textCol))
+    docs.select(col(idCol), norm.as("__norm"))
+      .filter(length(col("__norm")) >= k + w - 1)
+      .select(col(idCol),
+        expr(s"transform(sequence(1, length(__norm) - ${k - 1}), " +
+          s"i -> CAST(conv(substring(md5(CAST(substring(__norm, i, $k) AS BINARY)), " +
+          "1, 15), 16, 10) AS BIGINT))").as("__hl"))
+      .select(col(idCol),
+        expr(s"array_distinct(transform(sequence(1, size(__hl) - ${w - 1}), " +
+          s"j -> array_min(slice(__hl, j, $w))))").as("fp"))
+  }
+
   /** SimHash (64-bit, packed as 8 byte-planes of the md5-derived hash):
     * per doc, for each bit position sum ±1 over token hashes; bit set when
     * the sum is positive. Returns (id, simhash as 16 lowercase hex chars).

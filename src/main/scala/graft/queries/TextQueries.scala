@@ -16,6 +16,7 @@ import graft.operators.{Dedup, Similarity}
 object TextQueries {
 
   val ShingleK = 5
+  val WinnowW = 8
   val NumHashes = 16
   val RowsPerBand = 4
   val JaccardThreshold = 0.3
@@ -130,6 +131,19 @@ object TextQueries {
     Similarity.annTopKMultiProbe(emb.filter(col("vec_id") =!= 0), "vec_id",
       "embedding", query, AnnDims, AnnPlanes, k = 10, nProbe = AnnProbes)
   }
+
+  /** Winnowing fingerprint summary per document (rolling-hash document
+    * fingerprinting for partial-overlap dedup — see
+    * [[Dedup.winnowFingerprints]]). Output is the fingerprint-set summary
+    * (count + extremes), integer-exact in both engines. */
+  def q54WinnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+        ShingleK, WinnowW)
+      .select(col("doc_id"),
+        size(col("fp")).cast("long").as("n_fp"),
+        expr("array_min(fp)").as("min_fp"),
+        expr("array_max(fp)").as("max_fp"))
+      .orderBy(col("doc_id"))
 
   /** §2.6 embedding near-dup with the hot-block cap: blocks over MaxBlock
     * members are split by hyperplane sub-bucket (bounded quadratic work per
@@ -320,6 +334,27 @@ object TextQueries {
        |JOIN sz s2 ON s2.doc_id = c.id2
        |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= $JaccardThreshold
        |ORDER BY id1, id2""".stripMargin
+
+  val oracleQ54: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), hl AS (
+       |  SELECT doc_id, list_transform(range(1, len(t) - ${ShingleK - 2}), i ->
+       |    CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), $ShingleK)), 1, 15)) AS BIGINT)
+       |  ) AS hlist
+       |  FROM norm WHERE len(t) >= ${ShingleK + WinnowW - 1}
+       |), fp AS (
+       |  SELECT doc_id, list_distinct(
+       |    list_transform(range(1, len(hlist) - ${WinnowW - 2}), j ->
+       |      list_min(list_slice(hlist, CAST(j AS INT), CAST(j AS INT) + ${WinnowW - 1})))
+       |  ) AS f
+       |  FROM hl
+       |)
+       |SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fp,
+       |  CAST(list_min(f) AS BIGINT) AS min_fp,
+       |  CAST(list_max(f) AS BIGINT) AS max_fp
+       |FROM fp ORDER BY doc_id""".stripMargin
 
   val oracleQ16: String = {
     val bitSums = (0 until 60).map(b =>

@@ -58,6 +58,25 @@ object Sources {
       from_json(regexp_extract(col(htmlCol), pattern, 1), schema))
 }
 
+/** Date-partitioned table sinks for the daily-refresh write path. */
+object Sinks {
+
+  /** Idempotent daily re-run sink: write `df` parquet-partitioned by
+    * `dateCol` with DYNAMIC partition overwrite — only the date partitions
+    * present in `df` are replaced; every other partition is untouched.
+    * This is the 100 TB shape of the reference's late/corrected-data
+    * re-pull (`catch-up.ts`, forward-fill re-runs): a re-run for 3
+    * corrected days rewrites 3 partitions, not the table, and a crashed
+    * run can simply be repeated. Partition pruning on `dateCol` comes for
+    * free on every downstream read. */
+  def overwriteDatePartitions(df: DataFrame, path: String,
+                              dateCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(dateCol)
+      .parquet(path)
+}
+
 /** Partition-retention archival sink (`archive-equity-bars.ts:22-39`):
   * when the hot table exceeds its budget, the oldest date partitions are
   * exported to a compressed archive path and dropped from the hot table,

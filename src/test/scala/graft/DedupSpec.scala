@@ -58,6 +58,20 @@ class DedupSpec extends AnyFunSuite {
     assert(top.head.getDouble(1) === 1.0)
   }
 
+  test("winnowing: shared substring >= w+k-1 chars guarantees a common fingerprint") {
+    import spark.implicits._
+    val shared = "zq3x8vbn1mw9k2lt7ryd4peu"  // 24 chars >= w+k-1 = 12
+    val d = Seq(
+      (1L, s"alpha preamble here $shared and some tail text"),
+      (2L, s"completely different opener $shared closing words"),
+      (3L, "nothing in common with the others at all whatsoever"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", 5, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fp(1) & fp(2)).nonEmpty)   // the SIGMOD'03 guarantee
+    assert((fp(1) & fp(3)).isEmpty)    // unrelated docs don't collide
+  }
+
   test("ann top-k finds the bucket-local neighbor") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{Retention, Sources}
+import graft.sources.{Retention, Sinks, Sources}
 
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -50,5 +50,25 @@ class SourcesSpec extends AnyFunSuite {
     val hot3 = Retention.archive(df, "dt", ap, 3, 5)
     assert(hot3.count() == 7)
     assert(new java.io.File(ap).exists())
+  }
+
+  test("dynamic partition overwrite replaces only the re-run days") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val path = Files.createTempDirectory("dyn").toFile.getAbsolutePath + "/t"
+    Sinks.overwriteDatePartitions(
+      Seq((d("2024-01-01"), "a", 1), (d("2024-01-02"), "b", 1))
+        .toDF("dt", "k", "run"), path, "dt")
+    // re-run: day 2 corrected (two rows now), day 3 new; day 1 untouched
+    Sinks.overwriteDatePartitions(
+      Seq((d("2024-01-02"), "b", 2), (d("2024-01-02"), "b2", 2),
+        (d("2024-01-03"), "c", 2)).toDF("dt", "k", "run"), path, "dt")
+    val got = spark.read.parquet(path)
+      .select(col("dt").cast("string"), col("k"), col("run"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", "a", 1),                               // preserved
+      ("2024-01-02", "b", 2), ("2024-01-02", "b2", 2),      // replaced
+      ("2024-01-03", "c", 2)))                              // added
   }
 }
