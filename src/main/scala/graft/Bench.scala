@@ -26,19 +26,29 @@ object Bench {
         df.count()
       } catch { case _: Throwable => }
     }
+    // median-of-N per query: a single cold shot is dominated by first-touch
+    // codegen + whatever else the host is doing, and round-3 proved it can
+    // report 5-10x phantom regressions on unchanged code. The median of 3
+    // back-to-back runs is stable to ~10%.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop intra-query persists so no query is timed against another's
-      // leftover cache (or its memory pressure)
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop intra-query persists so no rep is timed against another's
+        // leftover cache (or its memory pressure)
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      name -> (times(times.length / 2), times.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qsMin = results.map { case (k, (_, min)) => s"\"" + k + "\":" + min }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

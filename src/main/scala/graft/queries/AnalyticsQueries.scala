@@ -150,71 +150,144 @@ object AnalyticsQueries {
       .select(col("o_custkey"), col("o_totalprice").as("p1"))
     val base = c.join(px, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_acctbal"), col("p1"))
+      // persisted: the per-dimension bound computations below are ~8 eager
+      // actions (2 sorts + counts + zipWithIndex size jobs + rank collects)
+      // and the z-stat aggs re-run at final-action broadcast time — without
+      // this cache each one re-executes the orders row_number window + join
+      // from scratch (recompute amplification ≈ 10× the base pipeline).
+      // Caller owns the lifecycle (gate harness runs clearCache() per query).
+      .persist()
 
-    // Winsorize bounds: type-7 linear interpolation (factor-vectors.ts
-    // percentile(), :191-213) computed DISTRIBUTED — a global range-
-    // partitioned sort plus zipWithIndex (one count job for partition
-    // offsets), from which only the ≤4 rank values are collected. Never a
-    // whole-column collect into one task, never a single-partition window:
-    // at 100× the cross-section this still spreads the sort across the
-    // cluster and moves 4 doubles to the driver.
-    def interpBounds(df: DataFrame, x: Column): (Double, Double) = {
-      // persisted: count + zipWithIndex(+its size job) are three actions
-      // over the same global sort — without the cache each re-executes it
-      val sorted = df.select(x.cast("double").as("v"))
-        .na.drop.sort(col("v")).persist()
-      val n = sorted.count()
-      // n == 0 (all-null/empty column): winsorize degenerates to the
-      // identity clamp — without this, ranks(0.01) would be -1 and the
-      // rank lookup below would throw on the empty map
-      try if (n == 0) (Double.NegativeInfinity, Double.PositiveInfinity)
-      else if (n == 1) { val v = sorted.head().getDouble(0); (v, v) }
-      else {
-        def ranks(p: Double): (Long, Long, Double) = {
-          val idx = p * (n - 1).toDouble
-          (math.floor(idx).toLong, math.ceil(idx).toLong, idx)
-        }
-        val (l1, h1, i1) = ranks(0.01)
-        val (l2, h2, i2) = ranks(0.99)
-        val want = Set(l1, h1, l2, h2)
-        val got = sorted.rdd.zipWithIndex()
-          .filter { case (_, i) => want(i) }
-          .map { case (r, i) => (i, r.getDouble(0)) }
-          .collect().toMap
-        // s[lo] + (s[hi] - s[lo]) * frac — the JS formula verbatim, so the
-        // oracle (same expression in SQL doubles) agrees bit-for-bit
-        def interp(lo: Long, hi: Long, idx: Double): Double =
-          if (lo == hi) got(lo) else got(lo) + (got(hi) - got(lo)) * (idx - lo)
-        (interp(l1, h1, i1), interp(l2, h2, i2))
-      } finally sorted.unpersist()
+    val dims = Seq("f_p1" -> col("p1"), "f_bal" -> col("c_acctbal"))
+    val bounds = interpBoundsMulti(base, dims)
+
+    // with the bounds already driver-side scalars, the winsorized columns
+    // are plain projections, so ALL dimensions' z parameters come from ONE
+    // aggregation pass over the cached base and ONE broadcast — not a
+    // subquery + crossJoin per dimension
+    val wz = dims.foldLeft(base) { case (df, (name, x)) =>
+      val (loB, hiB) = bounds(name)
+      df.withColumn(s"__wz_$name", least(greatest(x, lit(loB)), lit(hiB)))
     }
-
-    def transformed(x: Column, name: String)(df: DataFrame): DataFrame = {
-      val (loB, hiB) = interpBounds(df, x)
-      val clamped = df
-        .withColumn(s"__wz_$name", least(greatest(x, lit(loB)), lit(hiB)))
-      // z parameters from FLOORED winsorized values: scale-0 decimal sums
-      // keep the scaled integer < 2^53 at any sf (squares of 2-decimal
-      // values at scale 4 overflow the exact-double range past ~1e11 rows·x²)
+    // z parameters from FLOORED winsorized values: scale-0 decimal sums
+    // keep the scaled integer < 2^53 at any sf (squares of 2-decimal
+    // values at scale 4 overflow the exact-double range past ~1e11 rows·x²)
+    def sums(name: String): Seq[Column] = {
       val xd = floor(col(s"__wz_$name")).cast("decimal(18,0)")
-      val zStats = clamped.agg(
-        count(col(s"__wz_$name")).as(s"__n_$name"),
+      Seq(count(col(s"__wz_$name")).as(s"__n_$name"),
         sum(xd).cast("double").as(s"__sx_$name"),
         sum((xd * xd).cast("decimal(30,0)")).cast("double").as(s"__sxx_$name"))
-      val withZ = clamped.crossJoin(broadcast(zStats))
+    }
+    val aggCols = dims.map(_._1).flatMap(sums)
+    val zStats = wz.agg(aggCols.head, aggCols.tail: _*)
+    def zc(name: String): Column = {
       val mu = col(s"__sx_$name") / col(s"__n_$name")
       val msq = col(s"__sxx_$name") / col(s"__n_$name")
       val variance = msq - mu * mu
       val z = when(variance > 0, (col(s"__wz_$name") - mu) / sqrt(variance))
-      withZ
-        .withColumn(name,
-          coalesce(least(greatest(z, lit(-3.0)), lit(3.0)), lit(0.0)))
-        .drop(s"__wz_$name", s"__n_$name", s"__sx_$name", s"__sxx_$name")
+      coalesce(least(greatest(z, lit(-3.0)), lit(3.0)), lit(0.0))
     }
-    transformed(col("c_acctbal"), "f_bal")(
-      transformed(col("p1"), "f_p1")(base))
+    wz.crossJoin(broadcast(zStats))
+      .withColumn("f_p1", zc("f_p1"))
+      .withColumn("f_bal", zc("f_bal"))
       .select(col("c_custkey"), col("f_bal"), col("f_p1"))
       .orderBy(col("c_custkey"))
+  }
+
+  /** Winsorize bounds — type-7 linear interpolation at (p01, p99)
+    * (factor-vectors.ts percentile(), :191-213) — for SEVERAL columns from
+    * ONE stacked global sort. The columns are exploded into (dim, value)
+    * rows and range-sorted on (dim, value), so each dimension's rows are
+    * contiguous in partition order; one pass records per-partition per-dim
+    * counts (and fills the cache), the driver maps each dimension's ≤4
+    * wanted ranks to (partition, local offset), and a second pass fetches
+    * exactly those values. Total: 3 jobs for ALL dimensions (sort sample,
+    * counts, fetch) and ≤4 doubles per dimension to the driver — never a
+    * whole-column collect, never a single-partition window, and no
+    * per-dimension sort+count+zipWithIndex pipeline (which cost ~5 jobs per
+    * dimension). At 100× the cross-section this is still one distributed
+    * sort of nDims×nRows skinny rows. */
+  private def interpBoundsMulti(df: DataFrame, dims: Seq[(String, Column)])
+      : Map[String, (Double, Double)] = {
+    val stacked = df.select(explode(array(dims.map { case (d, x) =>
+        struct(lit(d).as("d"), x.cast("double").as("v")) }: _*)).as("s"))
+      .select(col("s.d").as("d"), col("s.v").as("v"))
+      .na.drop(Seq("v"))
+      .sort(col("d"), col("v")).persist()
+    try {
+      val rdd = stacked.rdd
+      // pass 1: per-partition per-dim counts, in encounter order
+      val partCounts: Array[(Int, List[(String, Long)])] =
+        rdd.mapPartitionsWithIndex { (pi, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val d = r.getString(0); m.update(d, m.getOrElse(d, 0L) + 1L)
+          }
+          Iterator.single((pi, m.toList))
+        }.collect().sortBy(_._1)
+      val nByDim: Map[String, Long] = partCounts.iterator.flatMap(_._2)
+        .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      def ranks(n: Long, p: Double): (Long, Long, Double) = {
+        val idx = p * (n - 1).toDouble
+        (math.floor(idx).toLong, math.ceil(idx).toLong, idx)
+      }
+      val wanted: Map[String, Set[Long]] = nByDim.collect {
+        case (d, n) if n > 0 =>
+          val (l1, h1, _) = ranks(n, 0.01); val (l2, h2, _) = ranks(n, 0.99)
+          d -> Set(l1, h1, l2, h2)
+      }
+      // locate each wanted within-dim global rank as (partition, local idx)
+      val wantLocal = scala.collection.mutable.Map.empty[Int, Set[(String, Long)]]
+      val globalOf = scala.collection.mutable.Map.empty[(Int, String, Long), Long]
+      val offset = scala.collection.mutable.Map.empty[String, Long]
+      partCounts.foreach { case (pi, cs) =>
+        cs.foreach { case (d, cnt) =>
+          val off = offset.getOrElse(d, 0L)
+          wanted.getOrElse(d, Set.empty).foreach { g =>
+            if (g >= off && g < off + cnt) {
+              wantLocal(pi) = wantLocal.getOrElse(pi, Set.empty) + ((d, g - off))
+              globalOf((pi, d, g - off)) = g
+            }
+          }
+          offset(d) = off + cnt
+        }
+      }
+      val bc = df.sparkSession.sparkContext.broadcast(wantLocal.toMap)
+      // pass 2: fetch only the wanted values (reads the cache)
+      val got: Map[(Int, String, Long), Double] =
+        rdd.mapPartitionsWithIndex { (pi, it) =>
+          val want = bc.value.getOrElse(pi, Set.empty[(String, Long)])
+          if (want.isEmpty) Iterator.empty
+          else {
+            val local = scala.collection.mutable.Map.empty[String, Long]
+            it.flatMap { r =>
+              val d = r.getString(0)
+              val li = local.getOrElse(d, 0L); local(d) = li + 1L
+              if (want((d, li))) Iterator.single(((pi, d, li), r.getDouble(1)))
+              else Iterator.empty
+            }
+          }
+        }.collect().toMap
+      val byGlobal: Map[(String, Long), Double] =
+        got.map { case (k @ (_, d, _), v) => (d, globalOf(k)) -> v }
+      // s[lo] + (s[hi] - s[lo]) * frac — the JS formula verbatim, so the
+      // oracle (same expression in SQL doubles) agrees bit-for-bit
+      def interp(d: String, lo: Long, hi: Long, idx: Double): Double = {
+        val a = byGlobal((d, lo))
+        if (lo == hi) a else a + (byGlobal((d, hi)) - a) * (idx - lo)
+      }
+      dims.map { case (d, _) =>
+        nByDim.getOrElse(d, 0L) match {
+          // all-null/empty column: winsorize degenerates to the identity
+          // clamp rather than throwing on an empty rank map
+          case 0 => d -> (Double.NegativeInfinity, Double.PositiveInfinity)
+          case n =>
+            val (l1, h1, i1) = ranks(n, 0.01)
+            val (l2, h2, i2) = ranks(n, 0.99)
+            d -> (interp(d, l1, h1, i1), interp(d, l2, h2, i2))
+        }
+      }.toMap
+    } finally stacked.unpersist()
   }
 
   /** §2.8 Pearson correlation from exact decimal sums (basket validation,
