@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, Breadth, Cleanse, Colocate, Core, PerBands, Screen, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, Cleanse, Colocate, Core, PerBands, Screen, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -75,6 +75,7 @@ object SparkEntry {
     "q52_salted_agg" -> (AnalyticsQueries.q52SaltedAgg _),
     "q53_bucketed_join" -> (Colocate.q53BucketedJoin _),
     "q54_winnow_fingerprint" -> (TextQueries.q54WinnowFingerprint _),
+    "q55_basket_valuation" -> (BasketProgram.q55BasketValuation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -240,6 +241,7 @@ object SparkEntry {
     "q52_salted_agg" -> AnalyticsQueries.oracleQ52,
     "q53_bucketed_join" -> Colocate.oracleQ53,
     "q54_winnow_fingerprint" -> TextQueries.oracleQ54,
+    "q55_basket_valuation" -> BasketProgram.oracleQ55,
   )
 
   private val asofOracle: String =

@@ -105,17 +105,20 @@ object Baskets {
   def cumSplitFactor(rows: DataFrame, splits: DataFrame,
                      fromCol: String, toCol: String,
                      outCol: String): DataFrame = {
-    val s = splits.select(col("code").as("s_code"),
-      col("event_date"), col("factor"))
+    // split-side columns renamed so callers may carry their own `factor`
+    // (constituent weight factors) without ambiguity
+    val s = splits.select(col("code").as("__s_code"),
+      col("event_date").as("__s_event_date"), col("factor").as("__s_factor"))
     val j = rows.join(s,
-      col("s_code") === col("code") &&
-        col("event_date") > col(fromCol) && col("event_date") <= col(toCol),
+      col("__s_code") === col("code") &&
+        col("__s_event_date") > col(fromCol) &&
+        col("__s_event_date") <= col(toCol),
       "left")
     val keys = rows.columns.map(col)
     j.groupBy(keys: _*)
       .agg(coalesce(
         graft.operators.ProductAgg.decimalProduct(
-          col("factor").cast("decimal(18,10)")),
+          col("__s_factor").cast("decimal(18,10)")),
         lit(java.math.BigDecimal.ONE)).cast("double").as(outCol))
   }
 
@@ -149,7 +152,9 @@ object Baskets {
       ratio("perf").as("weighted_per_forward"),
       ratio("pbr").as("weighted_pbr"),
       ratio("psr").as("weighted_psr"),
-      when(col("__d_div") > 0, col("__d_div") / col("__n_div") * 100)
+      // guard is on the mcap leg (divDen in the reference, :545-556): zero
+      // total dividends with positive mcap is a real 0.0% yield, not null
+      when(col("__n_div") > 0, col("__d_div") / col("__n_div") * 100)
         .as("weighted_div_yield"),
       col("coverage_pct"))
   }
