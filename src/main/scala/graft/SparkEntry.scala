@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, Cleanse, Colocate, Core, PerBands, Screen, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, Cleanse, Colocate, Core, FactorVectorProgram, PerBands, Screen, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -76,6 +76,7 @@ object SparkEntry {
     "q53_bucketed_join" -> (Colocate.q53BucketedJoin _),
     "q54_winnow_fingerprint" -> (TextQueries.q54WinnowFingerprint _),
     "q55_basket_valuation" -> (BasketProgram.q55BasketValuation _),
+    "q56_factor_vector_search" -> (FactorVectorProgram.q56FactorVectorSearch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -242,6 +243,7 @@ object SparkEntry {
     "q53_bucketed_join" -> Colocate.oracleQ53,
     "q54_winnow_fingerprint" -> TextQueries.oracleQ54,
     "q55_basket_valuation" -> BasketProgram.oracleQ55,
+    "q56_factor_vector_search" -> FactorVectorProgram.oracleQ56,
   )
 
   private val asofOracle: String =
