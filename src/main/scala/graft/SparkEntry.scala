@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, Cleanse, Colocate, Core, FactorVectorProgram, PerBands, Screen, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, Cleanse, Colocate, Core, FactorVectorProgram, PerBands, Scd2Replay, Screen, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -77,6 +77,8 @@ object SparkEntry {
     "q54_winnow_fingerprint" -> (TextQueries.q54WinnowFingerprint _),
     "q55_basket_valuation" -> (BasketProgram.q55BasketValuation _),
     "q56_factor_vector_search" -> (FactorVectorProgram.q56FactorVectorSearch _),
+    "q57_ivf_search" -> (TextQueries.q57IvfSearch _),
+    "q58_scd2_replay" -> (Scd2Replay.q58Scd2Replay _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -244,6 +246,8 @@ object SparkEntry {
     "q54_winnow_fingerprint" -> TextQueries.oracleQ54,
     "q55_basket_valuation" -> BasketProgram.oracleQ55,
     "q56_factor_vector_search" -> FactorVectorProgram.oracleQ56,
+    "q57_ivf_search" -> TextQueries.oracleQ57,
+    "q58_scd2_replay" -> Scd2Replay.oracleQ58,
   )
 
   private val asofOracle: String =

@@ -116,6 +116,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with a deterministic coarse quantizer: the `nCells` lowest-id
+    * vectors seed the cells (k-means iteration zero). Same search semantics
+    * as [[ivfTopK]] — assign each vector to its nearest cell, probe the
+    * `nProbe` cells nearest the query, rank exactly within the probed
+    * cells — but every step is replayable in plain SQL, so this variant is
+    * oracle-gated (q57); the k-means quantizer ([[ivfTrain]]) is the
+    * recall-tuned variant, spec-gated by AnnSpec. Assignment ranks by
+    * ‖c‖² − 2·v·c (≡ argmin ‖v−c‖²; the constant ‖v‖² drops out) using the
+    * same ascending-index fold as the SQL `list_dot_product`, ties to the
+    * lowest cell. Centroids/probes broadcast; the per-vector argmin is one
+    * shuffle on the id — the standard IVF assign shape at any scale. */
+  def ivfDeterministic(emb: DataFrame, idCol: String, vecCol: String,
+                       queryId: Long, nCells: Int, nProbe: Int,
+                       k: Int): DataFrame = {
+    val vecs = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val cents = vecs.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"), col("v").as("cv"))
+    val qv = vecs.filter(col(idCol) === queryId).select(col("v").as("qv"))
+    def score(v: Column): Column =
+      dotProduct(col("cv"), col("cv")) - lit(2.0) * dotProduct(v, col("cv"))
+    val wMin = Window.partitionBy(col(idCol))
+      .orderBy(col("__score"), col("cell"))
+    val assigned = vecs.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(cents))
+      .withColumn("__score", score(col("v")))
+      .withColumn("__rn", row_number().over(wMin))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cell"), col("v"))
+    val probes = cents.crossJoin(broadcast(qv))
+      .withColumn("__score", score(col("qv")))
+      .orderBy(col("__score"), col("cell")).limit(nProbe)
+      .select(col("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .crossJoin(broadcast(qv))
+      .select(col(idCol), cosineSim(col("v"), col("qv")).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-plane query dots — the probe-selection inputs, computed with the
     * same ascending-d left fold as [[bucketExpr]]'s dotProduct so the SQL
     * oracle agrees bitwise. */

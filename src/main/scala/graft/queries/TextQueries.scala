@@ -26,6 +26,8 @@ object TextQueries {
   val AnnProbes = 4
   val SubPlanes = 4
   val MaxBlock = 50
+  val IvfCells = 16
+  val IvfProbes = 4
 
   def q11TokenStats(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -131,6 +133,44 @@ object TextQueries {
     Similarity.annTopKMultiProbe(emb.filter(col("vec_id") =!= 0), "vec_id",
       "embedding", query, AnnDims, AnnPlanes, k = 10, nProbe = AnnProbes)
   }
+
+  /** §2.6 IVF ANN with the deterministic coarse quantizer
+    * ([[Similarity.ivfDeterministic]]): cells seeded by the 16 lowest-id
+    * vectors, assign → probe the 4 nearest cells → exact cosine top-10
+    * within them. The k-means-trained IVF ([[Similarity.ivfTrain]]) is the
+    * recall-tuned production path (AnnSpec); this variant makes the IVF
+    * search semantics oracle-gateable end-to-end. */
+  def q57IvfSearch(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfDeterministic(Tables.embeddings(s, dir), "vec_id",
+      "embedding", queryId = 0L, nCells = IvfCells, nProbe = IvfProbes, k = 10)
+
+  val oracleQ57: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cell, v AS cv FROM vecs WHERE vec_id < $IvfCells
+       |), q AS (
+       |  SELECT v AS qv FROM vecs WHERE vec_id = 0
+       |), assigned AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT t.vec_id, c.cell, t.v,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |        list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(t.v, c.cv),
+       |        c.cell) AS rn
+       |    FROM vecs t, cents c WHERE t.vec_id <> 0
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT cell FROM cents c, q
+       |  ORDER BY list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(q.qv, c.cv),
+       |    c.cell
+       |  LIMIT $IvfProbes
+       |)
+       |SELECT a.vec_id,
+       |  list_dot_product(a.v, q.qv)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+       |  AS cosine_sim
+       |FROM assigned a JOIN probes p ON p.cell = a.cell, q
+       |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin
 
   /** Winnowing fingerprint summary per document (rolling-hash document
     * fingerprinting for partial-overlap dedup — see
