@@ -140,13 +140,12 @@ object Dedup {
     * [[shingleArrays]] the sizes are a map-side `size(sharr)`, removing the
     * count shuffle.
     *
-    * Cache lifecycle: `cand0` is persisted here (it feeds both the
-    * intersection join and the output join) and CANNOT be unpersisted
-    * before the returned lazy DataFrame is consumed — the CALLER owns the
-    * cache and should `spark.catalog.clearCache()` (or
-    * `cand0.unpersist()`) once the result is materialized, as Verify and
-    * Bench do between gate queries. Same contract as [[minhashCandidates]]'
-    * banded relation. */
+    * Cache lifecycle: `cand0` is persisted while the (candidate-sized)
+    * result is materialized — it feeds both the intersection join and the
+    * output join — and unpersisted before return, so no intermediate cache
+    * outlives the call. The returned cached result is the caller's to
+    * release once consumed, as Verify and Bench do (`clearCache()` between
+    * gate queries). Same contract as [[minhashCandidates]]. */
   def jaccardForCandidates(cand0: DataFrame, sh: DataFrame,
                            sizes: DataFrame, idCol: String): DataFrame = {
     val cand = cand0.persist() // referenced twice (intersection + output)
@@ -156,13 +155,17 @@ object Dedup {
     val inter = cand.join(s1, Seq("id1"))
       .join(s2, Seq("id2", "shingle"), "left_semi")
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("id1", "id2"), "left")
+    val out = cand.join(inter, Seq("id1", "id2"), "left")
       .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
       .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")))
+      .persist()
+    out.count()
+    cand.unpersist()
+    out
   }
 
   /** MinHash signatures, wide form: one row per doc with columns
@@ -242,11 +245,19 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bkey"))
       .persist()
     banded.count()
-    banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
+    // the candidate set is materialized into its own (small) cache so the
+    // banded relation can be unpersisted HERE — no intermediate cache
+    // outlives the call; the returned cached result is the caller's to
+    // release (clearCache/unpersist) once consumed
+    val out = banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
       .join(banded.select(col("band"), col("bkey"), col(idCol).as("id2")),
         Seq("band", "bkey"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
+      .persist()
+    out.count()
+    banded.unpersist()
+    out
   }
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03

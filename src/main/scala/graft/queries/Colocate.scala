@@ -20,8 +20,11 @@ object Colocate {
   private val NBuckets = 16
 
   /** Write both sides bucketed (unique per-invocation names — same
-    * no-shared-mutable-root rule as q45's publish path), then join +
-    * aggregate co-located. */
+    * no-shared-mutable-root rule as q45's publish path), join + aggregate
+    * co-located, then DROP the tables and delete their files: the result
+    * is materialized into the cache first (customer-sized), so repeated
+    * gate runs no longer accumulate one bucketed table pair per
+    * invocation. */
   def q53BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     // no dots/dashes: the suffix is also a TABLE name, where '.' would
     // parse as a schema qualifier
@@ -29,11 +32,28 @@ object Colocate {
     val sfx = s"${safe}_${java.util.UUID.randomUUID().toString.take(8)}"
     val root = s"${System.getProperty("user.dir")}/target/graft_bucketed_$sfx"
     val (cTab, oTab) = (s"customer_b_$sfx", s"orders_b_$sfx")
-    Bucketed.writeBucketed(Tables.customer(s, dir), cTab, s"$root/c",
-      "c_custkey", NBuckets)
-    Bucketed.writeBucketed(Tables.orders(s, dir), oTab, s"$root/o",
-      "o_custkey", NBuckets)
-    joined(s, cTab, oTab)
+    try {
+      Bucketed.writeBucketed(Tables.customer(s, dir), cTab, s"$root/c",
+        "c_custkey", NBuckets)
+      Bucketed.writeBucketed(Tables.orders(s, dir), oTab, s"$root/o",
+        "o_custkey", NBuckets)
+      // localCheckpoint (eager), NOT persist: DROP TABLE invalidates any
+      // cached plan that references the table, so a plain cache would be
+      // recomputed against deleted files; the checkpoint truncates lineage
+      // so the (customer-sized) result outlives its backing tables. On a
+      // real cluster a terminal result like this would be published to a
+      // result table instead (checkpoint blocks die with executors).
+      joined(s, cTab, oTab).localCheckpoint(true)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $cTab")
+      s.sql(s"DROP TABLE IF EXISTS $oTab")
+      deleteRecursively(new java.io.File(root))
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** The co-located join + aggregation over already-bucketed tables —
