@@ -270,11 +270,12 @@ object Dedup {
     * MinHash (whole-set resemblance) does not give.
     *
     * Entirely map-side per document, like the rest of the pipeline. The
-    * windowed min here is the O(m·w) array formulation — fine for
-    * documents (m = doc length); a custom Expression with the ascending-
-    * minima O(m) algorithm is the upgrade path for book-length texts.
-    * Docs shorter than w+k-1 chars (no full window) are dropped, per the
-    * algorithm's contract. */
+    * windowed min is [[graft.functions.SlidingMinExpr]] — the ascending-
+    * minima O(m) native Expression (amortized one deque op per k-gram)
+    * rather than the O(m·w) `array_min(slice(...))` formulation, which
+    * does w reads per window and dominates for book-length texts at
+    * recommended w. Docs shorter than w+k-1 chars (no full window) are
+    * dropped, per the algorithm's contract. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int): DataFrame = {
     val norm = Text.normalize(col(textCol))
@@ -285,8 +286,8 @@ object Dedup {
           s"i -> CAST(conv(substring(md5(CAST(substring(__norm, i, $k) AS BINARY)), " +
           "1, 15), 16, 10) AS BIGINT))").as("__hl"))
       .select(col(idCol),
-        expr(s"array_distinct(transform(sequence(1, size(__hl) - ${w - 1}), " +
-          s"j -> array_min(slice(__hl, j, $w))))").as("fp"))
+        array_distinct(
+          graft.functions.SlidingMinExpr.slidingMin(col("__hl"), w)).as("fp"))
   }
 
   /** SimHash (64-bit, packed as 8 byte-planes of the md5-derived hash):

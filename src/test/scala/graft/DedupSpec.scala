@@ -72,6 +72,34 @@ class DedupSpec extends AnyFunSuite {
     assert((fp(1) & fp(3)).isEmpty)    // unrelated docs don't collide
   }
 
+  test("sliding_min (ascending-minima) == array_min(slice) formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val arrays = (1 to 50).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(9) - 4L))
+    }
+    for (w <- Seq(1, 3, 8)) {
+      val df = arrays.toDF("id", "a")
+      val got = df.select(col("id"),
+          graft.functions.SlidingMinExpr.slidingMin(col("a"), w).as("m"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[scala.collection.Seq[Long]](1).toSeq).toMap
+      arrays.foreach { case (id, a) =>
+        val want = a.sliding(w).filter(_.size == w).map(_.min).toSeq
+        assert(got(id) == want, s"id=$id w=$w")
+      }
+    }
+    // null array in, null out; shorter-than-window arrays give empty
+    val edge = Seq((1L, Some(Seq(5L, 2L))), (2L, None))
+      .toDF("id", "a")
+      .select(col("id"),
+        graft.functions.SlidingMinExpr.slidingMin(col("a"), 3).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(edge(1L).get.asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    assert(edge(2L).isEmpty)
+  }
+
   test("ann top-k finds the bucket-local neighbor") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>
