@@ -21,6 +21,8 @@ object Probe {
       "q42_market_breadth" -> graft.queries.Breadth.q42MarketBreadth(spark, dir),
       "q43_per_bands" -> graft.queries.PerBands.q43PerBands(spark, dir),
       "q47_ann_multiprobe" -> graft.queries.TextQueries.q47AnnMultiprobe(spark, dir),
+      "q55_basket_valuation" -> graft.queries.BasketProgram.q55BasketValuation(spark, dir),
+      "q56_factor_vector_search" -> graft.queries.FactorVectorProgram.q56FactorVectorSearch(spark, dir),
     )
     val sb = new StringBuilder
     targets.foreach { case (name, df) =>
