@@ -79,6 +79,7 @@ object SparkEntry {
     "q56_factor_vector_search" -> (FactorVectorProgram.q56FactorVectorSearch _),
     "q57_ivf_search" -> (TextQueries.q57IvfSearch _),
     "q58_scd2_replay" -> (Scd2Replay.q58Scd2Replay _),
+    "q59_waterfill_weights" -> (BasketProgram.q59WaterfillWeights _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -248,6 +249,7 @@ object SparkEntry {
     "q56_factor_vector_search" -> FactorVectorProgram.oracleQ56,
     "q57_ivf_search" -> TextQueries.oracleQ57,
     "q58_scd2_replay" -> Scd2Replay.oracleQ58,
+    "q59_waterfill_weights" -> BasketProgram.oracleQ59,
   )
 
   private val asofOracle: String =

@@ -159,6 +159,74 @@ object Baskets {
       col("coverage_pct"))
   }
 
+  /** Water-filling weight caps per basket (waterFillCap,
+    * basket-valuation.ts:270-318 + resolveConstituentWeights :404-416):
+    * cap each constituent's mcap-share at its limit and redistribute the
+    * excess proportionally among the uncapped, iterating to the fixed
+    * point. The reference's per-round violation loop is O(n²); this is the
+    * closed-form of its fixed point (the redistribution multiplier rises
+    * monotonically each round, so the final capped set is exactly the
+    * prefix of constituents sorted by cap/share below the threshold λ):
+    * sort by cap/raw within basket, take cumulative (cap, raw) sums, and
+    * pick the smallest prefix k whose λ_k = (1−Σcap_k)/(share beyond k)
+    * separates the two sides. All selection comparisons are cross-
+    * multiplied — with integer raw weights and dyadic cap limits they are
+    * EXACT in double arithmetic, so the chosen prefix is reproducible
+    * bit-for-bit in any engine and at any partitioning. If no prefix is
+    * valid (everything capped), falls back to cap-proportional
+    * renormalization exactly like the reference (:312-317).
+    *
+    * @param anchors basket, code, raw (positive integer-valued share
+    *                weight, e.g. floored mcap), cap (dyadic limit in (0,1])
+    * @return basket, code, weight (Σ=1 per basket), weight_factor
+    *         (= weight/share), official_weight (= weight×100)
+    */
+  def waterfillWeights(anchors: DataFrame): DataFrame = {
+    val wB = Window.partitionBy(col("basket"))
+    val wSort = Window.partitionBy(col("basket"))
+      .orderBy(col("cap") / col("raw"), col("code"))
+    val wCum = wSort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = anchors
+      .withColumn("__t", sum(col("raw")).over(wB))
+      .withColumn("__n", count(lit(1)).over(wB))
+      .withColumn("__k", row_number().over(wSort))
+      .withColumn("__cumcap", sum(col("cap")).over(wCum))
+      .withColumn("__cumraw", sum(col("raw")).over(wCum))
+      .withColumn("__nraw", lead(col("raw"), 1).over(wSort))
+      .withColumn("__ncap", lead(col("cap"), 1).over(wSort))
+    // candidate prefixes: k = 0 (no caps bind; encoded on the k=1 row) and
+    // each k < n whose λ_k sits between ratio_k and ratio_{k+1}; the
+    // comparisons are cross-multiplied (exact for int raw × dyadic cap)
+    val k0 = ranked.filter(col("__k") === 1 &&
+        col("raw") <= col("cap") * col("__t"))
+      .select(col("basket"), lit(0).as("ks"),
+        lit(0.0).as("capK"), lit(0.0).as("rawK"))
+    val kPos = ranked.filter(col("__k") < col("__n") &&
+        (lit(1.0) - col("__cumcap")) > 0 &&
+        col("cap") * (col("__t") - col("__cumraw")) <=
+          (lit(1.0) - col("__cumcap")) * col("raw") &&
+        (lit(1.0) - col("__cumcap")) * col("__nraw") <=
+          col("__ncap") * (col("__t") - col("__cumraw")))
+      .select(col("basket"), col("__k").as("ks"),
+        col("__cumcap").as("capK"), col("__cumraw").as("rawK"))
+    val kStar = k0.unionByName(kPos)
+      .groupBy(col("basket"))
+      .agg(min(struct(col("ks"), col("capK"), col("rawK"))).as("__m"))
+      .select(col("basket"), col("__m.ks").as("ks"),
+        col("__m.capK").as("capK"), col("__m.rawK").as("rawK"))
+    val joined = ranked.join(broadcast(kStar), Seq("basket"), "left")
+    val capSum = sum(col("cap")).over(wB)
+    val w = when(col("ks").isNull,
+        // all capped → cap-proportional renormalization (:312-317)
+        when(abs(capSum - 1.0) > 1e-9, col("cap") / capSum)
+          .otherwise(col("cap")))
+      .when(col("__k") <= col("ks"), col("cap"))
+      .otherwise((lit(1.0) - col("capK")) * col("raw") / (col("__t") - col("rawK")))
+    joined.select(col("basket"), col("code"), w.as("weight"),
+      (w * col("__t") / col("raw")).as("weight_factor"),
+      (w * lit(100.0)).as("official_weight"))
+  }
+
   /** Chained index levels per basket (chainIndexSeries, :568-616):
     * r(t) = Σ w_i(t-1)·(adj_i(t)/adj_i(t-1)) renormalized over codes with
     * both closes; level(anchor) = anchorLevel, level chains forward by ×r

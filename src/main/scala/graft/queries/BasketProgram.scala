@@ -182,6 +182,73 @@ object BasketProgram {
       .orderBy(col("basket"))
   }
 
+  /** q59 — water-filling weight caps (waterFillCap +
+    * resolveConstituentWeights): mcap-share weights capped per constituent
+    * with proportional redistribution to the fixed point, via the
+    * closed-form prefix selection in [[Baskets.waterfillWeights]].
+    * Integer raws and dyadic cap tiers make every selection comparison
+    * exact, so the capped set is bit-reproducible in the oracle. The cap
+    * tiers exercise all three paths across SFs: binding caps, the no-cap
+    * prefix (k=0), and the all-capped renormalization fallback. */
+  def q59WaterfillWeights(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+    val anchors = sup.select(col("s_nationkey").as("basket"),
+      col("s_suppkey").as("code"),
+      (floor(abs(col("s_acctbal"))) + lit(1.0)).as("raw"),
+      when(col("s_suppkey") % 7 === 0, lit(0.03125))
+        .when(col("s_suppkey") % 7 === 1 || col("s_suppkey") % 7 === 2,
+          lit(0.25))
+        .otherwise(lit(0.5)).as("cap"))
+    Baskets.waterfillWeights(anchors).orderBy(col("basket"), col("code"))
+  }
+
+  val oracleQ59: String = {
+    val wexpr =
+      """CASE WHEN s.ks IS NULL THEN
+        |      CASE WHEN abs(r.capsum - 1.0) > 1e-9 THEN r.cap / r.capsum ELSE r.cap END
+        |    WHEN r.k <= s.ks THEN r.cap
+        |    ELSE (1.0 - s.capk) * r.raw / (r.t - s.rawk) END""".stripMargin
+    s"""WITH anchors AS (
+       |  SELECT s_nationkey AS basket, s_suppkey AS code,
+       |    floor(abs(s_acctbal)) + 1.0 AS raw,
+       |    CASE WHEN s_suppkey % 7 = 0 THEN 0.03125
+       |         WHEN s_suppkey % 7 = 1 OR s_suppkey % 7 = 2 THEN 0.25
+       |         ELSE 0.5 END AS cap
+       |  FROM supplier
+       |), ranked AS (
+       |  SELECT basket, code, raw, cap,
+       |    SUM(raw) OVER (PARTITION BY basket) AS t,
+       |    SUM(cap) OVER (PARTITION BY basket) AS capsum,
+       |    COUNT(*) OVER (PARTITION BY basket) AS n,
+       |    ROW_NUMBER() OVER wf AS k,
+       |    SUM(cap) OVER (wf ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcap,
+       |    SUM(raw) OVER (wf ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumraw,
+       |    LEAD(raw, 1) OVER wf AS nraw,
+       |    LEAD(cap, 1) OVER wf AS ncap
+       |  FROM anchors
+       |  WINDOW wf AS (PARTITION BY basket ORDER BY cap / raw, code)
+       |), cand AS (
+       |  SELECT basket, 0 AS ks, 0.0 AS capk, 0.0 AS rawk FROM ranked
+       |  WHERE k = 1 AND raw <= cap * t
+       |  UNION ALL
+       |  SELECT basket, k, cumcap, cumraw FROM ranked
+       |  WHERE k < n AND (1.0 - cumcap) > 0
+       |    AND cap * (t - cumraw) <= (1.0 - cumcap) * raw
+       |    AND (1.0 - cumcap) * nraw <= ncap * (t - cumraw)
+       |), kstar AS (
+       |  SELECT basket, ks, capk, rawk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY basket ORDER BY ks) AS rn
+       |    FROM cand
+       |  ) WHERE rn = 1
+       |)
+       |SELECT r.basket, r.code,
+       |  $wexpr AS weight,
+       |  $wexpr * r.t / r.raw AS weight_factor,
+       |  $wexpr * 100.0 AS official_weight
+       |FROM ranked r LEFT JOIN kstar s ON s.basket = r.basket
+       |ORDER BY r.basket, r.code""".stripMargin
+  }
+
   /** DuckDB oracle replaying the same dataflow (same IEEE op order, same
     * decimal casts as [[Baskets.aggregateBasketDays]]). */
   val oracleQ55: String =

