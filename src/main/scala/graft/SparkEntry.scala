@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, Cleanse, Colocate, Core, FactorVectorProgram, PerBands, Scd2Replay, Screen, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, Core, FactorVectorProgram, PerBands, Scd2Replay, Screen, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -80,6 +80,7 @@ object SparkEntry {
     "q57_ivf_search" -> (TextQueries.q57IvfSearch _),
     "q58_scd2_replay" -> (Scd2Replay.q58Scd2Replay _),
     "q59_waterfill_weights" -> (BasketProgram.q59WaterfillWeights _),
+    "q60_business_day_nav" -> (CalendarNav.q60BusinessDayNav _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -250,6 +251,7 @@ object SparkEntry {
     "q57_ivf_search" -> TextQueries.oracleQ57,
     "q58_scd2_replay" -> Scd2Replay.oracleQ58,
     "q59_waterfill_weights" -> BasketProgram.oracleQ59,
+    "q60_business_day_nav" -> CalendarNav.oracleQ60,
   )
 
   private val asofOracle: String =
