@@ -81,6 +81,7 @@ object SparkEntry {
     "q58_scd2_replay" -> (Scd2Replay.q58Scd2Replay _),
     "q59_waterfill_weights" -> (BasketProgram.q59WaterfillWeights _),
     "q60_business_day_nav" -> (CalendarNav.q60BusinessDayNav _),
+    "q61_neardup_clusters" -> (TextQueries.q61NearDupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -252,6 +253,7 @@ object SparkEntry {
     "q58_scd2_replay" -> Scd2Replay.oracleQ58,
     "q59_waterfill_weights" -> BasketProgram.oracleQ59,
     "q60_business_day_nav" -> CalendarNav.oracleQ60,
+    "q61_neardup_clusters" -> TextQueries.oracleQ61,
   )
 
   private val asofOracle: String =

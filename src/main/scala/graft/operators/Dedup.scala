@@ -290,6 +290,55 @@ object Dedup {
           graft.functions.SlidingMinExpr.slidingMin(col("__hl"), w)).as("fp"))
   }
 
+  /** Connected components over a (small-degree) near-dup edge set by
+    * min-label propagation: every vertex repeatedly adopts the smallest
+    * label in its neighborhood until fixpoint. Rounds are bounded by the
+    * component diameter — near-dup clusters are dense and clique-like
+    * (diameter 2-3), so this converges in a handful of one-shuffle rounds,
+    * each with a bounded driver-side convergence count. For adversarial
+    * long-chain graphs at extreme scale the alternating large-star /
+    * small-star algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) is the O(log n)-round upgrade path;
+    * near-dup clustering does not produce such chains.
+    *
+    * Returns (doc_id, cluster = min doc id of its component), one row per
+    * vertex that appears in an edge; the returned relation is cached
+    * (caller releases), intermediates are unpersisted here. */
+  def connectedComponents(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("id1").cast("long").as("id1"),
+      col("id2").cast("long").as("id2")).persist()
+    edges.count()
+    val bedges = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist()
+    bedges.count()
+    edges.unpersist()
+    var labels = bedges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    labels.count()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = bedges
+        .join(labels.select(col("id").as("src"), col("lbl").as("__sl")),
+          Seq("src"))
+        .groupBy(col("dst")).agg(min(col("__sl")).as("__nm"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("__nm"), col("lbl"))).as("__lbl2"))
+        .persist()
+      changed = next.filter(col("__lbl2") =!= col("lbl")).count()
+      val newLabels = next.select(col("id"), col("__lbl2").as("lbl")).persist()
+      newLabels.count()
+      next.unpersist()
+      labels.unpersist()
+      labels = newLabels
+      rounds += 1
+    }
+    bedges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   /** SimHash (64-bit, packed as 8 byte-planes of the md5-derived hash):
     * per doc, for each bit position sum ±1 over token hashes; bit set when
     * the sum is positive. Returns (id, simhash as 16 lowercase hex chars).

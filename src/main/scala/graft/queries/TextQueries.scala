@@ -134,6 +134,50 @@ object TextQueries {
       "embedding", query, AnnDims, AnnPlanes, k = 10, nProbe = AnnProbes)
   }
 
+  /** Near-dup CLUSTERING — the dedup pipeline's final step: connected
+    * components over the LSH-verified pair graph
+    * ([[Dedup.connectedComponents]]), cluster = smallest member id,
+    * `is_canonical` marks the one document per cluster a dedup pass would
+    * keep. */
+  def q61NearDupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        q15NearDupPairs(s, dir).select(col("id1"), col("id2")))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy(col("doc_id"))
+
+  // lazy: derived from oracleQ15, which is declared later in this object
+  lazy val oracleQ61: String =
+    oracleQ15.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      .replace(""")
+SELECT c.id1, c.id2,
+  CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jaccard
+FROM cand c
+JOIN inter ON inter.i1 = c.id1 AND inter.i2 = c.id2
+JOIN sz s1 ON s1.doc_id = c.id1
+JOIN sz s2 ON s2.doc_id = c.id2
+WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
+        "\nORDER BY id1, id2",
+        s"""), pairs AS (
+           |  SELECT c.id1, c.id2
+           |  FROM cand c
+           |  JOIN inter ON inter.i1 = c.id1 AND inter.i2 = c.id2
+           |  JOIN sz s1 ON s1.doc_id = c.id1
+           |  JOIN sz s2 ON s2.doc_id = c.id2
+           |  WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= $JaccardThreshold
+           |), bedges AS (
+           |  SELECT id1 AS a, id2 AS b FROM pairs
+           |  UNION ALL SELECT id2, id1 FROM pairs
+           |), verts AS (
+           |  SELECT DISTINCT a AS id FROM bedges
+           |), reach(a, b) AS (
+           |  SELECT id, id FROM verts
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN bedges e ON e.a = r.b
+           |)
+           |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster,
+           |  (a = MIN(b)) AS is_canonical
+           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)
+
   /** §2.6 IVF ANN with the deterministic coarse quantizer
     * ([[Similarity.ivfDeterministic]]): cells seeded by the 16 lowest-id
     * vectors, assign → probe the 4 nearest cells → exact cosine top-10
