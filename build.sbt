@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked run's stdout straight through instead of re-logging it
+// with an "[info] " prefix — the bench/verify drivers parse the JSON line
+// from stdout and the prefix breaks json.loads on it
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

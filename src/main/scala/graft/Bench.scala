@@ -43,12 +43,18 @@ object Bench {
       }.sorted
       name -> (times(times.length / 2), times.head)
     }
-    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, min)) => s"\"" + k + "\":" + min }
-      .mkString("{", ",", "}")
+    // millisecond precision + short query keys ("q25" not
+    // "q25_factor_vectors") keep the one-line JSON inside the driver's
+    // 2000-char tail buffer — round 4's full-precision long-key line
+    // overflowed it and the driver recorded parsed:null
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val qs = results.map { case (k, (med, _)) =>
+      s"\"" + short(k) + "\":" + f3(med) }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, (_, min)) =>
+      s"\"" + short(k) + "\":" + f3(min) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

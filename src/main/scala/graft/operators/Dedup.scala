@@ -302,20 +302,28 @@ object Dedup {
     * near-dup clustering does not produce such chains.
     *
     * Returns (doc_id, cluster = min doc id of its component), one row per
-    * vertex that appears in an edge; the returned relation is cached
-    * (caller releases), intermediates are unpersisted here. */
+    * vertex that appears in an edge; intermediates are released here.
+    *
+    * Lineage discipline: persist() caches DATA, not plans — without
+    * truncation each round's labels still embed the full edge-producing
+    * pipeline plus one join per completed round in their LOGICAL plan, so
+    * Catalyst re-analyzes a plan that roughly doubles per iteration and
+    * planning time grows exponentially even with every input cached
+    * (measured on the q15 LSH graph: rounds of 2.0s, 8.3s, 61.8s).
+    * localCheckpoint() materializes AND truncates the plan to the stored
+    * partitions, keeping every round constant-size — the standard move for
+    * iterative algorithms (GraphX/Pregel checkpoint on the same schedule).
+    * On a cluster where executor loss must be survivable, swap for
+    * reliable checkpoint() (setCheckpointDir); same contract. */
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val edges = edges0.select(col("id1").cast("long").as("id1"),
-      col("id2").cast("long").as("id2")).persist()
-    edges.count()
+      col("id2").cast("long").as("id2")).localCheckpoint()
     val bedges = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
       .persist()
     bedges.count()
-    edges.unpersist()
     var labels = bedges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
-    labels.count()
+      .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
@@ -326,15 +334,17 @@ object Dedup {
       val next = labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"), col("lbl"),
           least(col("lbl"), coalesce(col("__nm"), col("lbl"))).as("__lbl2"))
-        .persist()
+        .localCheckpoint()
       changed = next.filter(col("__lbl2") =!= col("lbl")).count()
-      val newLabels = next.select(col("id"), col("__lbl2").as("lbl")).persist()
-      newLabels.count()
-      next.unpersist()
-      labels.unpersist()
-      labels = newLabels
+      labels = next.select(col("id"), col("__lbl2").as("lbl"))
       rounds += 1
     }
+    // fail loudly rather than return non-converged (wrong) cluster labels
+    // on a pathological high-diameter graph; the large-star/small-star
+    // O(log n)-round algorithm (Kiveris et al., SoCC'14) is the upgrade
+    // path if such inputs ever become legitimate
+    require(changed == 0,
+      s"connectedComponents did not converge within $rounds rounds")
     bedges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }

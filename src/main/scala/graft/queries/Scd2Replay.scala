@@ -39,15 +39,16 @@ object Scd2Replay {
       .withColumn("is_current", lit(false))
     val keys = Seq("code")
     val attrs = Seq("seg", "nat")
-    // persist + eager barrier between merges: each merge references its
+    // localCheckpoint (eager) between merges: each merge references its
     // full-outer diff five times (unchanged/changed×2/added/delisted), so
     // an unmaterialized chain re-executes the previous level per branch —
-    // exponential plan growth by round 3. The eager count also prevents
-    // the five union branches from stampeding a cold cache.
-    val h1 = Scd2.merge(empty, s1, keys, attrs, Days(0)).persist()
-    h1.count()
-    val h2 = Scd2.merge(h1, snap(2), keys, attrs, Days(1)).persist()
-    h2.count()
+    // exponential growth by round 3. persist() alone is not enough: it
+    // caches data but each level's LOGICAL plan still embeds all previous
+    // levels five-fold, and Catalyst re-analysis dominates (same lineage
+    // blowup as Dedup.connectedComponents). The eager materialization also
+    // prevents the five union branches from stampeding a cold cache.
+    val h1 = Scd2.merge(empty, s1, keys, attrs, Days(0)).localCheckpoint()
+    val h2 = Scd2.merge(h1, snap(2), keys, attrs, Days(1)).localCheckpoint()
     Scd2.merge(h2, snap(3), keys, attrs, Days(2))
       .orderBy(col("code"), col("valid_from"))
   }

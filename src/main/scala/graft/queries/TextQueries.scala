@@ -146,9 +146,9 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   // lazy: derived from oracleQ15, which is declared later in this object
-  lazy val oracleQ61: String =
-    oracleQ15.replaceFirst("^WITH ", "WITH RECURSIVE ")
-      .replace(""")
+  lazy val oracleQ61: String = {
+    val withRecursive = oracleQ15.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    val out = withRecursive.replace(""")
 SELECT c.id1, c.id2,
   CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jaccard
 FROM cand c
@@ -177,6 +177,14 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
            |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster,
            |  (a = MIN(b)) AS is_canonical
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)
+    // the replace() is an exact-literal match on oracleQ15's tail — if that
+    // tail is ever edited the replace silently no-ops and the q61 oracle
+    // degenerates into q15's pair query; fail loudly at first use instead
+    require(out != withRecursive,
+      "oracleQ61: oracleQ15's final SELECT changed — update the literal " +
+        "being replaced when deriving the clustering oracle")
+    out
+  }
 
   /** §2.6 IVF ANN with the deterministic coarse quantizer
     * ([[Similarity.ivfDeterministic]]): cells seeded by the 16 lowest-id
@@ -210,9 +218,11 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
        |  LIMIT $IvfProbes
        |)
        |SELECT a.vec_id,
-       |  list_dot_product(a.v, q.qv)
+       |  CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+       |        AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+       |  THEN list_dot_product(a.v, q.qv)
        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv)))
-       |  AS cosine_sim
+       |  END AS cosine_sim
        |FROM assigned a JOIN probes p ON p.cell = a.cell, q
        |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin
 

@@ -223,9 +223,16 @@ class DomainSpec extends AnyFunSuite {
         val w = want(a._2)
         assert(math.abs(g - w) < 1e-9, s"basket=$b code=${a._2}: $g vs $w")
       }
-      // weights sum to 1 unless the all-capped fallback fired
+      // weights sum to 1 unless the all-capped fallback fired (every
+      // member capped and the caps don't reach 1 — then weights == caps
+      // and the total is the cap sum, deliberately < 1)
+      val capSum = as.map(_._4).sum
       val tot = as.map(a => got((b, a._2))).sum
-      assert(math.abs(tot - 1.0) < 1e-6 || as.forall(a => true))
+      if (capSum >= 1.0 - 1e-9)
+        assert(math.abs(tot - 1.0) < 1e-6, s"basket=$b total=$tot")
+      else
+        assert(math.abs(tot - capSum) < 1e-6 || math.abs(tot - 1.0) < 1e-6,
+          s"basket=$b total=$tot capSum=$capSum")
     }
   }
 }
