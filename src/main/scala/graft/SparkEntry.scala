@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, Core, FactorVectorProgram, PerBands, Scd2Replay, Screen, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, Core, Curation, FactorVectorProgram, PerBands, Scd2Replay, Screen, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -82,6 +82,9 @@ object SparkEntry {
     "q59_waterfill_weights" -> (BasketProgram.q59WaterfillWeights _),
     "q60_business_day_nav" -> (CalendarNav.q60BusinessDayNav _),
     "q61_neardup_clusters" -> (TextQueries.q61NearDupClusters _),
+    "q62_containment_pairs" -> (TextQueries.q62ContainmentPairs _),
+    "q63_stratified_sample" -> (Curation.q63StratifiedSample _),
+    "q64_sequence_packing" -> (Curation.q64SequencePacking _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -254,6 +257,9 @@ object SparkEntry {
     "q59_waterfill_weights" -> BasketProgram.oracleQ59,
     "q60_business_day_nav" -> CalendarNav.oracleQ60,
     "q61_neardup_clusters" -> TextQueries.oracleQ61,
+    "q62_containment_pairs" -> TextQueries.oracleQ62,
+    "q63_stratified_sample" -> Curation.oracleQ63,
+    "q64_sequence_packing" -> Curation.oracleQ64,
   )
 
   private val asofOracle: String =

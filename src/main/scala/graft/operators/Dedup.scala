@@ -290,6 +290,64 @@ object Dedup {
           graft.functions.SlidingMinExpr.slidingMin(col("__hl"), w)).as("fp"))
   }
 
+  /** Containment pairs from winnowing fingerprint sets
+    * ([[winnowFingerprints]]): for every document pair sharing at least one
+    * pairing-eligible fingerprint, containment =
+    * |fp(A) ∩ fp(B)| / min(|fp(A)|, |fp(B)|) — the asymmetric overlap
+    * measure that flags a short document embedded in a longer one, which
+    * whole-set resemblance (Jaccard / MinHash) structurally under-reports
+    * (Broder's containment-vs-resemblance distinction; winnowing guarantees
+    * any shared run of ≥ w+k-1 chars contributes a common fingerprint).
+    *
+    * Fingerprints occurring in more than `maxDf` documents are excluded
+    * from PAIRING (the MOSS noise-suppression rule for boilerplate) — which
+    * is also the skew guard: a header shared by m documents would otherwise
+    * fan out m²/2 candidate pairs through the self-join. Containment
+    * denominators stay the FULL per-doc fingerprint counts, so suppression
+    * only lowers scores, never inflates them.
+    *
+    * Scale shape: the exploded relation is fingerprint-sampled (~2/(w+1)
+    * of k-grams), the df filter and the pair self-join share one hash
+    * partitioning on the fingerprint value (window + join, no second
+    * shuffle), every bucket is ≤ maxDf rows, and the aggregation shuffles
+    * only (id1, id2) pairs — the same envelope as the LSH banding join.
+    *
+    * Cache lifecycle: `fps0` is persisted while the pair-sized result is
+    * materialized (it feeds the explode and both size joins) and
+    * unpersisted before return; the returned cached result is the caller's
+    * to release. Same contract as [[minhashCandidates]]. */
+  def containmentPairs(fps0: DataFrame, idCol: String, maxDf: Int,
+                       minContainment: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = fps0.persist()
+    fps.count() // eager fill — see the stampede note in minhashCandidates
+    // persisted: read from both sides of the self-join below (same
+    // stampede/recompute reasoning as the banded relation)
+    val kept = fps.select(col(idCol), explode(col("fp")).as("__v"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__v"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+      .persist()
+    kept.count()
+    val pairs = kept.select(col(idCol).as("id1"), col("__v"))
+      .join(kept.select(col(idCol).as("id2"), col("__v")), Seq("__v"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("shared_fp"))
+    val sz = fps.select(col(idCol), size(col("fp")).cast("long").as("__n"))
+    val out = pairs
+      .join(sz.select(col(idCol).as("id1"), col("__n").as("__n1")), Seq("id1"))
+      .join(sz.select(col(idCol).as("id2"), col("__n").as("__n2")), Seq("id2"))
+      .withColumn("containment",
+        col("shared_fp").cast("double") / least(col("__n1"), col("__n2")))
+      .filter(col("containment") >= minContainment)
+      .drop("__n1", "__n2")
+      .persist()
+    out.count()
+    kept.unpersist()
+    fps.unpersist()
+    out
+  }
+
   /** Connected components over a (small-degree) near-dup edge set by
     * min-label propagation: every vertex repeatedly adopts the smallest
     * label in its neighborhood until fixpoint. Rounds are bounded by the

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation: language/source
+  * rebalancing and reproducible splits over a 100 TB corpus.
+  *
+  * Everything is HASH-based — sample membership is a pure function of the
+  * row id, so draws are reproducible across clusters, restarts, and
+  * engines (no RNG state, no seed-per-partition coupling), and membership
+  * is STABLE under incremental appends: a document's fate never changes
+  * when other documents arrive, unlike count-based reservoir schemes.
+  * This is the property an incremental nightly corpus build actually
+  * needs — yesterday's sampled shard is still exactly right today.
+  */
+object Sampling {
+
+  /** md5-derived per-mille bucket of an id column: uniform in [0, 1000).
+    * First 60 bits of md5 of the id's decimal string — the same
+    * construction as [[graft.functions.Text.hash60]], so a DuckDB oracle
+    * reproduces it bit-for-bit. */
+  def hashBucketPermille(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long") % 1000
+
+  /** Stratified hash sample: keep a row iff its id bucket falls below its
+    * stratum's per-mille rate. Rates ship as a small broadcast dim (the
+    * idiom for per-stratum config at scale — no driver loop, no UDF);
+    * strata absent from the map keep `defaultPermille`.
+    *
+    * Scale shape: one broadcast hash join + a codegen'd filter — zero
+    * shuffles, and the filter sits directly over the scan so column
+    * pruning and partition pruning pass straight through. */
+  def stratifiedHash(df: DataFrame, idCol: String, stratCol: String,
+                     permille: Map[String, Int],
+                     defaultPermille: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = permille.toSeq.toDF(stratCol, "__permille")
+    df.join(broadcast(rates), Seq(stratCol), "left")
+      .withColumn("__permille",
+        coalesce(col("__permille"), lit(defaultPermille)))
+      .filter(hashBucketPermille(col(idCol)) < col("__permille"))
+      .drop("__permille")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Packing, Sampling}
+
+/** Corpus-curation queries over `documents`: deterministic stratified
+  * sampling (language rebalancing) and sequence packing — the two shaping
+  * steps between dedup/quality filtering and writing training shards. */
+object Curation {
+
+  /** Per-mille keep rates by language: downsample the dominant English,
+    * halve Chinese, keep the rest. */
+  val SamplePermille: Map[String, Int] = Map("en" -> 250, "zh" -> 500)
+  val DefaultPermille = 1000
+
+  val SeqLen = 2048L
+  val PackBucketWidth = 1000L
+
+  /** Deterministic language-rebalancing sample ([[Sampling.stratifiedHash]]):
+    * membership is a pure hash of doc_id, so the draw is reproducible and
+    * stable under corpus appends. */
+  def q63StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHash(Tables.documents(s, dir), "doc_id", "lang",
+        SamplePermille, DefaultPermille)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val oracleQ63: String = {
+    val cases = SamplePermille.toSeq.sorted
+      .map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+       |  < CASE lang $cases ELSE $DefaultPermille END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sequence packing ([[Packing.packSequences]]): concatenate each
+    * language's documents in doc_id order and chunk into [[SeqLen]]-token
+    * sequences; every document reports the pack it starts in and its token
+    * offset there. Token counts are q11's `\\w+` convention. */
+  def q64SequencePacking(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "lang", "n_tokens", SeqLen, PackBucketWidth)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("pack_id"), col("pack_offset"))
+      .orderBy(col("doc_id"))
+
+  val oracleQ64: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM t
+       |)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST((run - n_tokens) // $SeqLen AS BIGINT) AS pack_id,
+       |  CAST((run - n_tokens) % $SeqLen AS BIGINT) AS pack_offset
+       |FROM r ORDER BY doc_id""".stripMargin
+}

@@ -17,6 +17,8 @@ object TextQueries {
 
   val ShingleK = 5
   val WinnowW = 8
+  val MaxFpDf = 50
+  val ContainmentThreshold = 0.5
   val NumHashes = 16
   val RowsPerBand = 4
   val JaccardThreshold = 0.3
@@ -145,7 +147,11 @@ object TextQueries {
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .orderBy(col("doc_id"))
 
-  // lazy: derived from oracleQ15, which is declared later in this object
+  // lazy: derived from oracleQ15, which is declared later in this object.
+  // `pairs AS MATERIALIZED` is load-bearing: under WITH RECURSIVE DuckDB
+  // inlines non-materialized CTEs into the recursive term, re-evaluating
+  // the whole LSH pipeline every iteration — at sf0.1 that exhausted 80 GB
+  // of temp disk; materialized it completes in ~30 s.
   lazy val oracleQ61: String = {
     val withRecursive = oracleQ15.replaceFirst("^WITH ", "WITH RECURSIVE ")
     val out = withRecursive.replace(""")
@@ -157,7 +163,7 @@ JOIN sz s1 ON s1.doc_id = c.id1
 JOIN sz s2 ON s2.doc_id = c.id2
 WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
         "\nORDER BY id1, id2",
-        s"""), pairs AS (
+        s"""), pairs AS MATERIALIZED (
            |  SELECT c.id1, c.id2
            |  FROM cand c
            |  JOIN inter ON inter.i1 = c.id1 AND inter.i2 = c.id2
@@ -238,6 +244,18 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
         expr("array_min(fp)").as("min_fp"),
         expr("array_max(fp)").as("max_fp"))
       .orderBy(col("doc_id"))
+
+  /** Containment (partial-overlap) pairs from the winnowing fingerprints —
+    * the asymmetric dedup measure MinHash/Jaccard miss: a short document
+    * quoted inside a longer one scores high containment but low
+    * resemblance. Boilerplate fingerprints (df > [[MaxFpDf]]) are dropped
+    * from pairing, MOSS-style ([[Dedup.containmentPairs]]). */
+  def q62ContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+        Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+          ShingleK, WinnowW),
+        "doc_id", MaxFpDf, ContainmentThreshold)
+      .orderBy(col("id1"), col("id2"))
 
   /** §2.6 embedding near-dup with the hot-block cap: blocks over MaxBlock
     * members are split by hyperplane sub-bucket (bounded quadratic work per
@@ -429,8 +447,11 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
        |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= $JaccardThreshold
        |ORDER BY id1, id2""".stripMargin
 
-  val oracleQ54: String =
-    s"""WITH norm AS (
+  /** Shared winnowing-fingerprint CTE prefix (normalize → k-gram hash list
+    * → windowed-min fingerprint set `fp(doc_id, f)`) — the DuckDB mirror of
+    * [[Dedup.winnowFingerprints]], composed into oracleQ54 and oracleQ62. */
+  private val winnowFpCtes: String =
+    s"""norm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents
        |), hl AS (
@@ -444,11 +465,36 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
        |      list_min(list_slice(hlist, CAST(j AS INT), CAST(j AS INT) + ${WinnowW - 1})))
        |  ) AS f
        |  FROM hl
-       |)
+       |)""".stripMargin
+
+  val oracleQ54: String =
+    s"""WITH $winnowFpCtes
        |SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fp,
        |  CAST(list_min(f) AS BIGINT) AS min_fp,
        |  CAST(list_max(f) AS BIGINT) AS max_fp
        |FROM fp ORDER BY doc_id""".stripMargin
+
+  val oracleQ62: String =
+    s"""WITH $winnowFpCtes, ex AS (
+       |  SELECT doc_id, unnest(f) AS v FROM fp
+       |), kept AS (
+       |  SELECT doc_id, v FROM (
+       |    SELECT doc_id, v, COUNT(*) OVER (PARTITION BY v) AS df FROM ex
+       |  ) WHERE df <= $MaxFpDf
+       |), pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+       |  FROM kept a JOIN kept b ON a.v = b.v AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sz AS (
+       |  SELECT doc_id, len(f) AS n FROM fp
+       |)
+       |SELECT p.id1, p.id2, CAST(p.shared AS BIGINT) AS shared_fp,
+       |  CAST(p.shared AS DOUBLE) / least(s1.n, s2.n) AS containment
+       |FROM pairs p
+       |JOIN sz s1 ON s1.doc_id = p.id1
+       |JOIN sz s2 ON s2.doc_id = p.id2
+       |WHERE CAST(p.shared AS DOUBLE) / least(s1.n, s2.n) >= $ContainmentThreshold
+       |ORDER BY id1, id2""".stripMargin
 
   val oracleQ16: String = {
     val bitSums = (0 until 60).map(b =>

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Packing, Sampling}
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  // ---------------- stratified hash sampling ----------------
+
+  test("stratified hash sample: deterministic, stable under appends, ~rate") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 4 == 0) "en" else "ja")).toDF("doc_id", "lang")
+    val rates = Map("en" -> 250, "ja" -> 500)
+    val s1 = Sampling.stratifiedHash(docs, "doc_id", "lang", rates, 1000)
+      .select("doc_id").as[Long].collect().toSet
+    // deterministic: same input → same draw
+    val s2 = Sampling.stratifiedHash(docs, "doc_id", "lang", rates, 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // append-stable: membership of existing ids unchanged by new rows
+    val more = docs.unionByName(
+      (2000L until 2500L).map(i => (i, "en")).toDF("doc_id", "lang"))
+    val s3 = Sampling.stratifiedHash(more, "doc_id", "lang", rates, 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3.filter(_ < 2000L) == s1)
+    // rate: binomial(500, .25) and binomial(1500, .5) within 5 sigma
+    val en = s1.count(_ % 4 == 0)
+    val ja = s1.size - en
+    assert(math.abs(en - 125.0) < 5 * math.sqrt(500 * 0.25 * 0.75), s"en=$en")
+    assert(math.abs(ja - 750.0) < 5 * math.sqrt(1500 * 0.5 * 0.5), s"ja=$ja")
+  }
+
+  test("stratified hash sample: default rate keeps unlisted strata whole") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, "de")).toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedHash(docs, "doc_id", "lang",
+      Map("en" -> 0), 1000)
+    assert(kept.count() == 100L)
+  }
+
+  // ---------------- sequence packing ----------------
+
+  test("two-phase packed prefix == naive single-window prefix") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // sparse, shuffled ids across 3 strata; token counts incl. zeros
+    val rows = rnd.shuffle((0 until 3000).toList).take(1700).map { i =>
+      (i.toLong * 7 % 5000, Seq("en", "ja", "de")(i % 3),
+        rnd.nextInt(900).toLong)
+    }.distinct
+    val docs = rows.toDF("doc_id", "lang", "n_tokens")
+      .groupBy("doc_id", "lang").agg(max("n_tokens").as("n_tokens"))
+    val got = Packing.packSequences(docs, "doc_id", "lang", "n_tokens",
+        seqLen = 512L, bucketWidth = 100L)
+      .select(col("doc_id"), col("lang"), col("pack_id"), col("pack_offset"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = docs
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"),
+        expr("__start div 512").as("pack_id"),
+        (col("__start") % 512).as("pack_offset"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("packing semantics: offsets advance by token count within a pack") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 400L), (3L, "en", 20L), (4L, "en", 600L),
+      (5L, "ja", 512L), (6L, "ja", 1L)).toDF("doc_id", "lang", "n_tokens")
+    val out = Packing.packSequences(docs, "doc_id", "lang", "n_tokens", 512L, 2L)
+      .select("doc_id", "pack_id", "pack_offset").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (0L, 0L))   // starts the en stream
+    assert(out(2L) == (0L, 100L))
+    assert(out(3L) == (0L, 500L)) // starts at token 500, spills into pack 1
+    assert(out(4L) == (1L, 8L))   // 520 tokens in → second sequence
+    assert(out(5L) == (0L, 0L))   // strata independent
+    assert(out(6L) == (1L, 0L))   // exact boundary rolls to next pack
+  }
+
+  // ---------------- winnow containment ----------------
+
+  test("containment flags a doc embedded in a larger one; df cap suppresses") {
+    import spark.implicits._
+    val quote = "the seventeen silver llamas crossed the frozen river at dawn " +
+      "carrying baskets of rare mountain tea toward the northern market"
+    val host = "completely unrelated preamble text goes here first and then " +
+      quote + " and afterwards the chronicle wanders into other business " +
+      "entirely, describing harvests, weather, and the price of salt"
+    val other = "this text shares nothing with the quoted passage above and " +
+      "speaks only of shipping manifests, tide tables, and harbor fees"
+    val docs = Seq((1L, quote), (2L, host), (3L, other)).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", 5, 8)
+    val pairs = Dedup.containmentPairs(fps, "doc_id", maxDf = 50,
+        minContainment = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // df cap = 1 drops every shared fingerprint → no pairs at all
+    val capped = Dedup.containmentPairs(fps, "doc_id", maxDf = 1,
+      minContainment = 0.0)
+    assert(capped.count() == 0L)
+  }
+}
