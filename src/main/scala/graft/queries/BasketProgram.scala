@@ -66,9 +66,12 @@ object BasketProgram {
         sum(col("l_discount").cast(D2)).as("__sumd"),
         sum(col("l_tax").cast(D2)).as("__sumt"),
         count(lit(1)).as("__n"))
-      // both grains consume this; one materialization (gate harness owns
-      // the cache lifecycle via clearCache())
-      .persist()
+      // both grains consume this (bars, fy, fwd — so the monthly plan
+      // would be embedded 4+ times downstream); localCheckpoint
+      // materializes once AND truncates the subtree out of every
+      // downstream analysis/broadcast-planning pass (the q58/q61 lineage
+      // lesson applied to a deep program plan)
+      .localCheckpoint()
 
     // monthly last-day bars; close floored to a 2-dp grid so downstream
     // double products stay far from decimal rounding boundaries
@@ -136,9 +139,9 @@ object BasketProgram {
       (col("dividend_annual") * col("shares")).as("dividend_total"),
       col("close"))
       // the harmonic aggregation and the chain both consume items; one
-      // shared materialization instead of re-running PIT + joins per leg
-      // (gate harness owns the lifecycle via clearCache())
-      .persist()
+      // shared materialization instead of re-running PIT + joins per leg,
+      // truncated for the same reason as `monthly`
+      .localCheckpoint()
 
     val agg = Baskets.aggregateBasketDays(items)
 
