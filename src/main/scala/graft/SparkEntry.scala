@@ -85,6 +85,7 @@ object SparkEntry {
     "q62_containment_pairs" -> (TextQueries.q62ContainmentPairs _),
     "q63_stratified_sample" -> (Curation.q63StratifiedSample _),
     "q64_sequence_packing" -> (Curation.q64SequencePacking _),
+    "q65_vocab_coverage" -> (Curation.q65VocabCoverage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -260,6 +261,7 @@ object SparkEntry {
     "q62_containment_pairs" -> TextQueries.oracleQ62,
     "q63_stratified_sample" -> Curation.oracleQ63,
     "q64_sequence_packing" -> Curation.oracleQ64,
+    "q65_vocab_coverage" -> Curation.oracleQ65,
   )
 
   private val asofOracle: String =

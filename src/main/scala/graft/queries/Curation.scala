@@ -53,6 +53,56 @@ object Curation {
         col("pack_id"), col("pack_offset"))
       .orderBy(col("doc_id"))
 
+  /** Vocabulary size for q65: top tokens by global count (ties broken by
+    * token ascending, so the set is deterministic in both engines). */
+  val VocabK = 20
+
+  /** Corpus-derived vocabulary coverage: build the top-[[VocabK]] token
+    * vocabulary from the corpus itself, broadcast it back, and score every
+    * document's out-of-vocabulary rate — the curation signal for
+    * tokenizer-fit / gibberish filtering.
+    *
+    * Scale shape: the token aggregation is map-side combined on the token
+    * key; the top-K is `TakeOrderedAndProject` (per-partition top-K, one
+    * bounded driver merge — never a global sort); the K-row vocabulary
+    * broadcasts back onto the exploded token stream, so the only real
+    * shuffles are the token count and the per-doc regroup. The
+    * build-small-dim-from-big-fact-then-broadcast shape is the standard
+    * answer at 100 TB. */
+  def q65VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(Text.normalize(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("tok")).limit(VocabK)
+      .select(col("tok"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ65: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM documents
+       |), toks2 AS (
+       |  SELECT doc_id, tok FROM toks WHERE len(tok) > 0
+       |), vocab AS (
+       |  SELECT tok FROM toks2 GROUP BY tok
+       |  ORDER BY COUNT(*) DESC, tok LIMIT $VocabK
+       |)
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS oov_rate
+       |FROM toks2 t LEFT JOIN vocab v ON v.tok = t.tok
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
   val oracleQ64: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,

@@ -85,6 +85,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(6L) == (1L, 0L))   // exact boundary rolls to next pack
   }
 
+  // ---------------- vocab coverage ----------------
+
+  test("vocab top-K is deterministic on count ties; OOV rate exact") {
+    import spark.implicits._
+    // corpus where "bb" and "cc" tie on count — K=2 must pick {aa, bb}
+    // (count desc, then token asc), never {aa, cc}
+    val docs = Seq(
+      (1L, "aa aa aa bb cc"),
+      (2L, "aa bb cc dd")).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+        explode(split(graft.functions.Text.normalize(col("text")), " "))
+          .as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("tok")).limit(2)
+      .select("tok").as[String].collect().toSet
+    assert(vocab == Set("aa", "bb"))
+  }
+
   // ---------------- winnow containment ----------------
 
   test("containment flags a doc embedded in a larger one; df cap suppresses") {

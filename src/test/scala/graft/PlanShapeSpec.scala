@@ -53,6 +53,28 @@ class PlanShapeSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("stratified sample: rates broadcast; no hash-partition exchange") {
+    val p = plan("q63_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("sequence packing: no single-partition window over fact rows") {
+    // the two-phase prefix sum must keep the big-table window partitioned
+    // by (stratum, bucket); a SinglePartition exchange would mean the
+    // naive one-reducer-per-stratum form crept back in
+    val p = plan("q64_sequence_packing")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Exchange SinglePartition"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("vocab coverage: top-K via TakeOrdered, vocabulary broadcasts back") {
+    val p = plan("q65_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("no gate query degenerates to an unintended cartesian product") {
     // the deliberate broadcast-1-row cross joins (q17 query vector) are
     // BroadcastNestedLoopJoin, not CartesianProduct
