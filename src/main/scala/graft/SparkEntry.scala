@@ -86,6 +86,7 @@ object SparkEntry {
     "q63_stratified_sample" -> (Curation.q63StratifiedSample _),
     "q64_sequence_packing" -> (Curation.q64SequencePacking _),
     "q65_vocab_coverage" -> (Curation.q65VocabCoverage _),
+    "q66_simhash_pairs" -> (TextQueries.q66SimhashPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -262,6 +263,7 @@ object SparkEntry {
     "q63_stratified_sample" -> Curation.oracleQ63,
     "q64_sequence_packing" -> Curation.oracleQ64,
     "q65_vocab_coverage" -> Curation.oracleQ65,
+    "q66_simhash_pairs" -> TextQueries.oracleQ66,
   )
 
   private val asofOracle: String =

@@ -407,6 +407,53 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
+  /** SimHash Hamming near-dup pairs (Manku/Jain/Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW'07): split the `bandBits`×
+    * `nBands`-bit hash into `nBands` bands — by pigeonhole, any pair
+    * within Hamming distance `maxHamming` ≤ nBands-1 shares at least one
+    * band verbatim — bucket-join on (band, band-key), then verify with an
+    * exact `bit_count(xor)`. Turns the all-pairs Hamming search into the
+    * same bounded bucket self-join shape as MinHash LSH banding: the only
+    * shuffles are the band join and the candidate distinct, and the
+    * verify is one codegen'd projection over candidate rows.
+    *
+    * Cache lifecycle: the banded relation is persisted across the two
+    * sides of the self-join and released once the candidate-sized result
+    * is materialized; the returned cached result is the caller's to
+    * release. Same contract as [[minhashCandidates]]. */
+  def simhashNearDupPairs(sh: DataFrame, idCol: String, hashCol: String,
+                          nBands: Int, bandBits: Int,
+                          maxHamming: Int): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole needs maxHamming < nBands ($maxHamming >= $nBands)")
+    val mask = (1L << bandBits) - 1
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("b"),
+        shiftright(col(hashCol), bandBits * b).bitwiseAND(lit(mask))
+          .as("bkey"))
+    }
+    val banded = sh.select(col(idCol), col(hashCol),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col(hashCol).as("__s"),
+        col("bb.b").as("b"), col("bb.bkey").as("bkey"))
+      .persist()
+    banded.count() // eager fill — stampede guard (see minhashCandidates)
+    val out = banded
+      .select(col("b"), col("bkey"), col(idCol).as("id1"), col("__s").as("__s1"))
+      .join(banded.select(col("b"), col("bkey"), col(idCol).as("id2"),
+          col("__s").as("__s2")),
+        Seq("b", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("__s1"), col("__s2")).distinct()
+      .withColumn("hamming", expr("bit_count(__s1 ^ __s2)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .persist()
+    out.count()
+    banded.unpersist()
+    out
+  }
+
   /** SimHash (64-bit, packed as 8 byte-planes of the md5-derived hash):
     * per doc, for each bit position sum ±1 over token hashes; bit set when
     * the sum is positive. Returns (id, simhash as 16 lowercase hex chars).

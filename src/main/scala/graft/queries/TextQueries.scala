@@ -19,6 +19,11 @@ object TextQueries {
   val WinnowW = 8
   val MaxFpDf = 50
   val ContainmentThreshold = 0.5
+  // 4 bands × 15 bits cover the 60-bit simhash; pigeonhole guarantees
+  // recall for Hamming distance ≤ 3
+  val SimhashBands = 4
+  val SimhashBandBits = 15
+  val SimhashMaxHamming = 3
   val NumHashes = 16
   val RowsPerBand = 4
   val JaccardThreshold = 0.3
@@ -255,6 +260,17 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
         Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
           ShingleK, WinnowW),
         "doc_id", MaxFpDf, ContainmentThreshold)
+      .orderBy(col("id1"), col("id2"))
+
+  /** SimHash Hamming near-dup pairs ([[Dedup.simhashNearDupPairs]],
+    * Manku WWW'07): band-bucket candidates over q16's simhash values,
+    * exact popcount verify at distance ≤ [[SimhashMaxHamming]] — the
+    * constant-space complement to MinHash-LSH (one 60-bit word per doc
+    * instead of a shingle set). */
+  def q66SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(
+        Dedup.simhash(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "simhash", SimhashBands, SimhashBandBits, SimhashMaxHamming)
       .orderBy(col("id1"), col("id2"))
 
   /** §2.6 embedding near-dup with the hot-block cap: blocks over MaxBlock
@@ -496,13 +512,16 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
        |WHERE CAST(p.shared AS DOUBLE) / least(s1.n, s2.n) >= $ContainmentThreshold
        |ORDER BY id1, id2""".stripMargin
 
-  val oracleQ16: String = {
+  /** Shared SimHash CTE prefix ending in `sh(doc_id, simhash)` — the
+    * DuckDB mirror of [[Dedup.simhash]], composed into oracleQ16 and
+    * oracleQ66. */
+  private val simhashCtes: String = {
     val bitSums = (0 until 60).map(b =>
       s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b")
       .mkString(",\n    ")
     val value = (0 until 60).map(b =>
       s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(
        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
        |  FROM documents
@@ -513,9 +532,30 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
        |  SELECT doc_id,
        |    $bitSums
        |  FROM hs GROUP BY doc_id
-       |)
-       |SELECT doc_id, $value AS simhash FROM acc ORDER BY doc_id""".stripMargin
+       |), sh AS (
+       |  SELECT doc_id, $value AS simhash FROM acc
+       |)""".stripMargin
   }
+
+  val oracleQ16: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  val oracleQ66: String =
+    s"""WITH $simhashCtes, bands AS (
+       |  SELECT doc_id, simhash, b,
+       |    (simhash >> (${SimhashBandBits} * b)) & ${(1L << SimhashBandBits) - 1} AS bkey
+       |  FROM sh, (SELECT unnest([${(0 until SimhashBands).mkString(", ")}]) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+       |    a.simhash AS s1, c.simhash AS s2
+       |  FROM bands a JOIN bands c
+       |    ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+       |)
+       |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(s1, s2)) <= $SimhashMaxHamming
+       |ORDER BY id1, id2""".stripMargin
 
   val oracleQ17: String =
     """WITH q AS (

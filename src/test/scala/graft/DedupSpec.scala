@@ -100,6 +100,25 @@ class DedupSpec extends AnyFunSuite {
     assert(edge(2L).isEmpty)
   }
 
+  test("simhash hamming band join pairs near-dups, skips unrelated") {
+    import spark.implicits._
+    val many = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and naps at noon"),
+      (2L, "the quick brown fox jumps over the lazy dog and naps at noon"),
+      (3L, "entirely unrelated manifest of cargo tonnage and harbor dues"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(many, "doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(sh, "doc_id", "simhash",
+        nBands = 4, bandBits = 15, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // pigeonhole precondition is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(sh, "doc_id", "simhash", 4, 15, 4)
+    }
+  }
+
   test("ann top-k finds the bucket-local neighbor") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>
