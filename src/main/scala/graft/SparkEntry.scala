@@ -87,6 +87,7 @@ object SparkEntry {
     "q64_sequence_packing" -> (Curation.q64SequencePacking _),
     "q65_vocab_coverage" -> (Curation.q65VocabCoverage _),
     "q66_simhash_pairs" -> (TextQueries.q66SimhashPairs _),
+    "q67_repetition_stats" -> (Curation.q67RepetitionStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -264,6 +265,7 @@ object SparkEntry {
     "q64_sequence_packing" -> Curation.oracleQ64,
     "q65_vocab_coverage" -> Curation.oracleQ65,
     "q66_simhash_pairs" -> TextQueries.oracleQ66,
+    "q67_repetition_stats" -> Curation.oracleQ67,
   )
 
   private val asofOracle: String =

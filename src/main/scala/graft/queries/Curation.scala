@@ -103,6 +103,76 @@ object Curation {
        |FROM toks2 t LEFT JOIN vocab v ON v.tok = t.tok
        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Gopher/C4-style repetition statistics per document (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1; Raffel et al. 2020 C4 heuristics):
+    * the fraction of the document covered by its single most frequent
+    * bigram, and the fraction of duplicated trigrams — the standard
+    * boilerplate / degenerate-repetition filters ahead of training.
+    *
+    * Scale shape: n-gram arrays and their distinct counts are one
+    * map-side projection (same carrier discipline as the LSH shingles);
+    * only the top-bigram mode needs a shuffle, and it ships (doc,
+    * bigram-hash) longs — two partial/final aggregations, nothing else. */
+  def q67RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        split(Text.normalize(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, size(t)-1), i -> " +
+          "concat(element_at(t, i), ' ', element_at(t, i+1)))").as("bg"),
+        expr("transform(sequence(1, size(t)-2), i -> " +
+          "concat(element_at(t, i), ' ', element_at(t, i+1), ' ', " +
+          "element_at(t, i+2)))").as("tg"))
+    val mapSide = base.select(col("doc_id"),
+      size(col("bg")).cast("long").as("n_bigrams"),
+      size(col("tg")).cast("long").as("n_trigrams"),
+      size(array_distinct(col("tg"))).cast("long").as("n_distinct_trigrams"))
+    val topBg = base.select(col("doc_id"), explode(col("bg")).as("v"))
+      .groupBy(col("doc_id"), col("v")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id")).agg(max(col("__c")).as("top_bigram_n"))
+    mapSide.join(topBg, Seq("doc_id"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_n").cast("double") / col("n_bigrams"))
+      .withColumn("dup_trigram_frac",
+        lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        col("top_bigram_frac"), col("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ67: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents
+       |), arrs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(t)), i ->
+       |      t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]) AS bg,
+       |    list_transform(range(1, len(t) - 1), i ->
+       |      t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+       |      t[CAST(i AS INT) + 2]) AS tg
+       |  FROM base WHERE len(t) >= 3
+       |), ms AS (
+       |  SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+       |    CAST(len(tg) AS BIGINT) AS n_trigrams,
+       |    CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct_trigrams
+       |  FROM arrs
+       |), top AS (
+       |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM (
+       |    SELECT doc_id, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(bg) AS v FROM arrs)
+       |    GROUP BY doc_id, v
+       |  ) GROUP BY doc_id
+       |)
+       |SELECT ms.doc_id, ms.n_bigrams, top.top_bigram_n,
+       |  CAST(top.top_bigram_n AS DOUBLE) / ms.n_bigrams AS top_bigram_frac,
+       |  1.0 - CAST(ms.n_distinct_trigrams AS DOUBLE) / ms.n_trigrams
+       |    AS dup_trigram_frac
+       |FROM ms JOIN top ON top.doc_id = ms.doc_id
+       |ORDER BY ms.doc_id""".stripMargin
+
   val oracleQ64: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,
