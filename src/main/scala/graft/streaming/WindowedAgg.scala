@@ -29,4 +29,21 @@ object WindowedAgg {
         sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
       .select(col("window.start").as("win_start"), col("userId"),
         col("n_events"), col("total"))
+
+  /** Session-window aggregation: per-key event-time sessions that close
+    * after `gap` of inactivity — the streaming counterpart of the batch
+    * session expansion (q28). `session_window` keeps per-key session
+    * state, merges sessions that an event bridges, and emits a closed
+    * session once the watermark passes its end; state is bounded by the
+    * watermark exactly as in [[tumbling]]. */
+  def sessions(events: Dataset[Event], gap: String,
+               lateness: String): DataFrame =
+    events.toDF()
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("userId"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("userId"),
+        col("n_events"), col("total"))
 }

@@ -46,6 +46,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rows.exists(_._4 == 114.0), "late event leaked into closed window")
   }
 
+  test("session windows merge within the gap and close on inactivity") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val stream = MemoryStream[Event]
+    val q = WindowedAgg.sessions(stream.toDS(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("sessagg")
+      .outputMode("append").start()
+
+    // user 1: two events 5 min apart → ONE session ending 10:05 + gap;
+    // user 2: isolated event → its own session
+    stream.addData(
+      Event(ts("2024-01-01 10:00:00"), 1, 1.0),
+      Event(ts("2024-01-01 10:05:00"), 1, 2.0),
+      Event(ts("2024-01-01 10:00:00"), 2, 9.0))
+    q.processAllAvailable()
+    // advance the watermark far past every session end to emit them all
+    stream.addData(Event(ts("2024-01-01 12:00:00"), 3, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessagg").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(rows.contains(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:15:00.0", 1L, 2L, 3.0)),
+      rows.toString)
+    assert(rows.contains(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 1L, 9.0)))
+  }
+
   test("same aggregation runs identically as a batch plan") {
     import spark.implicits._
     val batch = Seq(
