@@ -88,6 +88,10 @@ object SparkEntry {
     "q65_vocab_coverage" -> (Curation.q65VocabCoverage _),
     "q66_simhash_pairs" -> (TextQueries.q66SimhashPairs _),
     "q67_repetition_stats" -> (Curation.q67RepetitionStats _),
+    "q68_decontamination" -> (Curation.q68Decontamination _),
+    "q69_dedup_corpus" -> (TextQueries.q69DedupCorpus _),
+    "q70_corpus_clean" -> (Curation.q70CorpusClean _),
+    "q71_bm25" -> (TextQueries.q71Bm25 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -266,6 +270,10 @@ object SparkEntry {
     "q65_vocab_coverage" -> Curation.oracleQ65,
     "q66_simhash_pairs" -> TextQueries.oracleQ66,
     "q67_repetition_stats" -> Curation.oracleQ67,
+    "q68_decontamination" -> Curation.oracleQ68,
+    "q69_dedup_corpus" -> TextQueries.oracleQ69,
+    "q70_corpus_clean" -> Curation.oracleQ70,
+    "q71_bm25" -> TextQueries.oracleQ71,
   )
 
   private val asofOracle: String =

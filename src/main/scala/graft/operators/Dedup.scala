@@ -348,6 +348,39 @@ object Dedup {
     out
   }
 
+  /** Benchmark decontamination by character n-gram overlap: score every
+    * training document by the fraction of its distinct k-gram hashes that
+    * also occur anywhere in the evaluation corpus — the standard
+    * train/test-contamination check run before training (n-gram collision
+    * decontamination as in GPT-3 appendix C / PaLM §7; character k-grams
+    * here, same carrier as [[shingleHashArrays]]).
+    *
+    * Scale shape (100 TB training corpus, MB-scale benchmark): the eval
+    * side collapses to ONE row holding its distinct hash set
+    * (`collect_set` after an explode+distinct — eval benchmarks are small
+    * by construction), which broadcasts onto the training side; the
+    * per-doc overlap is then a map-side `array_intersect` over the
+    * training documents' own hash arrays. No shuffle ever touches the
+    * training corpus — the only shuffles are the eval-side distinct and
+    * the 1-row aggregate. Documents shorter than k score (0, 0, 0.0).
+    *
+    * Returns (idCol, n_ngrams, overlap_ngrams, contamination) — one row
+    * per training document that produced at least one k-gram. */
+  def ngramContamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                         textCol: String, k: Int): DataFrame = {
+    val th = shingleHashArrays(train, idCol, textCol, k)
+    val evalSet = shingleHashArrays(evalDocs, idCol, textCol, k)
+      .select(explode(col("harr")).as("__h")).distinct()
+      .agg(collect_set(col("__h")).as("__eval"))
+    th.crossJoin(broadcast(evalSet))
+      .select(col(idCol),
+        size(col("harr")).cast("long").as("n_ngrams"),
+        size(array_intersect(col("harr"), col("__eval"))).cast("long")
+          .as("overlap_ngrams"))
+      .withColumn("contamination",
+        col("overlap_ngrams").cast("double") / col("n_ngrams"))
+  }
+
   /** Connected components over a (small-degree) near-dup edge set by
     * min-label propagation: every vertex repeatedly adopts the smallest
     * label in its neighborhood until fixpoint. Rounds are bounded by the

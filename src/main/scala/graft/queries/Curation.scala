@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Packing, Sampling}
+import graft.operators.{Dedup, Packing, Sampling}
 
 /** Corpus-curation queries over `documents`: deterministic stratified
   * sampling (language rebalancing) and sequence packing — the two shaping
@@ -113,8 +113,18 @@ object Curation {
     * map-side projection (same carrier discipline as the LSH shingles);
     * only the top-bigram mode needs a shuffle, and it ships (doc,
     * bigram-hash) longs — two partial/final aggregations, nothing else. */
-  def q67RepetitionStats(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+  def q67RepetitionStats(s: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        col("top_bigram_frac"), col("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Per-doc repetition signals over docs with ≥3 whitespace tokens
+    * (shorter docs have no trigram and are excluded — q70 left-joins and
+    * treats them as unassessable). Shared by q67 and the q70 cleaning
+    * program. */
+  private def repetitionSignals(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"),
         split(Text.normalize(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 3)
@@ -136,9 +146,6 @@ object Curation {
         col("top_bigram_n").cast("double") / col("n_bigrams"))
       .withColumn("dup_trigram_frac",
         lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
-      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
-        col("top_bigram_frac"), col("dup_trigram_frac"))
-      .orderBy(col("doc_id"))
   }
 
   val oracleQ67: String =
@@ -172,6 +179,183 @@ object Curation {
        |    AS dup_trigram_frac
        |FROM ms JOIN top ON top.doc_id = ms.doc_id
        |ORDER BY ms.doc_id""".stripMargin
+
+  /** Decontamination k-gram length: long enough that a collision means a
+    * genuinely shared phrase, not a common word (16 chars ≈ a 3-4 token
+    * n-gram at English word lengths). */
+  val DecontamK = 16
+  /** The held-out benchmark corpus: every document from this source. */
+  val DecontamEvalSource = "src0"
+  /** Flag a training doc when ≥30% of its distinct k-grams appear in the
+    * benchmark — the drop threshold a decontamination pass would act on. */
+  val DecontamThreshold = 0.3
+
+  /** Benchmark decontamination ([[Dedup.ngramContamination]]): treat
+    * [[DecontamEvalSource]] as the held-out eval benchmark and score every
+    * other document's k-gram overlap against it; `contaminated` marks the
+    * docs a decontamination pass would drop before training. */
+  def q68Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.ngramContamination(
+        docs.filter(col("source") =!= DecontamEvalSource),
+        docs.filter(col("source") === DecontamEvalSource),
+        "doc_id", "text", DecontamK)
+      .withColumn("contaminated", col("contamination") >= DecontamThreshold)
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ68: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, source,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), ev AS (
+       |  SELECT DISTINCT CAST(('0x' || substr(md5(substr(t, CAST(i AS INT),
+       |    $DecontamK)), 1, 15)) AS BIGINT) AS h
+       |  FROM norm, range(1, 100000) r(i)
+       |  WHERE source = '$DecontamEvalSource'
+       |    AND len(t) >= $DecontamK AND i <= len(t) - ${DecontamK - 1}
+       |), trh AS (
+       |  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(substr(t,
+       |    CAST(i AS INT), $DecontamK)), 1, 15)) AS BIGINT) AS h
+       |  FROM norm, range(1, 100000) r(i)
+       |  WHERE source <> '$DecontamEvalSource'
+       |    AND len(t) >= $DecontamK AND i <= len(t) - ${DecontamK - 1}
+       |), ts AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM trh GROUP BY doc_id
+       |), ov AS (
+       |  SELECT t.doc_id, COUNT(*) AS o FROM trh t JOIN ev USING (h)
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT ts.doc_id, CAST(ts.n AS BIGINT) AS n_ngrams,
+       |  CAST(COALESCE(ov.o, 0) AS BIGINT) AS overlap_ngrams,
+       |  CAST(COALESCE(ov.o, 0) AS DOUBLE) / ts.n AS contamination,
+       |  CAST(COALESCE(ov.o, 0) AS DOUBLE) / ts.n >= $DecontamThreshold
+       |    AS contaminated
+       |FROM ts LEFT JOIN ov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // q70 cleaning-gate thresholds, set from the corpus signal distributions
+  // (top_bigram_frac p95 ≈ 0.087, dup_trigram_frac p99 ≈ 0.018, quality
+  // p05 ≈ 0.494, whitespace-token p05 = 16); mean-word-length bounds are
+  // Gopher's published [3, 10] rule (Rae et al. 2021 §A1.1).
+  val CleanMinTokens = 15L
+  val CleanQualityMin = 0.5
+  val CleanTopBigramMax = 0.1
+  val CleanDupTrigramMax = 0.05
+  val CleanMeanWordLenMin = 3.0
+  val CleanMeanWordLenMax = 10.0
+
+  /** The assembled corpus-cleaning program (C4/Gopher-style document
+    * filtering, Raffel et al. 2020 / Rae et al. 2021): every document is
+    * scored on four gate families — language identifiability (q12's
+    * langId), composite quality (q13), degenerate repetition (q67's
+    * bigram/trigram stats), and length/word-shape (Gopher) — and the
+    * verdict is `keep` plus the first failing gate as `reason`. This is
+    * the keep/drop decision a training-data pipeline applies between
+    * ingestion and dedup; q12/q13/q67 gate the signals, this gates the
+    * assembled decision.
+    *
+    * Scale shape: every signal except the top-bigram mode is one map-side
+    * projection over the document text; the repetition join ships only
+    * per-doc counts. One shuffle (the bigram mode), one broadcast-sized
+    * join — same envelope as q67. */
+  def q70CorpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val feat = docs
+      .select(col("doc_id"), col("text"),
+        split(Text.normalize(col("text")), " ").as("t"))
+      .select(col("doc_id"),
+        Text.langId(col("text")).as("pred_lang"),
+        Text.qualityScore(col("text")).as("quality"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (expr("CAST(aggregate(transform(t, w -> length(w)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)") / size(col("t")))
+          .as("mean_wlen"))
+    val gated = feat
+      .join(repetitionSignals(docs)
+        .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac")),
+        Seq("doc_id"), "left")
+      .withColumn("lang_ok", col("pred_lang") =!= "und")
+      .withColumn("quality_ok", col("quality") >= CleanQualityMin)
+      .withColumn("repetition_ok",
+        coalesce(col("top_bigram_frac") <= CleanTopBigramMax &&
+          col("dup_trigram_frac") <= CleanDupTrigramMax, lit(true)))
+      .withColumn("length_ok",
+        col("n_tokens") >= CleanMinTokens &&
+          col("mean_wlen") >= CleanMeanWordLenMin &&
+          col("mean_wlen") <= CleanMeanWordLenMax)
+    gated
+      .withColumn("keep",
+        col("lang_ok") && col("quality_ok") && col("repetition_ok") &&
+          col("length_ok"))
+      .withColumn("reason",
+        when(!col("lang_ok"), "lang")
+          .when(!col("quality_ok"), "quality")
+          .when(!col("repetition_ok"), "repetition")
+          .when(!col("length_ok"), "length"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val oracleQ70: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, text,
+       |    len(regexp_extract_all(text, '\\w+')) AS n_tokens,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+       |    ${TextQueries.langHitCols}
+       |  FROM documents
+       |), feat AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(toks)), i ->
+       |      toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]) AS bg,
+       |    list_transform(range(1, len(toks) - 1), i ->
+       |      toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' ||
+       |      toks[CAST(i AS INT) + 2]) AS tg
+       |  FROM sig WHERE len(toks) >= 3
+       |), feat0 AS (
+       |  SELECT doc_id,
+       |    ${TextQueries.predLangCase} AS pred_lang,
+       |    ${TextQueries.qualityExpr}
+       |    AS quality,
+       |    CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+       |    CAST(list_aggregate(list_transform(toks, w -> len(w)), 'sum')
+       |      AS DOUBLE) / len(toks) AS mean_wlen
+       |  FROM sig
+       |), rep AS (
+       |  SELECT f.doc_id,
+       |    CAST(t.topn AS DOUBLE) / len(f.bg) AS top_bigram_frac,
+       |    1.0 - CAST(len(list_distinct(f.tg)) AS DOUBLE) / len(f.tg)
+       |      AS dup_trigram_frac
+       |  FROM feat f JOIN (
+       |    SELECT doc_id, MAX(c) AS topn FROM (
+       |      SELECT doc_id, COUNT(*) AS c
+       |      FROM (SELECT doc_id, unnest(bg) AS v FROM feat)
+       |      GROUP BY doc_id, v
+       |    ) GROUP BY doc_id
+       |  ) t ON t.doc_id = f.doc_id
+       |), gated AS (
+       |  SELECT f.doc_id, f.pred_lang, f.quality,
+       |    f.n_ws_tokens AS n_tokens, f.mean_wlen,
+       |    r.top_bigram_frac, r.dup_trigram_frac,
+       |    f.pred_lang <> 'und' AS lang_ok,
+       |    f.quality >= $CleanQualityMin AS quality_ok,
+       |    COALESCE(r.top_bigram_frac <= $CleanTopBigramMax
+       |      AND r.dup_trigram_frac <= $CleanDupTrigramMax, TRUE)
+       |      AS repetition_ok,
+       |    f.n_ws_tokens >= $CleanMinTokens
+       |      AND f.mean_wlen >= $CleanMeanWordLenMin
+       |      AND f.mean_wlen <= $CleanMeanWordLenMax AS length_ok
+       |  FROM feat0 f LEFT JOIN rep r ON r.doc_id = f.doc_id
+       |)
+       |SELECT doc_id, pred_lang, quality, n_tokens, mean_wlen,
+       |  top_bigram_frac, dup_trigram_frac,
+       |  lang_ok, quality_ok, repetition_ok, length_ok,
+       |  (lang_ok AND quality_ok AND repetition_ok AND length_ok) AS keep,
+       |  CASE WHEN NOT lang_ok THEN 'lang'
+       |       WHEN NOT quality_ok THEN 'quality'
+       |       WHEN NOT repetition_ok THEN 'repetition'
+       |       WHEN NOT length_ok THEN 'length' END AS reason
+       |FROM gated ORDER BY doc_id""".stripMargin
 
   val oracleQ64: String =
     s"""WITH t AS (

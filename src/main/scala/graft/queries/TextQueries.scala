@@ -156,8 +156,10 @@ object TextQueries {
   // `pairs AS MATERIALIZED` is load-bearing: under WITH RECURSIVE DuckDB
   // inlines non-materialized CTEs into the recursive term, re-evaluating
   // the whole LSH pipeline every iteration — at sf0.1 that exhausted 80 GB
-  // of temp disk; materialized it completes in ~30 s.
-  lazy val oracleQ61: String = {
+  // of temp disk; materialized it completes in ~30 s. Shared by the q61
+  // clustering oracle and the q69 dedup-applied corpus oracle; ends inside
+  // the CTE list (after `reach`), ready for more CTEs or a final SELECT.
+  private lazy val clusterCtes: String = {
     val withRecursive = oracleQ15.replaceFirst("^WITH ", "WITH RECURSIVE ")
     val out = withRecursive.replace(""")
 SELECT c.id1, c.id2,
@@ -184,17 +186,148 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
            |  SELECT id, id FROM verts
            |  UNION
            |  SELECT r.a, e.b FROM reach r JOIN bedges e ON e.a = r.b
-           |)
-           |SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster,
-           |  (a = MIN(b)) AS is_canonical
-           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)
+           |)""".stripMargin)
     // the replace() is an exact-literal match on oracleQ15's tail — if that
-    // tail is ever edited the replace silently no-ops and the q61 oracle
-    // degenerates into q15's pair query; fail loudly at first use instead
+    // tail is ever edited the replace silently no-ops and the clustering
+    // oracles degenerate into q15's pair query; fail loudly at first use
     require(out != withRecursive,
-      "oracleQ61: oracleQ15's final SELECT changed — update the literal " +
+      "clusterCtes: oracleQ15's final SELECT changed — update the literal " +
         "being replaced when deriving the clustering oracle")
     out
+  }
+
+  lazy val oracleQ61: String =
+    clusterCtes + """
+SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster,
+  (a = MIN(b)) AS is_canonical
+FROM reach GROUP BY a ORDER BY doc_id"""
+
+  /** The dedup pipeline APPLIED, end to end: shingle → MinHash-LSH
+    * candidates → Jaccard verify → connected components → drop every
+    * non-canonical cluster member → per-source surviving-corpus report.
+    * This is the program a training-data pipeline actually runs nightly;
+    * q14/q15/q61 gate its stages, this gates the composition.
+    *
+    * Scale shape: the drop set (non-canonical members) is tiny relative to
+    * the corpus — the final join is a broadcast left join carrying only
+    * doc_id, so the full-corpus side never shuffles; the per-source report
+    * is one map-side-combined aggregation. */
+  def q69DedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dropped = Dedup.connectedComponents(
+        q15NearDupPairs(s, dir).select(col("id1"), col("id2")))
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"), lit(1).as("__drop"))
+    docs.join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__drop").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__drop").isNull, col("n_chars"))).as("kept_chars"),
+        sum(when(col("__drop").isNull,
+          Text.tokenCount(col("text")).cast("long"))).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  lazy val oracleQ69: String =
+    clusterCtes + """, dropped AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> MIN(b)
+)
+SELECT d.source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars END) AS BIGINT)
+    AS kept_chars,
+  CAST(SUM(CASE WHEN dr.doc_id IS NULL
+    THEN len(regexp_extract_all(d.text, '\w+')) END) AS BIGINT)
+    AS kept_tokens
+FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source"""
+
+  // BM25 (Robertson/Zaragoza) with Lucene's idf = ln(1 + (N-df+0.5)/(df+0.5))
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Fixed query: one rare term (df ≈ 5% of docs) and two common ones. */
+  val Bm25Query: Seq[String] = Seq("query", "vector", "dup")
+  val Bm25TopK = 15
+
+  /** BM25 top-k ranking over the corpus for the fixed [[Bm25Query]] —
+    * keyword retrieval, the lexical complement of the embedding search
+    * family (q17/q47/q57).
+    *
+    * Scale shape: corpus stats (N, avgdl) are a 1-row broadcast, per-term
+    * document frequencies a |Q|-row broadcast; the only per-corpus
+    * shuffles are the doc-length count and the (doc, term) tf count, both
+    * map-side combined and term-filtered before the shuffle. Per-term
+    * contributions are pivoted to columns and summed in fixed query order
+    * so the double addition order is deterministic (FP addition is not
+    * associative; a groupBy sum would be partial-agg-order-dependent). */
+  def q71Bm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(Text.normalize(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(broadcast(df), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)) *
+          (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+    contrib.groupBy(col("doc_id")).pivot("tok", Bm25Query).agg(first(col("__s")))
+      .withColumn("bm25", graft.functions.jsRound(
+        Bm25Query.map(t => coalesce(col(s"`$t`"), lit(0.0))).reduceLeft(_ + _),
+        6))
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  lazy val oracleQ71: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val pivotSum = Bm25Query.map(t =>
+        s"COALESCE(MAX(CASE WHEN tok = '$t' THEN sc END), 0.0)")
+      .mkString("\n    + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM documents
+       |), toks2 AS (
+       |  SELECT doc_id, tok FROM toks WHERE len(tok) > 0
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks2
+       |  WHERE tok IN ($terms) GROUP BY doc_id, tok
+       |), df AS (
+       |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+       |), contrib AS (
+       |  SELECT t.doc_id, t.tok,
+       |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |      * (t.tf * ${Bm25K1 + 1.0})
+       |      / (t.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * l.dl / s.avgdl))
+       |      AS sc
+       |  FROM tf t JOIN df d USING (tok) JOIN dl l USING (doc_id), stats s
+       |), agg AS (
+       |  SELECT doc_id,
+       |    $pivotSum AS raw
+       |  FROM contrib GROUP BY doc_id
+       |)
+       |SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS bm25
+       |FROM agg ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
   /** §2.6 IVF ANN with the deterministic coarse quantizer
@@ -353,8 +486,46 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
        |  > $CosineThreshold
        |ORDER BY id1, id2""".stripMargin
 
-  private def hitsExpr(words: Seq[String]): String =
+  private[queries] def hitsExpr(words: Seq[String]): String =
     s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+
+  /** Per-language stopword-hit select-list (needs `text` in scope) —
+    * shared by oracleQ12 and Curation.oracleQ70. */
+  private[queries] val langHitCols: String =
+    Text.stopwordLists.map { case (l, ws) => s"${hitsExpr(ws)} AS h_$l" }
+      .mkString(",\n    ")
+
+  /** The langId argmax as a scalar CASE over the h_<lang> columns: fold
+    * with strict > so earlier lists win ties — same as the Column
+    * reduceLeft in Text.langId. Shared by oracleQ12 and
+    * Curation.oracleQ70. */
+  private[queries] val predLangCase: String = {
+    val langs = Text.stopwordLists
+    var bestH = s"h_${langs.head._1}"
+    var bestL = s"'${langs.head._1}'"
+    for ((l, _) <- langs.tail) {
+      val nh = s"CASE WHEN h_$l > ($bestH) THEN h_$l ELSE ($bestH) END"
+      val nl = s"CASE WHEN h_$l > ($bestH) THEN '$l' ELSE ($bestL) END"
+      bestH = nh; bestL = nl
+    }
+    s"CASE WHEN ($bestH) > 0 THEN ($bestL) ELSE 'und' END"
+  }
+
+  /** The q13 quality score as a scalar (needs `text`, `n_tokens`, `toks`
+    * in scope) — shared by oracleQ13 and Curation.oracleQ70. */
+  private[queries] val qualityExpr: String = {
+    val allStops = Text.stopwordLists.flatMap(_._2).distinct
+    s"""(least(CAST(len(text) AS DOUBLE) / 400.0, 1.0) * 0.3)
+       |  + ((CASE WHEN CAST(len(text) AS DOUBLE) > 0
+       |        THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+       |             / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3)
+       |  + ((CASE WHEN len(toks) > 0
+       |        THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |        ELSE 0.0 END) * 0.2)
+       |  + ((CASE WHEN CAST(n_tokens AS DOUBLE) > 0
+       |        THEN least(CAST(${hitsExpr(allStops)} AS DOUBLE)
+       |             / CAST(n_tokens AS DOUBLE) * 4.0, 1.0) ELSE 0.0 END) * 0.2)""".stripMargin
+  }
 
   val oracleQ11: String =
     """SELECT source, COUNT(*) AS n_docs,
@@ -364,41 +535,18 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
       |  CAST(SUM(len(regexp_extract_all(text, '\w+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  val oracleQ12: String = {
-    val langs = Text.stopwordLists
-    val hitCols = langs.map { case (l, ws) => s"${hitsExpr(ws)} AS h_$l" }
-      .mkString(",\n    ")
-    // fold argmax with strict > so earlier lists win ties — same as the
-    // Column reduceLeft in Text.langId
-    var bestH = s"h_${langs.head._1}"
-    var bestL = s"'${langs.head._1}'"
-    for ((l, _) <- langs.tail) {
-      val nh = s"CASE WHEN h_$l > ($bestH) THEN h_$l ELSE ($bestH) END"
-      val nl = s"CASE WHEN h_$l > ($bestH) THEN '$l' ELSE ($bestL) END"
-      bestH = nh; bestL = nl
-    }
+  val oracleQ12: String =
     s"""SELECT doc_id, actual_lang,
-       |  CASE WHEN ($bestH) > 0 THEN ($bestL) ELSE 'und' END AS pred_lang
+       |  $predLangCase AS pred_lang
        |FROM (
        |  SELECT doc_id, lang AS actual_lang,
-       |    $hitCols
+       |    $langHitCols
        |  FROM documents
        |) t ORDER BY doc_id""".stripMargin
-  }
 
-  val oracleQ13: String = {
-    val allStops = Text.stopwordLists.flatMap(_._2).distinct
+  val oracleQ13: String =
     s"""SELECT doc_id, n_tokens,
-       |  (least(CAST(len(text) AS DOUBLE) / 400.0, 1.0) * 0.3)
-       |  + ((CASE WHEN CAST(len(text) AS DOUBLE) > 0
-       |        THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-       |             / CAST(len(text) AS DOUBLE) ELSE 0.0 END) * 0.3)
-       |  + ((CASE WHEN len(toks) > 0
-       |        THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-       |        ELSE 0.0 END) * 0.2)
-       |  + ((CASE WHEN CAST(n_tokens AS DOUBLE) > 0
-       |        THEN least(CAST(${hitsExpr(allStops)} AS DOUBLE)
-       |             / CAST(n_tokens AS DOUBLE) * 4.0, 1.0) ELSE 0.0 END) * 0.2)
+       |  $qualityExpr
        |  AS quality
        |FROM (
        |  SELECT doc_id, text,
@@ -406,7 +554,6 @@ WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= """ + JaccardThreshold +
        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
        |  FROM documents
        |) t ORDER BY doc_id""".stripMargin
-  }
 
   /** Shared CTE prefix: shingles → 60-bit hashes (the dedup carrier,
     * mirroring shingleHashArrays: DISTINCT on the hash, not the string) →

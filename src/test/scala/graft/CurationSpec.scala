@@ -127,4 +127,38 @@ class CurationSpec extends AnyFunSuite {
       minContainment = 0.0)
     assert(capped.count() == 0L)
   }
+
+  // ---------------- corpus-cleaning program ----------------
+
+  test("q70 gates compose: keep is the AND, reason is the first failure") {
+    val rows = graft.queries.Curation
+      .q70CorpusClean(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getAs[Boolean]("lang_ok")
+      val qual = r.getAs[Boolean]("quality_ok")
+      val rep = r.getAs[Boolean]("repetition_ok")
+      val len = r.getAs[Boolean]("length_ok")
+      assert(r.getAs[Boolean]("keep") == (lang && qual && rep && len))
+      val expected =
+        if (!lang) "lang" else if (!qual) "quality"
+        else if (!rep) "repetition" else if (!len) "length" else null
+      assert(r.getAs[String]("reason") == expected)
+    }
+    // the gates actually discriminate on this corpus (not all-keep)
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+  }
+
+  // ---------------- BM25 ranking ----------------
+
+  test("q71 bm25: scores positive, sorted desc, capped at top-k") {
+    val rows = graft.queries.TextQueries
+      .q71Bm25(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty &&
+      rows.length <= graft.queries.TextQueries.Bm25TopK)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
 }

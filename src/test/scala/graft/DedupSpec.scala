@@ -119,6 +119,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram contamination scores overlap against the eval set") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (100L, "the benchmark question about spark engines and their planners"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "the benchmark question about spark engines and their planners"),
+      (2L, "a passage quoting the benchmark question about spark engines midway through"),
+      (3L, "zero overlap with anything held out qwxyz jkqv"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(train, evalDocs, "doc_id", "text", 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("overlap_ngrams"),
+          r.getAs[Double]("contamination"))).toMap
+    // verbatim eval copy: every k-gram collides
+    assert(got(1L)._3 == 1.0)
+    // partial quote: some but not all k-grams collide
+    assert(got(2L)._2 > 0 && got(2L)._3 < 1.0)
+    // disjoint text: zero overlap, still reported
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0)
+    // n_ngrams is the doc's own distinct k-gram count, independent of eval
+    assert(got(3L)._1 > 0)
+  }
+
   test("ann top-k finds the bucket-local neighbor") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>
