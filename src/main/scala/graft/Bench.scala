@@ -51,10 +51,16 @@ object Bench {
     def short(k: String): String = k.takeWhile(_ != '_')
     val qs = results.map { case (k, (med, _)) =>
       s"\"" + short(k) + "\":" + f3(med) }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, min)) =>
-      s"\"" + short(k) + "\":" + f3(min) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir"}""")
+    // per-query MIN diagnostics go to stderr on request only: at 71+
+    // queries a second map would push the one-line JSON past the driver's
+    // 2000-char tail buffer (the round-4 parsed:null failure mode)
+    if (sys.env.contains("SPARK_GRAFT_BENCH_MIN")) {
+      val qsMin = results.map { case (k, (_, min)) =>
+        s"\"" + short(k) + "\":" + f3(min) }.mkString("{", ",", "}")
+      System.err.println(s"""{"queries_min":$qsMin}""")
+    }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

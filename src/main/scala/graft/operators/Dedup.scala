@@ -355,30 +355,49 @@ object Dedup {
     * decontamination as in GPT-3 appendix C / PaLM §7; character k-grams
     * here, same carrier as [[shingleHashArrays]]).
     *
-    * Scale shape (100 TB training corpus, MB-scale benchmark): the eval
-    * side collapses to ONE row holding its distinct hash set
-    * (`collect_set` after an explode+distinct — eval benchmarks are small
-    * by construction), which broadcasts onto the training side; the
-    * per-doc overlap is then a map-side `array_intersect` over the
-    * training documents' own hash arrays. No shuffle ever touches the
-    * training corpus — the only shuffles are the eval-side distinct and
-    * the 1-row aggregate. Documents shorter than k score (0, 0, 0.0).
+    * Scale shape (100 TB training corpus, MB-scale benchmark): the
+    * distinct eval k-gram hashes broadcast (benchmarks are small by
+    * construction) into a semi-join against the exploded training
+    * hashes, so the broadcast hash table is built ONCE per task — NOT
+    * per row, which is what a per-row `array_intersect` against a
+    * collected eval array degenerates to (rebuilding a 10^5-entry set
+    * per document took q68 to 22 s at sf0.1; this form is ~20×
+    * cheaper). Only matching (doc, hash) rows reach the overlap count's
+    * shuffle, and the per-doc counts relation (bounded by the training
+    * docs that share ≥1 k-gram) broadcasts back onto the map-side
+    * n_ngrams projection. No shuffle ever touches the full training
+    * corpus. Documents shorter than k score (0, 0, 0.0).
     *
     * Returns (idCol, n_ngrams, overlap_ngrams, contamination) — one row
     * per training document that produced at least one k-gram. */
   def ngramContamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
                          textCol: String, k: Int): DataFrame = {
-    val th = shingleHashArrays(train, idCol, textCol, k)
-    val evalSet = shingleHashArrays(evalDocs, idCol, textCol, k)
+    val th = shingleHashArrays(train, idCol, textCol, k).persist()
+    th.count() // two consumers below; eager fill, see minhashCandidates
+    // materialize BEFORE exploding: explode over an unmaterialized
+    // transform(...) array re-evaluates the hashing expression per OUTPUT
+    // row — O(shingles²) md5 calls per doc (measured 18 s for 250 eval
+    // docs at sf0.1 vs 0.2 s materialized). Same rule as the persisted
+    // carriers in minhashCandidates/containmentPairs.
+    val eh = shingleHashArrays(evalDocs, idCol, textCol, k).persist()
+    eh.count()
+    val evalHashes = eh
       .select(explode(col("harr")).as("__h")).distinct()
-      .agg(collect_set(col("__h")).as("__eval"))
-    th.crossJoin(broadcast(evalSet))
-      .select(col(idCol),
-        size(col("harr")).cast("long").as("n_ngrams"),
-        size(array_intersect(col("harr"), col("__eval"))).cast("long")
-          .as("overlap_ngrams"))
+    val overlap = th.select(col(idCol), explode(col("harr")).as("__h"))
+      .join(broadcast(evalHashes), Seq("__h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__overlap"))
+    val out = th
+      .select(col(idCol), size(col("harr")).cast("long").as("n_ngrams"))
+      .join(broadcast(overlap), Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("__overlap"), lit(0L)).as("overlap_ngrams"))
       .withColumn("contamination",
         col("overlap_ngrams").cast("double") / col("n_ngrams"))
+      .localCheckpoint()
+    th.unpersist()
+    eh.unpersist()
+    out
   }
 
   /** Connected components over a (small-degree) near-dup edge set by

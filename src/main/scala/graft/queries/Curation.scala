@@ -124,6 +124,11 @@ object Curation {
     * treats them as unassessable). Shared by q67 and the q70 cleaning
     * program. */
   private def repetitionSignals(docs: DataFrame): DataFrame = {
+    // persist the n-gram arrays BEFORE the explode: exploding an
+    // unmaterialized transform(...) re-evaluates the array expression per
+    // OUTPUT row — O(tokens²) concat work per doc took q67 to ~10 s at
+    // sf0.1 (~0.9 s materialized). Released after the per-doc result is
+    // localCheckpoint'ed (bounded: one row per doc).
     val base = docs
       .select(col("doc_id"),
         split(Text.normalize(col("text")), " ").as("t"))
@@ -134,6 +139,8 @@ object Curation {
         expr("transform(sequence(1, size(t)-2), i -> " +
           "concat(element_at(t, i), ' ', element_at(t, i+1), ' ', " +
           "element_at(t, i+2)))").as("tg"))
+      .persist()
+    base.count() // eager fill: two consumers must not stampede the cache
     val mapSide = base.select(col("doc_id"),
       size(col("bg")).cast("long").as("n_bigrams"),
       size(col("tg")).cast("long").as("n_trigrams"),
@@ -141,11 +148,14 @@ object Curation {
     val topBg = base.select(col("doc_id"), explode(col("bg")).as("v"))
       .groupBy(col("doc_id"), col("v")).agg(count(lit(1)).as("__c"))
       .groupBy(col("doc_id")).agg(max(col("__c")).as("top_bigram_n"))
-    mapSide.join(topBg, Seq("doc_id"))
+    val out = mapSide.join(topBg, Seq("doc_id"))
       .withColumn("top_bigram_frac",
         col("top_bigram_n").cast("double") / col("n_bigrams"))
       .withColumn("dup_trigram_frac",
         lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
+      .localCheckpoint()
+    base.unpersist()
+    out
   }
 
   val oracleQ67: String =
