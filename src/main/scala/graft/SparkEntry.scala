@@ -92,6 +92,7 @@ object SparkEntry {
     "q69_dedup_corpus" -> (TextQueries.q69DedupCorpus _),
     "q70_corpus_clean" -> (Curation.q70CorpusClean _),
     "q71_bm25" -> (TextQueries.q71Bm25 _),
+    "q72_lm_score" -> (Curation.q72LmScore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -274,6 +275,7 @@ object SparkEntry {
     "q69_dedup_corpus" -> TextQueries.oracleQ69,
     "q70_corpus_clean" -> Curation.oracleQ70,
     "q71_bm25" -> TextQueries.oracleQ71,
+    "q72_lm_score" -> Curation.oracleQ72,
   )
 
   private val asofOracle: String =

@@ -367,6 +367,67 @@ object Curation {
        |       WHEN NOT length_ok THEN 'length' END AS reason
        |FROM gated ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style unigram language-model quality score (Wenzek et al.
+    * 2020 use a KenLM perplexity; the unigram LM is its
+    * corpus-self-contained analog): train token probabilities on the
+    * corpus itself, score every document by its mean token log-prob —
+    * low scores flag gibberish / tokenizer-hostile documents.
+    *
+    * Determinism: per-token log-probs are quantized to scaled INTEGERS
+    * (floor(ln p · 1e6 + 0.5) as BIGINT) before the per-doc sum, so the
+    * reduction is exact integer addition — order-independent under
+    * Spark's partial aggregation AND bit-identical to the oracle's sum,
+    * which a double sum over a shuffled relation cannot guarantee (FP
+    * addition is not associative). The ln itself is quantized at 1e-6,
+    * the repo's standard transcendental grid (cf. jsRound notes).
+    *
+    * Scale shape: the vocabulary relation (token, count) is a dim built
+    * from the fact by one map-side-combined aggregation; the total is a
+    * 1-row broadcast; scoring is a broadcast join of the vocab onto the
+    * exploded token stream followed by one (doc_id) count/sum — the
+    * build-small-from-big-then-broadcast-back shape (same as q65). */
+  def q72LmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(Text.normalize(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val lm = counts.crossJoin(broadcast(total))
+      .select(col("tok"),
+        floor(log(col("cnt").cast("double") / col("total")) * lit(1e6)
+          + lit(0.5)).cast("long").as("lp6"))
+    toks.join(broadcast(lm), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp6")).as("sum_lp6"))
+      .withColumn("avg_logprob",
+        col("sum_lp6").cast("double") / lit(1e6) / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ72: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM documents
+       |), toks2 AS (
+       |  SELECT doc_id, tok FROM toks WHERE len(tok) > 0
+       |), counts AS (
+       |  SELECT tok, COUNT(*) AS cnt FROM toks2 GROUP BY tok
+       |), tot AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts
+       |), lm AS (
+       |  SELECT tok,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6
+       |      + 0.5) AS BIGINT) AS lp6
+       |  FROM counts, tot
+       |)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(lm.lp6) AS BIGINT) AS sum_lp6,
+       |  CAST(SUM(lm.lp6) AS DOUBLE) / 1e6 / COUNT(*) AS avg_logprob
+       |FROM toks2 t JOIN lm USING (tok)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
   val oracleQ64: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,

@@ -150,6 +150,22 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Boolean]("keep")))
   }
 
+  // ---------------- unigram-LM score ----------------
+
+  test("q72 lm score: negative mean logprob, common-token docs score higher") {
+    val rows = graft.queries.Curation
+      .q72LmScore(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // every token prob < 1 → every per-doc mean logprob is negative, and
+    // the integer carrier reconstructs it: sum_lp6/1e6/n == avg_logprob
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_logprob")
+      assert(avg < 0.0)
+      assert(math.abs(avg - r.getAs[Long]("sum_lp6").toDouble / 1e6 /
+        r.getAs[Long]("n_tokens")) < 1e-12)
+    }
+  }
+
   // ---------------- BM25 ranking ----------------
 
   test("q71 bm25: scores positive, sorted desc, capped at top-k") {
