@@ -93,6 +93,7 @@ object SparkEntry {
     "q70_corpus_clean" -> (Curation.q70CorpusClean _),
     "q71_bm25" -> (TextQueries.q71Bm25 _),
     "q72_lm_score" -> (Curation.q72LmScore _),
+    "q73_shard_assign" -> (Curation.q73ShardAssign _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -276,6 +277,7 @@ object SparkEntry {
     "q70_corpus_clean" -> Curation.oracleQ70,
     "q71_bm25" -> TextQueries.oracleQ71,
     "q72_lm_score" -> Curation.oracleQ72,
+    "q73_shard_assign" -> Curation.oracleQ73,
   )
 
   private val asofOracle: String =

@@ -32,6 +32,31 @@ object Sampling {
     * Scale shape: one broadcast hash join + a codegen'd filter — zero
     * shuffles, and the filter sits directly over the scan so column
     * pruning and partition pruning pass straight through. */
+  /** Deterministic shard assignment + within-shard ordering for writing
+    * training shards: shard = hash60(id) % nShards, pos = dense 0-based
+    * rank within the shard ordered by (hash, id). Together these are a
+    * reproducible global shuffle of the corpus — the training-order
+    * randomization — as a pure function of the ids: no RNG state, no
+    * seed/partition coupling, bit-identical across engines and re-runs.
+    * Shard MEMBERSHIP is append-stable (a doc's shard never changes);
+    * dense positions inherently are not.
+    *
+    * Scale shape: exactly one shuffle (hash partitioning on shard) and a
+    * per-shard sort. Choose nShards so one shard ≈ one output file (tens
+    * of thousands at 100 TB): the sort stays file-sized, never global,
+    * and the write needs no further repartition. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long")
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol)))
+        - 1).cast("long"))
+      .drop("__h")
+  }
+
   def stratifiedHash(df: DataFrame, idCol: String, stratCol: String,
                      permille: Map[String, Int],
                      defaultPermille: Int): DataFrame = {

@@ -428,6 +428,30 @@ object Curation {
        |FROM toks2 t JOIN lm USING (tok)
        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
+  val ShardCount = 8
+
+  /** Training-shard assignment ([[Sampling.shardAssign]]): the
+    * deterministic corpus shuffle + sharding a pretraining pipeline runs
+    * last, after cleaning/dedup/sampling — shard membership and
+    * within-shard order are pure functions of doc_id. */
+  def q73ShardAssign(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardAssign(Tables.documents(s, dir), "doc_id", ShardCount)
+      .select(col("doc_id"), col("shard"), col("pos"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val oracleQ73: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(h % $ShardCount AS INT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY h % $ShardCount
+       |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+       |  source
+       |FROM h ORDER BY doc_id""".stripMargin
+
   val oracleQ64: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,

@@ -150,6 +150,30 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Boolean]("keep")))
   }
 
+  // ---------------- shard assignment ----------------
+
+  test("shard assign: deterministic, membership append-stable, dense pos") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = Sampling.shardAssign(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    val b = Sampling.shardAssign(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b)) // reproducible
+    // every shard's positions are dense 0..n-1
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(rows.indices.map(_.toLong)))
+    }
+    // membership append-stable: adding docs never moves an existing doc
+    val more = docs.unionByName(
+      (500L until 600L).map(i => (i, s"doc$i")).toDF("doc_id", "text"))
+    val c = Sampling.shardAssign(more, "doc_id", 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    a.foreach { case (id, shard, _) => assert(c(id) == shard) }
+  }
+
   // ---------------- unigram-LM score ----------------
 
   test("q72 lm score: negative mean logprob, common-token docs score higher") {

@@ -75,6 +75,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("bm25: per-term dfs broadcast onto the tf relation") {
+    val p = plan("q71_bm25")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("lm score: vocabulary broadcasts back onto the token stream") {
+    val p = plan("q72_lm_score")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("shard assignment: one hash exchange, no single-partition window") {
+    val p = plan("q73_shard_assign")
+    assert(!p.contains("Exchange SinglePartition"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("no gate query degenerates to an unintended cartesian product") {
     // the deliberate broadcast-1-row cross joins (q17 query vector) are
     // BroadcastNestedLoopJoin, not CartesianProduct
