@@ -94,6 +94,7 @@ object SparkEntry {
     "q71_bm25" -> (TextQueries.q71Bm25 _),
     "q72_lm_score" -> (Curation.q72LmScore _),
     "q73_shard_assign" -> (Curation.q73ShardAssign _),
+    "q74_ivf_kmeans" -> (TextQueries.q74IvfKmeans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -278,6 +279,7 @@ object SparkEntry {
     "q71_bm25" -> TextQueries.oracleQ71,
     "q72_lm_score" -> Curation.oracleQ72,
     "q73_shard_assign" -> Curation.oracleQ73,
+    "q74_ivf_kmeans" -> TextQueries.oracleQ74,
   )
 
   private val asofOracle: String =

@@ -155,6 +155,79 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with a GATEABLE k-means quantizer: `iters` full Lloyd
+    * iterations from the deterministic lowest-id seeds, then the standard
+    * IVF search (assign under the trained centroids, probe the nProbe
+    * nearest cells, exact cosine within). Bridges [[ivfDeterministic]]
+    * (0 iterations, oracle-gated) and [[ivfTrain]] (MLlib k-means,
+    * spec-gated): real k-means training, yet every step replays in SQL.
+    *
+    * Determinism across engines, the part k-means usually denies you:
+    * input components are quantized ONCE to integer-valued doubles
+    * (floor(x·1e6 + 0.5)), so every centroid-update SUM is exact integer
+    * arithmetic — order-independent under Spark's partial aggregation and
+    * bit-identical to the oracle's sum regardless of row order. Distance
+    * ranking uses the ‖c‖² − 2·v·c form with the same ascending-index
+    * fold as SQL `list_dot_product` (the q57 contract); centroid means
+    * (exact-sum ÷ exact-count) are single-rounded doubles, identical in
+    * both engines. Per-iteration centroids are localCheckpoint'ed — the
+    * iterative-lineage rule (see connectedComponents).
+    *
+    * Scale shape: centroids are a broadcast dim everywhere; assignment is
+    * one map-side argmin per vector (no shuffle beyond the id window);
+    * the update is a (cell, dim)-keyed partial/final aggregation over
+    * dims·rows — the feature-mean shape. Final ranking is cosine over
+    * the ORIGINAL (unquantized) doubles, as in q17/q57. */
+  def ivfKmeansGated(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, nCells: Int, iters: Int, nProbe: Int,
+                     k: Int): DataFrame = {
+    val vecs = emb.select(col(idCol), asDouble(col(vecCol)).as("vd"))
+      .withColumn("v",
+        expr("transform(vd, x -> CAST(floor(x * 1e6 + 0.5) AS DOUBLE))"))
+      .persist()
+    vecs.count() // consumed per iteration + search; eager fill
+    val corpus = vecs.filter(col(idCol) =!= queryId)
+    def score(v: Column): Column =
+      dotProduct(col("cv"), col("cv")) - lit(2.0) * dotProduct(v, col("cv"))
+    val wMin = Window.partitionBy(col(idCol))
+      .orderBy(col("__score"), col("cell"))
+    def assign(cents: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("__score", score(col("v")))
+        .withColumn("__rn", row_number().over(wMin))
+        .filter(col("__rn") === 1)
+    var cents = vecs.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("int").as("cell"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val upd = assign(cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x")) / count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+          "s -> s.m)").as("cvNew"))
+      cents = cents.join(upd, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cvNew"), col("cv")).as("cv"))
+        .localCheckpoint() // truncate the per-iteration lineage
+    }
+    val qRow = vecs.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"), col("vd").as("qvd"))
+    val probes = cents.crossJoin(broadcast(qRow))
+      .withColumn("__score", score(col("qv")))
+      .orderBy(col("__score"), col("cell")).limit(nProbe)
+      .select(col("cell"))
+    val out = assign(cents)
+      .join(broadcast(probes), Seq("cell"))
+      .crossJoin(broadcast(qRow))
+      .select(col(idCol), cosineSim(col("vd"), col("qvd")).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+      .localCheckpoint()
+    vecs.unpersist()
+    out
+  }
+
   /** Per-plane query dots — the probe-selection inputs, computed with the
     * same ascending-d left fold as [[bucketExpr]]'s dotProduct so the SQL
     * oracle agrees bitwise. */

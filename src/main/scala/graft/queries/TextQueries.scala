@@ -370,6 +370,81 @@ GROUP BY d.source ORDER BY d.source"""
        |FROM assigned a JOIN probes p ON p.cell = a.cell, q
        |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin
 
+  val IvfKmIters = 2
+
+  /** §2.6 IVF ANN with a TRAINED coarse quantizer, oracle-gated end to
+    * end ([[Similarity.ivfKmeansGated]]): two full Lloyd iterations from
+    * the lowest-id seeds, then assign → probe → exact cosine. The
+    * scaled-integer input carrier makes the centroid updates exact
+    * integer math, so real k-means training replays bit-identically in
+    * DuckDB — closing the gap where the trained quantizer (vs q57's
+    * iteration-zero one) was only spec-gated. */
+  def q74IvfKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfKmeansGated(Tables.embeddings(s, dir), "vec_id",
+      "embedding", queryId = 0L, nCells = IvfCells, iters = IvfKmIters,
+      nProbe = IvfProbes, k = 10)
+
+  lazy val oracleQ74: String = {
+    // one Lloyd iteration: assignment under `prev` centroids, exact
+    // integer component sums, list rebuild in pos order, empty cells keep
+    // their previous centroid
+    def iteration(prev: String, next: String): String =
+      s"""a_$next AS (
+         |  SELECT vec_id, cell, v FROM (
+         |    SELECT t.vec_id, c.cell, t.v,
+         |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+         |        list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(t.v, c.cv),
+         |        c.cell) AS rn
+         |    FROM vecs t, $prev c WHERE t.vec_id <> 0
+         |  ) WHERE rn = 1
+         |), m_$next AS (
+         |  SELECT cell, i AS pos, SUM(v[CAST(i AS INT)]) AS sx,
+         |    COUNT(*) AS n
+         |  FROM a_$next, range(1, ${AnnDims + 1}) r(i)
+         |  GROUP BY cell, i
+         |), u_$next AS (
+         |  SELECT cell, list(sx / n ORDER BY pos) AS cv
+         |  FROM m_$next GROUP BY cell
+         |), $next AS (
+         |  SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN u_$next u USING (cell)
+         |)""".stripMargin
+    s"""WITH vecs0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+       |), vecs AS (
+       |  SELECT vec_id, vd,
+       |    list_transform(vd, x -> floor(x * 1e6 + 0.5)) AS v
+       |  FROM vecs0
+       |), c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM vecs
+       |  WHERE vec_id < $IvfCells
+       |), ${iteration("c0", "c1")}, ${iteration("c1", "c2")}, q AS (
+       |  SELECT v AS qv, vd AS qvd FROM vecs WHERE vec_id = 0
+       |), probes AS (
+       |  SELECT cell FROM c2, q
+       |  ORDER BY list_dot_product(cv, cv) - 2.0 * list_dot_product(qv, cv),
+       |    cell
+       |  LIMIT $IvfProbes
+       |), af AS (
+       |  SELECT vec_id, cell, vd FROM (
+       |    SELECT t.vec_id, c.cell, t.vd,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |        list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(t.v, c.cv),
+       |        c.cell) AS rn
+       |    FROM vecs t, c2 c WHERE t.vec_id <> 0
+       |  ) WHERE rn = 1
+       |)
+       |SELECT af.vec_id,
+       |  CASE WHEN sqrt(list_dot_product(af.vd, af.vd)) > 0
+       |        AND sqrt(list_dot_product(q.qvd, q.qvd)) > 0
+       |  THEN list_dot_product(af.vd, q.qvd)
+       |    / (sqrt(list_dot_product(af.vd, af.vd))
+       |       * sqrt(list_dot_product(q.qvd, q.qvd)))
+       |  END AS cosine_sim
+       |FROM af JOIN probes p ON p.cell = af.cell, q
+       |ORDER BY cosine_sim DESC, af.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Winnowing fingerprint summary per document (rolling-hash document
     * fingerprinting for partial-overlap dedup — see
     * [[Dedup.winnowFingerprints]]). Output is the fingerprint-set summary

@@ -33,6 +33,29 @@ class AnnSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("gated k-means IVF recalls most exact neighbors; training is real") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(Similarity.asDouble(col("embedding")))
+      .collect()(0).getSeq[Double](0)
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val trained = Similarity.ivfKmeansGated(emb, "vec_id", "embedding",
+        queryId = 0L, nCells = 8, iters = 2, nProbe = 4, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(trained.intersect(exact).size >= 6,
+      s"recall too low: ${trained.intersect(exact).size}/10")
+    // zero iterations ≡ the q57 deterministic-seed quantizer
+    val seedOnly = Similarity.ivfKmeansGated(emb, "vec_id", "embedding",
+        queryId = 0L, nCells = 8, iters = 0, nProbe = 4, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val det = Similarity.ivfDeterministic(emb, "vec_id", "embedding",
+        queryId = 0L, nCells = 8, nProbe = 4, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(seedOnly == det)
+  }
+
   test("multi-probe LSH recalls at least as much as single-probe") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val query = emb.filter(col("vec_id") === 0)
