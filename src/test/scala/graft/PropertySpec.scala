@@ -152,6 +152,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngram contamination invariants: bounds, identity, disjointness") {
+    import spark.implicits._
+    val wordGen = Gen.listOfN(12, Gen.oneOf("alpha", "bravo", "charlie",
+      "delta", "echo", "foxtrot", "golf", "hotel")).map(_.mkString(" "))
+    forSamples(Gen.listOfN(6, wordGen), n = 10) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.operators.Dedup
+        .ngramContamination(docs, docs, "doc_id", "text", 16)
+        .collect()
+      assert(out.length == texts.length)
+      out.foreach { r =>
+        val n = r.getAs[Long]("n_ngrams")
+        val o = r.getAs[Long]("overlap_ngrams")
+        val c = r.getAs[Double]("contamination")
+        assert(n > 0 && o >= 0 && o <= n)
+        // eval == train → every doc is fully contaminated by itself
+        assert(c == 1.0)
+      }
+    }
+  }
+
+  test("bm25 and lm-score determinism: same input twice, identical bits") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.TextQueries.q71Bm25(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = graft.queries.TextQueries.q71Bm25(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+    val c = graft.queries.Curation.q72LmScore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val d = graft.queries.Curation.q72LmScore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(c == d)
+  }
+
   test("business-day shift invariants: next is strictly later; +n then -n is identity on business days") {
     import spark.implicits._
     val cal = (1 to 31).map { i =>
