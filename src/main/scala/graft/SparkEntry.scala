@@ -95,6 +95,7 @@ object SparkEntry {
     "q72_lm_score" -> (Curation.q72LmScore _),
     "q73_shard_assign" -> (Curation.q73ShardAssign _),
     "q74_ivf_kmeans" -> (TextQueries.q74IvfKmeans _),
+    "q75_chunking" -> (Curation.q75Chunking _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -280,6 +281,7 @@ object SparkEntry {
     "q72_lm_score" -> Curation.oracleQ72,
     "q73_shard_assign" -> Curation.oracleQ73,
     "q74_ivf_kmeans" -> TextQueries.oracleQ74,
+    "q75_chunking" -> Curation.oracleQ75,
   )
 
   private val asofOracle: String =

@@ -452,6 +452,53 @@ object Curation {
        |  source
        |FROM h ORDER BY doc_id""".stripMargin
 
+  val ChunkSize = 200
+  val ChunkStride = 150 // 50-char overlap between consecutive chunks
+
+  /** Overlapping document chunking (RAG / context-window prep): fixed-size
+    * windows over the normalized text at a fixed stride, each chunk
+    * carrying its offset and 60-bit content fingerprint (the exact-dedup
+    * key downstream chunk-level dedup joins on). Start positions are
+    * chosen so every character is covered and the final chunk may run
+    * short; single-chunk docs degenerate to one full-text chunk.
+    *
+    * Scale shape: pure map-side — an int-sequence explode (cheap
+    * per-element, exempt from the array-materialization rule) and one
+    * substring + md5 per OUTPUT chunk, never per (chunk × chunk). */
+  def q75Chunking(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.normalize(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1),
+          greatest(length(col("t")) - lit(ChunkSize - ChunkStride), lit(1)),
+          lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) div $ChunkStride AS BIGINT)").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        length(expr(s"substring(t, start, $ChunkSize)")).cast("long")
+          .as("chunk_len"),
+        Text.hash60(expr(s"substring(t, start, $ChunkSize)")).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val oracleQ75: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), st AS (
+       |  SELECT doc_id, t, CAST(i AS BIGINT) AS start
+       |  FROM norm, range(1, 100000) r(i)
+       |  WHERE i <= greatest(len(t) - ${ChunkSize - ChunkStride}, 1)
+       |    AND (i - 1) % $ChunkStride = 0
+       |)
+       |SELECT doc_id,
+       |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id, start,
+       |  CAST(len(substr(t, CAST(start AS INT), $ChunkSize)) AS BIGINT)
+       |    AS chunk_len,
+       |  CAST(('0x' || substr(md5(substr(t, CAST(start AS INT), $ChunkSize)),
+       |    1, 15)) AS BIGINT) AS fp
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
   val oracleQ64: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,

@@ -174,6 +174,37 @@ class CurationSpec extends AnyFunSuite {
     a.foreach { case (id, shard, _) => assert(c(id) == shard) }
   }
 
+  // ---------------- chunking ----------------
+
+  test("chunking covers every char with bounded overlap; tail may be short") {
+    import spark.implicits._
+    import graft.queries.Curation.{ChunkSize, ChunkStride}
+    val dir = "/root/testdata/sf0.001"
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(graft.functions.Text.normalize(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val chunks = graft.queries.Curation.q75Chunking(spark, dir)
+      .select("doc_id", "chunk_id", "start", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, cs) => id -> cs.sortBy(_._2) }
+    assert(chunks.keySet == lens.keySet)
+    chunks.foreach { case (id, cs) =>
+      // dense chunk ids from 0, starts on the stride grid
+      assert(cs.map(_._2).sameElements(cs.indices.map(_.toLong)))
+      cs.foreach { case (_, cid, st, _) => assert(st == 1 + cid * ChunkStride) }
+      // full coverage: first chunk at 1, last chunk reaches the final char,
+      // consecutive chunks overlap (stride < size)
+      assert(cs.head._3 == 1L)
+      assert(cs.last._3 + cs.last._4 - 1 == lens(id))
+      assert(cs.forall(_._4 <= ChunkSize))
+      cs.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) => assert(s2 <= s1 + l1)
+        case _ =>
+      }
+    }
+  }
+
   // ---------------- unigram-LM score ----------------
 
   test("q72 lm score: negative mean logprob, common-token docs score higher") {
