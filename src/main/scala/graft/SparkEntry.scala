@@ -96,6 +96,7 @@ object SparkEntry {
     "q73_shard_assign" -> (Curation.q73ShardAssign _),
     "q74_ivf_kmeans" -> (TextQueries.q74IvfKmeans _),
     "q75_chunking" -> (Curation.q75Chunking _),
+    "q76_training_manifest" -> (Curation.q76TrainingManifest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -282,6 +283,7 @@ object SparkEntry {
     "q73_shard_assign" -> Curation.oracleQ73,
     "q74_ivf_kmeans" -> TextQueries.oracleQ74,
     "q75_chunking" -> Curation.oracleQ75,
+    "q76_training_manifest" -> Curation.oracleQ76,
   )
 
   private val asofOracle: String =

@@ -29,15 +29,20 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
-  val oracleQ63: String = {
+  /** The q63 per-mille rate as a scalar CASE over `lang` — shared with
+    * the q76 manifest's sampling stage. */
+  private[queries] lazy val samplePermilleCase: String = {
     val cases = SamplePermille.toSeq.sorted
       .map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")
+    s"CASE lang $cases ELSE $DefaultPermille END"
+  }
+
+  val oracleQ63: String =
     s"""SELECT doc_id, lang, source, n_chars
        |FROM documents
        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
-       |  < CASE lang $cases ELSE $DefaultPermille END
+       |  < $samplePermilleCase
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Sequence packing ([[Packing.packSequences]]): concatenate each
     * language's documents in doc_id order and chunk into [[SeqLen]]-token
@@ -214,29 +219,35 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  val oracleQ68: String =
-    s"""WITH norm AS (
+  /** The q68 contamination CTE list with prefixed names
+    * (`<p>norm … <p>ts(doc_id, n), <p>ov(doc_id, o)`) so q76 can compose
+    * it next to the clustering CTEs (whose list also uses `norm`). */
+  private[queries] def contamCtes(p: String): String =
+    s"""${p}norm AS (
        |  SELECT doc_id, source,
        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents
-       |), ev AS (
+       |), ${p}ev AS (
        |  SELECT DISTINCT CAST(('0x' || substr(md5(substr(t, CAST(i AS INT),
        |    $DecontamK)), 1, 15)) AS BIGINT) AS h
-       |  FROM norm, range(1, 100000) r(i)
+       |  FROM ${p}norm, range(1, 100000) r(i)
        |  WHERE source = '$DecontamEvalSource'
        |    AND len(t) >= $DecontamK AND i <= len(t) - ${DecontamK - 1}
-       |), trh AS (
+       |), ${p}trh AS (
        |  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(substr(t,
        |    CAST(i AS INT), $DecontamK)), 1, 15)) AS BIGINT) AS h
-       |  FROM norm, range(1, 100000) r(i)
+       |  FROM ${p}norm, range(1, 100000) r(i)
        |  WHERE source <> '$DecontamEvalSource'
        |    AND len(t) >= $DecontamK AND i <= len(t) - ${DecontamK - 1}
-       |), ts AS (
-       |  SELECT doc_id, COUNT(*) AS n FROM trh GROUP BY doc_id
-       |), ov AS (
-       |  SELECT t.doc_id, COUNT(*) AS o FROM trh t JOIN ev USING (h)
+       |), ${p}ts AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM ${p}trh GROUP BY doc_id
+       |), ${p}ov AS (
+       |  SELECT t.doc_id, COUNT(*) AS o FROM ${p}trh t JOIN ${p}ev USING (h)
        |  GROUP BY t.doc_id
-       |)
+       |)""".stripMargin
+
+  val oracleQ68: String =
+    s"""WITH ${contamCtes("")}
        |SELECT ts.doc_id, CAST(ts.n AS BIGINT) AS n_ngrams,
        |  CAST(COALESCE(ov.o, 0) AS BIGINT) AS overlap_ngrams,
        |  CAST(COALESCE(ov.o, 0) AS DOUBLE) / ts.n AS contamination,
@@ -307,8 +318,12 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  lazy val oracleQ70: String =
-    s"""WITH sig AS (
+  /** The q70 cleaning gates as a composable CTE list ending in
+    * `gated(doc_id, …, lang_ok, quality_ok, repetition_ok, length_ok)`.
+    * CTE names are csig/feat/feat0/rep/gated — chosen not to collide with
+    * the clustering/contamination CTE lists q76 composes them with. */
+  private[queries] lazy val cleanCtes: String =
+    s"""csig AS (
        |  SELECT doc_id, text,
        |    len(regexp_extract_all(text, '\\w+')) AS n_tokens,
        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
@@ -321,7 +336,7 @@ object Curation {
        |    list_transform(range(1, len(toks) - 1), i ->
        |      toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' ||
        |      toks[CAST(i AS INT) + 2]) AS tg
-       |  FROM sig WHERE len(toks) >= 3
+       |  FROM csig WHERE len(toks) >= 3
        |), feat0 AS (
        |  SELECT doc_id,
        |    ${TextQueries.predLangCase} AS pred_lang,
@@ -330,7 +345,7 @@ object Curation {
        |    CAST(len(toks) AS BIGINT) AS n_ws_tokens,
        |    CAST(list_aggregate(list_transform(toks, w -> len(w)), 'sum')
        |      AS DOUBLE) / len(toks) AS mean_wlen
-       |  FROM sig
+       |  FROM csig
        |), rep AS (
        |  SELECT f.doc_id,
        |    CAST(t.topn AS DOUBLE) / len(f.bg) AS top_bigram_frac,
@@ -356,7 +371,10 @@ object Curation {
        |      AND f.mean_wlen >= $CleanMeanWordLenMin
        |      AND f.mean_wlen <= $CleanMeanWordLenMax AS length_ok
        |  FROM feat0 f LEFT JOIN rep r ON r.doc_id = f.doc_id
-       |)
+       |)""".stripMargin
+
+  lazy val oracleQ70: String =
+    s"""WITH $cleanCtes
        |SELECT doc_id, pred_lang, quality, n_tokens, mean_wlen,
        |  top_bigram_frac, dup_trigram_frac,
        |  lang_ok, quality_ok, repetition_ok, length_ok,
@@ -498,6 +516,85 @@ object Curation {
        |  CAST(('0x' || substr(md5(substr(t, CAST(start AS INT), $ChunkSize)),
        |    1, 15)) AS BIGINT) AS fp
        |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** THE capstone program: the complete nightly training-data build as
+    * one query — C4/Gopher cleaning gates (q70) → drop near-dup
+    * non-canonicals (q14/q15/q61 LSH clustering) → drop
+    * benchmark-contaminated docs and the benchmark source itself (q68)
+    * → language-rebalancing stratified sample (q63) → deterministic
+    * shard assignment with within-shard order (q73) → the final
+    * training manifest (doc, shard, position, token count). Every stage
+    * is individually gated; this gates their COMPOSITION — including the
+    * part unions of stage outputs can't check: shard positions are
+    * ranks over the final survivor set, so they're only right if every
+    * upstream keep/drop decision is.
+    *
+    * Scale shape: each stage keeps its reviewed plan (see PLANS.md
+    * entries for q70/q68/q61/q63/q73); the composition adds only the
+    * survivor joins — the dedup drop set broadcasts, the cleaning and
+    * contamination relations join per-doc on the id. */
+  def q76TrainingManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clean = q70CorpusClean(s, dir).select(col("doc_id"), col("keep"))
+    val dupDrop = Dedup.connectedComponents(
+        TextQueries.q15NearDupPairs(s, dir).select(col("id1"), col("id2")))
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"), lit(true).as("__dup"))
+    val contam = Dedup.ngramContamination(
+        docs.filter(col("source") =!= DecontamEvalSource),
+        docs.filter(col("source") === DecontamEvalSource),
+        "doc_id", "text", DecontamK)
+      .select(col("doc_id"), col("contamination"))
+    val surv = docs.filter(col("source") =!= DecontamEvalSource)
+      .join(clean, Seq("doc_id"))
+      .filter(col("keep"))
+      .join(broadcast(dupDrop), Seq("doc_id"), "left")
+      .filter(col("__dup").isNull)
+      .join(contam, Seq("doc_id"), "left")
+      .filter(coalesce(col("contamination"), lit(0.0)) < DecontamThreshold)
+    val sampled = Sampling.stratifiedHash(surv, "doc_id", "lang",
+      SamplePermille, DefaultPermille)
+    Sampling.shardAssign(sampled, "doc_id", ShardCount)
+      .select(col("doc_id"), col("lang"), col("source"), col("shard"),
+        col("pos"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val oracleQ76: String = {
+    val clusterBody = TextQueries.clusterCtes.stripPrefix("WITH RECURSIVE ")
+    s"""WITH RECURSIVE $clusterBody, $cleanCtes, ${contamCtes("c_")},
+       |dropped AS (
+       |  SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> MIN(b)
+       |), surv AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |    CAST(len(regexp_extract_all(d.text, '\\w+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents d
+       |  JOIN gated g ON g.doc_id = d.doc_id
+       |  LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+       |  LEFT JOIN c_ts ON c_ts.doc_id = d.doc_id
+       |  LEFT JOIN c_ov ON c_ov.doc_id = d.doc_id
+       |  WHERE d.source <> '$DecontamEvalSource'
+       |    AND g.lang_ok AND g.quality_ok AND g.repetition_ok AND g.length_ok
+       |    AND dr.doc_id IS NULL
+       |    AND COALESCE(CAST(c_ov.o AS DOUBLE) / c_ts.n, 0.0)
+       |      < $DecontamThreshold
+       |    AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+       |        AS BIGINT) % 1000 < $samplePermilleCase
+       |), shrd AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |    CAST(h % $ShardCount AS INT) AS shard,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY h % $ShardCount
+       |      ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM (
+       |    SELECT surv.*, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS h
+       |    FROM surv
+       |  )
+       |)
+       |SELECT doc_id, lang, source, shard, pos, n_tokens
+       |FROM shrd ORDER BY doc_id""".stripMargin
+  }
 
   val oracleQ64: String =
     s"""WITH t AS (

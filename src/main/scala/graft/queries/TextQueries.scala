@@ -159,7 +159,7 @@ object TextQueries {
   // of temp disk; materialized it completes in ~30 s. Shared by the q61
   // clustering oracle and the q69 dedup-applied corpus oracle; ends inside
   // the CTE list (after `reach`), ready for more CTEs or a final SELECT.
-  private lazy val clusterCtes: String = {
+  private[queries] lazy val clusterCtes: String = {
     val withRecursive = oracleQ15.replaceFirst("^WITH ", "WITH RECURSIVE ")
     val out = withRecursive.replace(""")
 SELECT c.id1, c.id2,

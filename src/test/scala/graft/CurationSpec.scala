@@ -150,6 +150,34 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Boolean]("keep")))
   }
 
+  // ---------------- training manifest (capstone) ----------------
+
+  test("training manifest agrees with every stage it composes") {
+    import graft.queries.Curation
+    val dir = "/root/testdata/sf0.001"
+    val m = Curation.q76TrainingManifest(spark, dir).collect()
+    assert(m.nonEmpty)
+    val ids = m.map(_.getAs[Long]("doc_id")).toSet
+    // the benchmark source never trains
+    assert(m.forall(_.getAs[String]("source") != Curation.DecontamEvalSource))
+    // survivors are a subset of the sampled, clean, uncontaminated docs
+    val sampled = Curation.q63StratifiedSample(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.subsetOf(sampled))
+    val kept = Curation.q70CorpusClean(spark, dir).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.subsetOf(kept))
+    val contaminated = Curation.q68Decontamination(spark, dir).collect()
+      .filter(_.getAs[Boolean]("contaminated"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(contaminated).isEmpty)
+    // positions are dense 0..n-1 within every shard
+    m.groupBy(_.getAs[Int]("shard")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted
+        .sameElements(rows.indices.map(_.toLong)))
+    }
+  }
+
   // ---------------- shard assignment ----------------
 
   test("shard assign: deterministic, membership append-stable, dense pos") {
