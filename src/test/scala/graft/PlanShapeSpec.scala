@@ -97,7 +97,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // the deliberate broadcast-1-row cross joins (q17 query vector) are
     // BroadcastNestedLoopJoin, not CartesianProduct
     for (name <- Seq("q01_pricing_agg", "q06_asof_join", "q39_multikey_semi",
-        "q44_tracking_error", "q52_salted_agg")) {
+        "q44_tracking_error", "q52_salted_agg", "q76_training_manifest")) {
       assert(!plan(name).contains("CartesianProduct"), name)
     }
   }
