@@ -97,6 +97,7 @@ object SparkEntry {
     "q74_ivf_kmeans" -> (TextQueries.q74IvfKmeans _),
     "q75_chunking" -> (Curation.q75Chunking _),
     "q76_training_manifest" -> (Curation.q76TrainingManifest _),
+    "q77_incremental_dedup" -> (TextQueries.q77IncrementalDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -284,6 +285,7 @@ object SparkEntry {
     "q74_ivf_kmeans" -> TextQueries.oracleQ74,
     "q75_chunking" -> Curation.oracleQ75,
     "q76_training_manifest" -> Curation.oracleQ76,
+    "q77_incremental_dedup" -> TextQueries.oracleQ77,
   )
 
   private val asofOracle: String =

@@ -226,8 +226,11 @@ object Dedup {
     * of `mh(b·rowsPerBand) .. mh(b·rowsPerBand + rowsPerBand - 1)`. Docs
     * sharing any (band, key) bucket become candidate pairs (id1 < id2,
     * distinct). */
-  def minhashCandidates(sig: DataFrame, idCol: String,
-                        rowsPerBand: Int): DataFrame = {
+  /** Banded (id, band, bkey) relation for a signature frame — the LSH
+    * bucket carrier shared by the self-join ([[minhashCandidates]]) and
+    * the cross-corpus join ([[minhashCandidatesCross]]). */
+  private def bandedOf(sig: DataFrame, idCol: String,
+                       rowsPerBand: Int): DataFrame = {
     val n = sig.columns.count(_.startsWith("mh"))
     val nBands = n / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
@@ -235,14 +238,18 @@ object Dedup {
         concat_ws(":", (0 until rowsPerBand).map(p =>
           col(s"mh${b * rowsPerBand + p}")): _*).as("bkey"))
     }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bkey"))
+  }
+
+  def minhashCandidates(sig: DataFrame, idCol: String,
+                        rowsPerBand: Int): DataFrame = {
     // persisted AND eagerly materialized: the bucket self-join reads this
     // relation from both sides concurrently — with a lazy cache the two
     // scans race the unpopulated cache and can each recompute the whole
     // signature pipeline (cache stampede); the count() barrier fills the
     // cache once before the join starts
-    val banded = sig.select(col(idCol),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bkey"))
+    val banded = bandedOf(sig, idCol, rowsPerBand)
       .persist()
     banded.count()
     // the candidate set is materialized into its own (small) cache so the
@@ -257,6 +264,31 @@ object Dedup {
       .persist()
     out.count()
     banded.unpersist()
+    out
+  }
+
+  /** Cross-corpus LSH candidates: (id1 = new, id2 = standing) pairs
+    * sharing a band bucket between TWO signature sets — the
+    * incremental-dedup shape: today's batch is screened against the
+    * standing corpus without re-banding or re-clustering it (at scale the
+    * standing side's banded relation is a bucketed table maintained
+    * incrementally). No id ordering between the sides; each banded
+    * relation has a single consumer, so neither needs the self-join's
+    * stampede cache — only the bounded candidate output is cached (the
+    * caller's to release, as in [[minhashCandidates]]).
+    *
+    * Scale shape: one bucket equi-join; the batch side is small and
+    * broadcasts, the standing side keeps its partitioning. */
+  def minhashCandidatesCross(sigNew: DataFrame, sigOld: DataFrame,
+                             idCol: String, rowsPerBand: Int): DataFrame = {
+    val out = bandedOf(sigNew, idCol, rowsPerBand)
+      .select(col("band"), col("bkey"), col(idCol).as("id1"))
+      .join(bandedOf(sigOld, idCol, rowsPerBand)
+        .select(col("band"), col("bkey"), col(idCol).as("id2")),
+        Seq("band", "bkey"))
+      .select(col("id1"), col("id2")).distinct()
+      .persist()
+    out.count()
     out
   }
 

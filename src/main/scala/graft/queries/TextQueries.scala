@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -369,6 +370,68 @@ GROUP BY d.source ORDER BY d.source"""
        |  END AS cosine_sim
        |FROM assigned a JOIN probes p ON p.cell = a.cell, q
        |ORDER BY cosine_sim DESC, a.vec_id LIMIT 10""".stripMargin
+
+  /** q77's batch split: docs with doc_id % 10 ≥ this are "today's batch",
+    * the rest the standing corpus — deterministic and scale-stable. */
+  val NewBatchMod = 8
+
+  /** Incremental dedup: screen today's batch against the standing corpus
+    * ([[Dedup.minhashCandidatesCross]]) without re-clustering it — the
+    * nightly shape once a corpus exists (q14/q15/q61 build it; this keeps
+    * it clean as new crawls land). Output: each new doc's best standing
+    * match above the Jaccard threshold (ties to the lowest standing id) —
+    * the drop/keep decision an incremental ingest applies. */
+  def q77IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val harrs = Dedup.shingleHashArrays(docs, "doc_id", "text", ShingleK)
+      .persist() // two signature builds + both verify sides; caller-released
+    harrs.count()
+    val isNew = col("doc_id") % 10 >= NewBatchMod
+    val cand = Dedup.minhashCandidatesCross(
+      Dedup.minhashSignaturesFromHashes(harrs.filter(isNew), "doc_id",
+        NumHashes),
+      Dedup.minhashSignaturesFromHashes(harrs.filter(!isNew), "doc_id",
+        NumHashes),
+      "doc_id", RowsPerBand)
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("jaccard").desc, col("id2"))
+    Dedup.jaccardForCandidatesHashes(cand, harrs, "doc_id")
+      .filter(col("jaccard") >= JaccardThreshold)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id1").as("new_doc_id"), col("id2").as("dup_of"),
+        col("jaccard"))
+      .orderBy(col("new_doc_id"))
+  }
+
+  lazy val oracleQ77: String =
+    s"""$minhashCtes, xcand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b USING (band, bkey)
+       |  WHERE a.doc_id % 10 >= $NewBatchMod AND b.doc_id % 10 < $NewBatchMod
+       |), sz AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM hs0 GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS i1, b.doc_id AS i2, COUNT(*) AS i
+       |  FROM hs0 a JOIN hs0 b USING (h60)
+       |  WHERE a.doc_id % 10 >= $NewBatchMod AND b.doc_id % 10 < $NewBatchMod
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jaccard
+       |  FROM xcand c
+       |  JOIN inter ON inter.i1 = c.id1 AND inter.i2 = c.id2
+       |  JOIN sz s1 ON s1.doc_id = c.id1
+       |  JOIN sz s2 ON s2.doc_id = c.id2
+       |  WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= $JaccardThreshold
+       |), top AS (
+       |  SELECT id1, id2, jaccard,
+       |    ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY jaccard DESC, id2)
+       |      AS rn
+       |  FROM jac
+       |)
+       |SELECT id1 AS new_doc_id, id2 AS dup_of, jaccard
+       |FROM top WHERE rn = 1 ORDER BY new_doc_id""".stripMargin
 
   val IvfKmIters = 2
 

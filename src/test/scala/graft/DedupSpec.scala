@@ -119,6 +119,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-corpus candidates pair new docs with standing near-dups only") {
+    import spark.implicits._
+    val standing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (11L, "utterly unrelated manifest of cargo and harbor dues"))
+      .toDF("doc_id", "text")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignaturesFromHashes(
+        Dedup.shingleHashArrays(df, "doc_id", "text", 5), "doc_id", 16)
+    val cand = Dedup.minhashCandidatesCross(sig(batch), sig(standing),
+        "doc_id", 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // id1 is always a batch doc, id2 always standing
+    assert(cand.forall { case (a, b) => a >= 10L && b < 10L })
+    assert(cand.contains((10L, 1L)))
+    assert(!cand.exists(_._1 == 11L))
+  }
+
   test("ngram contamination scores overlap against the eval set") {
     import spark.implicits._
     val evalDocs = Seq(
