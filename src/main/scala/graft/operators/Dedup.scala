@@ -43,6 +43,15 @@ object Dedup {
           s"i -> substring(__norm, i, $k)))").as("sharr"))
   }
 
+  /** The hashed-shingle array as a COLUMN over a normalized-text column —
+    * the expression form of [[shingleHashArrays]] for callers that must
+    * carry extra columns through the projection (streaming keeps its
+    * event-time). Single source of truth for the carrier expression. */
+  def shingleHashCol(normCol: String, k: Int): Column =
+    expr(s"array_distinct(transform(sequence(1, length($normCol) - ${k - 1}), " +
+      s"i -> CAST(conv(substring(md5(CAST(substring($normCol, i, $k) AS BINARY)), " +
+      "1, 15), 16, 10) AS BIGINT)))")
+
   /** Per-doc DISTINCT 60-bit shingle-hash array ([[Text.hash60]] of each
     * k-gram), computed entirely map-side — the scale-preferred carrier for
     * the whole LSH pipeline: signatures fold over it, the verify stage
@@ -58,10 +67,7 @@ object Dedup {
     val norm = Text.normalize(col(textCol))
     docs.select(col(idCol), norm.as("__norm"))
       .filter(length(col("__norm")) >= k)
-      .select(col(idCol),
-        expr(s"array_distinct(transform(sequence(1, length(__norm) - ${k - 1}), " +
-          s"i -> CAST(conv(substring(md5(CAST(substring(__norm, i, $k) AS BINARY)), " +
-          "1, 15), 16, 10) AS BIGINT)))").as("harr"))
+      .select(col(idCol), shingleHashCol("__norm", k).as("harr"))
   }
 
   /** Exploded (id, shingle) rows — already distinct per doc (see
@@ -213,13 +219,21 @@ object Dedup {
     * as the other two formulations: min over h' mod P of the same distinct
     * shingle set (duplicate post-mod values cannot change a min). */
   def minhashSignaturesFromHashes(harrs: DataFrame, idCol: String,
-                                  n: Int): DataFrame = {
+                                  n: Int): DataFrame =
+    minhashSignaturesFromHashes(harrs, idCol, n, Nil)
+
+  /** Variant carrying extra columns through the signature projection
+    * (streaming keeps its event-time and the verify-stage hash array). */
+  def minhashSignaturesFromHashes(harrs: DataFrame, idCol: String,
+                                  n: Int, keep: Seq[String]): DataFrame = {
     val hs = expr(s"transform(harr, x -> x % $P)").as("__hs")
     val mins = (0 until n).map { i =>
       expr(s"array_min(transform(__hs, h -> " +
         s"(${hashParamsA(i)}L * h + ${hashParamsB(i)}L) % $P))").as(s"mh$i")
     }
-    harrs.select(col(idCol), hs).select(col(idCol) +: mins: _*)
+    val keepCols = keep.map(col)
+    harrs.select(col(idCol) +: keepCols :+ hs: _*)
+      .select(col(idCol) +: keepCols ++: mins: _*)
   }
 
   /** LSH banding over wide signatures: band b's key is the ordered concat
@@ -227,10 +241,12 @@ object Dedup {
     * sharing any (band, key) bucket become candidate pairs (id1 < id2,
     * distinct). */
   /** Banded (id, band, bkey) relation for a signature frame — the LSH
-    * bucket carrier shared by the self-join ([[minhashCandidates]]) and
-    * the cross-corpus join ([[minhashCandidatesCross]]). */
-  private def bandedOf(sig: DataFrame, idCol: String,
-                       rowsPerBand: Int): DataFrame = {
+    * bucket carrier shared by the self-join ([[minhashCandidates]]), the
+    * cross-corpus join ([[minhashCandidatesCross]]) and the streaming
+    * screen. `keep` carries extra columns through the explode
+    * (streaming's event-time + verify array). */
+  def bandedSignatures(sig: DataFrame, idCol: String, rowsPerBand: Int,
+                       keep: Seq[String] = Nil): DataFrame = {
     val n = sig.columns.count(_.startsWith("mh"))
     val nBands = n / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
@@ -238,8 +254,11 @@ object Dedup {
         concat_ws(":", (0 until rowsPerBand).map(p =>
           col(s"mh${b * rowsPerBand + p}")): _*).as("bkey"))
     }
-    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bkey"))
+    val keepCols = keep.map(col)
+    sig.select(col(idCol) +: keepCols :+
+        explode(array(bandStructs: _*)).as("bb"): _*)
+      .select(col(idCol) +: keepCols ++:
+        Seq(col("bb.band"), col("bb.bkey")): _*)
   }
 
   def minhashCandidates(sig: DataFrame, idCol: String,
@@ -249,7 +268,7 @@ object Dedup {
     // scans race the unpopulated cache and can each recompute the whole
     // signature pipeline (cache stampede); the count() barrier fills the
     // cache once before the join starts
-    val banded = bandedOf(sig, idCol, rowsPerBand)
+    val banded = bandedSignatures(sig, idCol, rowsPerBand)
       .persist()
     banded.count()
     // the candidate set is materialized into its own (small) cache so the
@@ -281,9 +300,9 @@ object Dedup {
     * broadcasts, the standing side keeps its partitioning. */
   def minhashCandidatesCross(sigNew: DataFrame, sigOld: DataFrame,
                              idCol: String, rowsPerBand: Int): DataFrame = {
-    val out = bandedOf(sigNew, idCol, rowsPerBand)
+    val out = bandedSignatures(sigNew, idCol, rowsPerBand)
       .select(col("band"), col("bkey"), col(idCol).as("id1"))
-      .join(bandedOf(sigOld, idCol, rowsPerBand)
+      .join(bandedSignatures(sigOld, idCol, rowsPerBand)
         .select(col("band"), col("bkey"), col(idCol).as("id2")),
         Seq("band", "bkey"))
       .select(col("id1"), col("id2")).distinct()

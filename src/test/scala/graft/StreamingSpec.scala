@@ -89,6 +89,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq((2L, 15.0), (1L, 7.0)))
   }
 
+  test("streaming near-dup screen flags arrivals against the standing corpus") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamNearDedup
+    import graft.streaming.StreamNearDedup.Doc
+
+    val standing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines"))
+      .toDF("doc_id", "text")
+
+    val stream = MemoryStream[Doc]
+    val q = StreamNearDedup.screen(stream.toDS(), standing, k = 5,
+        nHashes = 16, rowsPerBand = 2, minJaccard = 0.3,
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sneardup")
+      .outputMode("append").start()
+    val arrivals = Seq(
+      Doc(ts("2024-01-01 10:00:00"), 10,
+        "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      Doc(ts("2024-01-01 10:01:00"), 11,
+        "utterly unrelated manifest of cargo and harbor dues"))
+    stream.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sneardup").collect()
+      .map(r => (r.getAs[Long]("docId"), r.getAs[Long]("dup_of"))).toSet
+    assert(got.contains((10L, 1L)))
+    assert(!got.exists(_._1 == 11L))
+    // each (doc, match) pair is emitted once despite multi-band hits
+    assert(spark.table("sneardup").count() ==
+      spark.table("sneardup").dropDuplicates("docId", "dup_of").count())
+
+    // stream ≡ batch: the same operator over a static Dataset agrees
+    val batch = StreamNearDedup.screen(arrivals.toDS(), standing, k = 5,
+        nHashes = 16, rowsPerBand = 2, minJaccard = 0.3,
+        lateness = "10 minutes")
+      .select("docId", "dup_of").as[(Long, Long)].collect().toSet
+    assert(batch == got)
+  }
+
   test("streaming fingerprint dedup keeps first occurrence within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
