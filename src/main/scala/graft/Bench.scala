@@ -37,8 +37,14 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop intra-query persists so no rep is timed against another's
-        // leftover cache (or its memory pressure)
+        // leftover cache (or its memory pressure). clearCache() only drops
+        // SQL-catalog caches; localCheckpoint() blocks live as persistent
+        // RDDs in the BlockManager and must be released explicitly — round
+        // 5 proved they accumulate across the 77-query session and inflate
+        // late-query medians up to ~6.5x (q76 93.7s reported vs 14.0s on a
+        // fresh JVM).
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         dt
       }.sorted
       name -> (times(times.length / 2), times.head)

@@ -417,7 +417,9 @@ object Dedup {
     * shuffle, and the per-doc counts relation (bounded by the training
     * docs that share ≥1 k-gram) broadcasts back onto the map-side
     * n_ngrams projection. No shuffle ever touches the full training
-    * corpus. Documents shorter than k score (0, 0, 0.0).
+    * corpus. Documents shorter than k produce NO output row (they have no
+    * k-gram); callers must left-join and decide what absence means —
+    * q76 treats it as contamination 0 via left join + coalesce.
     *
     * Returns (idCol, n_ngrams, overlap_ngrams, contamination) — one row
     * per training document that produced at least one k-gram. */

@@ -32,6 +32,19 @@ object Sampling {
     * Scale shape: one broadcast hash join + a codegen'd filter — zero
     * shuffles, and the filter sits directly over the scan so column
     * pruning and partition pruning pass straight through. */
+  def stratifiedHash(df: DataFrame, idCol: String, stratCol: String,
+                     permille: Map[String, Int],
+                     defaultPermille: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = permille.toSeq.toDF(stratCol, "__permille")
+    df.join(broadcast(rates), Seq(stratCol), "left")
+      .withColumn("__permille",
+        coalesce(col("__permille"), lit(defaultPermille)))
+      .filter(hashBucketPermille(col(idCol)) < col("__permille"))
+      .drop("__permille")
+  }
+
   /** Deterministic shard assignment + within-shard ordering for writing
     * training shards: shard = hash60(id) % nShards, pos = dense 0-based
     * rank within the shard ordered by (hash, id). Together these are a
@@ -55,18 +68,5 @@ object Sampling {
         Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol)))
         - 1).cast("long"))
       .drop("__h")
-  }
-
-  def stratifiedHash(df: DataFrame, idCol: String, stratCol: String,
-                     permille: Map[String, Int],
-                     defaultPermille: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val rates = permille.toSeq.toDF(stratCol, "__permille")
-    df.join(broadcast(rates), Seq(stratCol), "left")
-      .withColumn("__permille",
-        coalesce(col("__permille"), lit(defaultPermille)))
-      .filter(hashBucketPermille(col(idCol)) < col("__permille"))
-      .drop("__permille")
   }
 }

@@ -227,17 +227,17 @@ object Curation {
        |  SELECT doc_id, source,
        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents
-       |), ${p}ev AS (
+       |), ${TextQueries.capGuardCte(s"${p}capg", s"${p}norm")}, ${p}ev AS (
        |  SELECT DISTINCT CAST(('0x' || substr(md5(substr(t, CAST(i AS INT),
        |    $DecontamK)), 1, 15)) AS BIGINT) AS h
-       |  FROM ${p}norm, range(1, 100000) r(i)
-       |  WHERE source = '$DecontamEvalSource'
+       |  FROM ${p}norm, range(1, ${TextQueries.OraclePosCap}) r(i), ${p}capg
+       |  WHERE ${p}capg.ok = 1 AND source = '$DecontamEvalSource'
        |    AND len(t) >= $DecontamK AND i <= len(t) - ${DecontamK - 1}
        |), ${p}trh AS (
        |  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(substr(t,
        |    CAST(i AS INT), $DecontamK)), 1, 15)) AS BIGINT) AS h
-       |  FROM ${p}norm, range(1, 100000) r(i)
-       |  WHERE source <> '$DecontamEvalSource'
+       |  FROM ${p}norm, range(1, ${TextQueries.OraclePosCap}) r(i), ${p}capg
+       |  WHERE ${p}capg.ok = 1 AND source <> '$DecontamEvalSource'
        |    AND len(t) >= $DecontamK AND i <= len(t) - ${DecontamK - 1}
        |), ${p}ts AS (
        |  SELECT doc_id, COUNT(*) AS n FROM ${p}trh GROUP BY doc_id
@@ -503,10 +503,11 @@ object Curation {
        |  SELECT doc_id,
        |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents
-       |), st AS (
+       |), ${TextQueries.capGuardCte("capg", "norm")}, st AS (
        |  SELECT doc_id, t, CAST(i AS BIGINT) AS start
-       |  FROM norm, range(1, 100000) r(i)
-       |  WHERE i <= greatest(len(t) - ${ChunkSize - ChunkStride}, 1)
+       |  FROM norm, range(1, ${TextQueries.OraclePosCap}) r(i), capg
+       |  WHERE capg.ok = 1
+       |    AND i <= greatest(len(t) - ${ChunkSize - ChunkStride}, 1)
        |    AND (i - 1) % $ChunkStride = 0
        |)
        |SELECT doc_id,

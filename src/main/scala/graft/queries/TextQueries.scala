@@ -693,6 +693,22 @@ GROUP BY d.source ORDER BY d.source"""
        |  FROM documents
        |) t ORDER BY doc_id""".stripMargin
 
+  /** Oracle position-generator cap: start positions are enumerated with
+    * `range(1, OraclePosCap)` because DuckDB 1.0's `range` only accepts
+    * CONSTANT bounds (no lateral column refs, no scalar subqueries) — a
+    * per-doc `range(1, len(t))` does not bind. [[capGuardCte]] makes the
+    * cap fail LOUDLY: if any normalized document reaches it, the oracle
+    * errors instead of silently dropping positions past the cap (which
+    * would surface as an inscrutable hash mismatch at a larger SF). */
+  private[queries] val OraclePosCap = 100000
+  private[queries] def capGuardCte(name: String, normRel: String): String =
+    s"""$name AS (
+       |  SELECT CASE WHEN max(len(t)) >= $OraclePosCap THEN error(
+       |    'oracle position cap $OraclePosCap exceeded - raise OraclePosCap')
+       |    ELSE 1 END AS ok
+       |  FROM $normRel
+       |)""".stripMargin
+
   /** Shared CTE prefix: shingles → 60-bit hashes (the dedup carrier,
     * mirroring shingleHashArrays: DISTINCT on the hash, not the string) →
     * minhash signatures → bands. */
@@ -700,10 +716,10 @@ GROUP BY d.source ORDER BY d.source"""
     s"""WITH norm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents
-       |), sh AS (
+       |), ${capGuardCte("capg", "norm")}, sh AS (
        |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $ShingleK) AS shingle
-       |  FROM norm, range(1, 100000) r(i)
-       |  WHERE len(t) >= $ShingleK AND i <= len(t) - ${ShingleK - 1}
+       |  FROM norm, range(1, $OraclePosCap) r(i), capg
+       |  WHERE capg.ok = 1 AND len(t) >= $ShingleK AND i <= len(t) - ${ShingleK - 1}
        |), hs0 AS (
        |  SELECT DISTINCT doc_id,
        |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h60
