@@ -98,6 +98,7 @@ object SparkEntry {
     "q75_chunking" -> (Curation.q75Chunking _),
     "q76_training_manifest" -> (Curation.q76TrainingManifest _),
     "q77_incremental_dedup" -> (TextQueries.q77IncrementalDedup _),
+    "q78_media_decode" -> (Advanced.q78MediaDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -286,6 +287,7 @@ object SparkEntry {
     "q75_chunking" -> Curation.oracleQ75,
     "q76_training_manifest" -> Curation.oracleQ76,
     "q77_incremental_dedup" -> TextQueries.oracleQ77,
+    "q78_media_decode" -> Advanced.oracleQ78,
   )
 
   private val asofOracle: String =

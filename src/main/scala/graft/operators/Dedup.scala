@@ -146,33 +146,28 @@ object Dedup {
     * [[shingleArrays]] the sizes are a map-side `size(sharr)`, removing the
     * count shuffle.
     *
-    * Cache lifecycle: `cand0` is persisted while the (candidate-sized)
-    * result is materialized — it feeds both the intersection join and the
-    * output join — and unpersisted before return, so no intermediate cache
-    * outlives the call. The returned cached result is the caller's to
-    * release once consumed, as Verify and Bench do (`clearCache()` between
-    * gate queries). Same contract as [[minhashCandidates]]. */
+    * Cache lifecycle: `cand0` is scoped-materialized while the
+    * (candidate-sized) result is computed — it feeds both the intersection
+    * join and the output join — and the result returns as an eager
+    * `localCheckpoint`, so no cache outlives the call and nothing is the
+    * caller's to release. Same contract as [[minhashCandidates]]. */
   def jaccardForCandidates(cand0: DataFrame, sh: DataFrame,
-                           sizes: DataFrame, idCol: String): DataFrame = {
-    val cand = cand0.persist() // referenced twice (intersection + output)
-    cand.count() // eager fill — see the stampede note in minhashCandidates
-    val s1 = sh.select(col(idCol).as("id1"), col("shingle"))
-    val s2 = sh.select(col(idCol).as("id2"), col("shingle"))
-    val inter = cand.join(s1, Seq("id1"))
-      .join(s2, Seq("id2", "shingle"), "left_semi")
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    val out = cand.join(inter, Seq("id1", "id2"), "left")
-      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
-      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter")))
-      .persist()
-    out.count()
-    cand.unpersist()
-    out
-  }
+                           sizes: DataFrame, idCol: String): DataFrame =
+    Materialize.withMaterialized(cand0) { cand =>
+      val s1 = sh.select(col(idCol).as("id1"), col("shingle"))
+      val s2 = sh.select(col(idCol).as("id2"), col("shingle"))
+      val inter = cand.join(s1, Seq("id1"))
+        .join(s2, Seq("id2", "shingle"), "left_semi")
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      cand.join(inter, Seq("id1", "id2"), "left")
+        .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
+        .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz1") + col("sz2") - col("inter")))
+        .localCheckpoint()
+    }
 
   /** MinHash signatures, wide form: one row per doc with columns
     * `mh0..mh{n-1}` = min over the doc's shingle hashes of (a_i·h'+b_i)
@@ -262,29 +257,20 @@ object Dedup {
   }
 
   def minhashCandidates(sig: DataFrame, idCol: String,
-                        rowsPerBand: Int): DataFrame = {
-    // persisted AND eagerly materialized: the bucket self-join reads this
-    // relation from both sides concurrently — with a lazy cache the two
-    // scans race the unpopulated cache and can each recompute the whole
-    // signature pipeline (cache stampede); the count() barrier fills the
-    // cache once before the join starts
-    val banded = bandedSignatures(sig, idCol, rowsPerBand)
-      .persist()
-    banded.count()
-    // the candidate set is materialized into its own (small) cache so the
-    // banded relation can be unpersisted HERE — no intermediate cache
-    // outlives the call; the returned cached result is the caller's to
-    // release (clearCache/unpersist) once consumed
-    val out = banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
-      .join(banded.select(col("band"), col("bkey"), col(idCol).as("id2")),
-        Seq("band", "bkey"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-      .persist()
-    out.count()
-    banded.unpersist()
-    out
-  }
+                        rowsPerBand: Int): DataFrame =
+    // scoped-materialized: the bucket self-join reads the banded relation
+    // from both sides concurrently (stampede guard — see Materialize);
+    // the candidate-sized result leaves the scope as an eager
+    // localCheckpoint, so no cache outlives the call
+    Materialize.withMaterialized(
+        bandedSignatures(sig, idCol, rowsPerBand)) { banded =>
+      banded.select(col("band"), col("bkey"), col(idCol).as("id1"))
+        .join(banded.select(col("band"), col("bkey"), col(idCol).as("id2")),
+          Seq("band", "bkey"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+        .localCheckpoint()
+    }
 
   /** Cross-corpus LSH candidates: (id1 = new, id2 = standing) pairs
     * sharing a band bucket between TWO signature sets — the
@@ -293,23 +279,20 @@ object Dedup {
     * standing side's banded relation is a bucketed table maintained
     * incrementally). No id ordering between the sides; each banded
     * relation has a single consumer, so neither needs the self-join's
-    * stampede cache — only the bounded candidate output is cached (the
-    * caller's to release, as in [[minhashCandidates]]).
+    * stampede cache — only the bounded candidate output is materialized
+    * (eager localCheckpoint, nothing for the caller to release).
     *
     * Scale shape: one bucket equi-join; the batch side is small and
     * broadcasts, the standing side keeps its partitioning. */
   def minhashCandidatesCross(sigNew: DataFrame, sigOld: DataFrame,
-                             idCol: String, rowsPerBand: Int): DataFrame = {
-    val out = bandedSignatures(sigNew, idCol, rowsPerBand)
+                             idCol: String, rowsPerBand: Int): DataFrame =
+    bandedSignatures(sigNew, idCol, rowsPerBand)
       .select(col("band"), col("bkey"), col(idCol).as("id1"))
       .join(bandedSignatures(sigOld, idCol, rowsPerBand)
         .select(col("band"), col("bkey"), col(idCol).as("id2")),
         Seq("band", "bkey"))
       .select(col("id1"), col("id2")).distinct()
-      .persist()
-    out.count()
-    out
-  }
+      .localCheckpoint()
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     * — the MOSS algorithm): over the ORDERED k-gram hash sequence, slide a
@@ -363,40 +346,35 @@ object Dedup {
     * shuffle), every bucket is ≤ maxDf rows, and the aggregation shuffles
     * only (id1, id2) pairs — the same envelope as the LSH banding join.
     *
-    * Cache lifecycle: `fps0` is persisted while the pair-sized result is
-    * materialized (it feeds the explode and both size joins) and
-    * unpersisted before return; the returned cached result is the caller's
+    * Cache lifecycle: `fps0` and the df-filtered exploded relation are
+    * scoped-materialized (the former feeds the explode and both size
+    * joins; the latter both sides of the pair self-join); the pair-sized
+    * result leaves as an eager localCheckpoint — nothing for the caller
     * to release. Same contract as [[minhashCandidates]]. */
   def containmentPairs(fps0: DataFrame, idCol: String, maxDf: Int,
                        minContainment: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fps = fps0.persist()
-    fps.count() // eager fill — see the stampede note in minhashCandidates
-    // persisted: read from both sides of the self-join below (same
-    // stampede/recompute reasoning as the banded relation)
-    val kept = fps.select(col(idCol), explode(col("fp")).as("__v"))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__v"))))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
-      .persist()
-    kept.count()
-    val pairs = kept.select(col(idCol).as("id1"), col("__v"))
-      .join(kept.select(col(idCol).as("id2"), col("__v")), Seq("__v"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("shared_fp"))
-    val sz = fps.select(col(idCol), size(col("fp")).cast("long").as("__n"))
-    val out = pairs
-      .join(sz.select(col(idCol).as("id1"), col("__n").as("__n1")), Seq("id1"))
-      .join(sz.select(col(idCol).as("id2"), col("__n").as("__n2")), Seq("id2"))
-      .withColumn("containment",
-        col("shared_fp").cast("double") / least(col("__n1"), col("__n2")))
-      .filter(col("containment") >= minContainment)
-      .drop("__n1", "__n2")
-      .persist()
-    out.count()
-    kept.unpersist()
-    fps.unpersist()
-    out
+    Materialize.withMaterialized(fps0) { fps =>
+      val kept0 = fps.select(col(idCol), explode(col("fp")).as("__v"))
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__v"))))
+        .filter(col("__df") <= maxDf)
+        .drop("__df")
+      Materialize.withMaterialized(kept0) { kept =>
+        val pairs = kept.select(col(idCol).as("id1"), col("__v"))
+          .join(kept.select(col(idCol).as("id2"), col("__v")), Seq("__v"))
+          .filter(col("id1") < col("id2"))
+          .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("shared_fp"))
+        val sz = fps.select(col(idCol), size(col("fp")).cast("long").as("__n"))
+        pairs
+          .join(sz.select(col(idCol).as("id1"), col("__n").as("__n1")), Seq("id1"))
+          .join(sz.select(col(idCol).as("id2"), col("__n").as("__n2")), Seq("id2"))
+          .withColumn("containment",
+            col("shared_fp").cast("double") / least(col("__n1"), col("__n2")))
+          .filter(col("containment") >= minContainment)
+          .drop("__n1", "__n2")
+          .localCheckpoint()
+      }
+    }
   }
 
   /** Benchmark decontamination by character n-gram overlap: score every
@@ -424,34 +402,36 @@ object Dedup {
     * Returns (idCol, n_ngrams, overlap_ngrams, contamination) — one row
     * per training document that produced at least one k-gram. */
   def ngramContamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
-                         textCol: String, k: Int): DataFrame = {
-    val th = shingleHashArrays(train, idCol, textCol, k).persist()
-    th.count() // two consumers below; eager fill, see minhashCandidates
-    // materialize BEFORE exploding: explode over an unmaterialized
-    // transform(...) array re-evaluates the hashing expression per OUTPUT
-    // row — O(shingles²) md5 calls per doc (measured 18 s for 250 eval
-    // docs at sf0.1 vs 0.2 s materialized). Same rule as the persisted
-    // carriers in minhashCandidates/containmentPairs.
-    val eh = shingleHashArrays(evalDocs, idCol, textCol, k).persist()
-    eh.count()
-    val evalHashes = eh
-      .select(explode(col("harr")).as("__h")).distinct()
-    val overlap = th.select(col(idCol), explode(col("harr")).as("__h"))
-      .join(broadcast(evalHashes), Seq("__h"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__overlap"))
-    val out = th
-      .select(col(idCol), size(col("harr")).cast("long").as("n_ngrams"))
-      .join(broadcast(overlap), Seq(idCol), "left")
-      .select(col(idCol), col("n_ngrams"),
-        coalesce(col("__overlap"), lit(0L)).as("overlap_ngrams"))
-      .withColumn("contamination",
-        col("overlap_ngrams").cast("double") / col("n_ngrams"))
-      .localCheckpoint()
-    th.unpersist()
-    eh.unpersist()
-    out
-  }
+                         textCol: String, k: Int): DataFrame =
+    ngramContaminationFromHashes(
+      shingleHashArrays(train, idCol, textCol, k),
+      shingleHashArrays(evalDocs, idCol, textCol, k), idCol)
+
+  /** [[ngramContamination]] over PREBUILT (idCol, harr) k-gram-hash frames
+    * — the composition entry point: q76 derives both sides from its one
+    * persisted normalized-text carrier, so the normalize+md5 pass is not
+    * repeated per stage. Both frames are scoped-materialized here
+    * (explode over an unmaterialized transform(...) array re-evaluates
+    * the hashing expression per OUTPUT row — O(shingles²) md5 calls per
+    * doc, measured 18 s vs 0.2 s at sf0.1); the per-doc result leaves as
+    * an eager localCheckpoint. */
+  def ngramContaminationFromHashes(th0: DataFrame, eh0: DataFrame,
+                                   idCol: String): DataFrame =
+    Materialize.withMaterialized2(th0, eh0) { (th, eh) =>
+      val evalHashes = eh
+        .select(explode(col("harr")).as("__h")).distinct()
+      val overlap = th.select(col(idCol), explode(col("harr")).as("__h"))
+        .join(broadcast(evalHashes), Seq("__h"), "left_semi")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("__overlap"))
+      th.select(col(idCol), size(col("harr")).cast("long").as("n_ngrams"))
+        .join(broadcast(overlap), Seq(idCol), "left")
+        .select(col(idCol), col("n_ngrams"),
+          coalesce(col("__overlap"), lit(0L)).as("overlap_ngrams"))
+        .withColumn("contamination",
+          col("overlap_ngrams").cast("double") / col("n_ngrams"))
+        .localCheckpoint()
+    }
 
   /** Connected components over a (small-degree) near-dup edge set by
     * min-label propagation: every vertex repeatedly adopts the smallest
@@ -481,35 +461,36 @@ object Dedup {
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val edges = edges0.select(col("id1").cast("long").as("id1"),
       col("id2").cast("long").as("id2")).localCheckpoint()
-    val bedges = edges.select(col("id1").as("src"), col("id2").as("dst"))
+    val bedges0 = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .persist()
-    bedges.count()
-    var labels = bedges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 64) {
-      val nbrMin = bedges
-        .join(labels.select(col("id").as("src"), col("lbl").as("__sl")),
-          Seq("src"))
-        .groupBy(col("dst")).agg(min(col("__sl")).as("__nm"))
-      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
-        .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("__nm"), col("lbl"))).as("__lbl2"))
-        .localCheckpoint()
-      changed = next.filter(col("__lbl2") =!= col("lbl")).count()
-      labels = next.select(col("id"), col("__lbl2").as("lbl"))
-      rounds += 1
+    Materialize.withMaterialized(bedges0) { bedges =>
+      var labels = bedges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 64) {
+        val nbrMin = bedges
+          .join(labels.select(col("id").as("src"), col("lbl").as("__sl")),
+            Seq("src"))
+          .groupBy(col("dst")).agg(min(col("__sl")).as("__nm"))
+        val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+          .select(col("id"), col("lbl"),
+            least(col("lbl"), coalesce(col("__nm"), col("lbl"))).as("__lbl2"))
+          .localCheckpoint()
+        changed = next.filter(col("__lbl2") =!= col("lbl")).count()
+        labels = next.select(col("id"), col("__lbl2").as("lbl"))
+        rounds += 1
+      }
+      // fail loudly rather than return non-converged (wrong) cluster labels
+      // on a pathological high-diameter graph; the large-star/small-star
+      // O(log n)-round algorithm (Kiveris et al., SoCC'14) is the upgrade
+      // path if such inputs ever become legitimate
+      require(changed == 0,
+        s"connectedComponents did not converge within $rounds rounds")
+      // labels is a localCheckpoint from the final round — it no longer
+      // references bedges, so it safely outlives the scope
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
     }
-    // fail loudly rather than return non-converged (wrong) cluster labels
-    // on a pathological high-diameter graph; the large-star/small-star
-    // O(log n)-round algorithm (Kiveris et al., SoCC'14) is the upgrade
-    // path if such inputs ever become legitimate
-    require(changed == 0,
-      s"connectedComponents did not converge within $rounds rounds")
-    bedges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
   /** SimHash Hamming near-dup pairs (Manku/Jain/Sarma, "Detecting
@@ -522,10 +503,9 @@ object Dedup {
     * shuffles are the band join and the candidate distinct, and the
     * verify is one codegen'd projection over candidate rows.
     *
-    * Cache lifecycle: the banded relation is persisted across the two
-    * sides of the self-join and released once the candidate-sized result
-    * is materialized; the returned cached result is the caller's to
-    * release. Same contract as [[minhashCandidates]]. */
+    * Cache lifecycle: the banded relation is scoped-materialized across
+    * the two sides of the self-join; the candidate-sized result leaves as
+    * an eager localCheckpoint. Same contract as [[minhashCandidates]]. */
   def simhashNearDupPairs(sh: DataFrame, idCol: String, hashCol: String,
                           nBands: Int, bandBits: Int,
                           maxHamming: Int): DataFrame = {
@@ -537,26 +517,23 @@ object Dedup {
         shiftright(col(hashCol), bandBits * b).bitwiseAND(lit(mask))
           .as("bkey"))
     }
-    val banded = sh.select(col(idCol), col(hashCol),
+    val banded0 = sh.select(col(idCol), col(hashCol),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col(hashCol).as("__s"),
         col("bb.b").as("b"), col("bb.bkey").as("bkey"))
-      .persist()
-    banded.count() // eager fill — stampede guard (see minhashCandidates)
-    val out = banded
-      .select(col("b"), col("bkey"), col(idCol).as("id1"), col("__s").as("__s1"))
-      .join(banded.select(col("b"), col("bkey"), col(idCol).as("id2"),
-          col("__s").as("__s2")),
-        Seq("b", "bkey"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("__s1"), col("__s2")).distinct()
-      .withColumn("hamming", expr("bit_count(__s1 ^ __s2)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
-      .persist()
-    out.count()
-    banded.unpersist()
-    out
+    Materialize.withMaterialized(banded0) { banded =>
+      banded
+        .select(col("b"), col("bkey"), col(idCol).as("id1"), col("__s").as("__s1"))
+        .join(banded.select(col("b"), col("bkey"), col(idCol).as("id2"),
+            col("__s").as("__s2")),
+          Seq("b", "bkey"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("__s1"), col("__s2")).distinct()
+        .withColumn("hamming", expr("bit_count(__s1 ^ __s2)").cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id1"), col("id2"), col("hamming"))
+        .localCheckpoint()
+    }
   }
 
   /** SimHash (64-bit, packed as 8 byte-planes of the md5-derived hash):

@@ -73,56 +73,23 @@ object Similarity {
                         dims: Int, nPlanes: Int): DataFrame =
     emb.withColumn("bucket", bucketExpr(asDouble(col(vecCol)), dims, nPlanes))
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus;
-    * probe only the `nProbe` cells nearest the query. The standard
-    * scale path beyond hyperplane LSH — centroids broadcast, one
-    * partition-pruned scan per query batch.
-    *
-    * @return (assignments with `cell`, centroids) — pass both to
-    *         [[ivfTopK]] so the (expensive) training is reusable. */
-  def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
-               nCells: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.feature.{VectorAssembler => _}
-    import org.apache.spark.ml.linalg.Vectors
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val vecs = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val mlReady = vecs.map { r =>
-      (r.getAs[Long](0), Vectors.dense(r.getSeq[Double](1).toArray))
-    }.toDF(idCol, "features")
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cell")
-    val model = km.fit(mlReady)
-    val assigned = model.transform(mlReady)
-      .select(col(idCol), col("cell"))
-      .join(vecs, Seq(idCol))
-    (assigned, model.clusterCenters.map(_.toArray))
-  }
-
-  /** Probe the nProbe nearest cells and rank exactly within them. */
-  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
-              idCol: String, query: Seq[Double], nProbe: Int,
-              k: Int): DataFrame = {
-    def dist2(c: Array[Double]): Double =
-      c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
-    val probeCells = centroids.zipWithIndex
-      .sortBy { case (c, _) => dist2(c) }
-      .take(nProbe).map(_._2)
-    val q = array(query.map(lit): _*)
-    assigned.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
-      .select(col(idCol), cosineSim(col("v"), q).as("cosine_sim"))
-      .orderBy(col("cosine_sim").desc, col(idCol))
-      .limit(k)
-  }
+  // NOTE: an MLlib-KMeans IVF variant (ivfTrain/ivfTopK) lived here through
+  // round 5, spec-gated only — MLlib's k-means|| init and FP reduction
+  // order cannot be replayed in an external oracle. It is SUPERSEDED by
+  // [[ivfKmeansGated]], which runs real Lloyd training over a
+  // scaled-integer carrier so the identical training replays bit-for-bit
+  // in DuckDB (gate row q74), and was deleted so no spec-only ANN variant
+  // remains. If MLlib's optimized k-means ever matters operationally, its
+  // model can feed [[ivfTopK]]-shaped search unchanged — the search
+  // semantics are exactly the probe/assign steps of [[ivfKmeansGated]].
 
   /** IVF with a deterministic coarse quantizer: the `nCells` lowest-id
     * vectors seed the cells (k-means iteration zero). Same search semantics
-    * as [[ivfTopK]] — assign each vector to its nearest cell, probe the
-    * `nProbe` cells nearest the query, rank exactly within the probed
-    * cells — but every step is replayable in plain SQL, so this variant is
-    * oracle-gated (q57); the k-means quantizer ([[ivfTrain]]) is the
-    * recall-tuned variant, spec-gated by AnnSpec. Assignment ranks by
+    * as [[ivfKmeansGated]]'s final stage — assign each vector to its
+    * nearest cell, probe the `nProbe` cells nearest the query, rank
+    * exactly within the probed cells — and every step is replayable in
+    * plain SQL, so this variant is oracle-gated (q57); the trained
+    * quantizer ([[ivfKmeansGated]]) is gated as q74. Assignment ranks by
     * ‖c‖² − 2·v·c (≡ argmin ‖v−c‖²; the constant ‖v‖² drops out) using the
     * same ascending-index fold as the SQL `list_dot_product`, ties to the
     * lowest cell. Centroids/probes broadcast; the per-vector argmin is one
@@ -159,8 +126,9 @@ object Similarity {
     * iterations from the deterministic lowest-id seeds, then the standard
     * IVF search (assign under the trained centroids, probe the nProbe
     * nearest cells, exact cosine within). Bridges [[ivfDeterministic]]
-    * (0 iterations, oracle-gated) and [[ivfTrain]] (MLlib k-means,
-    * spec-gated): real k-means training, yet every step replays in SQL.
+    * (0 iterations, oracle-gated) and an opaque MLlib k-means (whose init
+    * and FP reduction order no oracle can replay — see the supersession
+    * note above): real k-means training, yet every step replays in SQL.
     *
     * Determinism across engines, the part k-means usually denies you:
     * input components are quantized ONCE to integer-valued doubles
@@ -181,51 +149,50 @@ object Similarity {
   def ivfKmeansGated(emb: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, nCells: Int, iters: Int, nProbe: Int,
                      k: Int): DataFrame = {
-    val vecs = emb.select(col(idCol), asDouble(col(vecCol)).as("vd"))
+    val vecs0 = emb.select(col(idCol), asDouble(col(vecCol)).as("vd"))
       .withColumn("v",
         expr("transform(vd, x -> CAST(floor(x * 1e6 + 0.5) AS DOUBLE))"))
-      .persist()
-    vecs.count() // consumed per iteration + search; eager fill
-    val corpus = vecs.filter(col(idCol) =!= queryId)
-    def score(v: Column): Column =
-      dotProduct(col("cv"), col("cv")) - lit(2.0) * dotProduct(v, col("cv"))
-    val wMin = Window.partitionBy(col(idCol))
-      .orderBy(col("__score"), col("cell"))
-    def assign(cents: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(cents))
-        .withColumn("__score", score(col("v")))
-        .withColumn("__rn", row_number().over(wMin))
-        .filter(col("__rn") === 1)
-    var cents = vecs.filter(col(idCol) < nCells)
-      .select(col(idCol).cast("int").as("cell"), col("v").as("cv"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val upd = assign(cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("x")) / count(lit(1))).as("m"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
-          "s -> s.m)").as("cvNew"))
-      cents = cents.join(upd, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("cvNew"), col("cv")).as("cv"))
-        .localCheckpoint() // truncate the per-iteration lineage
+    // consumed per iteration + search — scoped-materialized
+    Materialize.withMaterialized(vecs0) { vecs =>
+      val corpus = vecs.filter(col(idCol) =!= queryId)
+      def score(v: Column): Column =
+        dotProduct(col("cv"), col("cv")) - lit(2.0) * dotProduct(v, col("cv"))
+      val wMin = Window.partitionBy(col(idCol))
+        .orderBy(col("__score"), col("cell"))
+      def assign(cents: DataFrame): DataFrame =
+        corpus.crossJoin(broadcast(cents))
+          .withColumn("__score", score(col("v")))
+          .withColumn("__rn", row_number().over(wMin))
+          .filter(col("__rn") === 1)
+      var cents = vecs.filter(col(idCol) < nCells)
+        .select(col(idCol).cast("int").as("cell"), col("v").as("cv"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val upd = assign(cents)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("x")) / count(lit(1))).as("m"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+            "s -> s.m)").as("cvNew"))
+        cents = cents.join(upd, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("cvNew"), col("cv")).as("cv"))
+          .localCheckpoint() // truncate the per-iteration lineage
+      }
+      val qRow = vecs.filter(col(idCol) === queryId)
+        .select(col("v").as("qv"), col("vd").as("qvd"))
+      val probes = cents.crossJoin(broadcast(qRow))
+        .withColumn("__score", score(col("qv")))
+        .orderBy(col("__score"), col("cell")).limit(nProbe)
+        .select(col("cell"))
+      assign(cents)
+        .join(broadcast(probes), Seq("cell"))
+        .crossJoin(broadcast(qRow))
+        .select(col(idCol), cosineSim(col("vd"), col("qvd")).as("cosine_sim"))
+        .orderBy(col("cosine_sim").desc, col(idCol))
+        .limit(k)
+        .localCheckpoint()
     }
-    val qRow = vecs.filter(col(idCol) === queryId)
-      .select(col("v").as("qv"), col("vd").as("qvd"))
-    val probes = cents.crossJoin(broadcast(qRow))
-      .withColumn("__score", score(col("qv")))
-      .orderBy(col("__score"), col("cell")).limit(nProbe)
-      .select(col("cell"))
-    val out = assign(cents)
-      .join(broadcast(probes), Seq("cell"))
-      .crossJoin(broadcast(qRow))
-      .select(col(idCol), cosineSim(col("vd"), col("qvd")).as("cosine_sim"))
-      .orderBy(col("cosine_sim").desc, col(idCol))
-      .limit(k)
-      .localCheckpoint()
-    vecs.unpersist()
-    out
   }
 
   /** Per-plane query dots — the probe-selection inputs, computed with the
@@ -265,6 +232,51 @@ object Similarity {
           .as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Exact cosine pairs within a blocking key, skew-safe: IDENTICAL output
+    * to [[cosinePairs]], but each block's all-pairs work is decomposed
+    * into a 2-D grid of chunk-pair cells so no single task ever owns a
+    * whole hot block. Rows get a chunk c ∈ [0, nc) (nc = ⌈bsz/chunk⌉);
+    * the left side replicates each row across grid row (c, *), the right
+    * side across grid column (*, c); joining on (block, i, j) meets every
+    * pair in EXACTLY one cell, so per-task work is bounded at ~chunk²
+    * comparisons while the result stays exact — the standard blocked
+    * decomposition of a similarity matrix. Total work remains O(Σ bsz²)
+    * (inherent to exact all-pairs) but is spread over (bsz/chunk)² tasks
+    * instead of concentrated in one straggler, which is what survives a
+    * skewed 100× block. Replication factor is nc per side — the price of
+    * the bound; small blocks (bsz ≤ chunk) have nc = 1 and degenerate to
+    * the plain block join, paying nothing. Chunk ids come from Spark's
+    * `hash` — they never affect output, only task placement.
+    *
+    * vs [[cosinePairsCapped]]: capped TRADES RECALL for boundedness
+    * (cross-sub-bucket pairs are missed); this variant keeps exact
+    * semantics and bounds only per-task concentration. Use this when the
+    * contract is exact; capped when blocks are so hot that even
+    * distributed O(bsz²) is unaffordable. */
+  def cosinePairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, chunk: Int,
+                         minSim: Double): DataFrame = {
+    val wBlk = Window.partitionBy(col(blockCol))
+    val keyed = emb
+      .select(col(blockCol), col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__nc",
+        ceil(count(lit(1)).over(wBlk) / lit(chunk.toDouble)).cast("int"))
+      .withColumn("__c", pmod(hash(col(idCol)), col("__nc")))
+    val a = keyed.select(col(blockCol), col("__nc"), col("__c").as("__i"),
+        col(idCol).as("id1"), col("__v").as("v1"))
+      .withColumn("__j", explode(sequence(lit(0), col("__nc") - 1)))
+      .drop("__nc")
+    val b = keyed.select(col(blockCol), col("__nc"), col("__c").as("__j"),
+        col(idCol).as("id2"), col("__v").as("v2"))
+      .withColumn("__i", explode(sequence(lit(0), col("__nc") - 1)))
+      .drop("__nc")
+    a.join(b, Seq(blockCol, "__i", "__j"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine_sim", cosineSim(col("v1"), col("v2")))
+      .filter(col("cosine_sim") > minSim)
+      .select(col(blockCol), col("id1"), col("id2"), col("cosine_sim"))
   }
 
   /** Exact cosine pairs with a per-block size cap: blocks no larger than

@@ -25,6 +25,10 @@ object Winsorize {
         struct(lit(d).as("d"), x.cast("double").as("v")) }: _*)).as("s"))
       .select(col("s.d").as("d"), col("s.v").as("v"))
       .na.drop(Seq("v"))
+      // scope-released in the finally below — the one sanctioned variation
+      // on Materialize.withMaterialized: pass 1 doubles as the cache fill
+      // (an eager count() would add a redundant job), and the two passes
+      // are sequential driver-side actions, so no stampede risk
       .sort(col("d"), col("v")).persist()
     try {
       val rdd = stacked.rdd

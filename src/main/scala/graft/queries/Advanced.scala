@@ -303,6 +303,54 @@ object Advanced {
     Multimodal.sampleFrames(Multimodal.features(s, dir), everyN = 3, target = 224)
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** REAL multimodal codec gate: synthesize genuine BMP/WAV payload bytes
+    * per document (deterministic integer content), decode them with the
+    * real pure-JVM parsers ([[Multimodal.decodeBmp]]/[[Multimodal.decodeWav]]
+    * — header walk, bottom-up padded pixel rows, RIFF chunk skip), and
+    * report per-doc decode statistics. The oracle derives the expected
+    * DECODED values arithmetically from doc_id, so any decode bug — a
+    * wrong header offset, mishandled row padding, an unskipped JUNK
+    * chunk, top-down/bottom-up confusion (corner_sum) — breaks the hash
+    * match. Complements q35/q51, which gate the metadata plumbing around
+    * the declared codec stub. */
+  def q78MediaDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStats(s, dir)
+
+  val oracleQ78: String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |bmp AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+      |    CAST(3 + doc_id % 7 AS INT) AS h
+      |  FROM d WHERE doc_id % 2 = 0
+      |), bmps AS (
+      |  SELECT doc_id, 'bmp' AS media_type,
+      |    CAST(54 + ((w*3 + 3) // 4 * 4) * h AS BIGINT) AS n_bytes,
+      |    w AS width, h AS height,
+      |    CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+      |    CAST(list_aggregate(list_transform(range(0, w*h*3),
+      |      i -> (doc_id*7 + i) % 256), 'sum') AS BIGINT) AS content_sum,
+      |    CAST((doc_id*7) % 256 + (doc_id*7 + 1) % 256 + (doc_id*7 + 2) % 256
+      |      AS BIGINT) AS corner_sum
+      |  FROM bmp
+      |), wav AS (
+      |  SELECT doc_id, CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sr,
+      |    50 + doc_id % 100 AS ns
+      |  FROM d WHERE doc_id % 2 = 1
+      |), wavs AS (
+      |  SELECT doc_id, 'wav' AS media_type,
+      |    CAST(44 + CASE WHEN doc_id % 4 = 1 THEN 12 ELSE 0 END + ns*2
+      |      AS BIGINT) AS n_bytes,
+      |    CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+      |    sr AS sample_rate, CAST(ns AS BIGINT) AS n_samples,
+      |    CAST(list_aggregate(list_transform(range(0, ns),
+      |      i -> (doc_id*31 + i*17) % 65536 - 32768), 'sum') AS BIGINT)
+      |      AS content_sum,
+      |    CAST(NULL AS BIGINT) AS corner_sum
+      |  FROM wav
+      |)
+      |SELECT * FROM bmps UNION ALL SELECT * FROM wavs
+      |ORDER BY doc_id""".stripMargin
+
   val oracleQ51: String =
     """WITH base AS (
       |  SELECT doc_id,

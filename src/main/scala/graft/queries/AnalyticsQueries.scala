@@ -148,15 +148,15 @@ object AnalyticsQueries {
     val px = o.withColumn("rn", row_number().over(wRank))
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_totalprice").as("p1"))
-    val base = c.join(px, col("c_custkey") === col("o_custkey"), "left")
+    val base0 = c.join(px, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_acctbal"), col("p1"))
-      // persisted: the per-dimension bound computations below are ~8 eager
-      // actions (2 sorts + counts + zipWithIndex size jobs + rank collects)
-      // and the z-stat aggs re-run at final-action broadcast time — without
-      // this cache each one re-executes the orders row_number window + join
-      // from scratch (recompute amplification ≈ 10× the base pipeline).
-      // Caller owns the lifecycle (gate harness runs clearCache() per query).
-      .persist()
+    // scoped-materialized: the per-dimension bound computations below are
+    // ~8 eager actions (sort-sample, counts, rank fetches) and the z-stat
+    // aggs re-run at final-action broadcast time — without the cache each
+    // one re-executes the orders row_number window + join from scratch
+    // (recompute amplification ≈ 10× the base pipeline). The cross-section-
+    // sized result leaves the scope as an eager localCheckpoint.
+    graft.operators.Materialize.withMaterialized(base0) { base =>
 
     val dims = Seq("f_p1" -> col("p1"), "f_bal" -> col("c_acctbal"))
     val bounds = graft.operators.Winsorize.interpBoundsMulti(base, dims)
@@ -192,6 +192,9 @@ object AnalyticsQueries {
       .withColumn("f_bal", zc("f_bal"))
       .select(col("c_custkey"), col("f_bal"), col("f_p1"))
       .orderBy(col("c_custkey"))
+      .localCheckpoint()
+
+    } // withMaterialized(base)
   }
 
   /** §2.8 Pearson correlation from exact decimal sums (basket validation,

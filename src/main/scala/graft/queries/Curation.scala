@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Packing, Sampling}
+import graft.operators.{Dedup, Materialize, Packing, Sampling}
 
 /** Corpus-curation queries over `documents`: deterministic stratified
   * sampling (language rebalancing) and sequence packing — the two shaping
@@ -128,15 +128,20 @@ object Curation {
     * (shorter docs have no trigram and are excluded — q70 left-joins and
     * treats them as unassessable). Shared by q67 and the q70 cleaning
     * program. */
-  private def repetitionSignals(docs: DataFrame): DataFrame = {
-    // persist the n-gram arrays BEFORE the explode: exploding an
-    // unmaterialized transform(...) re-evaluates the array expression per
-    // OUTPUT row — O(tokens²) concat work per doc took q67 to ~10 s at
-    // sf0.1 (~0.9 s materialized). Released after the per-doc result is
-    // localCheckpoint'ed (bounded: one row per doc).
-    val base = docs
-      .select(col("doc_id"),
-        split(Text.normalize(col("text")), " ").as("t"))
+  private def repetitionSignals(docs: DataFrame): DataFrame =
+    repetitionSignalsFromTokens(docs.select(col("doc_id"),
+      split(Text.normalize(col("text")), " ").as("t")))
+
+  /** [[repetitionSignals]] from a prebuilt (doc_id, t: array<string>)
+    * token frame — the composition entry point: q76 feeds its one
+    * normalized-text carrier so the normalize pass is not repeated.
+    * The n-gram arrays are scoped-materialized BEFORE the explode
+    * (exploding an unmaterialized transform(...) re-evaluates the array
+    * expression per OUTPUT row — O(tokens²) concat work per doc took q67
+    * to ~10 s at sf0.1, ~0.9 s materialized); the per-doc result leaves
+    * as an eager localCheckpoint. */
+  private def repetitionSignalsFromTokens(tok: DataFrame): DataFrame = {
+    val base0 = tok
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         expr("transform(sequence(1, size(t)-1), i -> " +
@@ -144,23 +149,21 @@ object Curation {
         expr("transform(sequence(1, size(t)-2), i -> " +
           "concat(element_at(t, i), ' ', element_at(t, i+1), ' ', " +
           "element_at(t, i+2)))").as("tg"))
-      .persist()
-    base.count() // eager fill: two consumers must not stampede the cache
-    val mapSide = base.select(col("doc_id"),
-      size(col("bg")).cast("long").as("n_bigrams"),
-      size(col("tg")).cast("long").as("n_trigrams"),
-      size(array_distinct(col("tg"))).cast("long").as("n_distinct_trigrams"))
-    val topBg = base.select(col("doc_id"), explode(col("bg")).as("v"))
-      .groupBy(col("doc_id"), col("v")).agg(count(lit(1)).as("__c"))
-      .groupBy(col("doc_id")).agg(max(col("__c")).as("top_bigram_n"))
-    val out = mapSide.join(topBg, Seq("doc_id"))
-      .withColumn("top_bigram_frac",
-        col("top_bigram_n").cast("double") / col("n_bigrams"))
-      .withColumn("dup_trigram_frac",
-        lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
-      .localCheckpoint()
-    base.unpersist()
-    out
+    Materialize.withMaterialized(base0) { base =>
+      val mapSide = base.select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(col("tg")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tg"))).cast("long").as("n_distinct_trigrams"))
+      val topBg = base.select(col("doc_id"), explode(col("bg")).as("v"))
+        .groupBy(col("doc_id"), col("v")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("doc_id")).agg(max(col("__c")).as("top_bigram_n"))
+      mapSide.join(topBg, Seq("doc_id"))
+        .withColumn("top_bigram_frac",
+          col("top_bigram_n").cast("double") / col("n_bigrams"))
+        .withColumn("dup_trigram_frac",
+          lit(1.0) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
+        .localCheckpoint()
+    }
   }
 
   val oracleQ67: String =
@@ -283,18 +286,31 @@ object Curation {
     * join — same envelope as q67. */
   def q70CorpusClean(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val feat = docs
-      .select(col("doc_id"), col("text"),
-        split(Text.normalize(col("text")), " ").as("t"))
-      .select(col("doc_id"),
-        Text.langId(col("text")).as("pred_lang"),
-        Text.qualityScore(col("text")).as("quality"),
-        size(col("t")).cast("long").as("n_tokens"),
-        (expr("CAST(aggregate(transform(t, w -> length(w)), " +
-          "CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)") / size(col("t")))
-          .as("mean_wlen"))
-    val gated = feat
-      .join(repetitionSignals(docs)
+    val base = docs.select(col("doc_id"),
+      Text.langId(col("text")).as("pred_lang"),
+      Text.qualityScore(col("text")).as("quality"),
+      split(Text.normalize(col("text")), " ").as("t"))
+    cleanGated(cleanFeatures(base),
+        repetitionSignalsFromTokens(base.select(col("doc_id"), col("t"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The map-side half of the q70 gates, over a (doc_id, pred_lang,
+    * quality, t: array<string>) frame — shared by q70 and the q76
+    * capstone (which feeds its one persisted carrier). */
+  private def cleanFeatures(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("pred_lang"), col("quality"),
+      size(col("t")).cast("long").as("n_tokens"),
+      (expr("CAST(aggregate(transform(t, w -> length(w)), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)") / size(col("t")))
+        .as("mean_wlen"))
+
+  /** Gate verdicts: join [[cleanFeatures]] to the repetition signals and
+    * apply the thresholds — `keep` plus the first failing gate as
+    * `reason`. */
+  private def cleanGated(feat: DataFrame, rep: DataFrame): DataFrame =
+    feat
+      .join(rep
         .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac")),
         Seq("doc_id"), "left")
       .withColumn("lang_ok", col("pred_lang") =!= "und")
@@ -306,7 +322,6 @@ object Curation {
         col("n_tokens") >= CleanMinTokens &&
           col("mean_wlen") >= CleanMeanWordLenMin &&
           col("mean_wlen") <= CleanMeanWordLenMax)
-    gated
       .withColumn("keep",
         col("lang_ok") && col("quality_ok") && col("repetition_ok") &&
           col("length_ok"))
@@ -315,8 +330,6 @@ object Curation {
           .when(!col("quality_ok"), "quality")
           .when(!col("repetition_ok"), "repetition")
           .when(!col("length_ok"), "length"))
-      .orderBy(col("doc_id"))
-  }
 
   /** The q70 cleaning gates as a composable CTE list ending in
     * `gated(doc_id, …, lang_ok, quality_ok, repetition_ok, length_ok)`.
@@ -533,32 +546,77 @@ object Curation {
     * Scale shape: each stage keeps its reviewed plan (see PLANS.md
     * entries for q70/q68/q61/q63/q73); the composition adds only the
     * survivor joins — the dedup drop set broadcasts, the cleaning and
-    * contamination relations join per-doc on the id. */
+    * contamination relations join per-doc on the id.
+    *
+    * Carrier discipline (the round-5 `weak` fix): every stage used to
+    * re-derive `Text.normalize` + tokenize/md5 over the full corpus
+    * (cleaning gates, LSH shingles, contamination k-grams — ~2× total
+    * recompute even measured fresh). Now ONE scoped-materialized carrier
+    * holds (doc_id, lang, source, normalized text, pred_lang, quality,
+    * n_tokens) — normalize/langId/quality/tokenCount each run exactly
+    * once over one scan — and the cleaning gates, the k=5 LSH pipeline,
+    * and the k=16 contamination stage all project from it (the two
+    * shingle-hash passes still differ by k, inherently). The cleaning
+    * verdict is materialized before the survivor join so its regexes
+    * never re-run. At 100 TB, re-tokenizing the corpus 3× is the
+    * difference between one nightly build and three. */
   def q76TrainingManifest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val clean = q70CorpusClean(s, dir).select(col("doc_id"), col("keep"))
-    val dupDrop = Dedup.connectedComponents(
-        TextQueries.q15NearDupPairs(s, dir).select(col("id1"), col("id2")))
-      .filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id"), lit(true).as("__dup"))
-    val contam = Dedup.ngramContamination(
-        docs.filter(col("source") =!= DecontamEvalSource),
-        docs.filter(col("source") === DecontamEvalSource),
-        "doc_id", "text", DecontamK)
-      .select(col("doc_id"), col("contamination"))
-    val surv = docs.filter(col("source") =!= DecontamEvalSource)
-      .join(clean, Seq("doc_id"))
-      .filter(col("keep"))
-      .join(broadcast(dupDrop), Seq("doc_id"), "left")
-      .filter(col("__dup").isNull)
-      .join(contam, Seq("doc_id"), "left")
-      .filter(coalesce(col("contamination"), lit(0.0)) < DecontamThreshold)
-    val sampled = Sampling.stratifiedHash(surv, "doc_id", "lang",
-      SamplePermille, DefaultPermille)
-    Sampling.shardAssign(sampled, "doc_id", ShardCount)
-      .select(col("doc_id"), col("lang"), col("source"), col("shard"),
-        col("pos"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .orderBy(col("doc_id"))
+    val carrier = docs.select(col("doc_id"), col("lang"), col("source"),
+      Text.normalize(col("text")).as("__norm"),
+      Text.langId(col("text")).as("pred_lang"),
+      Text.qualityScore(col("text")).as("quality"),
+      Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Materialize.withMaterialized(carrier) { base =>
+      def harr(side: DataFrame, k: Int): DataFrame = side
+        .filter(length(col("__norm")) >= k)
+        .select(col("doc_id"), Dedup.shingleHashCol("__norm", k).as("harr"))
+      // cleaning gates (q70's exact semantics) from the carrier's tokens;
+      // materialized so the survivor join replays a 1-column verdict, not
+      // the gate expressions
+      val withToks = base.select(col("doc_id"), col("pred_lang"),
+        col("quality"), split(col("__norm"), " ").as("t"))
+      val clean = cleanGated(cleanFeatures(withToks),
+          repetitionSignalsFromTokens(withToks.select(col("doc_id"), col("t"))))
+        .filter(col("keep")).select(col("doc_id"))
+        .localCheckpoint()
+      // near-dup drop set (q14/q15/q61's exact pipeline) from the carrier
+      val pairs = Materialize.withMaterialized(
+          harr(base, TextQueries.ShingleK)) { h =>
+        val sig = Dedup.minhashSignaturesFromHashes(h, "doc_id",
+          TextQueries.NumHashes)
+        val cand = Dedup.minhashCandidates(sig, "doc_id",
+          TextQueries.RowsPerBand)
+        Dedup.jaccardForCandidatesHashes(cand, h, "doc_id")
+          .filter(col("jaccard") >= TextQueries.JaccardThreshold)
+          .select(col("id1"), col("id2"))
+          .localCheckpoint()
+      }
+      val dupDrop = Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id"), lit(true).as("__dup"))
+      // contamination (q68's exact semantics) from the carrier at k=16
+      val contam = Dedup.ngramContaminationFromHashes(
+          harr(base.filter(col("source") =!= DecontamEvalSource), DecontamK),
+          harr(base.filter(col("source") === DecontamEvalSource), DecontamK),
+          "doc_id")
+        .select(col("doc_id"), col("contamination"))
+      val surv = base
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+        .filter(col("source") =!= DecontamEvalSource)
+        .join(clean, Seq("doc_id"))
+        .join(broadcast(dupDrop), Seq("doc_id"), "left")
+        .filter(col("__dup").isNull)
+        .join(contam, Seq("doc_id"), "left")
+        .filter(coalesce(col("contamination"), lit(0.0)) < DecontamThreshold)
+      val sampled = Sampling.stratifiedHash(surv, "doc_id", "lang",
+        SamplePermille, DefaultPermille)
+      Sampling.shardAssign(sampled, "doc_id", ShardCount)
+        .select(col("doc_id"), col("lang"), col("source"), col("shard"),
+          col("pos"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
   }
 
   lazy val oracleQ76: String = {

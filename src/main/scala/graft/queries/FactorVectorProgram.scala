@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{cosineSim, jsRound}
-import graft.operators.Winsorize
+import graft.operators.{Materialize, Winsorize}
 
 /** q56 — the full 13-dimension factor-vector build + similarity search as
   * ONE program (refresh-factor-vectors.ts + factor-vectors.ts): screen rows
@@ -98,9 +98,11 @@ object FactorVectorProgram {
       col("value_pct"), col("quality_pct"), col("momentum_pct"),
       col("dev_25"), col("dev_200"), col("rsi_14"), col("atr_pct"),
       col("vol_ratio_20"))
-      // ~6 downstream actions (stacked-sort bounds ×3 jobs, z-stat
-      // broadcast, final top-k) share this base; gate harness clears cache
-      .persist()
+
+    // ~6 downstream actions (stacked-sort bounds ×3 jobs, z-stat
+    // broadcast, final top-k) share this base — scoped-materialized; the
+    // 10-row result leaves as an eager localCheckpoint
+    Materialize.withMaterialized(derived) { derived =>
 
     val bounds = Winsorize.interpBoundsMulti(derived,
       Dims.map { case (d, _, _) => d -> col(d) })
@@ -143,6 +145,9 @@ object FactorVectorProgram {
         cosineSim(col("vec"), col("__qvec")).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc_nulls_last, col("code"))
       .limit(10)
+      .localCheckpoint()
+
+    } // withMaterialized(derived)
   }
 
   /** DuckDB oracle: the same pipeline with the same IEEE op shapes —

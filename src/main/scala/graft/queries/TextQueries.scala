@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Materialize, Similarity}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * text statistics, language ID, quality scoring, exact + MinHash-LSH +
@@ -77,17 +77,20 @@ object TextQueries {
     * md5 and the MinHash signatures are all map-side, the cached relation
     * holds long arrays (not strings), and the only shuffles left are the
     * banded bucket self-join and the candidate-verify join. */
-  def q15NearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val harrs = Dedup.shingleHashArrays(Tables.documents(s, dir), "doc_id", "text", ShingleK)
-      .persist() // reused by signatures and both sides of the verify join
-    harrs.count() // eager: three concurrent consumers must not stampede the cache
-    val sig = Dedup.minhashSignaturesFromHashes(harrs, "doc_id", NumHashes)
-    val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
-    Dedup.jaccardForCandidatesHashes(cand, harrs, "doc_id")
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("id1"), col("id2"))
-  }
+  def q15NearDupPairs(s: SparkSession, dir: String): DataFrame =
+    // the hashed-shingle carrier is reused by signatures and both sides of
+    // the verify join — scoped-materialized; the pair-sized result leaves
+    // the scope as an eager localCheckpoint
+    Materialize.withMaterialized(Dedup.shingleHashArrays(
+        Tables.documents(s, dir), "doc_id", "text", ShingleK)) { harrs =>
+      val sig = Dedup.minhashSignaturesFromHashes(harrs, "doc_id", NumHashes)
+      val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
+      Dedup.jaccardForCandidatesHashes(cand, harrs, "doc_id")
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+        .localCheckpoint()
+    }
 
   def q16Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
@@ -110,23 +113,24 @@ object TextQueries {
       .limit(10)
   }
 
+  /** 2-D grid chunk edge for q18's blocked decomposition: sf0.01 label
+    * blocks run ~50-60 rows (nc = 2) and sf0.1 ~220 (nc = 6), so the gate
+    * exercises real multi-cell grids at both SFs. */
+  val PairChunk = 40
+
   /** Embedding near-dup pairs within a label block above a cosine
-    * threshold. */
-  def q18EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val a = emb.select(col("label"), col("vec_id").as("id1"),
-      Similarity.asDouble(col("embedding")).as("v1"))
-    val b = emb.select(col("label"), col("vec_id").as("id2"),
-      Similarity.asDouble(col("embedding")).as("v2"))
-    val dot = graft.functions.dotProduct(col("v1"), col("v2"))
-    val sim = dot / (sqrt(graft.functions.dotProduct(col("v1"), col("v1"))) *
-      sqrt(graft.functions.dotProduct(col("v2"), col("v2"))))
-    a.join(b, Seq("label"))
-      .filter(col("id1") < col("id2"))
-      .select(col("label"), col("id1"), col("id2"), sim.as("cosine_sim"))
-      .filter(col("cosine_sim") > CosineThreshold)
+    * threshold — EXACT block-join semantics (the oracle is the plain
+    * quadratic join, unchanged), executed as the skew-safe 2-D blocked
+    * decomposition ([[Similarity.cosinePairsBlocked]]): per-task work is
+    * bounded at ~[[PairChunk]]² comparisons, so one hot label at 100×
+    * parallelizes across (bsz/chunk)² tasks instead of concentrating in
+    * one straggler. The recall-trading variant (hyperplane sub-buckets,
+    * [[Similarity.cosinePairsCapped]]) is gated separately as q48. */
+  def q18EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsBlocked(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", PairChunk, CosineThreshold)
+      .select(col("label"), col("id1"), col("id2"), col("cosine_sim"))
       .orderBy(col("id1"), col("id2"))
-  }
 
   /** §2.6 multi-probe hyperplane-LSH ANN — q17's 100 TB scale path with
     * the recall cliff of single-probe LSH addressed: probe the query's
@@ -334,9 +338,9 @@ GROUP BY d.source ORDER BY d.source"""
   /** §2.6 IVF ANN with the deterministic coarse quantizer
     * ([[Similarity.ivfDeterministic]]): cells seeded by the 16 lowest-id
     * vectors, assign → probe the 4 nearest cells → exact cosine top-10
-    * within them. The k-means-trained IVF ([[Similarity.ivfTrain]]) is the
-    * recall-tuned production path (AnnSpec); this variant makes the IVF
-    * search semantics oracle-gateable end-to-end. */
+    * within them. The TRAINED quantizer ([[Similarity.ivfKmeansGated]])
+    * is gated as q74; this variant gates the search semantics at
+    * iteration zero. */
   def q57IvfSearch(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfDeterministic(Tables.embeddings(s, dir), "vec_id",
       "embedding", queryId = 0L, nCells = IvfCells, nProbe = IvfProbes, k = 10)
@@ -383,25 +387,28 @@ GROUP BY d.source ORDER BY d.source"""
     * the drop/keep decision an incremental ingest applies. */
   def q77IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val harrs = Dedup.shingleHashArrays(docs, "doc_id", "text", ShingleK)
-      .persist() // two signature builds + both verify sides; caller-released
-    harrs.count()
-    val isNew = col("doc_id") % 10 >= NewBatchMod
-    val cand = Dedup.minhashCandidatesCross(
-      Dedup.minhashSignaturesFromHashes(harrs.filter(isNew), "doc_id",
-        NumHashes),
-      Dedup.minhashSignaturesFromHashes(harrs.filter(!isNew), "doc_id",
-        NumHashes),
-      "doc_id", RowsPerBand)
-    val w = Window.partitionBy(col("id1"))
-      .orderBy(col("jaccard").desc, col("id2"))
-    Dedup.jaccardForCandidatesHashes(cand, harrs, "doc_id")
-      .filter(col("jaccard") >= JaccardThreshold)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id1").as("new_doc_id"), col("id2").as("dup_of"),
-        col("jaccard"))
-      .orderBy(col("new_doc_id"))
+    // the carrier feeds two signature builds + both verify sides —
+    // scoped-materialized; result leaves as an eager localCheckpoint
+    Materialize.withMaterialized(Dedup.shingleHashArrays(
+        docs, "doc_id", "text", ShingleK)) { harrs =>
+      val isNew = col("doc_id") % 10 >= NewBatchMod
+      val cand = Dedup.minhashCandidatesCross(
+        Dedup.minhashSignaturesFromHashes(harrs.filter(isNew), "doc_id",
+          NumHashes),
+        Dedup.minhashSignaturesFromHashes(harrs.filter(!isNew), "doc_id",
+          NumHashes),
+        "doc_id", RowsPerBand)
+      val w = Window.partitionBy(col("id1"))
+        .orderBy(col("jaccard").desc, col("id2"))
+      Dedup.jaccardForCandidatesHashes(cand, harrs, "doc_id")
+        .filter(col("jaccard") >= JaccardThreshold)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id1").as("new_doc_id"), col("id2").as("dup_of"),
+          col("jaccard"))
+        .orderBy(col("new_doc_id"))
+        .localCheckpoint()
+    }
   }
 
   lazy val oracleQ77: String =

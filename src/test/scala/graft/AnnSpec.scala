@@ -8,29 +8,41 @@ import graft.operators.Similarity
 class AnnSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  test("IVF top-k recalls the brute-force neighbors on real embeddings") {
+  test("IVF full-probe degenerates to the exact brute-force top-k") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     // query = vec 0's embedding
     val query = emb.filter(col("vec_id") === 0)
       .select(Similarity.asDouble(col("embedding")))
       .collect()(0).getSeq[Double](0)
-
     val exact = Similarity.bruteForceTopK(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 10)
       .collect().map(_.getLong(0)).toSet
-
-    val (assigned, centroids) = Similarity.ivfTrain(
-      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", nCells = 8)
-    val approx = Similarity.ivfTopK(assigned, centroids, "vec_id", query,
-      nProbe = 4, k = 10).collect().map(_.getLong(0)).toSet
-
-    // probing half the cells should recall most of the exact top-10
-    assert(approx.intersect(exact).size >= 6,
-      s"recall too low: ${approx.intersect(exact).size}/10")
-    // full probe degenerates to exact
-    val full = Similarity.ivfTopK(assigned, centroids, "vec_id", query,
-      nProbe = 8, k = 10).collect().map(_.getLong(0)).toSet
+    // probing ALL cells makes IVF search exhaustive — the search layer
+    // (assign → probe → exact cosine) must then equal brute force
+    val full = Similarity.ivfKmeansGated(emb, "vec_id", "embedding",
+        queryId = 0L, nCells = 8, iters = 2, nProbe = 8, k = 10)
+      .collect().map(_.getLong(0)).toSet
     assert(full == exact)
+  }
+
+  test("blocked exact pairs equal the plain block join, per-task bounded") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val chunk = 10
+    // the data must actually exercise multi-cell grids for this test to
+    // mean anything — require at least one block larger than the chunk
+    val maxBlock = emb.groupBy(col("label")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxBlock > chunk, s"no block exceeds chunk=$chunk (max $maxBlock)")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val blocked = Similarity.cosinePairsBlocked(emb, "vec_id", "embedding",
+        "label", chunk, 0.2)
+      .select("id1", "id2", "cosine_sim").collect().map(key).toSet
+    val plain = Similarity.cosinePairs(emb, "vec_id", "embedding",
+        "label", 0.2)
+      .select("id1", "id2", "cosine_sim").collect().map(key).toSet
+    assert(blocked == plain)
+    assert(blocked.nonEmpty)
   }
 
   test("gated k-means IVF recalls most exact neighbors; training is real") {
