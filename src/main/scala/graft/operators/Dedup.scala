@@ -129,17 +129,39 @@ object Dedup {
     * arrays ([[shingleHashArrays]]) — same shape as
     * [[jaccardForCandidatesArrays]] but the joins ship long arrays and the
     * per-row intersection compares longs, the cheapest formulation at
-    * scale. */
+    * scale.
+    *
+    * The (candidate-sized, slim) result is materialized HERE as an eager
+    * localCheckpoint — load-bearing twice over, measured at sf0.1 with
+    * 151k candidates (q15 15.8s → the fix restores ~4s):
+    *  1. A caller's `filter(jaccard >= τ)` over the lazy form gets pushed
+    *     by Catalyst INTO the join as a non-equi condition, where the
+    *     substituted jaccard expression evaluates `array_intersect`
+    *     THREE times per candidate row — join conditions get no
+    *     codegen subexpression elimination; a Project does. The barrier
+    *     keeps the intersect in a projection, evaluated once per pair.
+    *  2. A caller's `orderBy` (range sort = sample pass + output pass)
+    *     would re-execute the whole verify join per pass; the checkpoint
+    *     makes those passes read 4 numeric columns per pair instead. */
   def jaccardForCandidatesHashes(cand: DataFrame, harrs: DataFrame,
                                  idCol: String): DataFrame = {
+    // shuffle_hash: the checkpointed candidate side has no stats, and
+    // letting the planner broadcast the ARRAY relations instead collects
+    // tens of MB of shingle hashes to the driver per join side (and at
+    // real scale the array relation is corpus-sized — never broadcast
+    // material). A shuffled hash join on the id is the reviewed verify
+    // shape: candidate-bounded probe, array side partitioned, no sort.
     val a1 = harrs.select(col(idCol).as("id1"), col("harr").as("__h1"))
+      .hint("shuffle_hash")
     val a2 = harrs.select(col(idCol).as("id2"), col("harr").as("__h2"))
+      .hint("shuffle_hash")
     cand.join(a1, Seq("id1")).join(a2, Seq("id2"))
       .withColumn("inter", size(array_intersect(col("__h1"), col("__h2"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("__h1")).cast("long") + size(col("__h2")).cast("long") - col("inter")))
       .drop("__h1", "__h2")
+      .localCheckpoint()
   }
 
   /** Variant taking precomputed per-doc set sizes (`idCol`, `sz`) — with
@@ -439,10 +461,10 @@ object Dedup {
     * component diameter — near-dup clusters are dense and clique-like
     * (diameter 2-3), so this converges in a handful of one-shuffle rounds,
     * each with a bounded driver-side convergence count. For adversarial
-    * long-chain graphs at extreme scale the alternating large-star /
-    * small-star algorithm (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond", SoCC'14) is the O(log n)-round upgrade path;
-    * near-dup clustering does not produce such chains.
+    * long-chain graphs the alternating large-star / small-star algorithm
+    * is IMPLEMENTED as [[connectedComponentsStars]] (O(log n) rounds on
+    * any topology); near-dup clustering does not produce such chains, so
+    * this cheaper-per-round variant stays the default.
     *
     * Returns (doc_id, cluster = min doc id of its component), one row per
     * vertex that appears in an edge; intermediates are released here.
@@ -482,15 +504,89 @@ object Dedup {
         rounds += 1
       }
       // fail loudly rather than return non-converged (wrong) cluster labels
-      // on a pathological high-diameter graph; the large-star/small-star
-      // O(log n)-round algorithm (Kiveris et al., SoCC'14) is the upgrade
-      // path if such inputs ever become legitimate
+      // on a pathological high-diameter graph; switch such callers to
+      // connectedComponentsStars (O(log n) rounds on any topology)
       require(changed == 0,
-        s"connectedComponents did not converge within $rounds rounds")
+        s"connectedComponents did not converge within $rounds rounds — " +
+          "use connectedComponentsStars for high-diameter graphs")
       // labels is a localCheckpoint from the final round — it no longer
       // references bedges, so it safely outlives the scope
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
     }
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the O(log n)-ROUND
+    * upgrade path [[connectedComponents]]'s docs name: min-label
+    * propagation needs diameter-many rounds (a 300-node chain = 300
+    * shuffles), star contraction collapses any topology in logarithmically
+    * many. Same contract as [[connectedComponents]]: returns (doc_id,
+    * cluster = min id of the component), one row per vertex appearing in
+    * an edge.
+    *
+    * Per round (each one bounded-size joins/aggs over localCheckpoint'ed
+    * edges — the iterative-lineage rule):
+    *  - LARGE-STAR: for every node u, attach each STRICTLY LARGER
+    *    neighbor to m = min(Γ(u) ∪ {u}). Processes each edge from both
+    *    orientations; keeps components connected while strictly reducing
+    *    large-id attachment height.
+    *  - SMALL-STAR: orient each edge toward its larger endpoint u and
+    *    attach u and all its (smaller) neighbors to the minimum.
+    * Fixpoint = the canonical edge set stops changing; the result is a
+    * star forest rooted at component minima, read off directly as labels.
+    *
+    * Kept alongside [[connectedComponents]] rather than replacing it:
+    * near-dup clusters are dense and clique-like (diameter 2-3), where
+    * min-label converges in 3-4 cheaper rounds; star contraction is the
+    * right tool when the graph's shape is unknown or adversarial
+    * (reference-chain link graphs, long citation chains). */
+  def connectedComponentsStars(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    var edges = canon(edges0.select(col("id1").cast("long").as("u"),
+      col("id2").cast("long").as("v"))).localCheckpoint()
+    val vertices = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id"))).distinct()
+      .localCheckpoint()
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = bi.groupBy(col("u")).agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("__mv"), col("u")).as("__m"))
+      canon(bi.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient toward the larger endpoint: key = larger, value = smaller
+      val oriented = e.select(col("v").as("u"), col("u").as("v")) // v>u in canon
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("__m"))
+      canon(oriented.join(m, Seq("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .unionByName(m.select(col("u"), col("__m").as("v"))))
+    }
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 64) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      changed = next.exceptAll(edges).limit(1).count() > 0 ||
+        edges.exceptAll(next).limit(1).count() > 0
+      edges = next
+      rounds += 1
+    }
+    require(!changed,
+      s"connectedComponentsStars did not converge within $rounds rounds")
+    // final star forest: canon edges are (root, member); roots label
+    // themselves
+    val labels = edges.select(col("v").as("id"), col("u").as("lbl"))
+    vertices.join(labels, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("lbl"), col("id")).as("cluster"))
   }
 
   /** SimHash Hamming near-dup pairs (Manku/Jain/Sarma, "Detecting

@@ -259,24 +259,37 @@ object Similarity {
                          blockCol: String, chunk: Int,
                          minSim: Double): DataFrame = {
     val wBlk = Window.partitionBy(col(blockCol))
-    val keyed = emb
+    val keyed0 = emb
       .select(col(blockCol), col(idCol), asDouble(col(vecCol)).as("__v"))
+      // per-row norm ONCE, map-side: higher-order array expressions are
+      // interpreted (no codegen), so evaluating ‖v‖ per PAIR is 2/3 of
+      // the per-pair cost for nothing — dot/(n1·n2) with per-row norms is
+      // the bit-identical expression (same fold order, same zero guard)
+      .withColumn("__n", graft.functions.l2Norm(col("__v")))
       .withColumn("__nc",
         ceil(count(lit(1)).over(wBlk) / lit(chunk.toDouble)).cast("int"))
       .withColumn("__c", pmod(hash(col(idCol)), col("__nc")))
-    val a = keyed.select(col(blockCol), col("__nc"), col("__c").as("__i"),
-        col(idCol).as("id1"), col("__v").as("v1"))
-      .withColumn("__j", explode(sequence(lit(0), col("__nc") - 1)))
-      .drop("__nc")
-    val b = keyed.select(col(blockCol), col("__nc"), col("__c").as("__j"),
-        col(idCol).as("id2"), col("__v").as("v2"))
-      .withColumn("__i", explode(sequence(lit(0), col("__nc") - 1)))
-      .drop("__nc")
-    a.join(b, Seq(blockCol, "__i", "__j"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cosine_sim", cosineSim(col("v1"), col("v2")))
-      .filter(col("cosine_sim") > minSim)
-      .select(col(blockCol), col("id1"), col("id2"), col("cosine_sim"))
+    // scoped-materialized: both grid sides derive from it (scan + block
+    // window would otherwise run twice); the threshold-filtered pair
+    // result leaves as an eager localCheckpoint
+    Materialize.withMaterialized(keyed0) { keyed =>
+      val a = keyed.select(col(blockCol), col("__nc"), col("__c").as("__i"),
+          col(idCol).as("id1"), col("__v").as("v1"), col("__n").as("__n1"))
+        .withColumn("__j", explode(sequence(lit(0), col("__nc") - 1)))
+        .drop("__nc")
+      val b = keyed.select(col(blockCol), col("__nc"), col("__c").as("__j"),
+          col(idCol).as("id2"), col("__v").as("v2"), col("__n").as("__n2"))
+        .withColumn("__i", explode(sequence(lit(0), col("__nc") - 1)))
+        .drop("__nc")
+      val sim = when(col("__n1") > 0 && col("__n2") > 0,
+        dotProduct(col("v1"), col("v2")) / (col("__n1") * col("__n2")))
+      a.join(b, Seq(blockCol, "__i", "__j"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("cosine_sim", sim)
+        .filter(col("cosine_sim") > minSim)
+        .select(col(blockCol), col("id1"), col("id2"), col("cosine_sim"))
+        .localCheckpoint()
+    }
   }
 
   /** Exact cosine pairs with a per-block size cap: blocks no larger than

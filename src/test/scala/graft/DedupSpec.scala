@@ -179,4 +179,50 @@ class DedupSpec extends AnyFunSuite {
     // all returned ids should be from the x-axis family (even ids)
     assert(top.forall(_.getLong(0) % 2 == 0))
   }
+
+  test("large-star/small-star CC equals min-label CC on the near-dup graph") {
+    val pairs = graft.queries.TextQueries
+      .q15NearDupPairs(spark, "/root/testdata/sf0.001")
+      .select(col("id1"), col("id2"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minLabel = asMap(Dedup.connectedComponents(pairs))
+    val stars = asMap(Dedup.connectedComponentsStars(pairs))
+    assert(stars == minLabel)
+    assert(stars.nonEmpty)
+  }
+
+  test("star contraction handles a long chain in logarithmic rounds") {
+    import spark.implicits._
+    // a 300-node path has diameter 299: min-label propagation would need
+    // ~299 rounds (over its 64-round fail-loud bound); star contraction
+    // must collapse it to one cluster within its own 64-round bound
+    val n = 300L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponentsStars(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), "all chain nodes must label to node 0")
+  }
+
+  test("star contraction labels random multi-component graphs correctly") {
+    import spark.implicits._
+    // deterministic pseudo-random graph over 3 disjoint vertex ranges
+    val rng = new scala.util.Random(42)
+    val comps = Seq(0L until 40L, 100L until 130L, 200L until 205L)
+    val edges = comps.flatMap { vs =>
+      val v = vs.toArray
+      // a spanning chain (guarantees connectivity) + random extra edges
+      val spine = v.sliding(2).map(a => (a(0), a(1))).toSeq
+      val extra = (1 to v.length).map { _ =>
+        val a = v(rng.nextInt(v.length)); val b = v(rng.nextInt(v.length))
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }
+      spine ++ extra
+    }.toDF("id1", "id2")
+    val labels = Dedup.connectedComponentsStars(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (vs <- comps; v <- vs) assert(labels(v) == vs.head,
+      s"vertex $v labeled ${labels(v)}, expected ${vs.head}")
+  }
 }
