@@ -99,6 +99,7 @@ object SparkEntry {
     "q76_training_manifest" -> (Curation.q76TrainingManifest _),
     "q77_incremental_dedup" -> (TextQueries.q77IncrementalDedup _),
     "q78_media_decode" -> (Advanced.q78MediaDecode _),
+    "q79_neardup_clusters_stars" -> (TextQueries.q79NearDupClustersStars _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -288,6 +289,7 @@ object SparkEntry {
     "q76_training_manifest" -> Curation.oracleQ76,
     "q77_incremental_dedup" -> TextQueries.oracleQ77,
     "q78_media_decode" -> Advanced.oracleQ78,
+    "q79_neardup_clusters_stars" -> TextQueries.oracleQ79,
   )
 
   private val asofOracle: String =

@@ -208,9 +208,15 @@ object Advanced {
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
       |    text, strlen(text) AS n_bytes
       |  FROM documents
+      |), capg AS (
+      |  SELECT CASE WHEN max(strlen(text)) >= 100000 THEN error(
+      |    'oracle position cap 100000 exceeded - raise the range bound')
+      |    ELSE 1 END AS ok
+      |  FROM base
       |), chk AS (
       |  SELECT doc_id, CAST(SUM(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS checksum
-      |  FROM base, range(1, 100000) r(i) WHERE i <= strlen(text)
+      |  FROM base, range(1, 100000) r(i), capg
+      |  WHERE capg.ok = 1 AND i <= strlen(text)
       |  GROUP BY doc_id
       |)
       |SELECT b.doc_id, b.media_type, b.n_bytes,
@@ -358,9 +364,15 @@ object Advanced {
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
       |    text, strlen(text) AS n_bytes
       |  FROM documents
+      |), capg AS (
+      |  SELECT CASE WHEN max(strlen(text)) >= 100000 THEN error(
+      |    'oracle position cap 100000 exceeded - raise the range bound')
+      |    ELSE 1 END AS ok
+      |  FROM base
       |), chk AS (
       |  SELECT doc_id, CAST(SUM(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS checksum
-      |  FROM base, range(1, 100000) r(i) WHERE i <= strlen(text)
+      |  FROM base, range(1, 100000) r(i), capg
+      |  WHERE capg.ok = 1 AND i <= strlen(text)
       |  GROUP BY doc_id
       |), f AS (
       |  SELECT b.doc_id,

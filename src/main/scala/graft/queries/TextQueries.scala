@@ -207,6 +207,21 @@ SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster,
   (a = MIN(b)) AS is_canonical
 FROM reach GROUP BY a ORDER BY doc_id"""
 
+  /** q61's clustering semantics under the ALTERNATE algorithm — star
+    * contraction ([[Dedup.connectedComponentsStars]], Kiveris SoCC'14,
+    * O(log n) rounds on any topology vs min-label's diameter-many). Gated
+    * against the same reachability oracle: connected components are a
+    * semantic contract, so any correct algorithm must hash-match it —
+    * which is exactly what makes having both implementations cheap to
+    * keep honest. */
+  def q79NearDupClustersStars(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsStars(
+        q15NearDupPairs(s, dir).select(col("id1"), col("id2")))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy(col("doc_id"))
+
+  lazy val oracleQ79: String = oracleQ61
+
   /** The dedup pipeline APPLIED, end to end: shingle → MinHash-LSH
     * candidates → Jaccard verify → connected components → drop every
     * non-canonical cluster member → per-source surviving-corpus report.
