@@ -100,6 +100,7 @@ object SparkEntry {
     "q77_incremental_dedup" -> (TextQueries.q77IncrementalDedup _),
     "q78_media_decode" -> (Advanced.q78MediaDecode _),
     "q79_neardup_clusters_stars" -> (TextQueries.q79NearDupClustersStars _),
+    "q80_blocklist_scrub" -> (Curation.q80BlocklistScrub _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -290,6 +291,7 @@ object SparkEntry {
     "q77_incremental_dedup" -> TextQueries.oracleQ77,
     "q78_media_decode" -> Advanced.oracleQ78,
     "q79_neardup_clusters_stars" -> TextQueries.oracleQ79,
+    "q80_blocklist_scrub" -> Curation.oracleQ80,
   )
 
   private val asofOracle: String =

@@ -655,6 +655,62 @@ object Curation {
        |FROM shrd ORDER BY doc_id""".stripMargin
   }
 
+  /** Blocklist scrub terms + the C4-style drop threshold: docs whose
+    * blocklisted-token rate exceeds the cap get `keep = false` (the
+    * dirty-word document filter, Raffel et al. 2020 §2.2); survivors
+    * carry a redaction fingerprint for downstream exact dedup of the
+    * SCRUBBED text. Terms are configurable; these three exist in the
+    * synthetic vocabulary so the gate exercises real hits. */
+  val BlockWords: Seq[String] = Seq("customer", "vector", "merge")
+  val ScrubMaxRate = 0.08
+  val ScrubToken = "<scrub>"
+
+  /** Blocklist scrubbing (C4 §2.2 dirty-word filtering + redaction): per
+    * document, count blocklisted tokens, decide keep/drop on the hit
+    * rate, and fingerprint the REDACTED text (blocklisted tokens replaced
+    * by [[ScrubToken]]) — the key downstream chunk/exact dedup joins on
+    * after scrubbing, so two docs differing only in scrubbed terms
+    * collapse.
+    *
+    * Scale shape: pure map-side — tokenize once, one `filter` + one
+    * `transform` lambda over the token array, no shuffle before the
+    * gate's output sort. Token-exact matching (no regex) keeps the two
+    * engines trivially in parity and the blocklist check O(tokens). */
+  def q80BlocklistScrub(s: SparkSession, dir: String): DataFrame = {
+    val inList = (w: org.apache.spark.sql.Column) => w.isInCollection(BlockWords)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(Text.normalize(col("text")), " ").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), inList)).cast("long").as("n_hits"),
+        Text.hash60(array_join(
+          transform(col("t"), w => when(inList(w), lit(ScrubToken)).otherwise(w)),
+          " ")).as("redacted_fp"))
+      .withColumn("hit_rate", col("n_hits").cast("double") / col("n_tokens"))
+      .withColumn("keep", col("hit_rate") <= ScrubMaxRate)
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ80: String = {
+    val terms = BlockWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(toks, w -> w IN ($terms))) AS BIGINT) AS n_hits,
+       |  CAST(('0x' || substr(md5(array_to_string(
+       |    list_transform(toks, w -> CASE WHEN w IN ($terms)
+       |      THEN '$ScrubToken' ELSE w END), ' ')), 1, 15)) AS BIGINT)
+       |    AS redacted_fp,
+       |  CAST(len(list_filter(toks, w -> w IN ($terms))) AS DOUBLE)
+       |    / len(toks) AS hit_rate,
+       |  CAST(len(list_filter(toks, w -> w IN ($terms))) AS DOUBLE)
+       |    / len(toks) <= $ScrubMaxRate AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val oracleQ64: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,
