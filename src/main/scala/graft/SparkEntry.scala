@@ -101,6 +101,11 @@ object SparkEntry {
     "q78_media_decode" -> (Advanced.q78MediaDecode _),
     "q79_neardup_clusters_stars" -> (TextQueries.q79NearDupClustersStars _),
     "q80_blocklist_scrub" -> (Curation.q80BlocklistScrub _),
+    "q81_dsir_importance" -> (Curation.q81DsirImportance _),
+    "q82_hll_distinct" -> (Advanced.q82HllDistinct _),
+    "q83_boilerplate_ngrams" -> (Curation.q83BoilerplateNgrams _),
+    "q84_source_drift" -> (Curation.q84SourceDrift _),
+    "q85_weighted_sample" -> (Curation.q85WeightedSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -292,6 +297,11 @@ object SparkEntry {
     "q78_media_decode" -> Advanced.oracleQ78,
     "q79_neardup_clusters_stars" -> TextQueries.oracleQ79,
     "q80_blocklist_scrub" -> Curation.oracleQ80,
+    "q81_dsir_importance" -> Curation.oracleQ81,
+    "q82_hll_distinct" -> Advanced.oracleQ82,
+    "q83_boilerplate_ngrams" -> Curation.oracleQ83,
+    "q84_source_drift" -> Curation.oracleQ84,
+    "q85_weighted_sample" -> Curation.oracleQ85,
   )
 
   private val asofOracle: String =

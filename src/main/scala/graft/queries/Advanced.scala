@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.EraDate
-import graft.operators.{AsOfJoin, Multimodal, ProductAgg}
+import graft.functions.{EraDate, Text}
+import graft.operators.{AsOfJoin, HllSketch, Multimodal, ProductAgg}
 
 /** Remaining operator surface: interval-formulated as-of joins, era-date
   * parsing, multimodal feature extraction, and the custom exact product
@@ -308,6 +308,77 @@ object Advanced {
   def q51FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.features(s, dir), everyN = 3, target = 224)
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Distributed HLL cardinality sketch ([[HllSketch.Hll60]]) gated
+    * EXACTLY: per event_type, the sketch's estimate (1e-6-grid), its
+    * zero-register count, its exact scaled indicator sum s51 (= the full
+    * register state, order-independently), and the true distinct count
+    * for comparison. At 100 TB this is the monitoring shape: map-side
+    * mergeable 1 KiB buffers per group instead of a distinct shuffle —
+    * the exact count here exists only to gate the sketch's error.
+    *
+    * Scale note: count_distinct forces the usual expand/two-phase
+    * distinct plan; a production monitor would drop that column and keep
+    * only the sketch. */
+  def q82HllDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        Text.hash60(col("user_id").cast("string")).as("h60"))
+      .groupBy(col("event_type"))
+      .agg(HllSketch.hll60(col("h60")).as("hll"),
+        count_distinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"),
+        col("hll.est6").as("est6"),
+        col("hll.hll_estimate").as("hll_estimate"),
+        col("hll.n_zero_registers").as("n_zero_registers"),
+        col("hll.s51").as("s51"),
+        col("n_exact"))
+      .orderBy(col("event_type"))
+
+  val oracleQ82: String = {
+    import HllSketch.{HllAlphaNum, HllLcThreshold, HllM, HllP, HllRhoMax}
+    s"""WITH h AS (
+       |  SELECT event_type, user_id,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h60
+       |  FROM events
+       |), reg AS (
+       |  SELECT event_type, h60 % $HllM AS r, h60 // $HllM AS w FROM h
+       |), mj AS (
+       |  SELECT event_type, r,
+       |    MAX(CASE WHEN w = 0 THEN $HllRhoMax
+       |        ELSE $HllRhoMax - len(bin(w)) END) AS m_j
+       |  FROM reg GROUP BY event_type, r
+       |), st AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - m_j)) AS BIGINT)
+       |      AS s_present,
+       |    COUNT(*) AS n_present
+       |  FROM mj GROUP BY event_type
+       |), fin AS (
+       |  SELECT event_type,
+       |    s_present + ($HllM - n_present)
+       |      * (CAST(1 AS BIGINT) << $HllRhoMax) AS s51,
+       |    $HllM - n_present AS n_zero_registers
+       |  FROM st
+       |), est AS (
+       |  SELECT event_type, s51, n_zero_registers,
+       |    CASE WHEN CAST('$HllAlphaNum' AS DOUBLE) / s51 <= $HllLcThreshold
+       |              AND n_zero_registers > 0
+       |         THEN $HllM.0 * ln($HllM.0 / n_zero_registers)
+       |         ELSE CAST('$HllAlphaNum' AS DOUBLE) / s51 END AS raw_est
+       |  FROM fin
+       |), ex AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |  FROM h GROUP BY event_type
+       |)
+       |SELECT e.event_type,
+       |  CAST(floor(raw_est * 1e6 + 0.5) AS BIGINT) AS est6,
+       |  CAST(floor(raw_est * 1e6 + 0.5) AS BIGINT) / 1e6 AS hll_estimate,
+       |  n_zero_registers, s51, n_exact
+       |FROM est e JOIN ex USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
 
   /** REAL multimodal codec gate: synthesize genuine BMP/WAV payload bytes
     * per document (deterministic integer content), decode them with the

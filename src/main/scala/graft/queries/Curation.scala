@@ -711,6 +711,286 @@ object Curation {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  val DsirTargetSource = "src0"
+  val DsirBuckets = 256
+  val DsirTopK = 100
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): estimate target-domain
+    * and raw-corpus distributions over HASHED bigram features (the
+    * paper's hashed n-gram generative model), score every raw document by
+    * its importance log-ratio log p_target(x) - log p_raw(x), and select
+    * the top-K — the standard recipe for skimming a 100 TB crawl for
+    * documents that look like a curated target (here: source
+    * [[DsirTargetSource]] plays the target domain).
+    *
+    * Determinism: per-bucket log-probs (add-1 smoothed over
+    * [[DsirBuckets]] buckets) are quantized to scaled integers at the
+    * repo's 1e-6 transcendental grid BEFORE the per-doc sum, so the
+    * reduction is exact integer addition (cf. q72). Selection ties break
+    * on doc_id.
+    *
+    * Scale shape: the bucket table is a [[DsirBuckets]]-row dim built
+    * from the exploded bigram fact by one map-side-combined aggregation,
+    * then broadcast back onto the stream (build-small-from-big, as
+    * q65/q72); the top-K cut is TakeOrderedAndProject + a broadcast
+    * membership join — no corpus-sized window anywhere. */
+  def q81DsirImportance(s: SparkSession, dir: String): DataFrame = {
+    // sequence(1, n) with n < 1 counts DOWN in Spark — the size >= 2
+    // filter is load-bearing, and the oracle mirrors it (docs with < 2
+    // tokens produce no row)
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        filter(split(Text.normalize(col("text")), " "),
+          w => length(w) > 0).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
+      .select(col("doc_id"), col("source"),
+        (Text.hash60(col("bg")) % DsirBuckets).as("bucket"))
+    val counts = bg.groupBy(col("bucket")).agg(
+      sum(when(col("source") === DsirTargetSource, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") === DsirTargetSource, 0L).otherwise(1L)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    def lp6(cnt: org.apache.spark.sql.Column, total: org.apache.spark.sql.Column) =
+      floor(log((cnt + lit(1)).cast("double") / (total + lit(DsirBuckets)))
+        * lit(1e6) + lit(0.5)).cast("long")
+    val lrdim = s.range(DsirBuckets).withColumnRenamed("id", "bucket")
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (lp6(col("ct"), col("tt")) - lp6(col("cr"), col("tr"))).as("lr6"))
+    val scored = bg.join(broadcast(lrdim), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr6")).as("sum_lr6"))
+      .withColumn("avg_logratio",
+        col("sum_lr6").cast("double") / lit(1e6) / col("n_bigrams"))
+    val cut = scored
+      .orderBy(col("avg_logratio").desc, col("doc_id")).limit(DsirTopK)
+      .select(col("doc_id").as("__sel"))
+    scored.join(broadcast(cut), col("doc_id") === col("__sel"), "left")
+      .withColumn("selected", col("__sel").isNotNull)
+      .drop("__sel")
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ81: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, source, list_filter(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    w -> len(w) > 0) AS t
+       |  FROM documents
+       |), bgl AS (
+       |  SELECT doc_id, source,
+       |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bgs
+       |  FROM t0 WHERE len(t) >= 2
+       |), bg AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5(unnest(bgs)), 1, 15)) AS BIGINT)
+       |      % $DsirBuckets AS bucket
+       |  FROM bgl
+       |), cnt AS (
+       |  SELECT bucket,
+       |    CAST(SUM(CASE WHEN source = '$DsirTargetSource' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ct,
+       |    CAST(SUM(CASE WHEN source = '$DsirTargetSource' THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS cr
+       |  FROM bg GROUP BY bucket
+       |), tot AS (
+       |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr
+       |  FROM cnt
+       |), dim AS (
+       |  SELECT r.i AS bucket,
+       |    CAST(floor(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+       |        / (tt + $DsirBuckets)) * 1e6 + 0.5) AS BIGINT)
+       |    - CAST(floor(ln(CAST(COALESCE(cr, 0) + 1 AS DOUBLE)
+       |        / (tr + $DsirBuckets)) * 1e6 + 0.5) AS BIGINT) AS lr6
+       |  FROM range(0, $DsirBuckets) r(i)
+       |  LEFT JOIN cnt ON cnt.bucket = r.i CROSS JOIN tot
+       |), scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lr6) AS BIGINT) AS sum_lr6
+       |  FROM bg JOIN dim USING (bucket) GROUP BY doc_id
+       |), ranked AS (
+       |  SELECT doc_id, n_bigrams, sum_lr6,
+       |    CAST(sum_lr6 AS DOUBLE) / 1e6 / n_bigrams AS avg_logratio,
+       |    row_number() OVER (ORDER BY CAST(sum_lr6 AS DOUBLE) / 1e6 / n_bigrams
+       |      DESC, doc_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT doc_id, n_bigrams, sum_lr6, avg_logratio, rn <= $DsirTopK AS selected
+       |FROM ranked ORDER BY doc_id""".stripMargin
+
+  val BoilerN = 5
+  val BoilerMinDf = 3
+  val BoilerTopK = 50
+
+  /** Boilerplate n-gram mining: the highest-document-frequency word
+    * [[BoilerN]]-grams (df ≥ [[BoilerMinDf]], top [[BoilerTopK]]) — the
+    * survey step behind boilerplate-removal rules (C4 strips pages by
+    * repeated-line heuristics; at corpus scale you first MINE what the
+    * boilerplate is, then codify filters).
+    *
+    * Scale shape: map-side n-gram generation (one `transform` over the
+    * token array, no per-position explode of the text), then two
+    * map-side-combined aggregations — (ngram, doc_id) occurrence counts,
+    * then per-ngram df/tf — and a TakeOrderedAndProject top-K. The
+    * (df desc, tf desc, ngram) order is total, so the cut is
+    * deterministic. */
+  def q83BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(split(Text.normalize(col("text")), " "),
+          w => length(w) > 0).as("t"))
+      .filter(size(col("t")) >= BoilerN)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(t) - ${BoilerN - 1}), " +
+          s"i -> array_join(slice(t, i, $BoilerN), ' '))")).as("ngram"))
+    occ.groupBy(col("ngram"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"))
+      .filter(col("df") >= BoilerMinDf)
+      .orderBy(col("df").desc, col("tf").desc, col("ngram"))
+      .limit(BoilerTopK)
+  }
+
+  val oracleQ83: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    w -> len(w) > 0) AS t
+       |  FROM documents
+       |), ngl AS (
+       |  SELECT doc_id, list_transform(range(1, len(t) - ${BoilerN - 2}),
+       |    i -> array_to_string(t[i:i + ${BoilerN - 1}], ' ')) AS ngs
+       |  FROM t0 WHERE len(t) >= $BoilerN
+       |), occ AS (
+       |  SELECT doc_id, unnest(ngs) AS ngram FROM ngl
+       |), perdoc AS (
+       |  SELECT ngram, doc_id, COUNT(*) AS c FROM occ GROUP BY ngram, doc_id
+       |)
+       |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS tf
+       |FROM perdoc GROUP BY ngram HAVING COUNT(*) >= $BoilerMinDf
+       |ORDER BY df DESC, tf DESC, ngram LIMIT $BoilerTopK""".stripMargin
+
+  /** Per-source distribution drift: KL(p_source ‖ p_corpus) over unigram
+    * token distributions — the monitoring scan that catches a crawl
+    * source going off-distribution (spam injection, encoding breakage)
+    * between corpus builds.
+    *
+    * Determinism: per-token log-ratios are quantized to the 1e-6 integer
+    * grid (cf. q72/q81), and each source's KL numerator is the exact
+    * integer Σ count·lr6 — order-independent under partial aggregation.
+    * Counts·lr6 stays far inside long range at tested scales; a true
+    * 100 TB run would carry the numerator as DECIMAL(38,0).
+    *
+    * Scale shape: one (source, tok) map-side-combined count; the corpus
+    * and per-source totals are dims DERIVED from that fact (vocab-sized
+    * and nSources-sized) broadcast back; the vocab join is broadcast here
+    * and a well-balanced shuffle join on tok at web scale. */
+  def q84SourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(Text.normalize(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val st = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cst"))
+    val corpus = st.groupBy(col("tok")).agg(sum(col("cst")).as("ct"))
+    val totS = st.groupBy(col("source")).agg(sum(col("cst")).as("ts"))
+    val totA = corpus.agg(sum(col("ct")).as("ta"))
+    def lp6(cnt: org.apache.spark.sql.Column, total: org.apache.spark.sql.Column) =
+      floor(log(cnt.cast("double") / total) * lit(1e6) + lit(0.5)).cast("long")
+    st.join(broadcast(corpus), Seq("tok"))
+      .join(broadcast(totS), Seq("source"))
+      .crossJoin(broadcast(totA))
+      .select(col("source"), col("ts"),
+        (col("cst") * (lp6(col("cst"), col("ts")) - lp6(col("ct"), col("ta"))))
+          .as("c6"))
+      .groupBy(col("source"), col("ts"))
+      .agg(sum(col("c6")).as("kl6"))
+      .select(col("source"), col("ts").as("n_tokens"), col("kl6"),
+        (col("kl6").cast("double") / lit(1e6) / col("ts")).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val oracleQ84: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM documents
+       |), toks2 AS (
+       |  SELECT source, tok FROM toks WHERE len(tok) > 0
+       |), st AS (
+       |  SELECT source, tok, COUNT(*) AS cst FROM toks2 GROUP BY source, tok
+       |), corpus AS (
+       |  SELECT tok, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY tok
+       |), tots AS (
+       |  SELECT source, CAST(SUM(cst) AS BIGINT) AS ts FROM st GROUP BY source
+       |), tota AS (
+       |  SELECT CAST(SUM(ct) AS BIGINT) AS ta FROM corpus
+       |), contrib AS (
+       |  SELECT st.source, tots.ts, st.cst *
+       |    (CAST(floor(ln(CAST(cst AS DOUBLE) / ts) * 1e6 + 0.5) AS BIGINT)
+       |     - CAST(floor(ln(CAST(ct AS DOUBLE) / ta) * 1e6 + 0.5) AS BIGINT))
+       |    AS c6
+       |  FROM st JOIN corpus USING (tok) JOIN tots USING (source)
+       |  CROSS JOIN tota
+       |)
+       |SELECT source, ts AS n_tokens, CAST(SUM(c6) AS BIGINT) AS kl6,
+       |  CAST(SUM(c6) AS DOUBLE) / 1e6 / ts AS kl
+       |FROM contrib GROUP BY source, ts ORDER BY source""".stripMargin
+
+  val WsTopK = 20
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis-Spirakis 2006 A-ES), [[WsTopK]] docs per language with
+    * weight = n_chars: each doc draws u = (hash60(doc_id)+1)/2^60 ∈ (0,1]
+    * and the top-K by u^(1/w) win — equivalent to ordering on ln(u)/w,
+    * which is what both engines compare (ln quantized on the 1e-6 grid,
+    * then ONE double division). Deterministic, append-stable, and
+    * exactly the length-weighted mixing draw a training-data build uses.
+    *
+    * Scale shape: pure map-side scoring + a per-language window top-K
+    * (partitioned by lang — no global sort, no corpus-sized
+    * single-reducer window). */
+  def q85WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        floor(log((Text.hash60(col("doc_id").cast("string")) + lit(1))
+            .cast("double") / lit(1152921504606846976.0))
+          * lit(1e6) + lit(0.5)).cast("long").as("lnu6"))
+      .withColumn("es_score",
+        col("lnu6").cast("double") / col("n_chars"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("es_score").desc, col("doc_id"))))
+      .filter(col("rk") <= WsTopK)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val oracleQ85: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(floor(ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0)
+       |      * 1e6 + 0.5) AS BIGINT) AS lnu6
+       |  FROM documents WHERE n_chars > 0
+       |), keyed AS (
+       |  SELECT doc_id, lang, n_chars, lnu6,
+       |    CAST(lnu6 AS DOUBLE) / n_chars AS es_score
+       |  FROM scored
+       |), ranked AS (
+       |  SELECT doc_id, lang, n_chars, lnu6, es_score,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY es_score DESC, doc_id) AS rk
+       |  FROM keyed
+       |)
+       |SELECT doc_id, lang, n_chars, lnu6, es_score, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= $WsTopK ORDER BY lang, rk""".stripMargin
+
   val oracleQ64: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.HllSketch
+import graft.queries.Curation
+
+class SketchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("HLL estimate is within the 1.04/sqrt(m) error envelope of exact") {
+    import spark.implicits._
+    val n = 20000
+    val df = (1 to n).map(i => s"user-$i").toDF("v")
+      .select(Text.hash60(col("v")).as("h"))
+    val r = df.agg(HllSketch.hll60(col("h")).as("hll"))
+      .select(col("hll.hll_estimate")).collect()(0).getDouble(0)
+    // 3 sigma at p=10: 3 * 1.04/32 ≈ 9.8%
+    assert(math.abs(r - n) / n < 0.098, s"estimate $r vs exact $n")
+  }
+
+  test("HLL registers merge associatively: union sketch == sketch of union") {
+    import spark.implicits._
+    val a = (1 to 5000).map(i => s"a-$i")
+    val b = (3000 to 8000).map(i => s"a-$i") // overlap 3000..5000
+    def est(vs: Seq[String], parts: Int) =
+      vs.toDF("v").repartition(parts)
+        .select(Text.hash60(col("v")).as("h"))
+        .agg(HllSketch.hll60(col("h")).as("hll"))
+        .select(col("hll.s51"), col("hll.est6")).collect()(0)
+    // partial-aggregation merge across many partitions must reach the
+    // identical register state (s51 is a lossless register digest)
+    val u1 = est(a ++ b, 1)
+    val u32 = est(a ++ b, 32)
+    assert(u1 == u32)
+  }
+
+  test("HLL rho math matches the oracle formulation on edge words") {
+    // w = 0 → rho 51; w = 1 → bitlen 1 → rho 50; w = 2^49 → bitlen 50 → rho 1
+    def rho(h: Long): Int = {
+      val w = h >>> HllSketch.HllP
+      if (w == 0L) HllSketch.HllRhoMax
+      else HllSketch.HllRhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    }
+    assert(rho(5L) == 51)                      // register 5, word 0
+    assert(rho(1024L) == 50)                   // word 1
+    assert(rho((1L << 49) << 10) == 1)         // top word bit
+    assert((1L to 51L).forall(k => 1L << (51 - k) > 0))
+  }
+
+  test("q81 selects exactly DsirTopK docs and scores favor the target source") {
+    val r = Curation.q81DsirImportance(spark, sf)
+    val sel = r.filter(col("selected")).count()
+    assert(sel == Curation.DsirTopK)
+    // the target source's own docs must score above the corpus mean on
+    // average — the importance ratio is meant to find target-like text
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val j = r.join(docs, Seq("doc_id"))
+    val tAvg = j.filter(col("source") === Curation.DsirTargetSource)
+      .agg(avg(col("avg_logratio"))).collect()(0).getDouble(0)
+    val rAvg = j.filter(col("source") =!= Curation.DsirTargetSource)
+      .agg(avg(col("avg_logratio"))).collect()(0).getDouble(0)
+    assert(tAvg > rAvg, s"target avg $tAvg !> rest avg $rAvg")
+  }
+
+  test("q85 weighted sample favors longer docs and is append-stable") {
+    val r = Curation.q85WeightedSample(spark, sf)
+    val sampledAvg = r.agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val corpusAvg = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampledAvg > corpusAvg,
+      s"length-weighted draw avg $sampledAvg !> corpus avg $corpusAvg")
+    // the score is a pure per-row function (append-stable by
+    // construction): recompute one sampled row's key JVM-side from md5
+    val row = r.orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id"), col("n_chars"), col("lnu6"), col("es_score"))
+      .collect()(0)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(row.getLong(0).toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h60 = java.lang.Long.parseLong(md5.take(15), 16)
+    val lnu6 = math.floor(
+      math.log((h60 + 1).toDouble / 1152921504606846976.0) * 1e6 + 0.5).toLong
+    assert(row.getLong(2) == lnu6)
+    assert(row.getDouble(3) == lnu6.toDouble / row.getLong(1))
+  }
+}
