@@ -106,6 +106,7 @@ object SparkEntry {
     "q83_boilerplate_ngrams" -> (Curation.q83BoilerplateNgrams _),
     "q84_source_drift" -> (Curation.q84SourceDrift _),
     "q85_weighted_sample" -> (Curation.q85WeightedSample _),
+    "q86_semdedup" -> (TextQueries.q86SemDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -302,6 +303,7 @@ object SparkEntry {
     "q83_boilerplate_ngrams" -> Curation.oracleQ83,
     "q84_source_drift" -> Curation.oracleQ84,
     "q85_weighted_sample" -> Curation.oracleQ85,
+    "q86_semdedup" -> TextQueries.oracleQ86,
   )
 
   private val asofOracle: String =

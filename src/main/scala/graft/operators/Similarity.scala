@@ -146,6 +146,47 @@ object Similarity {
     * the update is a (cell, dim)-keyed partial/final aggregation over
     * dims·rows — the feature-mean shape. Final ranking is cosine over
     * the ORIGINAL (unquantized) doubles, as in q17/q57. */
+  /** K-means cluster ASSIGNMENT over the whole corpus — [[ivfKmeansGated]]'s
+    * training loop without a query exclusion, for clustering-as-an-operator
+    * consumers (SemDeDup's cluster stage, q86). Same determinism contract
+    * (scaled-integer update sums, lowest-id seeds, per-iteration
+    * localCheckpoint); returns (idCol, cell, vd) with the ORIGINAL doubles
+    * carried so downstream pair math needs no second corpus join. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int, iters: Int): DataFrame = {
+    val vecs0 = emb.select(col(idCol), asDouble(col(vecCol)).as("vd"))
+      .withColumn("v",
+        expr("transform(vd, x -> CAST(floor(x * 1e6 + 0.5) AS DOUBLE))"))
+    Materialize.withMaterialized(vecs0) { vecs =>
+      def score(v: Column): Column =
+        dotProduct(col("cv"), col("cv")) - lit(2.0) * dotProduct(v, col("cv"))
+      val wMin = Window.partitionBy(col(idCol))
+        .orderBy(col("__score"), col("cell"))
+      def assign(cents: DataFrame): DataFrame =
+        vecs.crossJoin(broadcast(cents))
+          .withColumn("__score", score(col("v")))
+          .withColumn("__rn", row_number().over(wMin))
+          .filter(col("__rn") === 1)
+      var cents = vecs.filter(col(idCol) < nCells)
+        .select(col(idCol).cast("int").as("cell"), col("v").as("cv"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val upd = assign(cents)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("x")) / count(lit(1))).as("m"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+            "s -> s.m)").as("cvNew"))
+        cents = cents.join(upd, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("cvNew"), col("cv")).as("cv"))
+          .localCheckpoint()
+      }
+      assign(cents).select(col(idCol), col("cell"), col("vd"))
+        .localCheckpoint()
+    }
+  }
+
   def ivfKmeansGated(emb: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, nCells: Int, iters: Int, nProbe: Int,
                      k: Int): DataFrame = {

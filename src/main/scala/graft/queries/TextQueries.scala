@@ -469,31 +469,35 @@ GROUP BY d.source ORDER BY d.source"""
       "embedding", queryId = 0L, nCells = IvfCells, iters = IvfKmIters,
       nProbe = IvfProbes, k = 10)
 
+  // one Lloyd iteration: assignment under `prev` centroids, exact
+  // integer component sums, list rebuild in pos order, empty cells keep
+  // their previous centroid. `excl` restricts the training set (q74
+  // holds out the query row; q86 trains on everything).
+  private def kmIteration(prev: String, next: String, excl: String): String =
+    s"""a_$next AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT t.vec_id, c.cell, t.v,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |        list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(t.v, c.cv),
+       |        c.cell) AS rn
+       |    FROM vecs t, $prev c$excl
+       |  ) WHERE rn = 1
+       |), m_$next AS (
+       |  SELECT cell, i AS pos, SUM(v[CAST(i AS INT)]) AS sx,
+       |    COUNT(*) AS n
+       |  FROM a_$next, range(1, ${AnnDims + 1}) r(i)
+       |  GROUP BY cell, i
+       |), u_$next AS (
+       |  SELECT cell, list(sx / n ORDER BY pos) AS cv
+       |  FROM m_$next GROUP BY cell
+       |), $next AS (
+       |  SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN u_$next u USING (cell)
+       |)""".stripMargin
+
   lazy val oracleQ74: String = {
-    // one Lloyd iteration: assignment under `prev` centroids, exact
-    // integer component sums, list rebuild in pos order, empty cells keep
-    // their previous centroid
     def iteration(prev: String, next: String): String =
-      s"""a_$next AS (
-         |  SELECT vec_id, cell, v FROM (
-         |    SELECT t.vec_id, c.cell, t.v,
-         |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
-         |        list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(t.v, c.cv),
-         |        c.cell) AS rn
-         |    FROM vecs t, $prev c WHERE t.vec_id <> 0
-         |  ) WHERE rn = 1
-         |), m_$next AS (
-         |  SELECT cell, i AS pos, SUM(v[CAST(i AS INT)]) AS sx,
-         |    COUNT(*) AS n
-         |  FROM a_$next, range(1, ${AnnDims + 1}) r(i)
-         |  GROUP BY cell, i
-         |), u_$next AS (
-         |  SELECT cell, list(sx / n ORDER BY pos) AS cv
-         |  FROM m_$next GROUP BY cell
-         |), $next AS (
-         |  SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
-         |  FROM $prev p LEFT JOIN u_$next u USING (cell)
-         |)""".stripMargin
+      kmIteration(prev, next, " WHERE t.vec_id <> 0")
     s"""WITH vecs0 AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
        |), vecs AS (
@@ -529,6 +533,78 @@ GROUP BY d.source ORDER BY d.source"""
        |FROM af JOIN probes p ON p.cell = af.cell, q
        |ORDER BY cosine_sim DESC, af.vec_id LIMIT 10""".stripMargin
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then drop all but one member of every
+    * near-identical group WITHIN each cluster — semantic dedup that
+    * scales because the quadratic pair search is confined to clusters.
+    * Stage composition, each individually gated: the q74 exact-integer
+    * Lloyd trainer ([[Similarity.kmeansAssign]], here with NO held-out
+    * query), the q18 blocked exact pair search (cluster id as the block
+    * key), and the q61 connected-components representative rule (keep
+    * the min-id member of each similarity component).
+    *
+    * Scale shape: centroids broadcast; assignment is map-side argmin;
+    * pairs use the 2-D blocked grid (per-task work ≤ chunk²); CC runs on
+    * the pair graph only. The corpus never self-joins unblocked. */
+  def q86SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Similarity.kmeansAssign(Tables.embeddings(s, dir),
+      "vec_id", "embedding", IvfCells, IvfKmIters)
+    val pairs = Similarity.cosinePairsBlocked(assigned, "vec_id", "vd",
+      "cell", PairChunk, CosineThreshold)
+    val cc = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
+      .withColumnRenamed("doc_id", "vec_id")
+    assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(cc), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster"), col("vec_id")).as("rep"),
+        (coalesce(col("cluster"), col("vec_id")) === col("vec_id")).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  lazy val oracleQ86: String =
+    s"""WITH RECURSIVE vecs0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+       |), vecs AS (
+       |  SELECT vec_id, vd,
+       |    list_transform(vd, x -> floor(x * 1e6 + 0.5)) AS v
+       |  FROM vecs0
+       |), c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM vecs
+       |  WHERE vec_id < $IvfCells
+       |), ${kmIteration("c0", "c1", "")}, ${kmIteration("c1", "c2", "")},
+       |af AS MATERIALIZED (
+       |  SELECT vec_id, cell, vd FROM (
+       |    SELECT t.vec_id, c.cell, t.vd,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |        list_dot_product(c.cv, c.cv) - 2.0 * list_dot_product(t.v, c.cv),
+       |        c.cell) AS rn
+       |    FROM vecs t, c2 c
+       |  ) WHERE rn = 1
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.vd, b.vd)
+       |      / (sqrt(list_dot_product(a.vd, a.vd))
+       |         * sqrt(list_dot_product(b.vd, b.vd))) > $CosineThreshold
+       |), bedges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs
+       |  UNION ALL SELECT id2, id1 FROM pairs
+       |), verts AS (
+       |  SELECT DISTINCT a AS id FROM bedges
+       |), reach(a, b) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN bedges e ON e.a = r.b
+       |), rep AS (
+       |  SELECT a AS vec_id, MIN(b) AS r FROM reach GROUP BY a
+       |)
+       |SELECT af.vec_id, af.cell,
+       |  CAST(COALESCE(rep.r, af.vec_id) AS BIGINT) AS rep,
+       |  COALESCE(rep.r, af.vec_id) = af.vec_id AS kept
+       |FROM af LEFT JOIN rep USING (vec_id)
+       |ORDER BY af.vec_id""".stripMargin
 
   /** Winnowing fingerprint summary per document (rolling-hash document
     * fingerprinting for partial-overlap dedup — see

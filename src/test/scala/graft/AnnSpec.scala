@@ -102,6 +102,25 @@ class AnnSpec extends AnyFunSuite {
     assert(c.nonEmpty)
   }
 
+  test("SemDeDup invariants: reps are kept, drops point to a smaller kept rep") {
+    import graft.queries.TextQueries
+    val r = TextQueries.q86SemDedup(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "cell", "rep", "kept").collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(r.length == 500)
+    // min-id representative rule: a drop's rep is a smaller id, same
+    // cluster-graph component, and itself kept
+    r.filterNot(_.getBoolean(3)).foreach { row =>
+      val rep = byId(row.getLong(2))
+      assert(row.getLong(2) < row.getLong(0))
+      assert(rep.getBoolean(3), s"rep ${row.getLong(2)} of ${row.getLong(0)} not kept")
+    }
+    // kept rows are their own rep; cells come from the k-means codebook
+    r.filter(_.getBoolean(3)).foreach(row => assert(row.getLong(2) == row.getLong(0)))
+    assert(r.map(_.getInt(1)).distinct.length <= graft.queries.TextQueries.IvfCells)
+    assert(r.exists(!_.getBoolean(3)), "gate is vacuous: nothing dropped")
+  }
+
   test("bucketed tables join without a shuffle") {
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
