@@ -88,4 +88,50 @@ class SketchSpec extends AnyFunSuite {
     assert(row.getLong(2) == lnu6)
     assert(row.getDouble(3) == lnu6.toDouble / row.getLong(1))
   }
+
+  test("streaming HLL windows: registers match batch bit-exactly; dups collapse") {
+    import spark.implicits._
+    import graft.streaming.StreamCardinality
+    import graft.streaming.StreamCardinality.Event
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val data = Seq(
+      Event(ts("2024-01-01 10:01:00"), 1, "click"),
+      Event(ts("2024-01-01 10:02:00"), 1, "click"), // dup user in window
+      Event(ts("2024-01-01 10:03:00"), 2, "click"),
+      Event(ts("2024-01-01 10:04:00"), 3, "view"),
+      Event(ts("2024-01-01 10:12:00"), 1, "click")) // next window
+    val stream = MemoryStream[Event]
+    val q = StreamCardinality.windowedDistinct(stream.toDS(),
+        "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("hllwin")
+      .outputMode("append").start()
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    stream.addData(Event(ts("2024-01-01 11:00:00"), 9, "click")) // close all
+    q.processAllAvailable()
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))
+    val streamed = spark.table("hllwin").collect().map(key).toSet
+    // unified plan: the same call over a batch Dataset must produce the
+    // identical rows, registers (s51) included
+    // the 11:00 sentinel's own window never closes in append mode — the
+    // equivalence claim is over CLOSED windows
+    val batch = StreamCardinality.windowedDistinct(
+        (data :+ Event(ts("2024-01-01 11:00:00"), 9, "click")).toDS(),
+        "10 minutes", "5 minutes")
+      .collect().map(key).filter(_._1 < "2024-01-01 11:00").toSet
+    assert(streamed == batch)
+    // two distinct users in the 10:00 click window: with 1024 registers
+    // and 2 values the linear-counting branch is exact to the 1e-6 grid
+    val clickWin = streamed.find(r => r._1.startsWith("2024-01-01 10:00") &&
+      r._2 == "click").get
+    assert(clickWin._3 == 3L) // 3 events
+    assert(math.abs(clickWin._4 - 2.0) < 0.01, s"estimate ${clickWin._4}")
+  }
 }
