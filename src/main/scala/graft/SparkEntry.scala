@@ -107,6 +107,7 @@ object SparkEntry {
     "q84_source_drift" -> (Curation.q84SourceDrift _),
     "q85_weighted_sample" -> (Curation.q85WeightedSample _),
     "q86_semdedup" -> (TextQueries.q86SemDedup _),
+    "q87_hard_negatives" -> (TextQueries.q87HardNegatives _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -304,6 +305,7 @@ object SparkEntry {
     "q84_source_drift" -> Curation.oracleQ84,
     "q85_weighted_sample" -> Curation.oracleQ85,
     "q86_semdedup" -> TextQueries.oracleQ86,
+    "q87_hard_negatives" -> TextQueries.oracleQ87,
   )
 
   private val asofOracle: String =

@@ -606,6 +606,69 @@ GROUP BY d.source ORDER BY d.source"""
        |FROM af LEFT JOIN rep USING (vec_id)
        |ORDER BY af.vec_id""".stripMargin
 
+  val HnQueries = 8
+  val HnK = 5
+
+  /** Hard-negative mining for contrastive retrieval training (DPR,
+    * Karpukhin et al. 2020 §3.2; ANCE): for each query vector, the
+    * most-similar corpus vectors OUTSIDE the query's own class — the
+    * near-misses a dense retriever must learn to push away. Exact
+    * brute-force ranking (the q17 baseline shape); at index scale the
+    * candidate stage swaps for the gated ANN paths (q47/q57/q74) with
+    * the same exclusion + rerank tail.
+    *
+    * Scale shape: the query set is a broadcast dim; scoring is one
+    * map-side pass over the corpus (norms hoisted per row — rule 9);
+    * ranking is a window partitioned by query_id, never a global sort. */
+  def q87HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.select(col("vec_id"), col("label"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("__n", graft.functions.l2Norm(col("v")))
+    val qs = corpus.filter(col("vec_id") < HnQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("__n").as("__qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        when(col("__n") > 0 && col("__qn") > 0,
+          graft.functions.dotProduct(col("v"), col("qv"))
+            / (col("__n") * col("__qn"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HnK)
+      .select(col("query_id"), col("vec_id"), col("label"),
+        col("cosine_sim"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val oracleQ87: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+       |  FROM e WHERE vec_id < $HnQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id, e.label,
+       |    CASE WHEN sqrt(list_dot_product(e.v, e.v)) > 0
+       |          AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+       |      THEN list_dot_product(e.v, q.qv)
+       |        / (sqrt(list_dot_product(e.v, e.v))
+       |           * sqrt(list_dot_product(q.qv, q.qv))) END AS cosine_sim
+       |  FROM e, q
+       |  WHERE e.label <> q.qlabel AND e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, label, cosine_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine_sim DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, vec_id, label, cosine_sim, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= $HnK ORDER BY query_id, rk""".stripMargin
+
   /** Winnowing fingerprint summary per document (rolling-hash document
     * fingerprinting for partial-overlap dedup — see
     * [[Dedup.winnowFingerprints]]). Output is the fingerprint-set summary
