@@ -35,14 +35,15 @@ package object functions {
       aggregate(nonNull, lit(0.0), (acc, x) => acc + x) / size(nonNull))
   }
 
-  /** Dot product of two double-array columns via `zip_with` + `aggregate`
-    * (codegen'd, no UDF). `factor-vectors.ts:319-333`. */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two double-array columns (`factor-vectors.ts:319-333`)
+    * — a native codegen'd loop ([[VectorExprs.DotProductExpr]]); formerly
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, which Catalyst
+    * INTERPRETS (PLANS.md rule 9). Bit-identical ascending left fold. */
+  def dotProduct(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
-  /** Euclidean norm of a double-array column. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** Euclidean norm of a double-array column — sqrt over the native
+    * codegen'd Σx² fold ([[VectorExprs.SumSquaresExpr]]). */
+  def l2Norm(a: Column): Column = sqrt(VectorExprs.sumSquares(a))
 
   /** Cosine similarity between two double-array columns; null when either
     * norm is zero (reference returns null for degenerate vectors,

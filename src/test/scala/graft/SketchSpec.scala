@@ -89,6 +89,48 @@ class SketchSpec extends AnyFunSuite {
     assert(row.getDouble(3) == lnu6.toDouble / row.getLong(1))
   }
 
+  test("native dot/sumSquares are bit-identical to the interpreted folds") {
+    import spark.implicits._
+    import graft.functions.VectorExprs
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        expr("transform(a, x -> CAST(x AS DOUBLE))").as("a"),
+        expr("transform(b, x -> CAST(x AS DOUBLE))").as("b"))
+    val cmp = df.select(col("id"),
+        VectorExprs.dot(col("a"), col("b")).as("nat"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("old"),
+        VectorExprs.sumSquares(col("a")).as("natq"),
+        aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x).as("oldq"))
+      .collect()
+    cmp.foreach { r =>
+      // bit-identical, not approximately equal: same ascending fold
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"dot @${r.getLong(0)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(4)), s"ssq @${r.getLong(0)}")
+    }
+    // degenerate shapes: length mismatch and null elements poison to null
+    // in BOTH formulations
+    val deg = spark.sql(
+      """SELECT CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>) AS a,
+        |  CAST(array(1.0) AS ARRAY<DOUBLE>) AS b,
+        |  CAST(array(1.0, NULL) AS ARRAY<DOUBLE>) AS c""".stripMargin)
+      .select(
+        VectorExprs.dot(col("a"), col("b")).as("mismatch"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("mismatch_old"),
+        VectorExprs.dot(col("a"), col("c")).as("nullelem"),
+        VectorExprs.sumSquares(col("c")).as("nullsq"))
+      .collect()(0)
+    assert(deg.isNullAt(0) && deg.isNullAt(1) && deg.isNullAt(2) && deg.isNullAt(3))
+  }
+
   test("streaming HLL windows: registers match batch bit-exactly; dups collapse") {
     import spark.implicits._
     import graft.streaming.StreamCardinality
