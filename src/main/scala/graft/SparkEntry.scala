@@ -108,6 +108,7 @@ object SparkEntry {
     "q85_weighted_sample" -> (Curation.q85WeightedSample _),
     "q86_semdedup" -> (TextQueries.q86SemDedup _),
     "q87_hard_negatives" -> (TextQueries.q87HardNegatives _),
+    "q88_dup_spans" -> (Curation.q88DupSpans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -306,6 +307,7 @@ object SparkEntry {
     "q85_weighted_sample" -> Curation.oracleQ85,
     "q86_semdedup" -> TextQueries.oracleQ86,
     "q87_hard_negatives" -> TextQueries.oracleQ87,
+    "q88_dup_spans" -> Curation.oracleQ88,
   )
 
   private val asofOracle: String =

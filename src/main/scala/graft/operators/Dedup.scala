@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -344,6 +345,65 @@ object Dedup {
       .select(col(idCol),
         array_distinct(
           graft.functions.SlidingMinExpr.slidingMin(col("__hl"), w)).as("fp"))
+  }
+
+  /** Exact-substring duplication spans (the Spark-shaped analog of Lee et
+    * al. 2022's ExactSubstr dedup, "Deduplicating Training Data Makes
+    * Language Models Better" — they build a corpus suffix array; a
+    * distributed engine gets the same spans from positional k-gram
+    * hashes): a position is DUPLICATED when its k-gram occurs in at least
+    * one other document; runs of duplicated positions within gap ≤ k
+    * merge into maximal disjoint spans (two marked positions ≤ k apart
+    * overlap in text), which is what a dedup pass would cut.
+    *
+    * Returns per-doc span stats (docs with no duplicated position produce
+    * NO row — callers left-join and read absence as zero). Output:
+    * (idCol, doc_len, n_spans, n_dup_positions, dup_chars, dup_frac).
+    *
+    * Scale shape: the positional hash array is built map-side and
+    * scoped-materialized before explosion (standing rule 7 — md5 per
+    * position is the expensive class); the duplicated-hash dim uses the
+    * min≠max trick (one map-side-combined aggregation, NO count-distinct
+    * expand); marking is a hash-keyed shuffle semi-join (well balanced:
+    * k-gram hashes are near-unique); islands/spans are doc-partitioned
+    * windows. Nothing is corpus-quadratic. */
+  def exactDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val norm = Text.normalize(col(textCol))
+    val harrs0 = docs.select(col(idCol), norm.as("__norm"))
+      .filter(length(col("__norm")) >= k)
+      .select(col(idCol), length(col("__norm")).cast("long").as("doc_len"),
+        expr(s"transform(sequence(1, length(__norm) - ${k - 1}), " +
+          s"i -> CAST(conv(substring(md5(CAST(substring(__norm, i, $k) AS BINARY)), " +
+          "1, 15), 16, 10) AS BIGINT))").as("harr"))
+    Materialize.withMaterialized(harrs0) { harrs =>
+      val pos = harrs.select(col(idCol), col("doc_len"),
+          posexplode(col("harr")).as(Seq("__p0", "__h")))
+        .select(col(idCol), col("doc_len"), (col("__p0") + 1).as("pos"),
+          col("__h"))
+      val dups = pos.groupBy(col("__h"))
+        .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+        .filter(col("__mn") =!= col("__mx"))
+        .select(col("__h"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      val spans = pos.join(dups, Seq("__h"), "left_semi")
+        .withColumn("__prev", lag(col("pos"), 1).over(w))
+        .withColumn("__brk",
+          when(col("__prev").isNull || col("pos") - col("__prev") > k, 1L)
+            .otherwise(0L))
+        .withColumn("__isl", sum(col("__brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col(idCol), col("doc_len"), col("__isl"))
+        .agg(min(col("pos")).as("__s"), max(col("pos")).as("__e"),
+          count(lit(1)).as("__np"))
+      spans.groupBy(col(idCol), col("doc_len"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("__np")).as("n_dup_positions"),
+          sum(col("__e") - col("__s") + lit(k)).as("dup_chars"))
+        .withColumn("dup_frac",
+          col("dup_chars").cast("double") / col("doc_len"))
+        .localCheckpoint()
+    }
   }
 
   /** Containment pairs from winnowing fingerprint sets

@@ -991,6 +991,57 @@ object Curation {
        |SELECT doc_id, lang, n_chars, lnu6, es_score, CAST(rk AS INT) AS rk
        |FROM ranked WHERE rk <= $WsTopK ORDER BY lang, rk""".stripMargin
 
+  val DupSpanK = 40
+
+  /** Exact-substring duplication spans ([[Dedup.exactDupSpans]], the
+    * Lee et al. 2022 ExactSubstr analog): per-document maximal duplicated
+    * spans of ≥ [[DupSpanK]] chars shared verbatim with another document
+    * — the signal their dedup pass CUTS (vs q15's whole-doc resemblance
+    * and q62's fingerprint containment, which only flag). Docs with no
+    * duplicated position produce no row (absence = clean). */
+  def q88DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupSpans(Tables.documents(s, dir), "doc_id", "text", DupSpanK)
+      .orderBy(col("doc_id"))
+
+  val oracleQ88: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), ${TextQueries.capGuardCte("capg", "norm")}, kg AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), $DupSpanK)),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM norm, range(1, ${TextQueries.OraclePosCap}) r(i), capg
+       |  WHERE capg.ok = 1 AND len(t) >= $DupSpanK
+       |    AND i <= len(t) - ${DupSpanK - 1}
+       |), dups AS (
+       |  SELECT h FROM kg GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
+       |), lagged AS (
+       |  SELECT kg.doc_id, kg.pos,
+       |    lag(kg.pos) OVER (PARTITION BY kg.doc_id ORDER BY kg.pos) AS prev
+       |  FROM kg JOIN dups USING (h)
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN prev IS NULL OR pos - prev > $DupSpanK
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+       |      AS g
+       |  FROM lagged
+       |), spans AS (
+       |  SELECT doc_id, g, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS np
+       |  FROM isl GROUP BY doc_id, g
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans,
+       |    CAST(SUM(np) AS BIGINT) AS n_dup_positions,
+       |    CAST(SUM(e - s + $DupSpanK) AS BIGINT) AS dup_chars
+       |  FROM spans GROUP BY doc_id
+       |)
+       |SELECT a.doc_id, CAST(len(n.t) AS BIGINT) AS doc_len, a.n_spans,
+       |  a.n_dup_positions, a.dup_chars,
+       |  CAST(a.dup_chars AS DOUBLE) / len(n.t) AS dup_frac
+       |FROM agg a JOIN norm n USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+
   val oracleQ64: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,

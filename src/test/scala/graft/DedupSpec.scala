@@ -225,4 +225,28 @@ class DedupSpec extends AnyFunSuite {
     for (vs <- comps; v <- vs) assert(labels(v) == vs.head,
       s"vertex $v labeled ${labels(v)}, expected ${vs.head}")
   }
+
+  test("exact dup spans: shared substrings found symmetrically, frac bounded") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = Seq(
+      (1L, s"unique-prefix-one $base unique-suffix-one"),
+      (2L, s"other-start-text $base completely-else-after"), // shares base
+      (3L, "nothing in common with anyone here at all truly")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactDupSpans(d, "doc_id", "text", 40)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(4), x.getDouble(5))).toMap
+    // both sharers are flagged; the loner is absent (absence = clean)
+    assert(r.contains(1L) && r.contains(2L) && !r.contains(3L))
+    r.values.foreach { case (len, nSpans, dupChars, frac) =>
+      assert(nSpans >= 1 && dupChars >= 40 && dupChars <= len)
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+    // the shared run is ~the full base string: one merged span covering
+    // at least |base| chars in each doc
+    assert(r(1L)._3 >= base.length)
+    assert(r(2L)._3 >= base.length)
+  }
 }
