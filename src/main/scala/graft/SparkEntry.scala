@@ -109,6 +109,7 @@ object SparkEntry {
     "q86_semdedup" -> (TextQueries.q86SemDedup _),
     "q87_hard_negatives" -> (TextQueries.q87HardNegatives _),
     "q88_dup_spans" -> (Curation.q88DupSpans _),
+    "q89_knn_graph" -> (TextQueries.q89KnnGraph _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -308,6 +309,7 @@ object SparkEntry {
     "q86_semdedup" -> TextQueries.oracleQ86,
     "q87_hard_negatives" -> TextQueries.oracleQ87,
     "q88_dup_spans" -> Curation.oracleQ88,
+    "q89_knn_graph" -> TextQueries.oracleQ89,
   )
 
   private val asofOracle: String =

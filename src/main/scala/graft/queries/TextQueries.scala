@@ -563,8 +563,11 @@ GROUP BY d.source ORDER BY d.source"""
       .orderBy(col("vec_id"))
   }
 
-  lazy val oracleQ86: String =
-    s"""WITH RECURSIVE vecs0 AS (
+  // whole-corpus k-means assignment CTEs (no held-out query): the oracle
+  // face of Similarity.kmeansAssign, shared by q86 and q89. Ends at
+  // `af(vec_id, cell, vd)`, ready for more CTEs.
+  private lazy val kmeansAfCtes: String =
+    s"""vecs0 AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
        |), vecs AS (
        |  SELECT vec_id, vd,
@@ -582,7 +585,10 @@ GROUP BY d.source ORDER BY d.source"""
        |        c.cell) AS rn
        |    FROM vecs t, c2 c
        |  ) WHERE rn = 1
-       |), pairs AS MATERIALIZED (
+       |)""".stripMargin
+
+  lazy val oracleQ86: String =
+    s"""WITH RECURSIVE $kmeansAfCtes, pairs AS MATERIALIZED (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2
        |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE list_dot_product(a.vd, b.vd)
@@ -605,6 +611,61 @@ GROUP BY d.source ORDER BY d.source"""
        |  COALESCE(rep.r, af.vec_id) = af.vec_id AS kept
        |FROM af LEFT JOIN rep USING (vec_id)
        |ORDER BY af.vec_id""".stripMargin
+
+  val KnnK = 3
+
+  /** Batch k-NN graph construction over the embedding corpus — the
+    * primitive under SemDeDup variants, kNN-LM datastores, and
+    * graph-based diversity selection: every vector's [[KnnK]] nearest
+    * within-cell neighbors under the q74/q86 trained quantizer (IVF
+    * restriction = the standard recall/cost trade; nProbe > 1 widens it,
+    * as in q57/q74's probed search).
+    *
+    * Scale shape: one cell-keyed self-join of the assignment (cells
+    * bound the quadratic work to Σ|cell|²; hot cells would take the q18
+    * grid or the q48 cap — named, not needed at gate scale), per-row
+    * norms hoisted, ranking per-vector windows. The shuffle key is the
+    * cell, exactly how a 1000-executor IVF kNN join co-locates. */
+  def q89KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Similarity.kmeansAssign(Tables.embeddings(s, dir),
+        "vec_id", "embedding", IvfCells, IvfKmIters)
+      .withColumn("__n", graft.functions.l2Norm(col("vd")))
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("vd").as("v1"), col("__n").as("__n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("vd").as("v2"), col("__n").as("__n2"))
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("cosine_sim").desc, col("id2"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("cosine_sim",
+        when(col("__n1") > 0 && col("__n2") > 0,
+          graft.functions.dotProduct(col("v1"), col("v2"))
+            / (col("__n1") * col("__n2"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .select(col("id1"), col("id2"), col("cell"), col("cosine_sim"),
+        col("rk"))
+      .orderBy(col("id1"), col("rk"))
+  }
+
+  lazy val oracleQ89: String =
+    s"""WITH $kmeansAfCtes, j AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell,
+       |    CASE WHEN sqrt(list_dot_product(a.vd, a.vd)) > 0
+       |          AND sqrt(list_dot_product(b.vd, b.vd)) > 0
+       |      THEN list_dot_product(a.vd, b.vd)
+       |        / (sqrt(list_dot_product(a.vd, a.vd))
+       |           * sqrt(list_dot_product(b.vd, b.vd))) END AS cosine_sim
+       |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT id1, id2, cell, cosine_sim,
+       |    row_number() OVER (PARTITION BY id1
+       |      ORDER BY cosine_sim DESC, id2) AS rk
+       |  FROM j
+       |)
+       |SELECT id1, id2, cell, cosine_sim, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= $KnnK ORDER BY id1, rk""".stripMargin
 
   val HnQueries = 8
   val HnK = 5
