@@ -110,6 +110,7 @@ object SparkEntry {
     "q87_hard_negatives" -> (TextQueries.q87HardNegatives _),
     "q88_dup_spans" -> (Curation.q88DupSpans _),
     "q89_knn_graph" -> (TextQueries.q89KnnGraph _),
+    "q90_quantile_sketch" -> (Curation.q90QuantileSketch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -310,6 +311,7 @@ object SparkEntry {
     "q87_hard_negatives" -> TextQueries.oracleQ87,
     "q88_dup_spans" -> Curation.oracleQ88,
     "q89_knn_graph" -> TextQueries.oracleQ89,
+    "q90_quantile_sketch" -> Curation.oracleQ90,
   )
 
   private val asofOracle: String =

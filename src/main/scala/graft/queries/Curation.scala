@@ -1042,6 +1042,93 @@ object Curation {
        |FROM agg a JOIN norm n USING (doc_id)
        |ORDER BY a.doc_id""".stripMargin
 
+  /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
+    * family: log buckets ⇒ bounded RELATIVE error) for per-source
+    * doc-length monitoring — the mergeable-sketch counterpart of q82's
+    * HLL: per-group state is a ≤64-bucket count histogram that partial
+    * aggregation combines map-side, so P50/P95/P99 over 100 TB cost one
+    * tiny shuffle, no per-source sort. The quantile readout is the
+    * smallest bucket whose cumulative count reaches ⌈p·n⌉ (compared as
+    * integer cum·100 ≥ p100·n — zero FP anywhere), reported as the
+    * bucket's lower edge 2^(bucket-1).
+    *
+    * The exact type-1 quantiles ride along ONLY to gate the sketch's
+    * error (their per-source rank windows are the very sort the sketch
+    * exists to avoid — a production monitor drops those columns). */
+  def q90QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        length(bin(col("n_chars"))).as("bucket"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+    def bAt(p100: Int) =
+      min(when(col("cum") * 100 >= lit(p100) * col("n"), col("bucket")))
+    val est = cum.groupBy(col("source"), col("n")).agg(
+      bAt(50).as("b50"), bAt(95).as("b95"), bAt(99).as("b99"))
+    val wr = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    def xAt(p100: Int) =
+      min(when(col("rn") * 100 >= lit(p100) * col("n"), col("n_chars")))
+    val exact = d
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source")).agg(
+        xAt(50).as("p50_exact"), xAt(95).as("p95_exact"),
+        xAt(99).as("p99_exact"))
+    est.join(exact, Seq("source"))
+      .select(col("source"), col("n"),
+        expr("shiftleft(CAST(1 AS BIGINT), b50 - 1)").as("p50_lo"),
+        col("p50_exact"),
+        expr("shiftleft(CAST(1 AS BIGINT), b95 - 1)").as("p95_lo"),
+        col("p95_exact"),
+        expr("shiftleft(CAST(1 AS BIGINT), b99 - 1)").as("p99_lo"),
+        col("p99_exact"))
+      .orderBy(col("source"))
+  }
+
+  val oracleQ90: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(len(bin(n_chars)) AS INT) AS bucket
+       |  FROM documents WHERE n_chars > 0
+       |), hist AS (
+       |  SELECT source, bucket, COUNT(*) AS c FROM d GROUP BY source, bucket
+       |), cum AS (
+       |  SELECT source, bucket, c,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n
+       |  FROM hist
+       |), est AS (
+       |  SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+       |    MIN(CASE WHEN cum * 100 >= 50 * n THEN bucket END) AS b50,
+       |    MIN(CASE WHEN cum * 100 >= 95 * n THEN bucket END) AS b95,
+       |    MIN(CASE WHEN cum * 100 >= 99 * n THEN bucket END) AS b99
+       |  FROM cum GROUP BY source
+       |), ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM d
+       |), ex AS (
+       |  SELECT source,
+       |    MIN(CASE WHEN rn * 100 >= 50 * n THEN n_chars END) AS p50_exact,
+       |    MIN(CASE WHEN rn * 100 >= 95 * n THEN n_chars END) AS p95_exact,
+       |    MIN(CASE WHEN rn * 100 >= 99 * n THEN n_chars END) AS p99_exact
+       |  FROM ranked GROUP BY source
+       |)
+       |SELECT e.source, e.n,
+       |  CAST(1 AS BIGINT) << (b50 - 1) AS p50_lo, x.p50_exact,
+       |  CAST(1 AS BIGINT) << (b95 - 1) AS p95_lo, x.p95_exact,
+       |  CAST(1 AS BIGINT) << (b99 - 1) AS p99_lo, x.p99_exact
+       |FROM est e JOIN ex x USING (source) ORDER BY e.source""".stripMargin
+
   val oracleQ64: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,
