@@ -89,6 +89,18 @@ class SketchSpec extends AnyFunSuite {
     assert(row.getDouble(3) == lnu6.toDouble / row.getLong(1))
   }
 
+  test("q90 sketch quantiles bracket the exact: lo <= exact < 2*lo") {
+    // the log2-bucket guarantee: the true quantile lies in the reported
+    // bucket [2^(b-1), 2^b)
+    Curation.q90QuantileSketch(spark, sf).collect().foreach { r =>
+      for ((lo, ex) <- Seq((2, 3), (4, 5), (6, 7))) {
+        val l = r.getLong(lo); val e = r.getLong(ex)
+        assert(l <= e && e < 2 * l,
+          s"${r.getString(0)}: exact $e outside bucket [$l, ${2 * l})")
+      }
+    }
+  }
+
   test("native dot/sumSquares are bit-identical to the interpreted folds") {
     import spark.implicits._
     import graft.functions.VectorExprs
