@@ -739,7 +739,7 @@ object Curation {
     // sequence(1, n) with n < 1 counts DOWN in Spark — the size >= 2
     // filter is load-bearing, and the oracle mirrors it (docs with < 2
     // tokens produce no row)
-    val bg = Tables.documents(s, dir)
+    val bg0 = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         filter(split(Text.normalize(col("text")), " "),
           w => length(w) > 0).as("t"))
@@ -749,6 +749,14 @@ object Curation {
           "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
       .select(col("doc_id"), col("source"),
         (Text.hash60(col("bg")) % DsirBuckets).as("bucket"))
+    // two consumers (bucket counts + per-doc scoring) — scoped-materialize
+    // so normalize + md5 run once over the corpus, not twice (rule 5)
+    graft.operators.Materialize.withMaterialized(bg0)(bg =>
+      q81FromBigrams(s, bg).localCheckpoint())
+  }
+
+  private def q81FromBigrams(s: SparkSession,
+                             bg: DataFrame): DataFrame = {
     val counts = bg.groupBy(col("bucket")).agg(
       sum(when(col("source") === DsirTargetSource, 1L).otherwise(0L)).as("ct"),
       sum(when(col("source") === DsirTargetSource, 0L).otherwise(1L)).as("cr"))
