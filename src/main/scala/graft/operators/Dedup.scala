@@ -608,11 +608,15 @@ object Dedup {
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
         .distinct()
-    var edges = canon(edges0.select(col("id1").cast("long").as("u"),
-      col("id2").cast("long").as("v"))).localCheckpoint()
-    val vertices = edges.select(col("u").as("id"))
-      .unionByName(edges.select(col("v").as("id"))).distinct()
+    val raw = edges0.select(col("id1").cast("long").as("u"),
+      col("id2").cast("long").as("v"))
+    // vertex set from the RAW edges, before canon() drops self-loops — a
+    // vertex whose only edge is a self-loop must still be labeled (its own
+    // singleton component), matching connectedComponents' contract
+    val vertices = raw.select(col("u").as("id"))
+      .unionByName(raw.select(col("v").as("id"))).distinct()
       .localCheckpoint()
+    var edges = canon(raw).localCheckpoint()
     def largeStar(e: DataFrame): DataFrame = {
       val bi = e.select(col("u"), col("v"))
         .unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -630,13 +634,29 @@ object Dedup {
         .select(col("v").as("u"), col("__m").as("v"))
         .unionByName(m.select(col("u"), col("__m").as("v"))))
     }
+    // Fixpoint test: canon() output is DISTINCT, so set equality reduces to
+    // (count, sum(hash(u,v))) equality — two scalar aggregates over the
+    // just-checkpointed (in-memory) edges, vs the two full exceptAll
+    // anti-join shuffles per round this replaces (which doubled per-round
+    // cost). A false fixpoint needs a colliding 64-bit hash SUM at equal
+    // cardinality (~2^-64/round). Fingerprints carry across rounds, so
+    // each round pays exactly one aggregate over `next`.
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      // decimal(38,0) sum: ANSI sum(long) throws on overflow, and 64-bit
+      // hash sums overflow routinely; decimal is exact to 10^38
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var fpEdges = fingerprint(edges)
     var changed = true
     var rounds = 0
     while (changed && rounds < 64) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      changed = next.exceptAll(edges).limit(1).count() > 0 ||
-        edges.exceptAll(next).limit(1).count() > 0
+      val fpNext = fingerprint(next)
+      changed = fpNext != fpEdges
       edges = next
+      fpEdges = fpNext
       rounds += 1
     }
     require(!changed,
