@@ -669,6 +669,53 @@ object Dedup {
         coalesce(col("lbl"), col("id")).as("cluster"))
   }
 
+  /** Connected components with a runtime strategy choice — the AQE
+    * philosophy applied to clustering: the near-dup PAIR set is orders of
+    * magnitude smaller than the corpus (pairs ≈ dup-rate × n, and callers
+    * have it materialized and counted already), so when it fits
+    * comfortably on the driver the log-round distributed iteration is
+    * pure fixed overhead — each round is a join + aggregation + barrier
+    * over a few thousand rows. Below `broadcastEdgeLimit` edges this
+    * collects the pair list and runs union-find with min-label roots
+    * (exactly [[connectedComponents]]' contract: cluster = min id of the
+    * component, one row per vertex incident to an edge); above it, it
+    * delegates to the distributed [[connectedComponents]]. Composed
+    * pipelines (q69/q76) use this; q61/q79 gate the distributed
+    * algorithms directly so their plans stay measured.
+    *
+    * The limit is EDGES, not vertices: 4M edges ≈ 64 MB of longs on the
+    * driver — same order as a default broadcast-join side. */
+  def connectedComponentsAdaptive(edges: DataFrame,
+                                  broadcastEdgeLimit: Long = 4L << 20): DataFrame = {
+    val spark = edges.sparkSession
+    val n = edges.count()
+    if (n > broadcastEdgeLimit)
+      connectedComponents(edges)
+    else {
+      val es = edges.select(col("id1").cast("long"), col("id2").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // always hang the larger root under the smaller one, so every
+        // root IS its component's minimum when the scan finishes
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import spark.implicits._
+      parent.keys.toSeq.sorted.map(v => (v, find(v)))
+        .toDF("doc_id", "cluster")
+    }
+  }
+
   /** SimHash Hamming near-dup pairs (Manku/Jain/Sarma, "Detecting
     * Near-Duplicates for Web Crawling", WWW'07): split the `bandBits`×
     * `nBands`-bit hash into `nBands` bands — by pigeonhole, any pair

@@ -140,7 +140,7 @@ object Curation {
     * expression per OUTPUT row — O(tokens²) concat work per doc took q67
     * to ~10 s at sf0.1, ~0.9 s materialized); the per-doc result leaves
     * as an eager localCheckpoint. */
-  private def repetitionSignalsFromTokens(tok: DataFrame): DataFrame = {
+  private[graft] def repetitionSignalsFromTokens(tok: DataFrame): DataFrame = {
     val base0 = tok
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
@@ -298,7 +298,7 @@ object Curation {
   /** The map-side half of the q70 gates, over a (doc_id, pred_lang,
     * quality, t: array<string>) frame — shared by q70 and the q76
     * capstone (which feeds its one persisted carrier). */
-  private def cleanFeatures(base: DataFrame): DataFrame =
+  private[graft] def cleanFeatures(base: DataFrame): DataFrame =
     base.select(col("doc_id"), col("pred_lang"), col("quality"),
       size(col("t")).cast("long").as("n_tokens"),
       (expr("CAST(aggregate(transform(t, w -> length(w)), " +
@@ -308,7 +308,7 @@ object Curation {
   /** Gate verdicts: join [[cleanFeatures]] to the repetition signals and
     * apply the thresholds — `keep` plus the first failing gate as
     * `reason`. */
-  private def cleanGated(feat: DataFrame, rep: DataFrame): DataFrame =
+  private[graft] def cleanGated(feat: DataFrame, rep: DataFrame): DataFrame =
     feat
       .join(rep
         .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac")),
@@ -553,20 +553,30 @@ object Curation {
     * (cleaning gates, LSH shingles, contamination k-grams — ~2× total
     * recompute even measured fresh). Now ONE scoped-materialized carrier
     * holds (doc_id, lang, source, normalized text, pred_lang, quality,
-    * n_tokens) — normalize/langId/quality/tokenCount each run exactly
-    * once over one scan — and the cleaning gates, the k=5 LSH pipeline,
-    * and the k=16 contamination stage all project from it (the two
-    * shingle-hash passes still differ by k, inherently). The cleaning
+    * n_tokens, k=5 shingle-hash array) — normalize/langId/quality/
+    * tokenCount/shingle-md5 each run exactly once over one scan — and the
+    * cleaning gates, the k=5 LSH pipeline, and the k=16 contamination
+    * stage all project from it (only the k=16 grams re-derive from
+    * __norm; md5 k-grams aren't composable across k). The cleaning
     * verdict is materialized before the survivor join so its regexes
     * never re-run. At 100 TB, re-tokenizing the corpus 3× is the
     * difference between one nightly build and three. */
   def q76TrainingManifest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // the k=5 LSH shingle-hash array rides IN the carrier: the md5 sweep
+    // happens once in the same cached pass as normalize/langId/quality,
+    // and the LSH signature fold + the candidate-verify intersect both
+    // project it straight from the carrier cache — no second
+    // materialization pass. The k=16 contamination grams still derive
+    // from __norm separately (md5 k-grams aren't composable across k; a
+    // measured 0.5s pass at sf0.1, see PLANS.md q76 stage table).
     val carrier = docs.select(col("doc_id"), col("lang"), col("source"),
       Text.normalize(col("text")).as("__norm"),
       Text.langId(col("text")).as("pred_lang"),
       Text.qualityScore(col("text")).as("quality"),
       Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("__h5", when(length(col("__norm")) >= TextQueries.ShingleK,
+        Dedup.shingleHashCol("__norm", TextQueries.ShingleK)))
     Materialize.withMaterialized(carrier) { base =>
       def harr(side: DataFrame, k: Int): DataFrame = side
         .filter(length(col("__norm")) >= k)
@@ -580,9 +590,11 @@ object Curation {
           repetitionSignalsFromTokens(withToks.select(col("doc_id"), col("t"))))
         .filter(col("keep")).select(col("doc_id"))
         .localCheckpoint()
-      // near-dup drop set (q14/q15/q61's exact pipeline) from the carrier
-      val pairs = Materialize.withMaterialized(
-          harr(base, TextQueries.ShingleK)) { h =>
+      // near-dup drop set (q14/q15/q61's exact pipeline) from the
+      // carrier's precomputed hash arrays
+      val pairs = {
+        val h = base.filter(col("__h5").isNotNull)
+          .select(col("doc_id"), col("__h5").as("harr"))
         val sig = Dedup.minhashSignaturesFromHashes(h, "doc_id",
           TextQueries.NumHashes)
         val cand = Dedup.minhashCandidates(sig, "doc_id",
@@ -592,7 +604,7 @@ object Curation {
           .select(col("id1"), col("id2"))
           .localCheckpoint()
       }
-      val dupDrop = Dedup.connectedComponents(pairs)
+      val dupDrop = Dedup.connectedComponentsAdaptive(pairs)
         .filter(col("doc_id") =!= col("cluster"))
         .select(col("doc_id"), lit(true).as("__dup"))
       // contamination (q68's exact semantics) from the carrier at k=16

@@ -234,7 +234,7 @@ FROM reach GROUP BY a ORDER BY doc_id"""
     * is one map-side-combined aggregation. */
   def q69DedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val dropped = Dedup.connectedComponents(
+    val dropped = Dedup.connectedComponentsAdaptive(
         q15NearDupPairs(s, dir).select(col("id1"), col("id2")))
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"), lit(1).as("__drop"))
@@ -553,7 +553,7 @@ GROUP BY d.source ORDER BY d.source"""
       "vec_id", "embedding", IvfCells, IvfKmIters)
     val pairs = Similarity.cosinePairsBlocked(assigned, "vec_id", "vd",
       "cell", PairChunk, CosineThreshold)
-    val cc = Dedup.connectedComponents(pairs.select(col("id1"), col("id2")))
+    val cc = Dedup.connectedComponentsAdaptive(pairs.select(col("id1"), col("id2")))
       .withColumnRenamed("doc_id", "vec_id")
     assigned.select(col("vec_id"), col("cell"))
       .join(broadcast(cc), Seq("vec_id"), "left")

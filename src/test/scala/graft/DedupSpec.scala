@@ -192,6 +192,30 @@ class DedupSpec extends AnyFunSuite {
     assert(stars.nonEmpty)
   }
 
+  test("adaptive CC matches distributed CC on both sides of its threshold") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val comps = Seq(0L until 25L, 50L until 90L, 300L until 303L)
+    val edges = comps.flatMap { vs =>
+      val v = vs.toArray
+      val spine = v.sliding(2).map(a => (a(0), a(1))).toSeq
+      val extra = (1 to v.length).map { _ =>
+        (v(rng.nextInt(v.length)), v(rng.nextInt(v.length)))
+      }.filter { case (a, b) => a != b }
+      spine ++ extra
+    }.toDF("id1", "id2")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = asMap(Dedup.connectedComponents(edges))
+    // under the limit -> driver union-find; limit 0 -> delegates
+    assert(asMap(Dedup.connectedComponentsAdaptive(edges)) == distributed)
+    assert(asMap(Dedup.connectedComponentsAdaptive(edges, 0L)) == distributed)
+    // self-loop-only vertex is still labeled as its own singleton
+    val withLoop = edges.unionByName(Seq((999L, 999L)).toDF("id1", "id2"))
+    val loopLabels = asMap(Dedup.connectedComponentsAdaptive(withLoop))
+    assert(loopLabels(999L) == 999L)
+  }
+
   test("star contraction handles a long chain in logarithmic rounds") {
     import spark.implicits._
     // a 300-node path has diameter 299: min-label propagation would need
