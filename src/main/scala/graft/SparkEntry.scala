@@ -111,6 +111,7 @@ object SparkEntry {
     "q88_dup_spans" -> (Curation.q88DupSpans _),
     "q89_knn_graph" -> (TextQueries.q89KnnGraph _),
     "q90_quantile_sketch" -> (Curation.q90QuantileSketch _),
+    "q91_png_decode" -> (Advanced.q91PngDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -312,6 +313,7 @@ object SparkEntry {
     "q88_dup_spans" -> Curation.oracleQ88,
     "q89_knn_graph" -> TextQueries.oracleQ89,
     "q90_quantile_sketch" -> Curation.oracleQ90,
+    "q91_png_decode" -> Advanced.oracleQ91,
   )
 
   private val asofOracle: String =

@@ -9,18 +9,24 @@ import org.apache.spark.sql.functions._
   * JVM analog of an Arrow-batched decode UDF).
   *
   * Two decode paths coexist:
-  *  - [[stubDecode]] — the declared stand-in for codecs this container
-  *    lacks (JPEG/H.264/...), kept so q35/q51 gate the metadata plumbing
+  *  - [[stubDecode]] — the declared stand-in for codec families that
+  *    genuinely need native libraries this container lacks (JPEG's DCT,
+  *    H.264/AV1 video), kept so q35/q51 gate the metadata plumbing
   *    unchanged. Swap its body for a codec call (e.g.
   *    TwelveMonkeys/JavaCV) to productionize; the plan shape is final.
-  *  - [[decodeBmp]] / [[decodeWav]] — REAL pure-JVM codecs for the two
-  *    formats that need no native library: uncompressed 24-bit BMP
-  *    (little-endian header walk, bottom-up padded pixel rows) and PCM16
-  *    RIFF/WAVE (chunk-list walk, fmt/data parse). Gated end-to-end by
-  *    q78 against a closed-form oracle: the encoder synthesizes payload
-  *    bytes whose decoded statistics DuckDB can derive arithmetically, so
-  *    a wrong header offset, a mishandled row pad, or an unskipped chunk
-  *    breaks the hash match.
+  *  - [[decodeBmp]] / [[decodeWav]] — REAL pure-JVM codecs for two
+  *    uncompressed formats: 24-bit BMP (little-endian header walk,
+  *    bottom-up padded pixel rows) and PCM16 RIFF/WAVE (chunk-list walk,
+  *    fmt/data parse). Gated end-to-end by q78 against a closed-form
+  *    oracle: the encoder synthesizes payload bytes whose decoded
+  *    statistics DuckDB can derive arithmetically, so a wrong header
+  *    offset, a mishandled row pad, or an unskipped chunk breaks the
+  *    hash match.
+  *  - [[decodePng]] / [[encodePng]] — a REAL COMPRESSED format, pure-JVM
+  *    via `java.util.zip`: zlib DEFLATE inflate, CRC-32 chunk
+  *    verification, multi-IDAT concatenation, and all five PNG scanline
+  *    filter reversals. Gated as q91 with the same closed-form-oracle
+  *    technique.
   *
   * Scale notes: payload bytes never pass through a shuffle here — features
   * are extracted map-side and only the slim metadata rows move on. That is
@@ -189,6 +195,11 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val id = fourCC(pos)
       val size = bb.getInt(pos + 4)
+      // a corrupt/hostile header can declare a negative or oversized chunk;
+      // fail loudly instead of looping forever or reading out of bounds
+      // (long math: pos + 8 + Int.MaxValue wraps in int arithmetic)
+      require(size >= 0 && pos + 8L + size <= bytes.length,
+        s"bad RIFF chunk size $size at offset $pos (file ${bytes.length}B)")
       id match {
         case "fmt " =>
           require(bb.getShort(pos + 8) == 1, "only PCM supported")
@@ -251,6 +262,201 @@ object Multimodal {
         MediaDecodeRow(m.doc_id, "wav", m.payload.length.toLong,
           None, None, Some(sr), Some(n), sum, None)
       }
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Real COMPRESSED-format codec (PNG / DEFLATE) + the q91 pipeline
+  // ------------------------------------------------------------------
+
+  import java.util.zip.{CRC32, Deflater, Inflater}
+
+  final case class PngDecodeRow(doc_id: Long, width: Int, height: Int,
+                                content_sum: Long, corner_sum: Long,
+                                n_filters: Int)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, chunkType: String,
+                       data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).putInt(data.length).array()
+    out.write(len)
+    val typ = chunkType.getBytes("ASCII")
+    out.write(typ)
+    out.write(data)
+    val crc = new CRC32
+    crc.update(typ)
+    crc.update(data)
+    out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  /** Encode an 8-bit RGB PNG — a REAL compressed-format encoder: per-row
+    * filtering cycling through ALL FIVE spec filter types (None/Sub/Up/
+    * Average/Paeth, row r uses r mod 5), zlib DEFLATE of the filtered
+    * stream (`java.util.zip.Deflater`), CRC-32 per chunk, and the IDAT
+    * payload split in two when it exceeds 64 bytes (multi-IDAT files are
+    * valid and common; decoders must concatenate). `pixels` is the raw
+    * top-down RGB byte stream (w·h·3). The output opens in any viewer. */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3, "pixel buffer size mismatch")
+    val stride = width * 3
+    val filtered = new Array[Byte]((stride + 1) * height)
+    for (r <- 0 until height) {
+      val ft = r % 5
+      filtered(r * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val raw = pixels(r * stride + i) & 0xff
+        val left = if (i >= 3) pixels(r * stride + i - 3) & 0xff else 0
+        val up = if (r > 0) pixels((r - 1) * stride + i) & 0xff else 0
+        val ul = if (r > 0 && i >= 3) pixels((r - 1) * stride + i - 3) & 0xff else 0
+        val enc = ft match {
+          case 0 => raw
+          case 1 => raw - left
+          case 2 => raw - up
+          case 3 => raw - (left + up) / 2
+          case 4 => raw - paeth(left, up, ul)
+        }
+        filtered(r * (stride + 1) + 1 + i) = (enc & 0xff).toByte
+        i += 1
+      }
+    }
+    val deflater = new Deflater()
+    deflater.setInput(filtered)
+    deflater.finish()
+    val buf = new Array[Byte](filtered.length + 64)
+    var compLen = 0
+    while (!deflater.finished())
+      compLen += deflater.deflate(buf, compLen, buf.length - compLen)
+    deflater.end()
+    val comp = java.util.Arrays.copyOf(buf, compLen)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    pngChunk(out, "IHDR", ihdr)
+    if (comp.length > 64) {
+      val mid = comp.length / 2
+      pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(comp, 0, mid))
+      pngChunk(out, "IDAT", java.util.Arrays.copyOfRange(comp, mid, comp.length))
+    } else pngChunk(out, "IDAT", comp)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit RGB PNG: verify the signature, walk the chunk list
+    * verifying every CRC-32, concatenate multi-IDAT payloads, INFLATE the
+    * compressed stream (`java.util.zip.Inflater`), and reverse all five
+    * scanline filter types. Returns (width, height, content_sum =
+    * unsigned sum of every reconstructed RGB byte, corner_sum = the 3
+    * bytes of the top-left pixel — PNG rows are top-DOWN, the opposite of
+    * BMP — n_filters = distinct filter types seen, which pins that the
+    * filter bytes were actually read, not assumed). Fails loudly on bad
+    * magic, CRC mismatch, truncated chunks, or non-RGB8 formats. */
+  def decodePng(bytes: Array[Byte]): (Int, Int, Long, Long, Int) = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    require(bytes.length >= 8 && sig.indices.forall(i =>
+      (bytes(i) & 0xff) == sig(i)), "not a PNG")
+    val bb = ByteBuffer.wrap(bytes) // PNG ints are big-endian (default)
+    var pos = 8
+    var width = -1; var height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      require(pos + 8 <= bytes.length, s"truncated chunk header at $pos")
+      val len = bb.getInt(pos)
+      require(len >= 0 && pos + 12L + len <= bytes.length,
+        s"bad chunk length $len at offset $pos (file ${bytes.length}B)")
+      val typ = new String(bytes, pos + 4, 4, "ASCII")
+      val crc = new CRC32
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == bb.getInt(pos + 8 + len),
+        s"CRC mismatch in $typ chunk at offset $pos")
+      typ match {
+        case "IHDR" =>
+          width = bb.getInt(pos + 8)
+          height = bb.getInt(pos + 12)
+          val depth = bytes(pos + 16) & 0xff
+          val color = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          require(depth == 8 && color == 2 && interlace == 0,
+            s"only 8-bit non-interlaced RGB supported " +
+              s"(depth=$depth, color=$color, interlace=$interlace)")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    require(width > 0 && height > 0, "no IHDR before IDAT/IEND")
+    val stride = width * 3
+    val inflater = new Inflater()
+    inflater.setInput(idat.toByteArray)
+    val filtered = new Array[Byte]((stride + 1) * height)
+    var off = 0
+    while (!inflater.finished() && off < filtered.length)
+      off += inflater.inflate(filtered, off, filtered.length - off)
+    inflater.end()
+    require(off == filtered.length,
+      s"inflated ${off}B, expected ${filtered.length}B")
+    // unfilter in place into the raw pixel buffer
+    val raw = new Array[Byte](stride * height)
+    var nFilters = 0
+    var seen = 0
+    for (r <- 0 until height) {
+      val ft = filtered(r * (stride + 1)) & 0xff
+      require(ft <= 4, s"bad filter type $ft on row $r")
+      if ((seen & (1 << ft)) == 0) { seen |= 1 << ft; nFilters += 1 }
+      var i = 0
+      while (i < stride) {
+        val enc = filtered(r * (stride + 1) + 1 + i) & 0xff
+        val left = if (i >= 3) raw(r * stride + i - 3) & 0xff else 0
+        val up = if (r > 0) raw((r - 1) * stride + i) & 0xff else 0
+        val ul = if (r > 0 && i >= 3) raw((r - 1) * stride + i - 3) & 0xff else 0
+        val dec = ft match {
+          case 0 => enc
+          case 1 => enc + left
+          case 2 => enc + up
+          case 3 => enc + (left + up) / 2
+          case 4 => enc + paeth(left, up, ul)
+        }
+        raw(r * stride + i) = (dec & 0xff).toByte
+        i += 1
+      }
+    }
+    var sum = 0L
+    var i = 0
+    while (i < raw.length) { sum += raw(i) & 0xff; i += 1 }
+    val corner = (raw(0) & 0xff).toLong + (raw(1) & 0xff) + (raw(2) & 0xff)
+    (width, height, sum, corner, nFilters)
+  }
+
+  /** q91: synthesize real PNG payloads (pixel byte i = (id·13 + i·29) mod
+    * 256 — the ·29 stride makes Sub/Average/Paeth residuals non-trivial),
+    * decode them with the REAL inflate + unfilter path, and report per-doc
+    * decoded statistics. The oracle derives every output arithmetically
+    * from doc_id: the DEFLATE roundtrip must be bit-exact and all five
+    * filter reversals correct or content_sum/corner_sum break the hash
+    * match; n_filters = least(h, 5) pins that filter bytes were read.
+    * Same map-side shape as q78: bytes never shuffle. */
+  def pngDecodeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (4 + id % 11).toInt
+      val h = (3 + id % 5).toInt
+      val px = Array.tabulate(w * h * 3)(i => ((id * 13 + i * 29) % 256).toByte)
+      val (dw, dh, sum, corner, nf) = decodePng(encodePng(w, h, px))
+      PngDecodeRow(id, dw, dh, sum, corner, nf)
     }.toDF()
       .orderBy(col("doc_id"))
   }

@@ -428,6 +428,30 @@ object Advanced {
       |SELECT * FROM bmps UNION ALL SELECT * FROM wavs
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL compressed-codec gate (the step past q78's uncompressed
+    * formats): synthesize genuine PNG files per document — DEFLATE
+    * compression, CRC-32 chunks, per-row filters cycling through all five
+    * spec types — and decode them with the real pure-JVM inflate +
+    * unfilter path ([[Multimodal.decodePng]]). The oracle derives every
+    * decoded statistic arithmetically from doc_id, so a wrong filter
+    * reversal, a mis-concatenated IDAT, or a short inflate breaks the
+    * hash match. */
+  def q91PngDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngDecodeStats(s, dir)
+
+  val oracleQ91: String =
+    """SELECT doc_id,
+      |  CAST(4 + doc_id % 11 AS INT) AS width,
+      |  CAST(3 + doc_id % 5 AS INT) AS height,
+      |  CAST(list_aggregate(list_transform(
+      |    range(0, (4 + doc_id % 11) * (3 + doc_id % 5) * 3),
+      |    i -> (doc_id*13 + i*29) % 256), 'sum') AS BIGINT) AS content_sum,
+      |  CAST((doc_id*13) % 256 + (doc_id*13 + 29) % 256
+      |    + (doc_id*13 + 58) % 256 AS BIGINT) AS corner_sum,
+      |  CAST(least(3 + doc_id % 5, 5) AS INT) AS n_filters
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val oracleQ51: String =
     """WITH base AS (
       |  SELECT doc_id,

@@ -902,8 +902,11 @@ object Curation {
     * Determinism: per-token log-ratios are quantized to the 1e-6 integer
     * grid (cf. q72/q81), and each source's KL numerator is the exact
     * integer Σ count·lr6 — order-independent under partial aggregation.
-    * Counts·lr6 stays far inside long range at tested scales; a true
-    * 100 TB run would carry the numerator as DECIMAL(38,0).
+    * The numerator is carried as DECIMAL(38,0) (count ~1e12 × lr6 ~1e7
+    * exceeds 2^63 at true 100 TB scale) and cast back to the BIGINT
+    * output contract through an overflow guard that raises instead of
+    * wrapping; the oracle's HUGEINT sum → BIGINT cast fails loudly on
+    * the DuckDB side symmetrically.
     *
     * Scale shape: one (source, tok) map-side-combined count; the corpus
     * and per-source totals are dims DERIVED from that fact (vocab-sized
@@ -924,12 +927,17 @@ object Curation {
       .join(broadcast(totS), Seq("source"))
       .crossJoin(broadcast(totA))
       .select(col("source"), col("ts"),
-        (col("cst") * (lp6(col("cst"), col("ts")) - lp6(col("ct"), col("ta"))))
+        (col("cst").cast("decimal(18,0)")
+          * (lp6(col("cst"), col("ts")) - lp6(col("ct"), col("ta")))
+              .cast("decimal(18,0)"))
           .as("c6"))
       .groupBy(col("source"), col("ts"))
-      .agg(sum(col("c6")).as("kl6"))
-      .select(col("source"), col("ts").as("n_tokens"), col("kl6"),
-        (col("kl6").cast("double") / lit(1e6) / col("ts")).as("kl"))
+      .agg(sum(col("c6")).as("kl6d"))
+      .select(col("source"), col("ts").as("n_tokens"),
+        when(abs(col("kl6d")) <= lit(Long.MaxValue), col("kl6d").cast("long"))
+          .otherwise(raise_error(concat(lit("q84 KL numerator overflows "
+            + "BIGINT for source "), col("source")))).as("kl6"))
+      .withColumn("kl", col("kl6").cast("double") / lit(1e6) / col("n_tokens"))
       .orderBy(col("source"))
   }
 

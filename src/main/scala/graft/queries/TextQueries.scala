@@ -589,9 +589,13 @@ GROUP BY d.source ORDER BY d.source"""
 
   lazy val oracleQ86: String =
     s"""WITH RECURSIVE $kmeansAfCtes, pairs AS MATERIALIZED (
+       |  -- zero-norm guard: same contract as the Spark side (null sim →
+       |  -- pair dropped); unguarded NaN would pass NaN > t here
        |  SELECT a.vec_id AS id1, b.vec_id AS id2
        |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE list_dot_product(a.vd, b.vd)
+       |  WHERE list_dot_product(a.vd, a.vd) > 0
+       |    AND list_dot_product(b.vd, b.vd) > 0
+       |    AND list_dot_product(a.vd, b.vd)
        |      / (sqrt(list_dot_product(a.vd, a.vd))
        |         * sqrt(list_dot_product(b.vd, b.vd))) > $CosineThreshold
        |), bedges AS (
@@ -1092,16 +1096,21 @@ GROUP BY d.source ORDER BY d.source"""
       |      FROM embeddings WHERE vec_id <> 0) e, q
       |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  // the zero-norm CASE guard mirrors the Spark side's explicit null-out
+  // (Similarity.cosinePairsBlocked): without it a zero-norm embedding
+  // yields NaN here, and DuckDB treats NaN > t as TRUE while Spark drops
+  // the null pair — a latent mismatch the guard makes contractual
   val oracleQ18: String =
-    s"""SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
-       |  list_dot_product(av, bv)
-       |    / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))
-       |  AS cosine_sim
-       |FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a
-       |JOIN (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings) b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE list_dot_product(av, bv)
-       |    / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))
-       |  > $CosineThreshold
+    s"""SELECT label, id1, id2, cosine_sim FROM (
+       |  SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+       |    CASE WHEN list_dot_product(av, av) > 0
+       |          AND list_dot_product(bv, bv) > 0
+       |      THEN list_dot_product(av, bv)
+       |        / (sqrt(list_dot_product(av, av))
+       |           * sqrt(list_dot_product(bv, bv))) END AS cosine_sim
+       |  FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings) a
+       |  JOIN (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings) b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |) WHERE cosine_sim > $CosineThreshold
        |ORDER BY id1, id2""".stripMargin
 }

@@ -53,4 +53,52 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeWav("RIFFxxxxJUNK".getBytes("ASCII"))
     }
   }
+
+  test("WAV decoder fails loudly on a corrupt chunk size") {
+    val bytes = Multimodal.encodeWavPcm16(8000,
+      Array.tabulate(10)(_.toShort), junkChunk = false)
+    // clobber the fmt chunk's declared size with a huge value
+    val bad = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(bad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, Int.MaxValue - 7)
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWav(bad))
+    assert(e.getMessage.contains("chunk size"))
+  }
+
+  test("PNG roundtrip is exact across sizes covering all five filters") {
+    // h >= 5 exercises None/Sub/Up/Average/Paeth; small sizes hit the
+    // single-IDAT path, larger ones the split-IDAT path
+    for (w <- Seq(1, 4, 13); h <- Seq(1, 5, 8)) {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 29 + 7) % 256).toByte)
+      val bytes = Multimodal.encodePng(w, h, px)
+      val (dw, dh, sum, corner, nf) = Multimodal.decodePng(bytes)
+      assert(dw == w && dh == h)
+      assert(sum == px.map(b => (b & 0xff).toLong).sum,
+        s"DEFLATE/unfilter roundtrip drifted at w=$w h=$h")
+      assert(corner == (0 until 3).map(i => (px(i) & 0xff).toLong).sum)
+      assert(nf == math.min(h, 5))
+    }
+  }
+
+  test("PNG decoder verifies chunk CRCs") {
+    val px = Array.tabulate(6 * 6 * 3)(i => (i % 256).toByte)
+    val bytes = Multimodal.encodePng(6, 6, px)
+    // flip one bit inside the IHDR data (width field) without fixing CRC
+    val bad = bytes.clone()
+    bad(8 + 8 + 3) = (bad(8 + 8 + 3) ^ 1).toByte
+    val e = intercept[IllegalArgumentException](Multimodal.decodePng(bad))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("PNG decoder rejects bad magic and truncated files") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng("notapngfile".getBytes("ASCII"))
+    }
+    val good = Multimodal.encodePng(4, 4,
+      Array.tabulate(4 * 4 * 3)(_.toByte))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(java.util.Arrays.copyOf(good, good.length - 6))
+    }
+  }
 }
