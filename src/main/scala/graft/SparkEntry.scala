@@ -112,6 +112,7 @@ object SparkEntry {
     "q89_knn_graph" -> (TextQueries.q89KnnGraph _),
     "q90_quantile_sketch" -> (Curation.q90QuantileSketch _),
     "q91_png_decode" -> (Advanced.q91PngDecode _),
+    "q92_stream_screen" -> (TextQueries.q92StreamScreen _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -314,6 +315,7 @@ object SparkEntry {
     "q89_knn_graph" -> TextQueries.oracleQ89,
     "q90_quantile_sketch" -> Curation.oracleQ90,
     "q91_png_decode" -> Advanced.oracleQ91,
+    "q92_stream_screen" -> TextQueries.oracleQ92,
   )
 
   private val asofOracle: String =

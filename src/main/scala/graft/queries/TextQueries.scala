@@ -455,6 +455,81 @@ GROUP BY d.source ORDER BY d.source"""
        |SELECT id1 AS new_doc_id, id2 AS dup_of, jaccard
        |FROM top WHERE rn = 1 ORDER BY new_doc_id""".stripMargin
 
+  /** The STREAMING near-dup screen ([[graft.streaming.StreamNearDedup]])
+    * run TO COMPLETION in-process — the stream ≡ batch claim as a
+    * CORRECTNESS row, not just a spec: the q77 batch split's "today's
+    * docs" arrive on a [[org.apache.spark.sql.execution.streaming.runtime.MemoryStream]]
+    * in TWO micro-batches (so the screen must behave incrementally, not
+    * one-shot), are LSH-banded with the exact batch expressions, joined
+    * stream-static against the standing corpus's banded signatures, and
+    * Jaccard-verified; the memory sink's accumulated output must
+    * hash-match the pure-batch DuckDB oracle (every pair ≥ threshold —
+    * the screen emits all matches; q77's top-1 rule is the ingest
+    * policy's job).
+    *
+    * The driver-side collect feeds ONLY the in-process test transport —
+    * it is the bounded "today's batch" slice by construction, and a
+    * production deployment replaces MemoryStream with readStream
+    * (Kafka/files); the screened plan itself is identical. */
+  def q92StreamScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamNearDedup
+    import graft.streaming.StreamNearDedup.Doc
+    val docs = Tables.documents(s, dir)
+    val isNew = col("doc_id") % 10 >= NewBatchMod
+    val standing = docs.filter(!isNew).select(col("doc_id"), col("text"))
+    // deterministic event times ascending in doc_id: batch 2 (higher ids)
+    // is strictly later than batch 1, so nothing is watermark-late
+    val arriving = docs.filter(isNew)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .sortBy(_._1)
+      .map { case (id, t) =>
+        Doc(new java.sql.Timestamp(1704067200000L + id * 1000L), id, t) }
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Doc]
+    val sink = s"q92_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val q = StreamNearDedup.screen(mem.toDS(), standing, ShingleK,
+        NumHashes, RowsPerBand, JaccardThreshold, lateness = "10 minutes")
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .start()
+    try {
+      val (b1, b2) = arriving.splitAt(arriving.length / 2)
+      mem.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = s.table(sink)
+      .select(col("docId").as("new_doc_id"), col("dup_of"), col("jaccard"))
+      .orderBy(col("new_doc_id"), col("dup_of"))
+      .localCheckpoint() // pin rows before the temp view is dropped
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  lazy val oracleQ92: String =
+    s"""$minhashCtes, xcand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b USING (band, bkey)
+       |  WHERE a.doc_id % 10 >= $NewBatchMod AND b.doc_id % 10 < $NewBatchMod
+       |), sz AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM hs0 GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS i1, b.doc_id AS i2, COUNT(*) AS i
+       |  FROM hs0 a JOIN hs0 b USING (h60)
+       |  WHERE a.doc_id % 10 >= $NewBatchMod AND b.doc_id % 10 < $NewBatchMod
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.id1 AS new_doc_id, c.id2 AS dup_of,
+       |  CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jaccard
+       |FROM xcand c
+       |JOIN inter ON inter.i1 = c.id1 AND inter.i2 = c.id2
+       |JOIN sz s1 ON s1.doc_id = c.id1
+       |JOIN sz s2 ON s2.doc_id = c.id2
+       |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= $JaccardThreshold
+       |ORDER BY new_doc_id, dup_of""".stripMargin
+
   val IvfKmIters = 2
 
   /** §2.6 IVF ANN with a TRAINED coarse quantizer, oracle-gated end to
