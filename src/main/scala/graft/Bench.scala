@@ -35,12 +35,17 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit =
-    if (args.length >= 2 && args(0) == "--one") child(args(1)) else coordinate()
+    if (args.length >= 2 && args(0) == "--one") child(args(1).split(",").toSeq)
+    else coordinate()
 
   /** Child mode: same warmup + rep discipline as tools.Time1 (range-sum
     * warmup only; no table pre-touch — rep 1 pays the parquet footer reads
-    * exactly as Time1's rep 1 does, and the median discards it). */
-  private def child(name: String): Unit = {
+    * exactly as Time1's rep 1 does, and the median discards it). Accepts a
+    * comma-separated GROUP of queries: heavy queries ride alone (their
+    * medians are fresh-JVM by construction); cheap ones share a child 8 at
+    * a time — their residual cross-query tax is bounded by the group size
+    * and was small even in the r06 single-session harness. */
+  private def child(names: Seq[String]): Unit = {
     val t00 = System.nanoTime()
     def mark(s: String): Unit =
       System.err.println(f"BENCHMARK-$s ${(System.nanoTime() - t00) / 1e9}%.2f")
@@ -50,20 +55,43 @@ object Bench {
     mark("session")
     spark.range(1000000).selectExpr("sum(id)").collect()
     mark("warmup")
-    val fn = SparkEntry.queries(name)
-    val times = (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      if (ok) dt else -1.0
-    }.sorted
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        if (ok) dt else -1.0
+      }.sorted
+      println(f"BENCHQ $name ${times(times.length / 2)}%.3f ${times.head}%.3f")
+    }
     mark("reps")
-    println(f"BENCHQ $name ${times(times.length / 2)}%.3f ${times.head}%.3f")
     spark.stop()
     mark("stop")
   }
+
+  /** Queries that get a CHILD JVM TO THEMSELVES: everything whose median
+    * could plausibly exceed ~1.5s at sf0.1 (r06 in-session medians ≥ 2s,
+    * which overstates fresh cost 2-3×, plus the streaming gates whose
+    * state-store machinery is timing-sensitive). Everything else is
+    * sub-second and shares a child in groups of [[GroupSize]]. */
+  private val isolated: Set[String] = Set(
+    "q14_minhash_candidates", "q15_neardup_pairs", "q19_breadth",
+    "q25_factor_vectors", "q31_technical_snapshot", "q36_product_agg",
+    "q43_per_bands", "q44_tracking_error", "q45_screen_published",
+    "q47_ann_multiprobe", "q53_bucketed_join", "q54_winnow_fingerprint",
+    "q55_basket_valuation", "q56_factor_vector_search",
+    "q61_neardup_clusters", "q62_containment_pairs", "q66_simhash_pairs",
+    "q67_repetition_stats", "q68_decontamination", "q69_dedup_corpus",
+    "q71_bm25", "q74_ivf_kmeans", "q76_training_manifest",
+    "q77_incremental_dedup", "q79_neardup_clusters_stars",
+    "q81_dsir_importance", "q83_boilerplate_ngrams", "q84_source_drift",
+    "q86_semdedup", "q88_dup_spans", "q89_knn_graph", "q92_stream_screen",
+    "q93_stream_windowed_agg")
+
+  private val GroupSize = 8
 
   /** Containment pairs: the first query's pipeline is a strict subset of
     * the second's, so a clean harness can never time the second faster
@@ -93,10 +121,17 @@ object Bench {
     val childCp = try jarredClasspath(tmp)
                   catch { case _: Throwable => System.getProperty("java.class.path") }
     val jsa = tmp.resolve("cds.jsa")
+    // heavy queries ride alone; the sub-second tail shares children in
+    // groups of GroupSize — full isolation for all 93 cost ~9s/child in
+    // pure session+warmup overhead (~15 min wall), which risks any
+    // driver-side bench budget for no measurement benefit on 0.2s queries
+    val groups: Seq[Seq[String]] =
+      names.filter(isolated).map(Seq(_)) ++
+        names.filterNot(isolated).grouped(GroupSize).toSeq
     val results: Seq[(String, (Double, Double))] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_INPROC")) {
         isoMode = "session"; runInProcess(names)
-      } else runForked(names.head, childCp, Seq(s"-XX:ArchiveClassesAtExit=$jsa")) match {
+      } else runForked(groups.head, childCp, Seq(s"-XX:ArchiveClassesAtExit=$jsa")) match {
         case None =>
           // fork failed outright (classpath/launcher mismatch in this
           // environment) — fall back to the r06 single-session harness so
@@ -106,8 +141,10 @@ object Bench {
         case Some(first) =>
           val cds = if (java.nio.file.Files.exists(jsa))
             Seq(s"-XX:SharedArchiveFile=$jsa") else Seq.empty
-          (names.head -> first) +: names.tail.map(n =>
-            n -> runForked(n, childCp, cds).getOrElse((-1.0, -1.0)))
+          first ++ groups.tail.flatMap { g =>
+            runForked(g, childCp, cds)
+              .getOrElse(g.map(_ -> ((-1.0, -1.0))))
+          }
       }
     try {
       import java.nio.file._
@@ -143,17 +180,18 @@ object Bench {
       }.mkString(File.pathSeparator)
   }
 
-  /** Launch `graft.Bench --one <name>` in a fresh JVM with this JVM's own
-    * flags (add-opens, -Xmx, -D props) and classpath; parse its BENCHQ
-    * line. Child stdout/stderr noise is forwarded to OUR stderr so the
-    * driver's stdout keeps exactly one JSON line. */
-  private def runForked(name: String, cp: String,
-                        extraFlags: Seq[String]): Option[(Double, Double)] = {
+  /** Launch `graft.Bench --one <n1,n2,...>` in a fresh JVM with this JVM's
+    * own flags (add-opens, -Xmx, -D props) and classpath; parse its BENCHQ
+    * lines. Child stdout/stderr noise is forwarded to OUR stderr so the
+    * driver's stdout keeps exactly one JSON line. Returns None only if the
+    * fork itself failed (no BENCHQ lines at all). */
+  private def runForked(group: Seq[String], cp: String,
+                        extraFlags: Seq[String]): Option[Seq[(String, (Double, Double))]] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     val cmd = Seq(javaBin) ++ jvmArgs ++ extraFlags ++
-      Seq("-cp", cp, "graft.Bench", "--one", name)
+      Seq("-cp", cp, "graft.Bench", "--one", group.mkString(","))
     try {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectErrorStream(true)
@@ -161,15 +199,19 @@ object Bench {
       val out = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getInputStream))
       var line: String = null
-      var hit: Option[(Double, Double)] = None
+      val hits = scala.collection.mutable.Map.empty[String, (Double, Double)]
       while ({ line = out.readLine(); line != null })
-        if (line.startsWith(s"BENCHQ $name ")) {
+        if (line.startsWith("BENCHQ ")) {
           val parts = line.split(" ")
-          hit = Some((parts(2).toDouble, parts(3).toDouble))
+          hits(parts(1)) = (parts(2).toDouble, parts(3).toDouble)
         } else System.err.println(line)
       p.waitFor()
-      hit
-    } catch { case e: Throwable => System.err.println(s"BENCH fork $name: $e"); None }
+      if (hits.isEmpty) None
+      else Some(group.map(n => n -> hits.getOrElse(n, (-1.0, -1.0))))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH fork ${group.mkString(",")}: $e"); None
+    }
   }
 
   /** r06-style single-session path, kept as a fallback only (medians from

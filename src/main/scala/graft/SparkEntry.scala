@@ -113,6 +113,7 @@ object SparkEntry {
     "q90_quantile_sketch" -> (Curation.q90QuantileSketch _),
     "q91_png_decode" -> (Advanced.q91PngDecode _),
     "q92_stream_screen" -> (TextQueries.q92StreamScreen _),
+    "q93_stream_windowed_agg" -> (Advanced.q93StreamWindowedAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -316,6 +317,7 @@ object SparkEntry {
     "q90_quantile_sketch" -> Curation.oracleQ90,
     "q91_png_decode" -> Advanced.oracleQ91,
     "q92_stream_screen" -> TextQueries.oracleQ92,
+    "q93_stream_windowed_agg" -> Advanced.oracleQ93,
   )
 
   private val asofOracle: String =

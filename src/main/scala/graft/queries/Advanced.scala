@@ -439,6 +439,67 @@ object Advanced {
   def q91PngDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.pngDecodeStats(s, dir)
 
+  /** The watermarked tumbling-window aggregation
+    * ([[graft.streaming.WindowedAgg.tumbling]]) run TO COMPLETION
+    * in-process — the canonical readStream → watermark → window → agg →
+    * writeStream shape as a CORRECTNESS row: the full events table
+    * arrives in ts order on a MemoryStream in three micro-batches, the
+    * 10-minute watermark bounds state, append mode emits each 1-hour
+    * (window, user) bucket exactly once when the watermark closes it,
+    * and a far-future sentinel (whose own window never closes, so it
+    * never reaches the sink) flushes the tail. The accumulated sink must
+    * hash-match the plain batch GROUP BY — THE windowed-streaming
+    * equivalence, previously spec-only.
+    *
+    * The driver-side collect feeds only the in-process test transport
+    * (cf. q92); production replaces MemoryStream with readStream. */
+  def q93StreamWindowedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.WindowedAgg
+    import graft.streaming.WindowedAgg.Event
+    val evs = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Double)].collect()
+      .sortBy(_._1.getTime) // in-order arrival: nothing is watermark-late
+      .map { case (ts, u, v) => Event(ts, u, v) }
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Event]
+    val sink = s"q93_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = WindowedAgg.tumbling(mem.toDS(), "1 hour", "10 minutes")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try {
+        val third = evs.length / 3
+        Seq(evs.slice(0, third), evs.slice(third, 2 * third),
+            evs.slice(2 * third, evs.length)).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        mem.addData(Event(
+          java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    val out = s.table(sink)
+      .select(col("win_start"), col("userId").as("user_id"),
+        col("n_events"), col("total"))
+      .orderBy(col("win_start"), col("user_id"))
+      .localCheckpoint() // pin rows before the temp view is dropped
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  val oracleQ93: String =
+    """SELECT date_trunc('hour', ts) AS win_start, user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2
+      |ORDER BY win_start, user_id""".stripMargin
+
   val oracleQ91: String =
     """SELECT doc_id,
       |  CAST(4 + doc_id % 11 AS INT) AS width,
