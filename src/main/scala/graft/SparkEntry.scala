@@ -114,6 +114,7 @@ object SparkEntry {
     "q91_png_decode" -> (Advanced.q91PngDecode _),
     "q92_stream_screen" -> (TextQueries.q92StreamScreen _),
     "q93_stream_windowed_agg" -> (Advanced.q93StreamWindowedAgg _),
+    "q94_stream_dedup" -> (TextQueries.q94StreamDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -318,6 +319,7 @@ object SparkEntry {
     "q91_png_decode" -> Advanced.oracleQ91,
     "q92_stream_screen" -> TextQueries.oracleQ92,
     "q93_stream_windowed_agg" -> Advanced.oracleQ93,
+    "q94_stream_dedup" -> TextQueries.oracleQ94,
   )
 
   private val asofOracle: String =

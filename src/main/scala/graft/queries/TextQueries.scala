@@ -523,6 +523,64 @@ GROUP BY d.source ORDER BY d.source"""
     out
   }
 
+  /** The STREAMING ingest exact-dedup ([[graft.streaming.StreamDedup]])
+    * run TO COMPLETION in-process, third of the streaming gates: every
+    * document arrives on a MemoryStream, batch k carrying each
+    * fingerprint's k-th occurrence — a pure transport arrangement that
+    * makes the kept row the decision of the OPERATOR'S cross-batch
+    * dedup state (Spark leaves within-batch tie-breaking arbitrary, so
+    * co-batched duplicates would be a nondeterministic gate). The
+    * lateness horizon exceeds the feed's event-time span, so no state
+    * evicts mid-run and the kept set must equal batch q09's
+    * first-per-fingerprint exactly; a production deployment sizes the
+    * horizon to its re-crawl window and leans on the periodic batch
+    * dedup for older dups (the documented lambda split). */
+  def q94StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamDedup
+    import graft.streaming.StreamDedup.Doc
+    val ranked = Tables.documents(s, dir)
+      .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("text"), col("occ"))
+      .as[(Long, String, Int)].collect()
+    val stepMs = (ranked.map(_._1).max + 1) * 1000L + 601000L
+    val batches = ranked.groupBy(_._3).toSeq.sortBy(_._1).map(_._2)
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Doc]
+    val sink = s"q94_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamDedup.dedup(mem.toDS(), lateness = "3650 days")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try batches.foreach { b =>
+        mem.addData(b.map { case (id, t, occ) =>
+          Doc(new java.sql.Timestamp(
+            1704067200000L + occ * stepMs + id * 1000L), id, t) }.toIndexedSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    val out = s.table(sink)
+      .select(col("docId").as("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint() // pin rows before the temp view is dropped
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  /** Same contract as batch q09: first doc per content fingerprint. */
+  val oracleQ94: String =
+    """SELECT doc_id, fp FROM (
+      |  SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM (SELECT doc_id,
+      |          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |        FROM documents) t
+      |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   lazy val oracleQ92: String =
     s"""$minhashCtes, xcand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
