@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Whitespace-normalized lowercase form — the canonical text for
-    * fingerprinting and shingling. */
-  def normalize(text: Column): Column =
+    * fingerprinting and shingling. Semantically
+    * `regexp_replace(lower(trim(text)), "\\s+", " ")`; executed as the
+    * native single-pass [[NormalizeTextExpr]] (identical output, ~10×
+    * cheaper — this expression opens every text pipeline). */
+  def normalize(text: Column): Column = NormalizeTextExpr(text)
+
+  /** The original three-pass composition, kept as the reference the
+    * equivalence spec checks [[normalize]] against. */
+  private[graft] def normalizeReference(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
   /** Exact content fingerprint (md5 of normalized text) — exact-dedup key. */

@@ -207,4 +207,31 @@ class PropertySpec extends AnyFunSuite {
     assert(back.filter(col("shifted_day") =!= col("d0")).count() == 0)
     assert(back.count() > 0)
   }
+
+  test("native normalize ≡ regexp composition on the corpus and adversarial inputs") {
+    import spark.implicits._
+    // every \s member in runs at every position, the non-\s whitespace
+    // cousins (VT is \s in java.util.regex; NBSP/ideographic space are
+    // NOT), case runs, empties, and non-ASCII (slow-path) forms
+    val adversarial = Seq(
+      "", " ", "   ", "\t", " \t ", "a", "A", "  Hello   WORLD  ",
+      "\t\n\f\r mixed WS\r\n\t", "tab\tsep", "nl\nsep", "cr\rsep",
+      "vtsep", "ff\fsep", "a  b   c    d", " lead", "trail ",
+      "\tlead-tab", "trail-tab\t", "ALL CAPS WITH  DOUBLES",
+      "nbsp kept", "ideo　kept", "café  FrançAIS",
+      "日本語  テスト", "AbC  Éé",
+      "punct,.!?  -- kept;:", "0123  456")
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq
+    val df = (adversarial ++ corpus).toDF("text")
+    val mism = df.select(
+        graft.functions.Text.normalize(col("text")).as("fast"),
+        graft.functions.Text.normalizeReference(col("text")).as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(mism.count() == 0, mism.take(3).mkString("; "))
+    // null passes through
+    assert(Seq[String](null).toDF("text")
+      .select(graft.functions.Text.normalize(col("text"))).first().isNullAt(0))
+  }
 }
