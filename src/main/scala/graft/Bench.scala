@@ -89,7 +89,8 @@ object Bench {
     "q77_incremental_dedup", "q79_neardup_clusters_stars",
     "q81_dsir_importance", "q83_boilerplate_ngrams", "q84_source_drift",
     "q86_semdedup", "q88_dup_spans", "q89_knn_graph", "q92_stream_screen",
-    "q93_stream_windowed_agg", "q94_stream_dedup")
+    "q93_stream_windowed_agg", "q94_stream_dedup",
+    "q95_stream_cardinality", "q96_stream_breadth")
 
   private val GroupSize = 8
 

@@ -115,6 +115,8 @@ object SparkEntry {
     "q92_stream_screen" -> (TextQueries.q92StreamScreen _),
     "q93_stream_windowed_agg" -> (Advanced.q93StreamWindowedAgg _),
     "q94_stream_dedup" -> (TextQueries.q94StreamDedup _),
+    "q95_stream_cardinality" -> (Advanced.q95StreamCardinality _),
+    "q96_stream_breadth" -> (Advanced.q96StreamBreadth _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -320,6 +322,8 @@ object SparkEntry {
     "q92_stream_screen" -> TextQueries.oracleQ92,
     "q93_stream_windowed_agg" -> Advanced.oracleQ93,
     "q94_stream_dedup" -> TextQueries.oracleQ94,
+    "q95_stream_cardinality" -> Advanced.oracleQ95,
+    "q96_stream_breadth" -> Advanced.oracleQ96,
   )
 
   private val asofOracle: String =

@@ -500,6 +500,179 @@ object Advanced {
       |FROM events GROUP BY 1, 2
       |ORDER BY win_start, user_id""".stripMargin
 
+  /** The streaming windowed HLL cardinality monitor
+    * ([[graft.streaming.StreamCardinality.windowedDistinct]]) run TO
+    * COMPLETION in-process — q93's transport (in-order MemoryStream
+    * micro-batches, far-future sentinel flush) carrying q82's sketch: the
+    * state store holds 1 KiB register arrays per (hour window, event type)
+    * instead of unbounded distinct-user sets, which is the only way a
+    * streaming distinct-count survives 100 TB. The oracle replays the
+    * registers per window exactly as q82's does for the global sketch, so
+    * the gate pins estimate, zero-register count, and the lossless s51
+    * register digest bit-for-bit — stream ≡ batch ≡ DuckDB. */
+  def q95StreamCardinality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamCardinality
+    import graft.streaming.StreamCardinality.Event
+    val evs = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .as[(java.sql.Timestamp, Long, String)].collect()
+      .sortBy(_._1.getTime) // in-order arrival: nothing is watermark-late
+      .map { case (ts, u, t) => Event(ts, u, t) }
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Event]
+    val sink = s"q95_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamCardinality.windowedDistinct(mem.toDS(), "1 hour", "10 minutes")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try {
+        val third = evs.length / 3
+        Seq(evs.slice(0, third), evs.slice(third, 2 * third),
+            evs.slice(2 * third, evs.length)).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        mem.addData(Event(
+          java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "zz"))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    val out = s.table(sink)
+      .select(col("win_start"), col("eventType").as("event_type"),
+        col("n_events"), col("distinct_users_est"), col("s51"))
+      .orderBy(col("win_start"), col("event_type"))
+      .localCheckpoint() // pin rows before the temp view is dropped
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  /** q82's register replay, per (hour window, event_type): identical HLL
+    * math on the identical md5-prefix hash, windowed. */
+  val oracleQ95: String = {
+    import HllSketch.{HllAlphaNum, HllLcThreshold, HllM, HllRhoMax}
+    s"""WITH h AS (
+       |  SELECT date_trunc('hour', ts) AS win_start, event_type,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h60
+       |  FROM events
+       |), mj AS (
+       |  SELECT win_start, event_type, h60 % $HllM AS r,
+       |    MAX(CASE WHEN h60 // $HllM = 0 THEN $HllRhoMax
+       |        ELSE $HllRhoMax - len(bin(h60 // $HllM)) END) AS m_j
+       |  FROM h GROUP BY win_start, event_type, h60 % $HllM
+       |), fin AS (
+       |  SELECT win_start, event_type,
+       |    CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - m_j)) AS BIGINT)
+       |      + ($HllM - COUNT(*)) * (CAST(1 AS BIGINT) << $HllRhoMax)
+       |      AS s51,
+       |    $HllM - COUNT(*) AS n_zero
+       |  FROM mj GROUP BY win_start, event_type
+       |), est AS (
+       |  SELECT win_start, event_type, s51,
+       |    CASE WHEN CAST('$HllAlphaNum' AS DOUBLE) / s51 <= $HllLcThreshold
+       |              AND n_zero > 0
+       |         THEN $HllM.0 * ln($HllM.0 / n_zero)
+       |         ELSE CAST('$HllAlphaNum' AS DOUBLE) / s51 END AS raw_est
+       |  FROM fin
+       |), n AS (
+       |  SELECT date_trunc('hour', ts) AS win_start, event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT e.win_start, e.event_type, n.n_events,
+       |  CAST(floor(raw_est * 1e6 + 0.5) AS BIGINT) / 1e6
+       |    AS distinct_users_est,
+       |  e.s51
+       |FROM est e JOIN n USING (win_start, event_type)
+       |ORDER BY win_start, event_type""".stripMargin
+  }
+
+  /** The stateful streaming breadth machine
+    * ([[graft.streaming.BreadthStream.directions]],
+    * `flatMapGroupsWithState` with O(1) per-key state) run TO COMPLETION
+    * over the real daily closes — the last spec-only streaming shape as a
+    * CORRECTNESS row. Daily closes arrive on a MemoryStream in day order
+    * across three micro-batches (so per-key state must survive batch
+    * boundaries — the thing the spec's single-batch test could not force),
+    * each update emits the entity's direction vs its previous close, and
+    * the sink aggregates to daily advancers/decliners — the reference's
+    * breadth accumulator (market-breadth.ts:121-275) as stream-then-agg.
+    * Unlike q19 (prev_close IS NULL excluded from counts), dir=0 here
+    * covers both first-observation and unchanged — the state machine's own
+    * contract, which the oracle replays with lag().
+    *
+    * The driver-side collect feeds only the in-process test transport
+    * (cf. q92/q93); production replaces MemoryStream with readStream. */
+  def q96StreamBreadth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.BreadthStream
+    import graft.streaming.BreadthStream.Tick
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ticks = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("close"))
+      .as[(Long, java.sql.Date, Double)].collect()
+      .sortBy(_._2.getTime) // day order: per-key state sees days ascending
+      .map { case (u, d, c) => Tick(u, d, c) }
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Tick]
+    val sink = s"q96_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = BreadthStream.directions(mem.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try {
+        val third = ticks.length / 3
+        Seq(ticks.slice(0, third), ticks.slice(third, 2 * third),
+            ticks.slice(2 * third, ticks.length)).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    val out = s.table(sink)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("dir") === 1, 1).otherwise(0)).as("advancers"),
+        sum(when(col("dir") === -1, 1).otherwise(0)).as("decliners"),
+        sum(when(col("dir") === 0, 1).otherwise(0)).as("flat_or_first"))
+      .orderBy(col("day"))
+      .localCheckpoint() // pin rows before the temp view is dropped
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  val oracleQ96: String =
+    """WITH daily AS (
+      |  SELECT user_id, day, close FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS day, value AS close,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) t WHERE rn = 1
+      |), dirs AS (
+      |  SELECT day,
+      |    CASE WHEN lag(close) OVER w IS NULL THEN 0
+      |         WHEN close > lag(close) OVER w THEN 1
+      |         WHEN close < lag(close) OVER w THEN -1 ELSE 0 END AS dir
+      |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+      |)
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS advancers,
+      |  CAST(SUM(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS BIGINT) AS decliners,
+      |  CAST(SUM(CASE WHEN dir = 0 THEN 1 ELSE 0 END) AS BIGINT) AS flat_or_first
+      |FROM dirs GROUP BY day ORDER BY day""".stripMargin
+
   val oracleQ91: String =
     """SELECT doc_id,
       |  CAST(4 + doc_id % 11 AS INT) AS width,
