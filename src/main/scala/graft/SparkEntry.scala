@@ -117,6 +117,7 @@ object SparkEntry {
     "q94_stream_dedup" -> (TextQueries.q94StreamDedup _),
     "q95_stream_cardinality" -> (Advanced.q95StreamCardinality _),
     "q96_stream_breadth" -> (Advanced.q96StreamBreadth _),
+    "q97_bloom_screen" -> (Curation.q97BloomScreen _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -324,6 +325,7 @@ object SparkEntry {
     "q94_stream_dedup" -> TextQueries.oracleQ94,
     "q95_stream_cardinality" -> Advanced.oracleQ95,
     "q96_stream_breadth" -> Advanced.oracleQ96,
+    "q97_bloom_screen" -> Curation.oracleQ97,
   )
 
   private val asofOracle: String =

@@ -1157,6 +1157,92 @@ object Curation {
        |  CAST(1 AS BIGINT) << (b99 - 1) AS p99_lo, x.p99_exact
        |FROM est e JOIN ex x USING (source) ORDER BY e.source""".stripMargin
 
+  /** Broadcast Bloom pre-filter screen ([[graft.operators.BloomFilter]]):
+    * build the 256-byte filter over the held-out eval source's exact-text
+    * fingerprints with ONE associative aggregation, embed the bitset as a
+    * literal in the corpus scan (the 100 TB shape: no shuffle of the probe
+    * side — the filter evaluates inside the scan's codegen stage via
+    * [[graft.functions.BloomExpr]]), then account per source: docs flagged
+    * by the filter, docs actually in the member set (exact fingerprint
+    * semi-join — the "verify the trickle" stage), and false positives.
+    * The oracle replays the double-hashed bit positions verbatim, so the
+    * gate pins the filter's exact bit state (n_set_bits), its false
+    * positives, and the no-false-negative invariant (n_flagged ≥
+    * n_members, flagged ⊇ members) bit-for-bit.
+    *
+    * The 256 B driver-side collect of the filter is the operator's design
+    * (the filter is the broadcast artifact), not a data collect. */
+  def q97BloomScreen(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomExpr
+    import graft.operators.BloomFilter
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        Text.fingerprint(col("text")).as("fp"))
+      .withColumn("h60",
+        conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+    val members = d.filter(col("source") === DecontamEvalSource)
+      .select(col("fp"), col("h60")).distinct()
+    val bits: Array[Byte] = members
+      .agg(BloomFilter.bloom60(col("h60")).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val nSetBits = BloomFilter.setBitCount(bits)
+    d.filter(col("source") =!= DecontamEvalSource)
+      .withColumn("flag",
+        BloomExpr.mightContain(lit(bits), col("h60")))
+      .join(broadcast(members.select(col("fp"), lit(true).as("member"))),
+        Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("member").isNotNull, 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("flag") && col("member").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .withColumn("n_set_bits", lit(nSetBits))
+      .orderBy(col("source"))
+  }
+
+  val oracleQ97: String = {
+    import graft.operators.BloomFilter.{BloomBits, BloomK}
+    val half = BloomBits / 2
+    // pos(h, i) = ((h % m) + i * (2*((h // m) % (m/2)) + 1)) % m
+    def pos(h: String, i: String) =
+      s"(($h % $BloomBits) + $i * (2*(($h // $BloomBits) % $half) + 1)) % $BloomBits"
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents
+       |), m AS (
+       |  SELECT DISTINCT fp, CAST('0x' || substr(fp, 1, 15) AS BIGINT) AS h60
+       |  FROM d WHERE source = '$DecontamEvalSource'
+       |), bits AS (
+       |  SELECT DISTINCT ${pos("h60", "i")} AS pos
+       |  FROM m, range(0, $BloomK) r(i)
+       |), nb AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_set_bits FROM bits
+       |), p AS (
+       |  SELECT doc_id, source, fp,
+       |    CAST('0x' || substr(fp, 1, 15) AS BIGINT) AS h60
+       |  FROM d WHERE source <> '$DecontamEvalSource'
+       |), miss AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, ${pos("h60", "i")} AS pos
+       |    FROM p, range(0, $BloomK) r(i)
+       |  ) pp WHERE pos NOT IN (SELECT pos FROM bits)
+       |), f AS (
+       |  SELECT p.source,
+       |    CASE WHEN miss.doc_id IS NULL THEN 1 ELSE 0 END AS flag,
+       |    CASE WHEN p.fp IN (SELECT fp FROM m) THEN 1 ELSE 0 END AS member
+       |  FROM p LEFT JOIN miss USING (doc_id)
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(flag) AS BIGINT) AS n_flagged,
+       |  CAST(SUM(member) AS BIGINT) AS n_members,
+       |  CAST(SUM(CASE WHEN flag = 1 AND member = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_false_pos,
+       |  (SELECT n_set_bits FROM nb) AS n_set_bits
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val oracleQ64: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,

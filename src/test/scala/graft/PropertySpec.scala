@@ -208,6 +208,34 @@ class PropertySpec extends AnyFunSuite {
     assert(back.count() > 0)
   }
 
+  test("bloom filter: no false negatives, probe ≡ reference set math, merge = OR") {
+    import graft.operators.BloomFilter
+    import graft.operators.BloomFilter.{BloomBits, BloomK}
+    forSamples(Gen.listOfN(200, Gen.chooseNum(0L, (1L << 60) - 1)), n = 5) { hs =>
+      val members = hs.take(120).toSet
+      val probes = hs.drop(120) ++ members.take(10)
+      // build via the Aggregator's reduce/merge path, split into partials
+      val (l, r) = members.splitAt(members.size / 2)
+      def build(xs: Iterable[Long]) =
+        xs.foldLeft(BloomFilter.Bloom60.zero)(BloomFilter.Bloom60.reduce)
+      val bits = BloomFilter.Bloom60.merge(build(l), build(r))
+      // reference: the set of positions, replayed with plain arithmetic
+      val refBits = members.flatMap(h =>
+        (0 until BloomK).map(i => BloomFilter.position(h, i)))
+      assert(BloomFilter.setBitCount(bits) == refBits.size)
+      probes.foreach { h =>
+        val expect = (0 until BloomK).forall(i => refBits(BloomFilter.position(h, i)))
+        assert(BloomFilter.mightContain(bits, h) == expect, s"h=$h")
+        if (members(h)) assert(BloomFilter.mightContain(bits, h), s"false negative h=$h")
+      }
+      // positions stay in range for any 60-bit hash
+      hs.foreach(h => (0 until BloomK).foreach { i =>
+        val p = BloomFilter.position(h, i)
+        assert(p >= 0 && p < BloomBits)
+      })
+    }
+  }
+
   test("native normalize ≡ regexp composition on the corpus and adversarial inputs") {
     import spark.implicits._
     // every \s member in runs at every position, the non-\s whitespace
