@@ -27,16 +27,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively — read it as a nanosecond long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
-    * with integer division, matching DuckDB's ns→µs truncation on read so
-    * the oracle sees identical timestamps. */
+  /** `events.ts` has shipped in two parquet layouts across driver testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses to read natively —
+    * read as a nanosecond long via `spark.sql.legacy.parquet.nanosAsLong`
+    * and truncate to microseconds, matching DuckDB's ns→µs truncation) and
+    * plain TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize both to session-zone TIMESTAMP so every
+    * consumer sees one dtype; sessions run with `session.timeZone=UTC`, so
+    * the NTZ→LTZ cast is wall-clock identity and the oracle (DuckDB reads
+    * naive µs) sees identical instants either way. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   /** documents/embeddings arrive as a single parquet file — one input
     * partition — while their consumers (shingling, hashing, vector math)
