@@ -118,6 +118,7 @@ object SparkEntry {
     "q95_stream_cardinality" -> (Advanced.q95StreamCardinality _),
     "q96_stream_breadth" -> (Advanced.q96StreamBreadth _),
     "q97_bloom_screen" -> (Curation.q97BloomScreen _),
+    "q98_sq8_recall" -> (TextQueries.q98Sq8Recall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -326,6 +327,7 @@ object SparkEntry {
     "q95_stream_cardinality" -> Advanced.oracleQ95,
     "q96_stream_breadth" -> Advanced.oracleQ96,
     "q97_bloom_screen" -> Curation.oracleQ97,
+    "q98_sq8_recall" -> TextQueries.oracleQ98,
   )
 
   private val asofOracle: String =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Materialize, Similarity}
+import graft.operators.{Dedup, Materialize, Quantize, Similarity}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * text statistics, language ID, quality scoring, exact + MinHash-LSH +
@@ -1261,4 +1261,139 @@ GROUP BY d.source ORDER BY d.source"""
        |    ON a.label = b.label AND a.vec_id < b.vec_id
        |) WHERE cosine_sim > $CosineThreshold
        |ORDER BY id1, id2""".stripMargin
+
+  /** Probe-query count / top-k width for the quantization recall gates. */
+  val SqNumQueries = 8
+  val SqK = 10
+
+  /** q98 — SQ8 scalar-quantization recall gate ([[Quantize]]).
+    *
+    * Quantizes the whole corpus to uint8 codes against per-dimension
+    * corpus ranges, runs symmetric top-[[SqK]] cosine search on the
+    * DEQUANTIZED vectors for [[SqNumQueries]] probe queries, and scores the
+    * quantized path against the exact float top-[[SqK]] — per query:
+    * the rank-1 neighbor under quantization, the overlap with the exact
+    * set, and recall@k. This is the acceptance test a pipeline runs before
+    * switching its candidate generation from float to SQ8 storage.
+    *
+    * Scale shape: ranges are ONE tiny aggregation (64 groups) collected as
+    * bounded metadata; encode/decode are map-side projections (codes, not
+    * floats, are what a 100 TB corpus would cache/shuffle — 4× smaller);
+    * the per-row reconstruction norm is hoisted into the carrier (PLANS.md
+    * rule 9); probe queries broadcast; and the rank-k cut is a
+    * `row_number() <= k` filter that Spark plans as WindowGroupLimit —
+    * each partition keeps only its local top-k before the qid shuffle, so
+    * per-query reducers see O(partitions × k) rows, not O(N). */
+  def q98Sq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (mn, mx) = Quantize.dimRanges(emb, "embedding", Quantize.Dims)
+    val corpus = emb
+      .select(col("vec_id"),
+        Quantize.sq8Recon(
+          Quantize.sq8Code(Similarity.asDouble(col("embedding")), mn, mx),
+          mn, mx).as("rv"))
+      .withColumn("nv", graft.functions.l2Norm(col("rv")))
+    val probes = corpus.filter(col("vec_id") < SqNumQueries)
+      .select(col("vec_id").as("qid"), col("rv").as("qv"), col("nv").as("qn"))
+    val ap = corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        when(col("nv") > 0 && col("qn") > 0,
+          graft.functions.dotProduct(col("rv"), col("qv")) / (col("nv") * col("qn")))
+          .as("sim"))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val apk = ap.withColumn("rn", row_number().over(wk)).filter(col("rn") <= SqK)
+      .select(col("qid"), col("vec_id"), col("rn"))
+
+    val ve = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("n", graft.functions.l2Norm(col("v")))
+    val eProbes = ve.filter(col("vec_id") < SqNumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val ex = ve.crossJoin(broadcast(eProbes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        when(col("n") > 0 && col("qn") > 0,
+          graft.functions.dotProduct(col("v"), col("qv")) / (col("n") * col("qn")))
+          .as("sim"))
+    val exk = ex.withColumn("rn", row_number().over(wk)).filter(col("rn") <= SqK)
+      .select(col("qid"), col("vec_id"))
+
+    val ovl = apk.join(exk, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("overlap"))
+    apk.filter(col("rn") === 1).select(col("qid"), col("vec_id").as("approx_top1"))
+      .join(ovl, Seq("qid"), "left")
+      .select(col("qid").as("query_id"), col("approx_top1"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        (coalesce(col("overlap"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Shared oracle CTE prefix replaying SQ8 end-to-end: per-dimension
+    * ranges → uint8 codes → dequantized vectors — same fixed-order scalar
+    * math as [[Quantize]], so codes are bit-identical. */
+  private val sq8Ctes: String =
+    s"""ve AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), dims AS (
+       |  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+       |  FROM ve, (SELECT unnest(range(1, ${Quantize.Dims + 1})) AS i) idx
+       |  GROUP BY i
+       |), lims AS (
+       |  SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl FROM dims
+       |), codes AS (
+       |  SELECT vec_id, list_transform(range(1, ${Quantize.Dims + 1}), i ->
+       |    CASE WHEN mxl[i] = mnl[i] THEN 0
+       |         ELSE LEAST(255, GREATEST(0, CAST(floor(
+       |           (v[i] - mnl[i]) / (mxl[i] - mnl[i]) * 255.0 + 0.5) AS BIGINT)))
+       |    END) AS code
+       |  FROM ve, lims
+       |), recon AS (
+       |  SELECT vec_id, list_transform(range(1, ${Quantize.Dims + 1}), i ->
+       |    mnl[i] + code[i] / 255.0 * (mxl[i] - mnl[i])) AS rv
+       |  FROM codes, lims
+       |)""".stripMargin
+
+  val oracleQ98: String =
+    s"""WITH $sq8Ctes, q AS (
+       |  SELECT vec_id AS qid, rv AS qv FROM recon WHERE vec_id < $SqNumQueries
+       |), ap AS (
+       |  SELECT q.qid, r.vec_id,
+       |    CASE WHEN list_dot_product(r.rv, r.rv) > 0
+       |          AND list_dot_product(qv, qv) > 0
+       |      THEN list_dot_product(r.rv, qv)
+       |        / (sqrt(list_dot_product(r.rv, r.rv)) * sqrt(list_dot_product(qv, qv)))
+       |    END AS sim
+       |  FROM recon r, q WHERE r.vec_id <> q.qid
+       |), apk AS (
+       |  SELECT qid, vec_id, rn FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |    FROM ap) WHERE rn <= $SqK
+       |), eq AS (
+       |  SELECT vec_id AS qid, v AS qv FROM ve WHERE vec_id < $SqNumQueries
+       |), ex AS (
+       |  SELECT eq.qid, r.vec_id,
+       |    CASE WHEN list_dot_product(r.v, r.v) > 0
+       |          AND list_dot_product(qv, qv) > 0
+       |      THEN list_dot_product(r.v, qv)
+       |        / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(qv, qv)))
+       |    END AS sim
+       |  FROM ve r, eq WHERE r.vec_id <> eq.qid
+       |), exk AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |    FROM ex) WHERE rn <= $SqK
+       |), ovl AS (
+       |  SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS overlap
+       |  FROM apk a JOIN exk e ON a.qid = e.qid AND a.vec_id = e.vec_id
+       |  GROUP BY a.qid
+       |), t1 AS (
+       |  SELECT qid, vec_id AS approx_top1 FROM apk WHERE rn = 1
+       |)
+       |SELECT t1.qid AS query_id, t1.approx_top1,
+       |  CAST(COALESCE(ovl.overlap, 0) AS BIGINT) AS overlap,
+       |  CAST(COALESCE(ovl.overlap, 0) AS DOUBLE) / 10.0 AS recall
+       |FROM t1 LEFT JOIN ovl ON t1.qid = ovl.qid
+       |ORDER BY query_id""".stripMargin
 }

@@ -138,4 +138,37 @@ class AnnSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
+
+  test("SQ8 codes are in [0,255] and reconstruction error is bounded by half a step") {
+    import graft.operators.Quantize
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (mn, mx) = Quantize.dimRanges(emb, "embedding", Quantize.Dims)
+    assert(mn.length == Quantize.Dims && mn.indices.forall(i => mn(i) <= mx(i)))
+    val codes = Quantize.sq8Code(Similarity.asDouble(col("embedding")), mn, mx)
+    val recon = Quantize.sq8Recon(codes, mn, mx)
+    val rows = emb.select(Similarity.asDouble(col("embedding")).as("v"),
+        codes.as("c"), recon.as("r"))
+      .collect()
+    // widest quantization step over all dims bounds |x - recon| at step/2
+    val halfStep = mn.indices.map(i => (mx(i) - mn(i)) / 255.0 / 2.0).max
+    rows.foreach { row =>
+      val v = row.getAs[scala.collection.Seq[Double]](0).toSeq
+      val c = row.getAs[scala.collection.Seq[Long]](1).toSeq
+      val r = row.getAs[scala.collection.Seq[Double]](2).toSeq
+      assert(c.forall(x => x >= 0 && x <= 255))
+      v.indices.foreach { i =>
+        assert(math.abs(v(i) - r(i)) <= halfStep + 1e-12,
+          s"dim $i: ${v(i)} vs ${r(i)}")
+      }
+    }
+  }
+
+  test("SQ8 top-k recall against exact search is high on clustered embeddings") {
+    val res = graft.queries.TextQueries.q98Sq8Recall(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(res.length == graft.queries.TextQueries.SqNumQueries)
+    val recalls = res.map(_.getAs[Double]("recall"))
+    // 8-bit quantization barely perturbs cosine ranks; demand a strong floor
+    assert(recalls.forall(_ >= 0.7), recalls.mkString(","))
+  }
 }
