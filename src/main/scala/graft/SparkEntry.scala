@@ -119,6 +119,7 @@ object SparkEntry {
     "q96_stream_breadth" -> (Advanced.q96StreamBreadth _),
     "q97_bloom_screen" -> (Curation.q97BloomScreen _),
     "q98_sq8_recall" -> (TextQueries.q98Sq8Recall _),
+    "q99_pq_adc_recall" -> (TextQueries.q99PqAdcRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -328,6 +329,7 @@ object SparkEntry {
     "q96_stream_breadth" -> Advanced.oracleQ96,
     "q97_bloom_screen" -> Curation.oracleQ97,
     "q98_sq8_recall" -> TextQueries.oracleQ98,
+    "q99_pq_adc_recall" -> TextQueries.oracleQ99,
   )
 
   private val asofOracle: String =

@@ -86,4 +86,63 @@ object Quantize {
       lo + c.cast("double") / lit(255.0) * (hi - lo)
     })
   }
+
+  /** (vec_id, m, sv) subvector expansion for product quantization: one
+    * map-side posexplode of the [[nSub]] slices. `sv` stays in the input's
+    * double form; callers needing the exact-integer training carrier add it
+    * with [[intScaled]]. */
+  def pqSubvectors(vecs: DataFrame, idCol: String, vecCol: String,
+                   nSub: Int, subDim: Int): DataFrame =
+    vecs.select(col(idCol), posexplode(array((0 until nSub).map(m =>
+      slice(col(vecCol), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+
+  /** Product-quantization codebook trainer: per-subspace k-means, all
+    * [[nSub]] subspaces in ONE grouped Lloyd program (centroid key =
+    * (m, k), assignment partitioned by (vec_id, m)) — same exact-integer
+    * discipline as [[Similarity.kmeansAssign]] (q74): train on
+    * `floor(x·1e6+0.5)` carriers so component sums are exact, seed from
+    * the first [[k]] vec_ids, empty cells keep their previous centroid,
+    * localCheckpoint between iterations (iterative-lineage rule).
+    *
+    * Returns (m, k, cw) with centroids UNSCALED back to the input range
+    * (one division per component) — ready for code assignment and ADC
+    * tables in original-vector units. Bounded output (nSub × k rows),
+    * escapes as an eager localCheckpoint. */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              nSub: Int, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val subs0 = pqSubvectors(
+        emb.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v")),
+        idCol, "__v", nSub, subDim)
+      .select(col(idCol), col("m"),
+        expr("transform(sv, x -> CAST(floor(x * 1e6 + 0.5) AS DOUBLE))").as("svi"))
+    Materialize.withMaterialized(subs0) { subs =>
+      // two-term score: dot(t,t) is constant per (vec, m) row, so ranking
+      // (and the k tie-break) matches the full d² — mirrors oracle SQL
+      val score = graft.functions.dotProduct(col("cw"), col("cw")) -
+        lit(2.0) * graft.functions.dotProduct(col("svi"), col("cw"))
+      var cents = subs.filter(col(idCol) < k)
+        .select(col("m"), col(idCol).cast("int").as("k"), col("svi").as("cw"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val assigned = subs.join(broadcast(cents), Seq("m"))
+          .select(col(idCol), col("m"), col("k"), col("svi"), score.as("__s"))
+          .groupBy(col(idCol), col("m"))
+          .agg(min_by(struct(col("k"), col("svi")), struct(col("__s"), col("k"))).as("a"))
+          .select(col("m"), col("a.k").as("k"), col("a.svi").as("svi"))
+        val upd = assigned
+          .select(col("m"), col("k"), posexplode(col("svi")).as(Seq("pos", "x")))
+          .groupBy(col("m"), col("k"), col("pos"))
+          .agg((sum(col("x")) / count(lit(1))).as("cm"))
+          .groupBy(col("m"), col("k"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), " +
+            "s -> s.cm)").as("cwNew"))
+        cents = cents.join(upd, Seq("m", "k"), "left")
+          .select(col("m"), col("k"), coalesce(col("cwNew"), col("cw")).as("cw"))
+          .localCheckpoint()
+      }
+      cents.select(col("m"), col("k"),
+          transform(col("cw"), x => x / lit(1e6)).as("cw"))
+        .localCheckpoint()
+    }
+  }
 }

@@ -1396,4 +1396,205 @@ GROUP BY d.source ORDER BY d.source"""
        |  CAST(COALESCE(ovl.overlap, 0) AS DOUBLE) / 10.0 AS recall
        |FROM t1 LEFT JOIN ovl ON t1.qid = ovl.qid
        |ORDER BY query_id""".stripMargin
+
+  /** Product-quantization geometry: 8 subspaces × 8 dims, 16 codewords per
+    * subspace (codes are 8 × 4 bits = 4 bytes/vector vs 256 float bytes —
+    * 64× compression). The codebook is TRAINED: per-subspace k-means via
+    * [[Quantize.pqTrain]] (the q74 exact-integer Lloyd discipline, all 8
+    * subspaces in one grouped program), seeded from the first [[PqK]]
+    * vec_ids. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+  val PqIters = 2
+
+  /** ADC shortlist width for the exact re-rank stage (5% of the sf0.1
+    * corpus): PQ's role at scale is CANDIDATE GENERATION — the compressed
+    * codes cut the corpus to a shortlist that the float vectors re-rank
+    * exactly (the faiss IVFPQ+refine composition). */
+  val PqShortlist = 100
+
+  /** q99 — product quantization with asymmetric-distance (ADC) search and
+    * an exact-recall gate (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011).
+    *
+    * Pipeline: slice each vector into [[PqM]] subvectors (posexplode — one
+    * map-side generate); assign every (vector, subspace) to its nearest
+    * codeword by squared L2 (broadcast 128-row codebook, `min_by` aggregate
+    * so the argmin partial-aggregates map-side instead of window-sorting);
+    * per probe query, build the M×K table of squared distances to every
+    * codeword (broadcast back); approximate each corpus distance as the
+    * SUM of 8 table lookups; keep the [[PqShortlist]]-wide ADC shortlist;
+    * re-rank the shortlist EXACTLY with the float vectors (the faiss
+    * IVFPQ+refine composition — codes generate candidates, floats decide);
+    * score overlap/recall@k against the exact full-corpus L2 top-k.
+    *
+    * Determinism: d² uses the fixed-order three-dot form
+    * `dot(s,s) - 2·dot(s,c) + dot(c,c)` with per-row Σx² hoisted (PLANS.md
+    * rule 9); ADC table entries are scaled-integer quantized
+    * (`floor(d²·1e6+0.5)`) BEFORE the per-query sum so the 8-term addition
+    * is order-free (FP toolbox rule 1); argmin ties break on codeword id.
+    *
+    * 100 TB shape: codebook and distance tables are tiny broadcasts; codes
+    * are 4 bytes/vector — the scan side never shuffles floats; the rank-k
+    * cut is WindowGroupLimit-planned. */
+  def q99PqAdcRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs
+    val emb = Tables.embeddings(s, dir)
+    val ve = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val subs = Quantize.pqSubvectors(ve, "vec_id", "v", PqM, PqSubDim)
+      .withColumn("ss2", VectorExprs.sumSquares(col("sv")))
+    val cb = Quantize.pqTrain(emb, "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters)
+      .withColumn("cw2", VectorExprs.sumSquares(col("cw")))
+
+    // assignment ranks by the two-term score (dot(t,t) is constant per
+    // row); the ADC table needs the true d², so it adds the ss2 term
+    val score2 = col("cw2") - lit(2.0) * graft.functions.dotProduct(col("sv"), col("cw"))
+    val codes = subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("k"), score2.as("__s"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("k"), struct(col("__s"), col("k"))).as("code"))
+
+    val qt = subs.filter(col("vec_id") < SqNumQueries)
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m").as("qm"), col("k"),
+        floor((col("ss2") + score2) * lit(1e6) + lit(0.5)).cast("long").as("tq"))
+    val ad = codes.join(broadcast(qt),
+        col("m") === col("qm") && col("code") === col("k"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("tq")).as("adist"))
+      .filter(col("vec_id") =!= col("qid"))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val short = ad.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= PqShortlist).select(col("qid"), col("vec_id"))
+
+    val ven = ve.withColumn("n2", VectorExprs.sumSquares(col("v")))
+    val eq = ven.filter(col("vec_id") < SqNumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    // exact re-rank of the ADC shortlist: same three-dot d² as the exact
+    // side, so shortlist survivors rank identically in both engines
+    val rer = short.join(ven, Seq("vec_id")).join(broadcast(eq), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("n2") - lit(2.0) * graft.functions.dotProduct(col("v"), col("qv"))
+          + col("qn2")).as("d2"))
+    val wkr = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    val apk = rer.withColumn("rn", row_number().over(wkr)).filter(col("rn") <= SqK)
+      .select(col("qid"), col("vec_id"), col("rn"))
+
+    val ex = ven.crossJoin(broadcast(eq))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (col("n2") - lit(2.0) * graft.functions.dotProduct(col("v"), col("qv"))
+          + col("qn2")).as("d2"))
+    val wke = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    val exk = ex.withColumn("rn", row_number().over(wke)).filter(col("rn") <= SqK)
+      .select(col("qid"), col("vec_id"))
+
+    val ovl = apk.join(exk, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("overlap"))
+    apk.filter(col("rn") === 1).select(col("qid"), col("vec_id").as("approx_top1"))
+      .join(ovl, Seq("qid"), "left")
+      .select(col("qid").as("query_id"), col("approx_top1"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        (coalesce(col("overlap"), lit(0L)).cast("double") / lit(10.0)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** One grouped-Lloyd iteration over all PQ subspaces — the q74
+    * `kmIteration` shape with (m, k) centroid keys: assignment under
+    * `prev`, exact integer component sums, list rebuild in pos order,
+    * empty cells keep their previous centroid. */
+  private def pqIteration(prev: String, next: String): String =
+    s"""a_$next AS (
+       |  SELECT vec_id, m, k, svi FROM (
+       |    SELECT t.vec_id, t.m, c.k, t.svi,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.m ORDER BY
+       |        list_dot_product(c.cw, c.cw) - 2.0 * list_dot_product(t.svi, c.cw),
+       |        c.k) AS rn
+       |    FROM isubs t JOIN $prev c ON t.m = c.m
+       |  ) WHERE rn = 1
+       |), m_$next AS (
+       |  SELECT m, k, i AS pos, SUM(svi[CAST(i AS INT)]) AS sx, COUNT(*) AS n
+       |  FROM a_$next, range(1, ${PqSubDim + 1}) r(i)
+       |  GROUP BY m, k, i
+       |), u_$next AS (
+       |  SELECT m, k, list(sx / n ORDER BY pos) AS cw FROM m_$next GROUP BY m, k
+       |), $next AS (
+       |  SELECT p.m, p.k, COALESCE(u.cw, p.cw) AS cw
+       |  FROM $prev p LEFT JOIN u_$next u USING (m, k)
+       |)""".stripMargin
+
+  lazy val oracleQ99: String =
+    s"""WITH ve AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), subs AS (
+       |  SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+       |  FROM ve, (SELECT unnest(range(0, $PqM)) AS m) mm
+       |), isubs AS (
+       |  SELECT vec_id, m,
+       |    list_transform(sv, x -> floor(x * 1e6 + 0.5)) AS svi
+       |  FROM subs
+       |), c0 AS (
+       |  SELECT m, CAST(vec_id AS INT) AS k, svi AS cw FROM isubs
+       |  WHERE vec_id < $PqK
+       |), ${pqIteration("c0", "c1")}, ${pqIteration("c1", "c2")}, cb AS (
+       |  SELECT m, k, list_transform(cw, x -> x / 1e6) AS cw FROM c2
+       |), asg AS (
+       |  SELECT s.vec_id, s.m, c.k,
+       |    list_dot_product(c.cw, c.cw) - 2.0*list_dot_product(s.sv, c.cw) AS s2
+       |  FROM subs s JOIN cb c ON s.m = c.m
+       |), codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY s2, k) AS rn
+       |    FROM asg) WHERE rn = 1
+       |), qt AS (
+       |  SELECT q.vec_id AS qid, q.m, c.k,
+       |    CAST(floor((list_dot_product(c.cw, c.cw)
+       |      - 2.0*list_dot_product(q.sv, c.cw)
+       |      + list_dot_product(q.sv, q.sv)) * 1e6 + 0.5) AS BIGINT) AS tq
+       |  FROM subs q JOIN cb c ON q.m = c.m WHERE q.vec_id < $SqNumQueries
+       |), ad AS (
+       |  SELECT qt.qid, codes.vec_id, CAST(SUM(tq) AS BIGINT) AS adist
+       |  FROM codes JOIN qt ON codes.m = qt.m AND codes.code = qt.k
+       |  GROUP BY qt.qid, codes.vec_id
+       |), short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |    FROM ad WHERE vec_id <> qid) WHERE rn <= $PqShortlist
+       |), eq AS (
+       |  SELECT vec_id AS qid, v AS qv FROM ve WHERE vec_id < $SqNumQueries
+       |), rer AS (
+       |  SELECT s.qid, s.vec_id,
+       |    list_dot_product(r.v, r.v) - 2*list_dot_product(r.v, eq.qv)
+       |      + list_dot_product(eq.qv, eq.qv) AS d2
+       |  FROM short s JOIN ve r ON s.vec_id = r.vec_id
+       |  JOIN eq ON s.qid = eq.qid
+       |), apk AS (
+       |  SELECT qid, vec_id, rn FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+       |    FROM rer) WHERE rn <= $SqK
+       |), exd AS (
+       |  SELECT eq.qid, r.vec_id,
+       |    list_dot_product(r.v, r.v) - 2*list_dot_product(r.v, qv)
+       |      + list_dot_product(qv, qv) AS d2
+       |  FROM ve r, eq WHERE r.vec_id <> eq.qid
+       |), exk AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+       |    FROM exd) WHERE rn <= $SqK
+       |), ovl AS (
+       |  SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS overlap
+       |  FROM apk a JOIN exk e ON a.qid = e.qid AND a.vec_id = e.vec_id
+       |  GROUP BY a.qid
+       |), t1 AS (
+       |  SELECT qid, vec_id AS approx_top1 FROM apk WHERE rn = 1
+       |)
+       |SELECT t1.qid AS query_id, t1.approx_top1,
+       |  CAST(COALESCE(ovl.overlap, 0) AS BIGINT) AS overlap,
+       |  CAST(COALESCE(ovl.overlap, 0) AS DOUBLE) / 10.0 AS recall
+       |FROM t1 LEFT JOIN ovl ON t1.qid = ovl.qid
+       |ORDER BY query_id""".stripMargin
 }

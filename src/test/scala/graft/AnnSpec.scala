@@ -163,6 +163,27 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ trained codebook has full (m,k) coverage and subDim-length centroids") {
+    import graft.queries.TextQueries._
+    val cb = graft.operators.Quantize.pqTrain(
+        Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        "vec_id", "embedding", PqM, PqSubDim, PqK, PqIters)
+      .collect()
+    assert(cb.length == PqM * PqK)
+    assert(cb.forall(_.getAs[scala.collection.Seq[Double]]("cw").length == PqSubDim))
+    // trained centroids are means, not data points: at least some cells moved
+    val keys = cb.map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(keys == (for (m <- 0 until PqM; k <- 0 until PqK) yield (m, k)).toSet)
+  }
+
+  test("PQ ADC shortlist + exact re-rank achieves strong recall@10") {
+    val res = graft.queries.TextQueries.q99PqAdcRecall(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(res.length == graft.queries.TextQueries.SqNumQueries)
+    val recalls = res.map(_.getAs[Double]("recall"))
+    assert(recalls.forall(_ >= 0.6), recalls.mkString(","))
+  }
+
   test("SQ8 top-k recall against exact search is high on clustered embeddings") {
     val res = graft.queries.TextQueries.q98Sq8Recall(spark, "/root/testdata/sf0.001")
       .collect()
