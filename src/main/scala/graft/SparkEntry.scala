@@ -120,6 +120,7 @@ object SparkEntry {
     "q97_bloom_screen" -> (Curation.q97BloomScreen _),
     "q98_sq8_recall" -> (TextQueries.q98Sq8Recall _),
     "q99_pq_adc_recall" -> (TextQueries.q99PqAdcRecall _),
+    "q100_bigram_lm" -> (Curation.q100BigramLm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -330,6 +331,7 @@ object SparkEntry {
     "q97_bloom_screen" -> Curation.oracleQ97,
     "q98_sq8_recall" -> TextQueries.oracleQ98,
     "q99_pq_adc_recall" -> TextQueries.oracleQ99,
+    "q100_bigram_lm" -> Curation.oracleQ100,
   )
 
   private val asofOracle: String =

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1258,4 +1259,130 @@ object Curation {
        |  CAST((run - n_tokens) // $SeqLen AS BIGINT) AS pack_id,
        |  CAST((run - n_tokens) % $SeqLen AS BIGINT) AS pack_offset
        |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Jelinek-Mercer interpolation weight for the bigram LM: λ on the
+    * bigram MLE, (1-λ) on the add-one unigram fallback. */
+  val LmLambda = 0.9
+
+  /** q100 — interpolated bigram language model, trained on half the corpus
+    * and scoring the held-out half, with CCNet-style head/middle/tail
+    * bucketing (Wenzek et al. 2020: CCNet trains an LM on trusted text and
+    * partitions the crawl by per-language perplexity terciles; the q72
+    * unigram scorer is the degenerate form of this).
+    *
+    * Conventions: tokens are the corpus-wide normalize+split; the train
+    * split is doc_id parity (deterministic, append-stable); p(w2|w1) =
+    * λ·c(w1,w2)/c(w1) + (1-λ)·(c(w2)+1)/(T+V) with unigram counts over ALL
+    * train positions and add-one smoothing on the fallback so p > 0 for
+    * any held-out bigram; log-probs are scaled-integer quantized
+    * (`floor(ln·1e6+0.5)`, q72 convention) before the per-doc sum so
+    * aggregation order is free; documents with fewer than two tokens
+    * produce NO row (same no-row contract as ngramContamination).
+    *
+    * Scale shape: bigram/unigram stat tables are vocab-bounded and
+    * broadcast here (synthetic vocab is tiny); at web scale both joins
+    * become ordinary key-partitioned shuffles on (w1,w2)/w1/w2 — the plan
+    * is three joins + one groupBy either way, nothing quadratic. The
+    * tercile cut is one percent_rank window per language over doc-level
+    * rows. */
+  def q100BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        filter(split(Text.normalize(col("text")), " "),
+          t => length(t) > 0).as("toks"))
+    val big = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = big.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("tt"), count(lit(1)).as("vv"))
+
+    val term1 = coalesce(
+      lit(LmLambda) * col("c12").cast("double") / col("c1").cast("double"),
+      lit(0.0))
+    val term2 = lit(1.0 - LmLambda) *
+      (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+      (col("tt") + col("vv")).cast("double")
+    val scored = big.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(c12), Seq("w1", "w2"), "left")
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))),
+        Seq("w1"), "left")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"),
+        floor(log(term1 + term2) * lit(1e6) + lit(0.5)).cast("long").as("lp6"))
+    val perDoc = scored.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp6")).as("sum_lp6"))
+      .withColumn("avg_logprob",
+        col("sum_lp6").cast("double") / lit(1e6) / col("n_bigrams"))
+    val pr = percent_rank().over(
+      Window.partitionBy(col("lang")).orderBy(col("avg_logprob").desc))
+    perDoc.withColumn("pr", pr)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("sum_lp6"),
+        col("avg_logprob"),
+        when(col("pr") < lit(1.0) / lit(3.0), lit("head"))
+          .when(col("pr") < lit(2.0) / lit(3.0), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ100: String =
+    s"""WITH tl AS (
+       |  SELECT doc_id, lang, list_filter(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    t -> len(t) > 0) AS toks
+       |  FROM documents
+       |), big AS (
+       |  SELECT doc_id, lang, u.w1 AS w1, u.w2 AS w2 FROM (
+       |    SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+       |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS u
+       |    FROM tl WHERE len(toks) >= 2)
+       |), c12 AS (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM big WHERE doc_id % 2 = 0
+       |  GROUP BY w1, w2
+       |), uni AS (
+       |  SELECT tok, COUNT(*) AS c FROM (
+       |    SELECT unnest(toks) AS tok FROM tl WHERE doc_id % 2 = 0)
+       |  GROUP BY tok
+       |), tot AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS tt, CAST(COUNT(*) AS BIGINT) AS vv
+       |  FROM uni
+       |), sc AS (
+       |  SELECT b.doc_id, b.lang,
+       |    CAST(floor(ln(
+       |      COALESCE(CAST('$LmLambda' AS DOUBLE) * CAST(c12.c12 AS DOUBLE)
+       |        / CAST(u1.c AS DOUBLE), 0.0)
+       |      + CAST('${1.0 - LmLambda}' AS DOUBLE)
+       |        * CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE)
+       |        / CAST(tt + vv AS DOUBLE)
+       |    ) * 1e6 + 0.5) AS BIGINT) AS lp6
+       |  FROM big b
+       |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+       |  LEFT JOIN uni u1 ON b.w1 = u1.tok
+       |  LEFT JOIN uni u2 ON b.w2 = u2.tok, tot
+       |  WHERE b.doc_id % 2 = 1
+       |), ag AS (
+       |  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(lp6) AS BIGINT) AS sum_lp6
+       |  FROM sc GROUP BY doc_id, lang
+       |), fin AS (
+       |  SELECT doc_id, lang, n_bigrams, sum_lp6,
+       |    CAST(sum_lp6 AS DOUBLE) / 1e6 / n_bigrams AS avg_logprob
+       |  FROM ag
+       |)
+       |SELECT doc_id, lang, n_bigrams, sum_lp6, avg_logprob,
+       |  CASE WHEN pr < CAST(1 AS DOUBLE)/3 THEN 'head'
+       |       WHEN pr < CAST(2 AS DOUBLE)/3 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM (SELECT *, percent_rank() OVER (
+       |        PARTITION BY lang ORDER BY avg_logprob DESC) AS pr
+       |      FROM fin)
+       |ORDER BY doc_id""".stripMargin
 }

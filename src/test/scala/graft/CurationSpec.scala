@@ -260,4 +260,26 @@ class CurationSpec extends AnyFunSuite {
     assert(scores.forall(_ > 0.0))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("bigram LM scores every held-out doc, log-probs negative, terciles populated") {
+    val rows = graft.queries.Curation
+      .q100BigramLm(spark, "/root/testdata/sf0.001").collect()
+    // held-out split = odd doc_ids; synthetic docs all have >= 2 tokens
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("doc_id") % 2 == 1))
+    assert(rows.forall(_.getAs[Long]("sum_lp6") < 0L))
+    assert(rows.forall(r => r.getAs[Long]("n_bigrams") > 0))
+    val buckets = rows.groupBy(r =>
+      (r.getAs[String]("lang"), r.getAs[String]("bucket")))
+      .view.mapValues(_.length).toMap
+    val perLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    perLang.foreach { case (lang, n) =>
+      if (n >= 6) {
+        // terciles: each bucket within a factor-2 band of n/3 (ties can skew)
+        Seq("head", "middle", "tail").foreach { b =>
+          val c = buckets.getOrElse((lang, b), 0)
+          assert(c > 0 && c <= 2 * (n / 3 + 1), s"$lang/$b: $c of $n")
+        }
+      }
+    }
+  }
 }
