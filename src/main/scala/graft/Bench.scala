@@ -90,7 +90,8 @@ object Bench {
     "q81_dsir_importance", "q83_boilerplate_ngrams", "q84_source_drift",
     "q86_semdedup", "q88_dup_spans", "q89_knn_graph", "q92_stream_screen",
     "q93_stream_windowed_agg", "q94_stream_dedup",
-    "q95_stream_cardinality", "q96_stream_breadth")
+    "q95_stream_cardinality", "q96_stream_breadth",
+    "q98_sq8_recall", "q99_pq_adc_recall")
 
   private val GroupSize = 8
 
