@@ -93,6 +93,16 @@ class PlanShapeSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("quantization recall gates: probes broadcast and rank-k cuts plan as WindowGroupLimit") {
+    for (name <- Seq("q98_sq8_recall", "q99_pq_adc_recall")) {
+      val p = plan(name)
+      // per-partition top-k retention before the qid shuffle — the scale
+      // claim in the q98/q99 scaladocs
+      assert(p.contains("WindowGroupLimit"), name)
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
   test("no gate query degenerates to an unintended cartesian product") {
     // the deliberate broadcast-1-row cross joins (q17 query vector) are
     // BroadcastNestedLoopJoin, not CartesianProduct
