@@ -121,6 +121,7 @@ object SparkEntry {
     "q98_sq8_recall" -> (TextQueries.q98Sq8Recall _),
     "q99_pq_adc_recall" -> (TextQueries.q99PqAdcRecall _),
     "q100_bigram_lm" -> (Curation.q100BigramLm _),
+    "q101_token_budget" -> (Curation.q101TokenBudget _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -332,6 +333,7 @@ object SparkEntry {
     "q98_sq8_recall" -> TextQueries.oracleQ98,
     "q99_pq_adc_recall" -> TextQueries.oracleQ99,
     "q100_bigram_lm" -> Curation.oracleQ100,
+    "q101_token_budget" -> Curation.oracleQ101,
   )
 
   private val asofOracle: String =

@@ -1264,6 +1264,60 @@ object Curation {
     * bigram MLE, (1-λ) on the add-one unigram fallback. */
   val LmLambda = 0.9
 
+  /** Per-source token budget for q101 — binds at every SF (per-source
+    * corpus totals are ~1.3k tokens at sf0.01, ~13.5k at sf0.1). */
+  val TokenBudget = 800L
+
+  /** q101 — token-budget data selection: per source, keep the
+    * quality-ranked prefix of documents whose running token total stays
+    * within [[TokenBudget]]. This is the budgeting step a pretraining mix
+    * runs after scoring (pick the best N tokens per domain, not the best N
+    * DOCS — budgets are token-denominated): rank by the q13 quality score
+    * (tie: doc_id), running-sum token counts, cut at the budget.
+    *
+    * Scale shape: one row_number + running-sum window per source
+    * partition. Source cardinality is low, so at 100 TB the per-source
+    * window is the same single-reducer-per-stratum hazard sequence packing
+    * hit — the q64 two-phase prefix-sum decomposition (per-partition
+    * partials, broadcast offsets) is the drop-in replacement; the
+    * semantics gated here don't change. */
+  def q101TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    d.withColumn("sel_rank", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("sel_rank"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ101: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |    len(regexp_extract_all(text, '\\w+')) AS n_tokens,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents
+       |), sc AS (
+       |  SELECT doc_id, source, n_tokens,
+       |  ${TextQueries.qualityExpr}
+       |  AS quality FROM t
+       |), r AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    row_number() OVER w AS sel_rank,
+       |    CAST(SUM(n_tokens) OVER (
+       |      w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM sc WINDOW w AS (PARTITION BY source ORDER BY quality DESC, doc_id)
+       |)
+       |SELECT doc_id, source, n_tokens, sel_rank, cum_tokens FROM r
+       |WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin
+
   /** q100 — interpolated bigram language model, trained on half the corpus
     * and scoring the held-out half, with CCNet-style head/middle/tail
     * bucketing (Wenzek et al. 2020: CCNet trains an LM on trusted text and

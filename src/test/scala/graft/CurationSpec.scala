@@ -261,6 +261,23 @@ class CurationSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("token-budget selection keeps a contiguous quality prefix within budget per source") {
+    val rows = graft.queries.Curation
+      .q101TokenBudget(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val ranks = rs.map(_.getAs[Int]("sel_rank")).sorted
+      assert(ranks.toSeq == (1 to ranks.length), s"$src ranks not a prefix")
+      assert(rs.map(_.getAs[Long]("cum_tokens")).max <=
+        graft.queries.Curation.TokenBudget, src)
+      // running sum consistency: cum at rank k = sum of n_tokens through k
+      val byRank = rs.sortBy(_.getAs[Int]("sel_rank"))
+      val cums = byRank.scanLeft(0L)(_ + _.getAs[Int]("n_tokens").toLong).tail
+      assert(byRank.map(_.getAs[Long]("cum_tokens")).toSeq == cums.toSeq, src)
+    }
+  }
+
   test("bigram LM scores every held-out doc, log-probs negative, terciles populated") {
     val rows = graft.queries.Curation
       .q100BigramLm(spark, "/root/testdata/sf0.001").collect()
