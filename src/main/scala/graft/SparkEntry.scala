@@ -122,6 +122,8 @@ object SparkEntry {
     "q99_pq_adc_recall" -> (TextQueries.q99PqAdcRecall _),
     "q100_bigram_lm" -> (Curation.q100BigramLm _),
     "q101_token_budget" -> (Curation.q101TokenBudget _),
+    "q102_sessionize" -> (AnalyticsQueries.q102Sessionize _),
+    "q103_funnel" -> (AnalyticsQueries.q103Funnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -334,6 +336,8 @@ object SparkEntry {
     "q99_pq_adc_recall" -> TextQueries.oracleQ99,
     "q100_bigram_lm" -> Curation.oracleQ100,
     "q101_token_budget" -> Curation.oracleQ101,
+    "q102_sessionize" -> AnalyticsQueries.oracleQ102,
+    "q103_funnel" -> AnalyticsQueries.oracleQ103,
   )
 
   private val asofOracle: String =

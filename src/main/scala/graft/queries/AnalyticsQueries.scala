@@ -786,4 +786,153 @@ object AnalyticsQueries {
       |         * CAST(p_retailprice - 1000.0 AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS DOUBLE)
       |  END AS per_like
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Inactivity gap closing a session (6 h): chosen against the synthetic
+    * event density (median inter-event gap per user ≈ 7.3 h) so sessions
+    * are non-trivial — ~half of consecutive pairs merge. */
+  val SessionGapSec = 21600L
+
+  /** q102 — gap-based sessionization: group each user's events into
+    * sessions separated by more than [[SessionGapSec]] of inactivity, and
+    * aggregate per session. The canonical islands problem in event
+    * analytics (the q08 change-run variant's sibling — there a run breaks
+    * on VALUE change, here on TIME gap): flag gap-openers with lag, form
+    * session ids with a running sum, aggregate.
+    *
+    * Determinism: event ordering is (ts, event_id) — event_id breaks ts
+    * ties identically in both engines; the session value total is
+    * scaled-integer quantized per event BEFORE summation (FP rule 1);
+    * duration is integer epoch-microsecond arithmetic.
+    *
+    * Scale shape: two windows and one aggregation, all partitioned by
+    * user_id — one shuffle total (the windows and the groupBy share the
+    * user_id clustering; AQE reuses the exchange). Nothing driver-side,
+    * nothing quadratic; per-user state is a single lag value, which is why
+    * the same rule streams as `mapGroupsWithState` (the breadth-state
+    * shape, q96) when run incrementally. */
+  def q102Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapSec * 1000000L,
+          1L).otherwise(0L))
+    flagged
+      .withColumn("session_idx", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long")).as("value_sum6"))
+      .withColumn("duration_sec", expr(
+        "(unix_micros(session_end) - unix_micros(session_start)) DIV 1000000"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("session_start"), col("session_end"), col("duration_sec"),
+        col("value_sum6"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val oracleQ102: String =
+    s"""WITH f AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+       |            > ${SessionGapSec * 1000000L} THEN 1 ELSE 0 END AS new_sess
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), r AS (
+       |  SELECT *, CAST(SUM(new_sess) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS session_idx
+       |  FROM f
+       |)
+       |SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec,
+       |  CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+       |    AS value_sum6
+       |FROM r GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Funnel conversion window: each later stage must land within 24 h of
+    * the previous one. */
+  val FunnelWindowSec = 86400L
+
+  /** q103 — ordered funnel (view → click → purchase): per user, the
+    * earliest view anchors the funnel; the next stage is the earliest
+    * qualifying event AFTER the previous stage's timestamp and within
+    * [[FunnelWindowSec]]. Output is per-user stage depth plus the stage
+    * timestamps (epoch µs), the shape a conversion report aggregates.
+    *
+    * Scale shape: three user_id-partitioned conditional aggregations
+    * chained by left joins on user_id — every join is co-partitioned on
+    * the same key (one clustering, AQE-reused), no window over the full
+    * event stream, nothing quadratic. Timestamps stay integer epoch µs
+    * end-to-end. */
+  def q103Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val winUs = FunnelWindowSec * 1000000L
+    val users = ev.select(col("user_id")).distinct()
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val t2 = t1.join(ev.filter(col("event_type") === "click"), Seq("user_id"))
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(when(col("us") >= col("t1") &&
+        col("us") - col("t1") <= winUs, col("us"))).as("t2"))
+    val t3 = t2.filter(col("t2").isNotNull)
+      .join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
+      .groupBy(col("user_id"), col("t2"))
+      .agg(min(when(col("us") >= col("t2") &&
+        col("us") - col("t2") <= winUs, col("us"))).as("t3"))
+    users
+      .join(t1, Seq("user_id"), "left")
+      .join(t2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val oracleQ103: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+       |), users AS (
+       |  SELECT DISTINCT user_id FROM ev
+       |), t1 AS (
+       |  SELECT user_id, MIN(us) AS t1 FROM ev
+       |  WHERE event_type = 'view' GROUP BY user_id
+       |), t2 AS (
+       |  SELECT t1.user_id, t1.t1,
+       |    MIN(CASE WHEN e.us >= t1.t1
+       |             AND e.us - t1.t1 <= ${FunnelWindowSec * 1000000L}
+       |        THEN e.us END) AS t2
+       |  FROM t1 JOIN ev e ON t1.user_id = e.user_id
+       |  WHERE e.event_type = 'click'
+       |  GROUP BY t1.user_id, t1.t1
+       |), t3 AS (
+       |  SELECT t2.user_id, t2.t2,
+       |    MIN(CASE WHEN e.us >= t2.t2
+       |             AND e.us - t2.t2 <= ${FunnelWindowSec * 1000000L}
+       |        THEN e.us END) AS t3
+       |  FROM t2 JOIN ev e ON t2.user_id = e.user_id
+       |  WHERE t2.t2 IS NOT NULL AND e.event_type = 'purchase'
+       |  GROUP BY t2.user_id, t2.t2
+       |)
+       |SELECT u.user_id, t1.t1, t2.t2, t3.t3,
+       |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+       |       WHEN t2.t2 IS NOT NULL THEN 2
+       |       WHEN t1.t1 IS NOT NULL THEN 1
+       |       ELSE 0 END AS BIGINT) AS stage
+       |FROM users u
+       |LEFT JOIN t1 ON u.user_id = t1.user_id
+       |LEFT JOIN t2 ON u.user_id = t2.user_id
+       |LEFT JOIN t3 ON u.user_id = t3.user_id
+       |ORDER BY u.user_id""".stripMargin
 }

@@ -80,4 +80,45 @@ class CoreSpec extends AnyFunSuite {
     val again = graft.operators.Upsert.keyed(up, incoming, Seq("k"))
     assert(again.count() == 3)
   }
+
+  test("sessionization: sessions are gap-separated, indices contiguous per user") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.q102Sessionize(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val gapUs = AnalyticsQueries.SessionGapSec * 1000000L
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val byIdx = rs.sortBy(_.getAs[Long]("session_idx"))
+      assert(byIdx.map(_.getAs[Long]("session_idx")).toSeq ==
+        (1L to byIdx.length.toLong), s"user $u indices not contiguous")
+      // consecutive sessions must be separated by MORE than the gap
+      byIdx.sliding(2).foreach {
+        case Array(a, b) =>
+          val endA = a.getAs[java.sql.Timestamp]("session_end").getTime * 1000L
+          val startB = b.getAs[java.sql.Timestamp]("session_start").getTime * 1000L
+          assert(startB - endA > gapUs - 1000000L, s"user $u sessions touch")
+        case _ =>
+      }
+    }
+  }
+
+  test("funnel: stage timestamps are ordered and within the window") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.q103Funnel(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 150)
+    val winUs = AnalyticsQueries.FunnelWindowSec * 1000000L
+    rows.foreach { r =>
+      val stage = r.getAs[Long]("stage")
+      val t1 = Option(r.getAs[java.lang.Long]("t1")).map(_.toLong)
+      val t2 = Option(r.getAs[java.lang.Long]("t2")).map(_.toLong)
+      val t3 = Option(r.getAs[java.lang.Long]("t3")).map(_.toLong)
+      assert((stage >= 1) == t1.isDefined)
+      assert((stage >= 2) == t2.isDefined)
+      assert((stage >= 3) == t3.isDefined)
+      for (a <- t1; b <- t2) { assert(b >= a && b - a <= winUs) }
+      for (a <- t2; b <- t3) { assert(b >= a && b - a <= winUs) }
+    }
+    assert(rows.exists(_.getAs[Long]("stage") == 3L))
+  }
 }
