@@ -124,6 +124,7 @@ object SparkEntry {
     "q101_token_budget" -> (Curation.q101TokenBudget _),
     "q102_sessionize" -> (AnalyticsQueries.q102Sessionize _),
     "q103_funnel" -> (AnalyticsQueries.q103Funnel _),
+    "q104_retention" -> (AnalyticsQueries.q104RetentionCohorts _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -338,6 +339,7 @@ object SparkEntry {
     "q101_token_budget" -> Curation.oracleQ101,
     "q102_sessionize" -> AnalyticsQueries.oracleQ102,
     "q103_funnel" -> AnalyticsQueries.oracleQ103,
+    "q104_retention" -> AnalyticsQueries.oracleQ104,
   )
 
   private val asofOracle: String =

@@ -935,4 +935,40 @@ object AnalyticsQueries {
        |LEFT JOIN t2 ON u.user_id = t2.user_id
        |LEFT JOIN t3 ON u.user_id = t3.user_id
        |ORDER BY u.user_id""".stripMargin
+
+  /** q104 — retention cohort grid: users cohorted by first-activity day,
+    * counted active at each day offset since their cohort day. The
+    * third member of the canonical event-analytics trio (sessionize q102,
+    * funnel q103): pure date/integer arithmetic, so the grid is
+    * deterministic by construction.
+    *
+    * Scale shape: one (user, day) distinct (map-side combine), one
+    * user-keyed min-aggregation, one co-partitioned join on user_id, one
+    * grid aggregation — all ordinary key-partitioned shuffles, nothing
+    * quadratic, no windows over the raw stream. */
+  def q104RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
+  val oracleQ104: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), cohorts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+      |)
+      |SELECT c.cohort_day,
+      |  CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS offset_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active
+      |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+      |GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.day)
+      |ORDER BY cohort_day, offset_days""".stripMargin
 }

@@ -102,6 +102,22 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("retention: offset-0 equals cohort size and bounds every later offset") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.q104RetentionCohorts(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $c missing offset 0")
+      // day-0 actives = cohort size; no later offset can exceed it
+      assert(rs.forall(_._3 <= day0.get._3), c)
+      assert(rs.forall(_._2 >= 0L), c)
+    }
+  }
+
   test("funnel: stage timestamps are ordered and within the window") {
     import graft.queries.AnalyticsQueries
     val rows = AnalyticsQueries.q103Funnel(spark, "/root/testdata/sf0.01")
