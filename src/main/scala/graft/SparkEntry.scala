@@ -125,6 +125,7 @@ object SparkEntry {
     "q102_sessionize" -> (AnalyticsQueries.q102Sessionize _),
     "q103_funnel" -> (AnalyticsQueries.q103Funnel _),
     "q104_retention" -> (AnalyticsQueries.q104RetentionCohorts _),
+    "q105_stream_stream_join" -> (Advanced.q105StreamStreamJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -340,6 +341,7 @@ object SparkEntry {
     "q102_sessionize" -> AnalyticsQueries.oracleQ102,
     "q103_funnel" -> AnalyticsQueries.oracleQ103,
     "q104_retention" -> AnalyticsQueries.oracleQ104,
+    "q105_stream_stream_join" -> Advanced.oracleQ105,
   )
 
   private val asofOracle: String =

@@ -719,4 +719,72 @@ object Advanced {
       |FROM f, range(0, 100) r(i)
       |WHERE i <= n_frames - 1 AND i % 3 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Attribution window for the stream-stream join (6 h — sized to the
+    * synthetic event density, same rationale as
+    * [[AnalyticsQueries.SessionGapSec]]). */
+  val AttributionWindowSec = 21600L
+
+  /** The stream-stream event-time interval join
+    * ([[graft.streaming.StreamStreamJoin.attributed]]) run TO COMPLETION
+    * in-process — the sixth and last classic streaming shape, now a
+    * CORRECTNESS row: clicks and views arrive as two separate in-order
+    * MemoryStreams in three alternating micro-batch pairs; the join
+    * buffers each side in the state store, emits on match, and its
+    * event-time range condition plus both-side watermarks are what bound
+    * that state to one attribution window per side at 100 TB. In-order
+    * arrival means nothing is watermark-late, so the emitted set is
+    * EXACTLY the batch interval join — hash-matched against the DuckDB
+    * oracle. Bounded collect is the test transport (q92 convention). */
+  def q105StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamStreamJoin
+    import graft.streaming.StreamStreamJoin.{Click, View}
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+      .filter(col("event_type").isin("click", "view"))
+      .as[(java.sql.Timestamp, Long, Long, String)].collect()
+      .sortBy(_._1.getTime)
+    val clicks = ev.collect { case (ts, u, id, "click") => Click(ts, u, id) }
+    val views = ev.collect { case (ts, u, id, "view") => View(ts, u, id) }
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val memC = MemoryStream[Click]
+    val memV = MemoryStream[View]
+    val sink = s"q105_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamStreamJoin.attributed(memC.toDS(), memV.toDS(),
+          AttributionWindowSec, "6 hours")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try {
+        val (tc, tv) = (clicks.length / 3, views.length / 3)
+        for (i <- 0 until 3) {
+          val (c0, c1) = (i * tc, if (i == 2) clicks.length else (i + 1) * tc)
+          val (v0, v1) = (i * tv, if (i == 2) views.length else (i + 1) * tv)
+          memV.addData(views.slice(v0, v1).toIndexedSeq: _*)
+          memC.addData(clicks.slice(c0, c1).toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    val out = s.table(sink)
+      .select(col("user_id"), col("click_id"), col("view_id"), col("lag_sec"))
+      .orderBy(col("click_id"), col("view_id"))
+      .localCheckpoint() // pin rows before the temp view is dropped
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  val oracleQ105: String =
+    s"""SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       |  (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS lag_sec
+       |FROM events c JOIN events v
+       |  ON c.user_id = v.user_id
+       |  AND v.ts <= c.ts
+       |  AND v.ts >= c.ts - to_seconds(${AttributionWindowSec})
+       |WHERE c.event_type = 'click' AND v.event_type = 'view'
+       |ORDER BY click_id, view_id""".stripMargin
 }

@@ -163,4 +163,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamDedup.dedup(static, "10 minutes")
       .select("fp").distinct().count() == 2)
   }
+
+  test("stream-stream interval join: in-window view matches, out-of-window and cross-user do not") {
+    import graft.streaming.StreamStreamJoin
+    import graft.streaming.StreamStreamJoin.{Click, View}
+    import spark.implicits._
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0)
+    val clicks = Seq(Click(ts("2024-01-01 12:00:00"), 1L, 100L)).toDS()
+    val views = Seq(
+      View(ts("2024-01-01 11:30:00"), 1L, 10L), // in window
+      View(ts("2024-01-01 12:00:00"), 1L, 11L), // boundary: viewTs == clickTs
+      View(ts("2024-01-01 10:59:59"), 1L, 12L), // out of 1h window
+      View(ts("2024-01-01 12:00:01"), 1L, 13L), // after the click
+      View(ts("2024-01-01 11:45:00"), 2L, 14L)  // other user
+    ).toDS()
+    // unified semantics: the streaming join runs as a batch plan here
+    val got = StreamStreamJoin.attributed(clicks, views, 3600L, "1 hour")
+      .select("view_id", "lag_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1800L), (11L, 0L)))
+  }
 }
