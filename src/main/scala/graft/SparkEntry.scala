@@ -126,6 +126,9 @@ object SparkEntry {
     "q103_funnel" -> (AnalyticsQueries.q103Funnel _),
     "q104_retention" -> (AnalyticsQueries.q104RetentionCohorts _),
     "q105_stream_stream_join" -> (Advanced.q105StreamStreamJoin _),
+    "q106_grouped_ols" -> (AnalyticsQueries.q106GroupedOls _),
+    "q107_cube_rollup" -> (Advanced.q107CubeRollup _),
+    "q108_embed_stats" -> (TextQueries.q108EmbedStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -342,6 +345,9 @@ object SparkEntry {
     "q103_funnel" -> AnalyticsQueries.oracleQ103,
     "q104_retention" -> AnalyticsQueries.oracleQ104,
     "q105_stream_stream_join" -> Advanced.oracleQ105,
+    "q106_grouped_ols" -> AnalyticsQueries.oracleQ106,
+    "q107_cube_rollup" -> Advanced.oracleQ107,
+    "q108_embed_stats" -> TextQueries.oracleQ108,
   )
 
   private val asofOracle: String =

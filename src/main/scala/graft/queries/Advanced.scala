@@ -787,4 +787,36 @@ object Advanced {
        |  AND v.ts >= c.ts - to_seconds(${AttributionWindowSec})
        |WHERE c.event_type = 'click' AND v.event_type = 'view'
        |ORDER BY click_id, view_id""".stripMargin
+
+  /** q107 — CUBE / GROUPING SETS rollup: corpus composition report at every
+    * grain of (source, lang) in one pass — the multi-grain aggregate every
+    * curation dashboard wants, without running four separate groupBys.
+    * `grouping_id` disambiguates a rolled-up NULL from a data NULL.
+    *
+    * Scale shape: Spark expands grouping sets BEFORE the shuffle (Expand →
+    * partial HashAggregate → one shuffle → final HashAggregate), so the
+    * four grains ride one exchange and map-side combine still applies; all
+    * measures are exact integers. At 100 TB the Expand multiplies map-side
+    * rows ×4, but the partial aggregate collapses them immediately —
+    * cheaper than four scans of the fact table. */
+  def q107CubeRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .cube(col("source"), col("lang"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("gid"), col("source"), col("lang"))
+  }
+
+  val oracleQ107: String =
+    """SELECT source, lang,
+      |  CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY CUBE(source, lang)
+      |ORDER BY gid, source, lang""".stripMargin
 }

@@ -971,4 +971,88 @@ object AnalyticsQueries {
       |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
       |GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.day)
       |ORDER BY cohort_day, offset_days""".stripMargin
+
+  /** q106 — grouped OLS regression (slope / intercept / R² of daily value
+    * vs day index, per event type): the trend-fitting primitive every
+    * monitoring dashboard and drift report needs, expressed as the
+    * closed-form normal equations over EXACT integer moment sums.
+    *
+    * Determinism (FP rule 1): y is quantized to cents (the column is
+    * 2-decimal by generation) and x is an integer day index, so the six
+    * moments (n, Σx, Σy, Σx², Σxy, Σy²) are exact integers — carried as
+    * DECIMAL(38,0) so a 100 TB group cannot silently wrap a BIGINT (per-row
+    * products are bounded: y² ≤ 3.2e9, x·y ≤ 1.7e6). The doubles are then
+    * derived from those exact sums via the identical expression tree in
+    * both engines, so slope/intercept/R² are bit-identical.
+    *
+    * Scale shape: one map-side-combinable aggregation by event_type — the
+    * moments are associative/commutative sums, so partial aggregation does
+    * ~all the work before the one tiny shuffle; no window, no join. */
+  def q106GroupedOls(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(s, dir).select(
+      col("event_type"),
+      datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+        .cast("long").as("x"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("ys"))
+    val sums = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("ys").cast(d38)).as("sy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("x") * col("ys")).cast(d38)).as("sxy"),
+      sum((col("ys") * col("ys")).cast(d38)).as("syy"))
+    // exact decimal sums → doubles once, then one shared expression tree
+    val nD = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    sums
+      .withColumn("cov_n", nD * dd("sxy") - dd("sx") * dd("sy"))
+      .withColumn("var_xn", nD * dd("sxx") - dd("sx") * dd("sx"))
+      .withColumn("var_yn", nD * dd("syy") - dd("sy") * dd("sy"))
+      .select(
+        col("event_type"), col("n"),
+        (col("cov_n") / col("var_xn") / lit(100.0)).as("slope"),
+        ((dd("sy") - col("cov_n") / col("var_xn") * dd("sx")) / nD
+          / lit(100.0)).as("intercept"),
+        (col("cov_n") * col("cov_n")
+          / (col("var_xn") * col("var_yn"))).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  val oracleQ106: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |        AS BIGINT) AS DECIMAL(38,0))) AS sx,
+      |    SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |        AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |          AS BIGINT)
+      |        * CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |          AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+      |    SUM(CAST(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |          AS BIGINT)
+      |        * CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |        AS DECIMAL(38,0))) AS sxy,
+      |    SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |        * CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |        AS DECIMAL(38,0))) AS syy
+      |  FROM events GROUP BY event_type
+      |), d AS (
+      |  SELECT event_type, n,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_xn,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_yn,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM m
+      |)
+      |SELECT event_type, n,
+      |  cov_n / var_xn / 100.0 AS slope,
+      |  (syd - cov_n / var_xn * sxd) / CAST(n AS DOUBLE) / 100.0 AS intercept,
+      |  cov_n * cov_n / (var_xn * var_yn) AS r2
+      |FROM d ORDER BY event_type""".stripMargin
 }

@@ -1597,4 +1597,62 @@ GROUP BY d.source ORDER BY d.source"""
        |  CAST(COALESCE(ovl.overlap, 0) AS DOUBLE) / 10.0 AS recall
        |FROM t1 LEFT JOIN ovl ON t1.qid = ovl.qid
        |ORDER BY query_id""".stripMargin
+
+  /** Quantization step for q108's moment sums: 1e4 keeps every per-row
+    * product exactly representable in a long AND bounds the global Σv²
+    * under 2^63 out to ~2.5e11 rows (see [[graft.operators.VectorStats]]).
+    */
+  val StatsScale = 10000.0
+
+  /** q108 — per-dimension embedding statistics (mean / population variance
+    * per dimension): the "fit the standardizer" pass run before training,
+    * whitening, or drift monitoring.
+    *
+    * Scale shape: the custom [[graft.operators.VectorStats.MomentsAgg]]
+    * Aggregator folds each partition into ONE 64-long moment state and
+    * merges states — no posexplode, so nothing row×dim-shaped ever
+    * shuffles. The final posexplode runs on a single merged struct. All
+    * sums are exact quantized integers (fail-loud on overflow), and the
+    * derived doubles share one expression tree with the oracle. */
+  def q108EmbedStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorStats
+    val scaled = Tables.embeddings(s, dir)
+      .filter(col("embedding").isNotNull)
+      .select(transform(col("embedding"),
+        e => floor(e.cast("double") * lit(StatsScale) + lit(0.5))
+          .cast("long")).as("v"))
+    scaled.agg(VectorStats.moments(col("v")).as("m"))
+      .select(col("m.n").as("n"), col("m.s").as("s"), col("m.ss").as("ss"))
+      .select(col("n"), posexplode(arrays_zip(col("s"), col("ss"))))
+      .select(col("pos").cast("long").as("dim"), col("n"),
+        col("col.s").as("sum4"), col("col.ss").as("sumsq4"))
+      .withColumn("mean",
+        col("sum4").cast("double") / col("n").cast("double") / lit(StatsScale))
+      .withColumn("var_pop",
+        (col("sumsq4").cast("double")
+          - col("sum4").cast("double") * col("sum4").cast("double")
+            / col("n").cast("double"))
+          / col("n").cast("double") / lit(1e8))
+      .orderBy(col("dim"))
+  }
+
+  val oracleQ108: String =
+    s"""WITH sc AS (
+       |  SELECT t.i AS dim,
+       |    CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 10000.0 + 0.5)
+       |      AS BIGINT) AS v
+       |  FROM embeddings, range($AnnDims) t(i)
+       |  WHERE embedding IS NOT NULL
+       |), m AS (
+       |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(v) AS BIGINT) AS sum4,
+       |    CAST(SUM(v * v) AS BIGINT) AS sumsq4
+       |  FROM sc GROUP BY dim
+       |)
+       |SELECT dim, n, sum4, sumsq4,
+       |  CAST(sum4 AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean,
+       |  (CAST(sumsq4 AS DOUBLE)
+       |    - CAST(sum4 AS DOUBLE) * CAST(sum4 AS DOUBLE) / CAST(n AS DOUBLE))
+       |    / CAST(n AS DOUBLE) / 1e8 AS var_pop
+       |FROM m ORDER BY dim""".stripMargin
 }

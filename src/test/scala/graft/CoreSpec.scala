@@ -137,4 +137,72 @@ class CoreSpec extends AnyFunSuite {
     }
     assert(rows.exists(_.getAs[Long]("stage") == 3L))
   }
+
+  test("grouped OLS: moments match a driver-side exact recomputation") {
+    import graft.queries.AnalyticsQueries
+    val got = AnalyticsQueries.q106GroupedOls(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("slope"),
+          r.getAs[Double]("intercept"), r.getAs[Double]("r2")))
+      .toMap
+    assert(got.nonEmpty)
+    // brute-force the same normal equations on the raw rows
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("ys"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (et, rows) =>
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum.toDouble
+      val sy = rows.map(_._3).sum.toDouble
+      val sxx = rows.map(t => t._2 * t._2).sum.toDouble
+      val sxy = rows.map(t => t._2 * t._3).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
+      val (gn, gslope, gint, gr2) = got(et)
+      assert(gn == rows.length.toLong)
+      assert(math.abs(gslope - slope) < 1e-9, s"$et slope")
+      // residual orthogonality: intercept closes the mean equation
+      assert(math.abs(gint - (sy / n / 100.0 - gslope * (sx / n))) < 1e-9, et)
+      assert(gr2 >= 0.0 && gr2 <= 1.0, s"$et r2=$gr2")
+    }
+  }
+
+  test("cube rollup: every grain is consistent with the finest grain") {
+    import graft.queries.Advanced
+    val rows = Advanced.q107CubeRollup(spark, sf).collect()
+      .map(r => (Option(r.getAs[String]("source")),
+        Option(r.getAs[String]("lang")), r.getAs[Long]("gid"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars")))
+    val fine = rows.filter(_._3 == 0L)
+    val bySource = rows.filter(_._3 == 1L) // lang rolled up
+    val byLang = rows.filter(_._3 == 2L) // source rolled up
+    val total = rows.filter(_._3 == 3L)
+    assert(total.length == 1)
+    assert(total(0)._4 == fine.map(_._4).sum)
+    assert(total(0)._5 == fine.map(_._5).sum)
+    bySource.foreach { case (src, _, _, n, sc) =>
+      val f = fine.filter(_._1 == src)
+      assert(n == f.map(_._4).sum && sc == f.map(_._5).sum, s"source $src")
+    }
+    byLang.foreach { case (_, lg, _, n, sc) =>
+      val f = fine.filter(_._2 == lg)
+      assert(n == f.map(_._4).sum && sc == f.map(_._5).sum, s"lang $lg")
+    }
+  }
+
+  test("embed stats: dims complete, variance non-negative, n constant") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.q108EmbedStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("dim")).toSeq ==
+      (0L until TextQueries.AnnDims.toLong))
+    val ns = rows.map(_.getAs[Long]("n")).distinct
+    assert(ns.length == 1 && ns(0) > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("var_pop") >= 0.0)
+      assert(math.abs(r.getAs[Double]("mean")) < 1.0)
+    }
+  }
 }

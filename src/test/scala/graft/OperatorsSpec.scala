@@ -135,4 +135,41 @@ class OperatorsSpec extends AnyFunSuite {
       BusinessDay.validateDense(gapped)
     }
   }
+
+  test("VectorStats moments: exact sums match brute force across partitionings") {
+    import spark.implicits._
+    import graft.operators.VectorStats
+    val vecs = Seq(
+      Seq(1L, -2L, 3L), Seq(4L, 5L, -6L), Seq(-7L, 8L, 9L),
+      Seq(10L, 0L, -1L), Seq(2L, 2L, 2L))
+    val expS = Array(10L, 13L, 7L)
+    val expSS = Array(170L, 97L, 131L)
+    for (parts <- Seq(1, 2, 5)) {
+      val df = vecs.toDF("v").repartition(parts)
+      val m = df.agg(VectorStats.moments(col("v")).as("m"))
+        .select("m.n", "m.s", "m.ss").collect()(0)
+      assert(m.getLong(0) == 5L)
+      assert(m.getSeq[Long](1).toArray.sameElements(expS), s"parts=$parts")
+      assert(m.getSeq[Long](2).toArray.sameElements(expSS), s"parts=$parts")
+    }
+  }
+
+  test("VectorStats moments: null rows skipped, ragged vectors rejected, overflow fails loudly") {
+    import spark.implicits._
+    import graft.operators.VectorStats
+    val withNull = Seq(Some(Seq(1L, 2L)), None, Some(Seq(3L, 4L)))
+      .toDF("v")
+    val m = withNull.agg(VectorStats.moments(col("v")).as("m"))
+      .select("m.n", "m.s").collect()(0)
+    assert(m.getLong(0) == 2L && m.getSeq[Long](1) == Seq(4L, 6L))
+    val ragged = Seq(Seq(1L, 2L), Seq(3L)).toDF("v").coalesce(1)
+    intercept[org.apache.spark.SparkException] {
+      ragged.agg(VectorStats.moments(col("v")).as("m")).collect()
+    }
+    // Σv² for 3e9 twice exceeds 2^63 — must throw, not wrap
+    val big = Seq(Seq(3000000000L), Seq(3000000000L)).toDF("v").coalesce(1)
+    intercept[org.apache.spark.SparkException] {
+      big.agg(VectorStats.moments(col("v")).as("m")).collect()
+    }
+  }
 }
