@@ -129,6 +129,10 @@ object SparkEntry {
     "q106_grouped_ols" -> (AnalyticsQueries.q106GroupedOls _),
     "q107_cube_rollup" -> (Advanced.q107CubeRollup _),
     "q108_embed_stats" -> (TextQueries.q108EmbedStats _),
+    "q109_zorder_layout" -> (Advanced.q109ZorderLayout _),
+    "q110_incremental_agg" -> (Advanced.q110IncrementalAgg _),
+    "q111_heavy_hitters" -> (Curation.q111HeavyHitters _),
+    "q112_lev_pairs" -> (TextQueries.q112LevPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -348,6 +352,10 @@ object SparkEntry {
     "q106_grouped_ols" -> AnalyticsQueries.oracleQ106,
     "q107_cube_rollup" -> Advanced.oracleQ107,
     "q108_embed_stats" -> TextQueries.oracleQ108,
+    "q109_zorder_layout" -> Advanced.oracleQ109,
+    "q110_incremental_agg" -> Advanced.oracleQ110,
+    "q111_heavy_hitters" -> Curation.oracleQ111,
+    "q112_lev_pairs" -> TextQueries.oracleQ112,
   )
 
   private val asofOracle: String =

@@ -819,4 +819,94 @@ object Advanced {
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM documents GROUP BY CUBE(source, lang)
       |ORDER BY gid, source, lang""".stripMargin
+
+  /** q109 — Z-order layout clustering: interleave (user bucket, value
+    * bucket) bits into a Morton key, assign rows to 16 file groups by the
+    * key's top bits, and report each group's 2-D bounding box — the
+    * zone-map rectangle a scan would prune against. Tight per-group boxes
+    * are the entire value of z-ordering; a 1-D sort would leave one
+    * dimension's box full-width in every file.
+    *
+    * The gate uses FIXED key-range boundaries (top 4 bits) so file
+    * assignment is deterministic and oracle-replayable bit-for-bit; the
+    * production path ([[graft.operators.ZOrder.cluster]]) range-partitions
+    * on the same key with sampled boundaries (balanced files, same
+    * locality) and is spec-covered instead.
+    *
+    * Scale shape: the z-key is a map-side codegen'd bit expression; the
+    * grouping is one ordinary aggregation. The real layout write is one
+    * range exchange + partitioned write — no sort-by-all-columns, no
+    * driver involvement. */
+  def q109ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val keyed = Tables.events(s, dir).select(
+      pmod(col("user_id"), lit(65536L)).as("ux"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("vb"))
+    keyed
+      .withColumn("zkey", ZOrder.interleave2(col("ux"), col("vb")))
+      .withColumn("fg", shiftright(col("zkey"), 2 * ZOrder.Bits - 4))
+      .groupBy(col("fg"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ux")).as("min_u"), max(col("ux")).as("max_u"),
+        min(col("vb")).as("min_v"), max(col("vb")).as("max_v"),
+        min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
+      .orderBy(col("fg"))
+  }
+
+  val oracleQ109: String = {
+    import graft.operators.ZOrder
+    val z = ZOrder.interleave2Sql("ux", "vb")
+    s"""WITH keyed AS (
+       |  SELECT user_id % 65536 AS ux,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vb
+       |  FROM events
+       |), zkeyed AS (
+       |  SELECT ux, vb, $z AS zkey FROM keyed
+       |)
+       |SELECT zkey >> ${2 * ZOrder.Bits - 4} AS fg,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(ux) AS min_u, MAX(ux) AS max_u,
+       |  MIN(vb) AS min_v, MAX(vb) AS max_v,
+       |  MIN(zkey) AS min_z, MAX(zkey) AS max_z
+       |FROM zkeyed GROUP BY fg ORDER BY fg""".stripMargin
+  }
+
+  /** Day splitting the standing aggregate state from the delta partition
+    * in q110's incremental-maintenance replay. */
+  val IncrementalCutoff = "2024-01-25"
+
+  /** q110 — incremental aggregate maintenance: a standing per-key aggregate
+    * (rows before [[IncrementalCutoff]]) absorbs the delta partition's
+    * partials via [[graft.operators.Incremental.mergePartials]], and the
+    * gate proves `merge(agg(old), agg(delta)) == agg(all)` bit-for-bit —
+    * the oracle is the FULL recompute, the Spark side never aggregates the
+    * two eras together. This is the materialized-view maintenance contract:
+    * counts/sums add, mins/maxes combine, so a daily refresh touches only
+    * the new partition while staying exactly equal to a full rebuild.
+    * Sums are integer cents (FP rule 1) — exactness is what makes the
+    * merge associative. */
+  def q110IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Incremental
+    val ev = Tables.events(s, dir).select(
+      col("event_type"), to_date(col("ts")).as("day"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    def partials(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    val cut = to_date(lit(IncrementalCutoff))
+    val state = partials(ev.filter(col("day") < cut))
+    val delta = partials(ev.filter(col("day") >= cut))
+    Incremental.mergePartials(state, delta, Seq("event_type"),
+        addCols = Seq("n", "sum_cents"),
+        minCols = Seq("min_cents"), maxCols = Seq("max_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val oracleQ110: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS min_cents,
+      |  MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -1439,4 +1439,46 @@ object Curation {
        |        PARTITION BY lang ORDER BY avg_logprob DESC) AS pr
        |      FROM fin)
        |ORDER BY doc_id""".stripMargin
+
+  /** Heavy-hitter threshold denominator: report tokens with corpus
+    * frequency strictly above N/[[HeavyK]]. */
+  val HeavyK = 100
+
+  /** q111 — exact heavy hitters via Misra-Gries candidate pruning
+    * ([[graft.operators.HeavyHitters]]): every token with frequency >
+    * N/[[HeavyK]], with its exact count. The MG phase only PRUNES (its
+    * candidate union provably contains every true heavy hitter), so the
+    * output equals the oracle's brute-force count — which is exactly why
+    * it gates: approximate machinery, exact contract.
+    *
+    * Scale shape: two map-side passes over the token stream (k-counter MG
+    * mine, then a broadcast-semi-join-filtered recount); the only
+    * shuffles are candidate-sized (≤ k·partitions rows). The full token
+    * multiset is never exchanged — at 100 TB that is the entire game. */
+  def q111HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.HeavyHitters
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(Text.normalize(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("tok")).as[String]
+    HeavyHitters.frequentItems(toks, HeavyK)
+      .withColumnRenamed("item", "tok")
+      .orderBy(col("tok"))
+  }
+
+  val oracleQ111: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |  FROM documents
+       |), toks2 AS (
+       |  SELECT tok FROM toks WHERE len(tok) > 0
+       |), tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks2
+       |)
+       |SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM toks2 GROUP BY tok
+       |HAVING CAST(COUNT(*) AS BIGINT) * $HeavyK > (SELECT n FROM tot)
+       |ORDER BY tok""".stripMargin
 }

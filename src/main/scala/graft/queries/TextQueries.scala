@@ -1636,6 +1636,57 @@ GROUP BY d.source ORDER BY d.source"""
       .orderBy(col("dim"))
   }
 
+  /** q112 edit-distance verify parameters: distance computed on the first
+    * [[LevPrefix]] normalized chars (bounds the O(L²) DP per pair at a
+    * constant), pairs kept at distance ≤ [[LevMaxDist]]. */
+  val LevPrefix = 80
+  val LevMaxDist = 40
+
+  /** q112 — edit-distance verification of LSH candidate pairs: the fuzzy
+    * string-matching half of entity resolution. Candidate generation is
+    * the gated MinHash/LSH pipeline (bounded, NOT all-pairs); each
+    * candidate pair is then verified with an exact Levenshtein distance
+    * over a fixed normalized prefix — character-level evidence where
+    * Jaccard (q15) gives set-level evidence.
+    *
+    * Scale shape: the quadratic surface stays banded (candidates only);
+    * the DP cost per pair is constant ([[LevPrefix]]²); prefix lookups
+    * join by doc_id with shuffle_hash hinted on the corpus side — the
+    * candidate relation descends from a materialized carrier and carries
+    * no stats (PLANS.md rule 8), so the planner must not be allowed to
+    * guess broadcast for the corpus. */
+  def q112LevPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Materialize.withMaterialized(Dedup.shingleHashArrays(
+        docs, "doc_id", "text", ShingleK)) { harrs =>
+      val sig = Dedup.minhashSignaturesFromHashes(harrs, "doc_id", NumHashes)
+      val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
+      val pfx = docs.select(col("doc_id"),
+        substring(Text.normalize(col("text")), 1, LevPrefix).as("p"))
+      cand
+        .join(pfx.select(col("doc_id").as("id1"), col("p").as("p1"))
+          .hint("shuffle_hash"), Seq("id1"))
+        .join(pfx.select(col("doc_id").as("id2"), col("p").as("p2"))
+          .hint("shuffle_hash"), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("p1"), col("p2")).cast("long").as("lev"))
+        .filter(col("lev") <= LevMaxDist)
+        .orderBy(col("id1"), col("id2"))
+        .localCheckpoint()
+    }
+  }
+
+  val oracleQ112: String =
+    s"""$minhashCtes, pfx AS (
+       |  SELECT doc_id, substr(t, 1, $LevPrefix) AS p FROM norm
+       |)
+       |SELECT c.id1, c.id2, CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev
+       |FROM cand c
+       |JOIN pfx a ON a.doc_id = c.id1
+       |JOIN pfx b ON b.doc_id = c.id2
+       |WHERE levenshtein(a.p, b.p) <= $LevMaxDist
+       |ORDER BY id1, id2""".stripMargin
+
   val oracleQ108: String =
     s"""WITH sc AS (
        |  SELECT t.i AS dim,

@@ -154,6 +154,86 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ZOrder.interleave2 matches a reference bit-interleave; cluster tightens boxes") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    def ref(a: Long, b: Long): Long =
+      (0 until ZOrder.Bits).map { k =>
+        (((a >> k) & 1L) << (2 * k)) | (((b >> k) & 1L) << (2 * k + 1))
+      }.reduce(_ | _)
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (0xAAAAL, 0x5555L), (12345L, 54321L), (40000L, 3L))
+    val got = samples.toDF("a", "b")
+      .select(ZOrder.interleave2(col("a"), col("b")).as("z")).as[Long]
+      .collect()
+    assert(got.toSeq == samples.map { case (a, b) => ref(a, b) })
+    // locality: 256 points on a 16x16 grid z-clustered into 8 partitions —
+    // every partition's bounding box must be far smaller than the grid
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+      .toDF("x", "y")
+    val parts = ZOrder.cluster(grid, col("x") * 4096, col("y") * 4096, 8)
+      .select(col("x"), col("y"))
+      .rdd.mapPartitions { it =>
+        val pts = it.map(r => (r.getLong(0), r.getLong(1))).toList
+        if (pts.isEmpty) Iterator.empty
+        else Iterator((pts.map(_._1).max - pts.map(_._1).min,
+          pts.map(_._2).max - pts.map(_._2).min))
+      }.collect()
+    assert(parts.nonEmpty)
+    parts.foreach { case (dx, dy) =>
+      assert(dx.min(dy) <= 8 && dx.max(dy) <= 12, s"loose box ($dx,$dy)")
+    }
+  }
+
+  test("mergePartials: merge of era partials equals full recompute, chains associatively") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val rows = Seq(("a", 1L), ("a", 5L), ("b", 2L), ("b", 7L), ("c", 4L),
+      ("a", 3L), ("c", 9L), ("d", 11L))
+    def agg(part: Seq[(String, Long)]) =
+      part.toDF("k", "v").groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val full = agg(rows).collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // two-way split with keys present on only one side (d only in tail)
+    val merged2 = Incremental.mergePartials(agg(rows.take(3)),
+        agg(rows.drop(3)), Seq("k"), Seq("n", "s"), Seq("mn"), Seq("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(merged2 == full)
+    // three-way chain (daily increments folding into standing state)
+    val chained = Incremental.mergePartials(
+      Incremental.mergePartials(agg(rows.take(2)), agg(rows.slice(2, 5)),
+        Seq("k"), Seq("n", "s"), Seq("mn"), Seq("mx")),
+      agg(rows.drop(5)), Seq("k"), Seq("n", "s"), Seq("mn"), Seq("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(chained == full)
+  }
+
+  test("HeavyHitters: MG candidates are a superset of true heavy hitters; exact output") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    // skewed stream: 'hot' 40%, 'warm' 15%, tail of 45 singletons repeated
+    val stream = Seq.fill(400)("hot") ++ Seq.fill(150)("warm") ++
+      (0 until 450).map(i => s"t${i % 45}")
+    // adversarial arrangement: tail first, hitters last, few partitions
+    val ds = (stream.sorted.reverse).toDS().repartition(3)
+    val k = 8
+    val n = stream.size
+    val exact = stream.groupBy(identity).view.mapValues(_.size)
+      .filter { case (_, c) => c.toLong * k > n }.keySet
+    val cands = HeavyHitters.mgCandidates(ds, k).as[String].collect().toSet
+    assert(exact.subsetOf(cands), s"missing ${exact -- cands}")
+    val got = HeavyHitters.frequentItems(ds, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact)
+    got.foreach { case (item, c) =>
+      assert(c == stream.count(_ == item).toLong, item)
+    }
+  }
+
   test("VectorStats moments: null rows skipped, ragged vectors rejected, overflow fails loudly") {
     import spark.implicits._
     import graft.operators.VectorStats
