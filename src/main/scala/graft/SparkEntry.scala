@@ -133,6 +133,7 @@ object SparkEntry {
     "q110_incremental_agg" -> (Advanced.q110IncrementalAgg _),
     "q111_heavy_hitters" -> (Curation.q111HeavyHitters _),
     "q112_lev_pairs" -> (TextQueries.q112LevPairs _),
+    "q113_pagerank" -> (Advanced.q113PageRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -356,6 +357,7 @@ object SparkEntry {
     "q110_incremental_agg" -> Advanced.oracleQ110,
     "q111_heavy_hitters" -> Curation.oracleQ111,
     "q112_lev_pairs" -> TextQueries.oracleQ112,
+    "q113_pagerank" -> Advanced.oracleQ113,
   )
 
   private val asofOracle: String =

@@ -909,4 +909,65 @@ object Advanced {
       |  MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS min_cents,
       |  MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** PageRank iterations for the q113 gate (the oracle unrolls the same
+    * count as CTEs). */
+  val PageRankIters = 3
+
+  /** q113 — integer-exact PageRank over the supplier↔part co-purchase
+    * graph (both directions of every distinct lineitem (suppkey, partkey)
+    * pair): importance propagation on a real bipartite fact-derived graph,
+    * the iterative-graph shape q61/q79's connected components don't cover
+    * (value PROPAGATION, not label convergence).
+    *
+    * Top-100 by rank (then node) keeps the gate row count bounded while
+    * still pinning the full propagation — any wrong rank anywhere shifts
+    * the global top set. The cut plans as TakeOrderedAndProject (per-
+    * partition top-100 heaps merged on the driver), never a global sort. */
+  def q113PageRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PageRank
+    val li = Tables.lineitem(s, dir)
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("sup"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("prt"))
+    val edges = li.select(col("sup").as("src"), col("prt").as("dst"))
+      .union(li.select(col("prt").as("src"), col("sup").as("dst")))
+      .distinct()
+    PageRank.run(edges, PageRankIters)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(100)
+  }
+
+  val oracleQ113: String = {
+    val s = graft.operators.PageRank.DefaultScale
+    val base = s * 15L / 100L
+    def iter(prev: String, cur: String): String =
+      s"""c$cur AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM((r.rank * 85 // 100) // d.deg) AS BIGINT) AS inr
+         |  FROM edges e
+         |  JOIN r$prev r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst
+         |), r$cur AS (
+         |  SELECT n.node, $base + COALESCE(c.inr, 0) AS rank
+         |  FROM nodes n LEFT JOIN c$cur c ON n.node = c.node
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT 's' || l_suppkey AS sup, 'p' || l_partkey AS prt
+       |  FROM lineitem
+       |), edges AS (
+       |  SELECT sup AS src, prt AS dst FROM li
+       |  UNION
+       |  SELECT prt AS src, sup AS dst FROM li
+       |), deg AS (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |  UNION SELECT DISTINCT dst AS node FROM edges
+       |), r0 AS (
+       |  SELECT node, CAST($s AS BIGINT) AS rank FROM nodes
+       |), ${iter("0", "1")}, ${iter("1", "2")}, ${iter("2", "3")}
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+       |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+  }
 }

@@ -234,6 +234,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PageRank: cycle stays uniform, star concentrates on hub, partitioning-invariant") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    val S = PageRank.DefaultScale
+    // directed 3-cycle: every node has in=out=1 — ranks stay equal
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val cr = PageRank.run(cycle, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cr.values.toSet.size == 1, s"cycle ranks diverged: $cr")
+    assert(cr("a") <= S && cr("a") > S * 15L / 100L)
+    // star: spokes -> hub (and hub -> one spoke to avoid dangling hub)
+    val star = ((1 to 8).map(i => (s"n$i", "hub")) :+ ("hub", "n1"))
+      .toDF("src", "dst")
+    val sr = PageRank.run(star, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sr("hub") > sr("n2") * 4, s"hub not dominant: $sr")
+    assert(sr("n1") > sr("n2"), "n1 receives the hub's mass")
+    // exact integer propagation => identical results at any parallelism
+    val sr8 = PageRank.run(star.repartition(8), 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sr8 == sr)
+  }
+
   test("VectorStats moments: null rows skipped, ragged vectors rejected, overflow fails loudly") {
     import spark.implicits._
     import graft.operators.VectorStats
