@@ -91,7 +91,8 @@ object Bench {
     "q86_semdedup", "q88_dup_spans", "q89_knn_graph", "q92_stream_screen",
     "q93_stream_windowed_agg", "q94_stream_dedup",
     "q95_stream_cardinality", "q96_stream_breadth",
-    "q98_sq8_recall", "q99_pq_adc_recall")
+    "q98_sq8_recall", "q99_pq_adc_recall",
+    "q105_stream_stream_join", "q112_lev_pairs", "q113_pagerank")
 
   private val GroupSize = 8
 
@@ -103,6 +104,8 @@ object Bench {
     ("q15_neardup_pairs", "q61_neardup_clusters"),
     ("q15_neardup_pairs", "q69_dedup_corpus"),
     ("q15_neardup_pairs", "q79_neardup_clusters_stars"),
+    // q112 = q14's candidate pipeline + prefix joins + banded DP verify
+    ("q14_minhash_candidates", "q112_lev_pairs"),
   )
 
   private def coordinate(): Unit = {

@@ -38,24 +38,30 @@ object PageRank {
   def run(edges: DataFrame, iterations: Int,
           scale: Long = DefaultScale): DataFrame = {
     require(iterations >= 1 && scale > 0)
+    // materialize the degree-annotated edge list ONCE — without this every
+    // iteration re-runs the upstream edge derivation (scan + distinct) and
+    // the degree aggregation: 3 iterations cost 3 edge builds. The scoped
+    // persist covers the whole loop; the returned rank is an eager
+    // checkpoint, so nothing downstream re-reads the edges.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint() // reused every round; bounded (node-cardinality)
-    val base = scale * (DampDen - DampNum) / DampDen
-    var rank = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iterations) {
-      val contribs = edges
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"),
-          expr(s"((rank * $DampNum) div $DampDen) div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inr"))
-      rank = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("inr"), lit(0L))).as("rank"))
-        .localCheckpoint()
+    Materialize.withMaterialized(edges.join(deg, Seq("src"))) { degE =>
+      val nodes = degE.select(col("src").as("node"))
+        .union(degE.select(col("dst").as("node"))).distinct()
+        .localCheckpoint() // reused every round; bounded (node-cardinality)
+      val base = scale * (DampDen - DampNum) / DampDen
+      var rank = nodes.withColumn("rank", lit(scale))
+      for (_ <- 1 to iterations) {
+        val contribs = degE
+          .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            expr(s"((rank * $DampNum) div $DampDen) div deg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("inr"))
+        rank = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + coalesce(col("inr"), lit(0L))).as("rank"))
+          .localCheckpoint()
+      }
+      rank
     }
-    rank
   }
 }

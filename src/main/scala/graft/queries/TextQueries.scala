@@ -1656,21 +1656,32 @@ GROUP BY d.source ORDER BY d.source"""
     * no stats (PLANS.md rule 8), so the planner must not be allowed to
     * guess broadcast for the corpus. */
   def q112LevPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    Materialize.withMaterialized(Dedup.shingleHashArrays(
-        docs, "doc_id", "text", ShingleK)) { harrs =>
-      val sig = Dedup.minhashSignaturesFromHashes(harrs, "doc_id", NumHashes)
+    // one carrier holds BOTH the hashed-shingle array and the comparison
+    // prefix, so the corpus is normalized and scanned once; signatures and
+    // both prefix lookups all read the materialized relation
+    val carrier = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.normalize(col("text")).as("__norm"))
+      .filter(length(col("__norm")) >= ShingleK)
+      .select(col("doc_id"),
+        Dedup.shingleHashCol("__norm", ShingleK).as("harr"),
+        substring(col("__norm"), 1, LevPrefix).as("p"))
+    Materialize.withMaterialized(carrier) { carr =>
+      val sig = Dedup.minhashSignaturesFromHashes(
+        carr.select(col("doc_id"), col("harr")), "doc_id", NumHashes)
       val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
-      val pfx = docs.select(col("doc_id"),
-        substring(Text.normalize(col("text")), 1, LevPrefix).as("p"))
+      val pfx = carr.select(col("doc_id"), col("p"))
       cand
         .join(pfx.select(col("doc_id").as("id1"), col("p").as("p1"))
           .hint("shuffle_hash"), Seq("id1"))
         .join(pfx.select(col("doc_id").as("id2"), col("p").as("p2"))
           .hint("shuffle_hash"), Seq("id2"))
+        // thresholded form: banded O(L·d) DP that returns -1 past
+        // LevMaxDist — the distance itself is exact when within bound,
+        // so the kept rows match the oracle's plain levenshtein filter
         .select(col("id1"), col("id2"),
-          levenshtein(col("p1"), col("p2")).cast("long").as("lev"))
-        .filter(col("lev") <= LevMaxDist)
+          levenshtein(col("p1"), col("p2"), LevMaxDist)
+            .cast("long").as("lev"))
+        .filter(col("lev") >= 0)
         .orderBy(col("id1"), col("id2"))
         .localCheckpoint()
     }
