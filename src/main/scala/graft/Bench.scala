@@ -92,7 +92,8 @@ object Bench {
     "q93_stream_windowed_agg", "q94_stream_dedup",
     "q95_stream_cardinality", "q96_stream_breadth",
     "q98_sq8_recall", "q99_pq_adc_recall",
-    "q105_stream_stream_join", "q112_lev_pairs", "q113_pagerank")
+    "q105_stream_stream_join", "q112_lev_pairs", "q113_pagerank",
+    "q115_source_overlap")
 
   private val GroupSize = 8
 

@@ -134,6 +134,8 @@ object SparkEntry {
     "q111_heavy_hitters" -> (Curation.q111HeavyHitters _),
     "q112_lev_pairs" -> (TextQueries.q112LevPairs _),
     "q113_pagerank" -> (Advanced.q113PageRank _),
+    "q114_welch_ttest" -> (AnalyticsQueries.q114WelchTTest _),
+    "q115_source_overlap" -> (TextQueries.q115SourceOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -358,6 +360,8 @@ object SparkEntry {
     "q111_heavy_hitters" -> Curation.oracleQ111,
     "q112_lev_pairs" -> TextQueries.oracleQ112,
     "q113_pagerank" -> Advanced.oracleQ113,
+    "q114_welch_ttest" -> AnalyticsQueries.oracleQ114,
+    "q115_source_overlap" -> TextQueries.oracleQ115,
   )
 
   private val asofOracle: String =

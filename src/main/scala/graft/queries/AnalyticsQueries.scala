@@ -1055,4 +1055,83 @@ object AnalyticsQueries {
       |  (syd - cov_n / var_xn * sxd) / CAST(n AS DOUBLE) / 100.0 AS intercept,
       |  cov_n * cov_n / (var_xn * var_yn) AS r2
       |FROM d ORDER BY event_type""".stripMargin
+
+  /** Control arm for q114's treatment-vs-control comparisons. */
+  val ControlGroup = "view"
+
+  /** q114 — Welch's unequal-variance t-test of every event type's value
+    * distribution against the [[ControlGroup]] arm: the A/B experiment
+    * readout (t statistic + Welch–Satterthwaite df), computed from the
+    * same exact integer moment sums as q106 so the result is bit-exact
+    * cross-engine — the nontrivial part of distributed hypothesis testing
+    * is not the formula, it is making Σy and Σy² reproducible, which the
+    * cents quantization + DECIMAL(38,0) carry solves.
+    *
+    * Scale shape: one map-side-combinable moments aggregation (5 rows
+    * out), then a broadcast join of the control row onto the treatment
+    * rows — nothing else touches the fact table. */
+  def q114WelchTTest(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val moments = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("ys"))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("ys").cast(d38)).as("sy"),
+        sum((col("ys") * col("ys")).cast(d38)).as("syy"))
+      .select(col("event_type"), col("n"),
+        (col("sy").cast("double") / col("n").cast("double") / lit(100.0))
+          .as("mean"),
+        ((col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")
+            / col("n").cast("double"))
+          / (col("n").cast("double") - lit(1.0)) / lit(10000.0)).as("v"))
+      // bounded (one row per arm) — checkpoint so the control lookup does
+      // not re-scan the fact table for a second moments pass
+      .localCheckpoint()
+    val control = moments.filter(col("event_type") === ControlGroup)
+      .select(col("n").as("n0"), col("mean").as("mean0"), col("v").as("v0"))
+    val se2 = col("v") / col("n").cast("double")
+    val se20 = col("v0") / col("n0").cast("double")
+    moments.filter(col("event_type") =!= ControlGroup)
+      .crossJoin(broadcast(control))
+      .select(col("event_type"), col("n"), col("mean"), col("v"),
+        ((col("mean") - col("mean0")) / sqrt(se2 + se20)).as("t_stat"),
+        ((se2 + se20) * (se2 + se20)
+          / (se2 * se2 / (col("n").cast("double") - lit(1.0))
+            + se20 * se20 / (col("n0").cast("double") - lit(1.0)))).as("df"))
+      .orderBy(col("event_type"))
+  }
+
+  val oracleQ114: String =
+    s"""WITH m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+       |        AS DECIMAL(38,0))) AS sy,
+       |    SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+       |        * CAST(floor(value * 100 + 0.5) AS BIGINT)
+       |        AS DECIMAL(38,0))) AS syy
+       |  FROM events GROUP BY event_type
+       |), mm AS (
+       |  SELECT event_type, n,
+       |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+       |    (CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS v
+       |  FROM m
+       |), c AS (
+       |  SELECT n AS n0, mean AS mean0, v AS v0 FROM mm
+       |  WHERE event_type = '$ControlGroup'
+       |)
+       |SELECT event_type, n, mean, v,
+       |  (mean - mean0)
+       |    / sqrt(v / CAST(n AS DOUBLE) + v0 / CAST(n0 AS DOUBLE)) AS t_stat,
+       |  (v / CAST(n AS DOUBLE) + v0 / CAST(n0 AS DOUBLE))
+       |    * (v / CAST(n AS DOUBLE) + v0 / CAST(n0 AS DOUBLE))
+       |    / ((v / CAST(n AS DOUBLE)) * (v / CAST(n AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) - 1.0)
+       |      + (v0 / CAST(n0 AS DOUBLE)) * (v0 / CAST(n0 AS DOUBLE))
+       |        / (CAST(n0 AS DOUBLE) - 1.0)) AS df
+       |FROM mm, c WHERE event_type <> '$ControlGroup'
+       |ORDER BY event_type""".stripMargin
 }

@@ -1687,6 +1687,75 @@ GROUP BY d.source ORDER BY d.source"""
     }
   }
 
+  /** q115 — cross-source shingle-overlap matrix: exact Jaccard between
+    * every pair of sources' k-gram hash SETS — the corpus-composition
+    * audit that finds mirrored/syndicated content BETWEEN ingestion
+    * sources before it becomes intra-corpus duplication (the source-level
+    * grain of what q14/q15 do at document grain).
+    *
+    * Scale shape: the shingle-hash carrier is scoped-materialized before
+    * the explode (rule 7 — md5-per-element arrays must not re-evaluate per
+    * output row); (source, h) distinct is one shuffle with map-side
+    * combine; the pair join runs on h where per-hash fanout is bounded by
+    * the source count (≤ 6² rows per hash value, never corpus-quadratic);
+    * source sizes broadcast back onto the 15-row pair relation. */
+  def q115SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val carrier = Tables.documents(s, dir)
+      .select(col("source"), Text.normalize(col("text")).as("__norm"))
+      .filter(length(col("__norm")) >= ShingleK)
+      .select(col("source"), Dedup.shingleHashCol("__norm", ShingleK).as("harr"))
+    Materialize.withMaterialized(carrier) { carr =>
+      val hs = carr.select(col("source"), explode(col("harr")).as("h"))
+        .distinct()
+      Materialize.withMaterialized(hs) { hsm =>
+        val sizes = hsm.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        val inter = hsm.select(col("source").as("s1"), col("h"))
+          .join(hsm.select(col("source").as("s2"), col("h")), Seq("h"))
+          .filter(col("s1") < col("s2"))
+          .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("s1"),
+            col("sz").as("sz1"))), Seq("s1"))
+          .join(broadcast(sizes.select(col("source").as("s2"),
+            col("sz").as("sz2"))), Seq("s2"))
+          .select(col("s1"), col("s2"), col("inter"), col("sz1"), col("sz2"),
+            (col("inter").cast("double")
+              / (col("sz1") + col("sz2") - col("inter")).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("s1"), col("s2"))
+          .localCheckpoint()
+      }
+    }
+  }
+
+  val oracleQ115: String =
+    s"""WITH norm AS (
+       |  SELECT source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), ${capGuardCte("capg115", "norm")}, sh AS (
+       |  SELECT DISTINCT source, substr(t, CAST(i AS INT), $ShingleK) AS shingle
+       |  FROM norm, range(1, $OraclePosCap) r(i), capg115
+       |  WHERE capg115.ok = 1 AND len(t) >= $ShingleK
+       |    AND i <= len(t) - ${ShingleK - 1}
+       |), hs AS (
+       |  SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+       |  FROM sh
+       |), sz AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM hs GROUP BY source
+       |), inter AS (
+       |  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM hs a JOIN hs b USING (h)
+       |  WHERE a.source < b.source GROUP BY 1, 2
+       |)
+       |SELECT i.s1, i.s2, i.inter, z1.sz AS sz1, z2.sz AS sz2,
+       |  CAST(i.inter AS DOUBLE) / CAST(z1.sz + z2.sz - i.inter AS DOUBLE)
+       |    AS jaccard
+       |FROM inter i
+       |JOIN sz z1 ON z1.source = i.s1
+       |JOIN sz z2 ON z2.source = i.s2
+       |ORDER BY s1, s2""".stripMargin
+
   val oracleQ112: String =
     s"""$minhashCtes, pfx AS (
        |  SELECT doc_id, substr(t, 1, $LevPrefix) AS p FROM norm

@@ -193,6 +193,43 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("Welch t-test: sign tracks the mean difference, df bounded by arms") {
+    import graft.queries.AnalyticsQueries
+    val control = AnalyticsQueries.ControlGroup
+    val rows = AnalyticsQueries.q114WelchTTest(spark, sf).collect()
+    assert(rows.length == 4 && !rows.exists(_.getString(0) == control))
+    rows.foreach { r =>
+      val (n, mean, v) = (r.getAs[Long]("n"), r.getAs[Double]("mean"),
+        r.getAs[Double]("v"))
+      val (t, df) = (r.getAs[Double]("t_stat"), r.getAs[Double]("df"))
+      assert(n > 1 && v > 0.0)
+      // df is between min(n-1, n0-1) and n + n0 - 2 (Welch-Satterthwaite)
+      assert(df > 1.0 && df < 2.0 * n + 1e6, r.getString(0))
+      assert(!t.isNaN && !df.isNaN)
+      // sign consistency needs the control mean; recompute it cheaply
+      val cm = Tables.events(spark, sf)
+        .filter(col("event_type") === control)
+        .agg(avg(floor(col("value") * 100 + lit(0.5)).cast("long") / 100.0))
+        .collect()(0).getDouble(0)
+      assert((t > 0) == (mean > cm) || math.abs(mean - cm) < 1e-12)
+    }
+  }
+
+  test("source overlap: jaccard bounded, intersection within set sizes") {
+    import graft.queries.TextQueries
+    val rows = TextQueries.q115SourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      val (i, z1, z2) = (r.getAs[Long]("inter"), r.getAs[Long]("sz1"),
+        r.getAs[Long]("sz2"))
+      val j = r.getAs[Double]("jaccard")
+      assert(s1 < s2)
+      assert(i >= 1 && i <= math.min(z1, z2), s"$s1/$s2")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("embed stats: dims complete, variance non-negative, n constant") {
     import graft.queries.TextQueries
     val rows = TextQueries.q108EmbedStats(spark, sf).collect()
