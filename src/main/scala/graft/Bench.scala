@@ -93,7 +93,7 @@ object Bench {
     "q95_stream_cardinality", "q96_stream_breadth",
     "q98_sq8_recall", "q99_pq_adc_recall",
     "q105_stream_stream_join", "q112_lev_pairs", "q113_pagerank",
-    "q115_source_overlap")
+    "q115_source_overlap", "q116_stream_maintain")
 
   private val GroupSize = 8
 

@@ -136,6 +136,7 @@ object SparkEntry {
     "q113_pagerank" -> (Advanced.q113PageRank _),
     "q114_welch_ttest" -> (AnalyticsQueries.q114WelchTTest _),
     "q115_source_overlap" -> (TextQueries.q115SourceOverlap _),
+    "q116_stream_maintain" -> (Advanced.q116StreamMaintain _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -362,6 +363,7 @@ object SparkEntry {
     "q113_pagerank" -> Advanced.oracleQ113,
     "q114_welch_ttest" -> AnalyticsQueries.oracleQ114,
     "q115_source_overlap" -> TextQueries.oracleQ115,
+    "q116_stream_maintain" -> Advanced.oracleQ116,
   )
 
   private val asofOracle: String =

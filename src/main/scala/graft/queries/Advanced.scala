@@ -910,6 +910,54 @@ object Advanced {
       |  MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q116 — STREAMING materialized-view maintenance run to completion
+    * in-process (seventh streaming shape): the events stream arrives on a
+    * MemoryStream in three micro-batches; `foreachBatch` merges each
+    * batch's partial aggregates into the standing per-event-type state via
+    * the q110 algebraic-merge operator; the final state must hash-match
+    * the oracle's one-shot full aggregation — proving the maintained view
+    * equals the batch recompute regardless of micro-batch boundaries.
+    * The driver-side collect feeds ONLY the in-process test transport. */
+  def q116StreamMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamMaintain
+    import graft.streaming.StreamMaintain.Ev
+    val evs = Tables.events(s, dir)
+      .select(col("ts"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (ts, et, c) => Ev(ts, et, c) }
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val m = new StreamMaintain.Maintainer
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamMaintain.maintained(mem.toDS(), m).start()
+      try {
+        val third = evs.length / 3
+        Seq(evs.slice(0, third), evs.slice(third, 2 * third),
+            evs.slice(2 * third, evs.length)).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    m.current
+      .select(col("eventType").as("event_type"), col("n"),
+        col("sum_cents"), col("min_cents"), col("max_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val oracleQ116: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS min_cents,
+      |  MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** PageRank iterations for the q113 gate (the oracle unrolls the same
     * count as CTEs). */
   val PageRankIters = 3

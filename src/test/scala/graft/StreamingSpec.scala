@@ -183,4 +183,36 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((10L, 1800L), (11L, 0L)))
   }
+
+  test("stream maintenance: state is invariant to micro-batch boundaries") {
+    import spark.implicits._
+    import graft.streaming.StreamMaintain
+    import graft.streaming.StreamMaintain.Ev
+    implicit val sc = spark.sqlContext
+    val evs = (1 to 40).map { i =>
+      Ev(ts(f"2024-01-01 10:${i % 60}%02d:00"),
+        if (i % 3 == 0) "a" else "b", (i * 7 % 23).toLong)
+    }
+    def runWith(chunks: Seq[Seq[Ev]]): Map[String, (Long, Long, Long, Long)] = {
+      val mem = MemoryStream[Ev]
+      val m = new StreamMaintain.Maintainer
+      val q = StreamMaintain.maintained(mem.toDS(), m).start()
+      try {
+        chunks.foreach { c =>
+          mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      m.current.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    }
+    val oneBatch = runWith(Seq(evs))
+    val fiveBatches = runWith(evs.grouped(9).toSeq)
+    assert(oneBatch == fiveBatches)
+    // and both equal the plain batch aggregation
+    val batch = evs.toDF().groupBy("eventType")
+      .agg(count(lit(1)), sum("cents"), min("cents"), max("cents"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(oneBatch == batch)
+  }
 }
