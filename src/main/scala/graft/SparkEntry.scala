@@ -137,6 +137,8 @@ object SparkEntry {
     "q114_welch_ttest" -> (AnalyticsQueries.q114WelchTTest _),
     "q115_source_overlap" -> (TextQueries.q115SourceOverlap _),
     "q116_stream_maintain" -> (Advanced.q116StreamMaintain _),
+    "q117_linear_interp" -> (AnalyticsQueries.q117LinearInterp _),
+    "q118_asof_tolerance" -> (Core.q118AsofTolerance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -364,6 +366,8 @@ object SparkEntry {
     "q114_welch_ttest" -> AnalyticsQueries.oracleQ114,
     "q115_source_overlap" -> TextQueries.oracleQ115,
     "q116_stream_maintain" -> Advanced.oracleQ116,
+    "q117_linear_interp" -> AnalyticsQueries.oracleQ117,
+    "q118_asof_tolerance" -> Core.oracleQ118,
   )
 
   private val asofOracle: String =

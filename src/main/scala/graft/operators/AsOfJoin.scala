@@ -65,6 +65,29 @@ object AsOfJoin {
     }.drop("__carried", "__rowid")
   }
 
+  /** [[backward]] with a MAXIMUM STALENESS bound — the "as-of within
+    * tolerance" variant every market-data join eventually needs (a quote
+    * older than the tolerance is no quote at all): matches whose right
+    * timestamp lags the left by more than `maxAgeSec` have their payload
+    * nulled, preserving left-join row semantics. Same single union-sort
+    * plan as [[backward]] (the bound is a post-filter on the carried
+    * timestamp, not a join condition — no band join, nothing quadratic).
+    * Time columns must be timestamps. */
+  def backwardWithin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                     leftTime: String, rightTime: String,
+                     payload: Seq[String], maxAgeSec: Long): DataFrame = {
+    require(maxAgeSec >= 0)
+    val r2 = right.withColumn("__rts", col(rightTime))
+    val joined = backward(left, r2, keyCols, leftTime, rightTime,
+      payload :+ "__rts")
+    val fresh = col("__rts").isNotNull &&
+      unix_micros(col(leftTime)) - unix_micros(col("__rts")) <=
+        maxAgeSec * 1000000L
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, when(fresh, col(p)))
+    }.drop("__rts")
+  }
+
   /** Validity-interval formulation of the same as-of join — the reference's
     * `eff_span` pattern (`00116_create_bottomup_per_bands_rpc.sql:146-195`):
     * each right row gets `eff_to = lead(time)` per key, then the left range-

@@ -1134,4 +1134,95 @@ object AnalyticsQueries {
        |        / (CAST(n0 AS DOUBLE) - 1.0)) AS df
        |FROM mm, c WHERE event_type <> '$ControlGroup'
        |ORDER BY event_type""".stripMargin
+
+  /** q117 — time-series resampling with LINEAR interpolation: each user's
+    * daily closes are expanded onto a dense calendar spine between their
+    * first and last observation, and gap days get the straight-line value
+    * between the bracketing observations — the resampling sibling of the
+    * repo's forward-fill (q20's spine carries the last value; this carries
+    * the line). The division makes gap values doubles; both engines derive
+    * them from exact integer cents/day-counts through one shared tree.
+    *
+    * Scale shape: daily close is the q19 rank-1 window; the spine explode
+    * is a cheap int-sequence generate (rule 7 exempt); prev/next carries
+    * are two frames over ONE user_id clustering (shared exchange); nothing
+    * driver-side, nothing quadratic. */
+  def q117LinearInterp(s: SparkSession, dir: String): DataFrame = {
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val bounds = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = bounds.select(col("user_id"),
+      explode(sequence(col("mn"), col("mx"), expr("interval 1 day")))
+        .as("day"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("day")),
+        ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("day"),
+        col("cents").isNotNull.as("observed"),
+        ((when(col("cents").isNotNull, col("cents").cast("double"))
+          .otherwise(col("pv").cast("double")
+            + (col("nv") - col("pv")).cast("double")
+              * (datediff(col("day"), col("pd")).cast("double")
+                / datediff(col("nd"), col("pd")).cast("double"))))
+          / lit(100.0)).as("px"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val oracleQ117: String =
+    """WITH ranked AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, day, cents FROM ranked WHERE rn = 1
+      |), bounds AS (
+      |  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+      |  FROM daily GROUP BY user_id
+      |), spine AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(mn, mx, INTERVAL '1 day')) AS DATE)
+      |      AS day
+      |  FROM bounds
+      |), j AS (
+      |  SELECT s.user_id, s.day, d.cents
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.user_id = d.user_id AND s.day = d.day
+      |), f AS (
+      |  SELECT user_id, day, cents,
+      |    last_value(cents IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER wp AS pd,
+      |    first_value(cents IGNORE NULLS) OVER wn AS nv,
+      |    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER wn AS nd
+      |  FROM j
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wn AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, day, cents IS NOT NULL AS observed,
+      |  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+      |    ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+      |      * (CAST(date_diff('day', pd, day) AS DOUBLE)
+      |        / CAST(date_diff('day', pd, nd) AS DOUBLE))
+      |  END / 100.0 AS px
+      |FROM f ORDER BY user_id, day""".stripMargin
 }

@@ -165,4 +165,51 @@ object Core {
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Staleness bound for q118: an as-of purchase older than this is
+    * treated as no match. */
+  val AsofToleranceSec = 86400L
+
+  /** q118 — as-of join WITH TOLERANCE: q06's backward as-of, but a carried
+    * purchase older than [[AsofToleranceSec]] is nulled out — the "stale
+    * quote is no quote" rule of market-data joins. Same union-sort plan as
+    * q06 (the bound is a post-filter on the carried timestamp, not a join
+    * condition — no band join appears). */
+  def q118AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("asof_event_id"), col("value").as("asof_value"))
+    AsOfJoin.backwardWithin(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("asof_event_id", "asof_value"),
+        maxAgeSec = AsofToleranceSec)
+      .select(col("event_id"), col("user_id"), col("asof_event_id"),
+        col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val oracleQ118: String =
+    s"""WITH tagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side,
+       |    CASE WHEN event_type = 'purchase' THEN event_id END AS p_eid,
+       |    CASE WHEN event_type = 'purchase' THEN value END AS p_val,
+       |    CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
+       |  FROM events WHERE event_type IN ('click', 'purchase'))
+       |SELECT event_id, user_id,
+       |  CASE WHEN fresh THEN asof_event_id END AS asof_event_id,
+       |  CASE WHEN fresh THEN asof_value END AS asof_value
+       |FROM (
+       |  SELECT event_id, user_id, side,
+       |    last_value(p_eid IGNORE NULLS) OVER w AS asof_event_id,
+       |    last_value(p_val IGNORE NULLS) OVER w AS asof_value,
+       |    last_value(p_ts IGNORE NULLS) OVER w IS NOT NULL
+       |      AND epoch_us(ts) - epoch_us(last_value(p_ts IGNORE NULLS) OVER w)
+       |        <= ${AsofToleranceSec * 1000000L} AS fresh
+       |  FROM tagged
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |) t WHERE side = 1 ORDER BY event_id""".stripMargin
 }

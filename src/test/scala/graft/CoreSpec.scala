@@ -230,6 +230,32 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("linear interp: gap values lie between brackets, observed rows echo closes") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.q117LinearInterp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getBoolean(2),
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)))
+    assert(rows.nonEmpty && rows.exists(!_._3)) // at least one gap day
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      // spine is dense: consecutive calendar days, endpoints observed
+      assert(java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head),
+        java.time.LocalDate.parse(days.last)) == days.length - 1, s"user $u")
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._3 && sorted.last._3, s"user $u endpoints")
+      // every gap value is between its bracketing observed values
+      var prev = sorted.head._4.get
+      sorted.zipWithIndex.foreach { case ((_, _, obs, px), i) =>
+        if (!obs) {
+          val next = sorted.drop(i).find(_._3).get._4.get
+          val (lo, hi) = (math.min(prev, next), math.max(prev, next))
+          assert(px.get >= lo - 1e-9 && px.get <= hi + 1e-9, s"user $u day $i")
+        } else prev = px.get
+      }
+    }
+  }
+
   test("embed stats: dims complete, variance non-negative, n constant") {
     import graft.queries.TextQueries
     val rows = TextQueries.q108EmbedStats(spark, sf).collect()

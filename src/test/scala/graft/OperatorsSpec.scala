@@ -154,6 +154,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("backwardWithin: stale matches nulled, boundary age inclusive, rows preserved") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, t("2024-01-02 00:00:00"), "fresh"),
+      (1L, t("2024-01-10 00:00:00"), "stale"),
+      (1L, t("2024-01-02 00:00:01"), "boundary+1"),
+      (2L, t("2024-01-05 00:00:00"), "nomatch"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, t("2024-01-01 00:00:00"), 42.0))
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.backwardWithin(left, right, Seq("k"), "ts", "ts",
+        Seq("v"), maxAgeSec = 86400L)
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("v"))).toMap
+    assert(got.size == 4) // left-join row semantics preserved
+    assert(got("fresh").contains(42.0)) // age == tolerance: inclusive
+    assert(got("boundary+1").isEmpty) // one second past: nulled
+    assert(got("stale").isEmpty)
+    assert(got("nomatch").isEmpty)
+  }
+
   test("ZOrder.interleave2 matches a reference bit-interleave; cluster tightens boxes") {
     import spark.implicits._
     import graft.operators.ZOrder
