@@ -139,6 +139,7 @@ object SparkEntry {
     "q116_stream_maintain" -> (Advanced.q116StreamMaintain _),
     "q117_linear_interp" -> (AnalyticsQueries.q117LinearInterp _),
     "q118_asof_tolerance" -> (Core.q118AsofTolerance _),
+    "q119_wav_frames" -> (Advanced.q119WavFrames _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -368,6 +369,7 @@ object SparkEntry {
     "q116_stream_maintain" -> Advanced.oracleQ116,
     "q117_linear_interp" -> AnalyticsQueries.oracleQ117,
     "q118_asof_tolerance" -> Core.oracleQ118,
+    "q119_wav_frames" -> Advanced.oracleQ119,
   )
 
   private val asofOracle: String =

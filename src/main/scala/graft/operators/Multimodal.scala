@@ -221,6 +221,82 @@ object Multimodal {
     (sampleRate, nSamples, sum)
   }
 
+  /** [[decodeWav]]'s walk, returning the raw PCM16 samples instead of
+    * their sum — the decode step feature extraction builds on. Same chunk
+    * hygiene (hostile-size require, word alignment, JUNK skip). */
+  def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourCC(off: Int) = new String(bytes, off, 4, "ASCII")
+    require(fourCC(0) == "RIFF" && fourCC(8) == "WAVE", "not a WAVE file")
+    var pos = 12
+    var sampleRate = -1
+    var bits = -1
+    var channels = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = fourCC(pos)
+      val size = bb.getInt(pos + 4)
+      require(size >= 0 && pos + 8L + size <= bytes.length,
+        s"bad RIFF chunk size $size at offset $pos (file ${bytes.length}B)")
+      id match {
+        case "fmt " =>
+          require(bb.getShort(pos + 8) == 1, "only PCM supported")
+          channels = bb.getShort(pos + 10)
+          sampleRate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22)
+        case "data" =>
+          require(bits == 16 && channels == 1,
+            s"only PCM16 mono supported (bits=$bits, ch=$channels)")
+          samples = Array.tabulate((size / 2).toInt)(i =>
+            bb.getShort(pos + 8 + i * 2))
+        case _ => // JUNK/LIST/...: skip
+      }
+      pos += 8 + size + (size & 1)
+    }
+    require(samples != null, "no data chunk")
+    (sampleRate, samples)
+  }
+
+  /** Samples per analysis frame for [[wavFrameFeatures]] (the q119 gate);
+    * only full frames are emitted. */
+  val FrameLen = 16
+
+  final case class WavFrameRow(doc_id: Long, frame_idx: Int, energy: Long,
+                               peak: Long, zero_crossings: Long)
+
+  /** q119: framewise audio features over REAL decoded WAV payloads —
+    * energy (Σs²), peak (max |s|), zero-crossing count per [[FrameLen]]-
+    * sample frame: the silence-trim / voice-activity primitives of an
+    * audio curation pipeline, all exact integer arithmetic so the
+    * decode→frame→feature pipeline gates arithmetically against the
+    * synthesis formula. Encode+decode+featurize is ONE map-side pass per
+    * document (flatMap to frame rows) — bytes never shuffle; only the
+    * integer feature rows move. */
+  def wavFrameFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    synthMedia(graft.Tables.documents(s, dir))
+      .filter(_.media_type == "wav")
+      .flatMap { m =>
+        val (_, samples) = decodeWavSamples(m.payload)
+        (0 until samples.length / FrameLen).map { j =>
+          var energy = 0L; var peak = 0L; var zc = 0L
+          var i = 0
+          while (i < FrameLen) {
+            val v = samples(j * FrameLen + i).toLong
+            energy += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0) {
+              val p = samples(j * FrameLen + i - 1).toLong
+              if ((v < 0) != (p < 0)) zc += 1
+            }
+            i += 1
+          }
+          WavFrameRow(m.doc_id, j, energy, peak, zc)
+        }
+      }.toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Deterministic media synthesis for the q78 gate: even doc_ids get a
     * real BMP (w = 4 + id%13, h = 3 + id%7, pixel byte i = (id·7+i)%256),
     * odd ones a real WAV (rate = 8000 + (id%5)·1000, n = 50 + id%100,

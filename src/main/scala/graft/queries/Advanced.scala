@@ -910,6 +910,42 @@ object Advanced {
       |  MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q119 — framewise audio feature extraction over REAL decoded WAV
+    * payloads ([[graft.operators.Multimodal.wavFrameFeatures]]): energy,
+    * peak, zero-crossings per 16-sample frame — the silence-trim /
+    * voice-activity primitives, gated arithmetically (the oracle derives
+    * every frame feature from the synthesis formula without touching a
+    * byte, so a wrong chunk offset, sample order, or sign convention in
+    * the decode path breaks the hash). */
+  def q119WavFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavFrameFeatures(s, dir)
+
+  val oracleQ119: String = {
+    val fl = Multimodal.FrameLen
+    s"""WITH d AS (
+       |  SELECT doc_id, 50 + doc_id % 100 AS ns FROM documents
+       |  WHERE doc_id % 2 = 1
+       |), fr AS (
+       |  SELECT doc_id, ns, CAST(f AS INT) AS f
+       |  FROM d, range(0, 16) t(f) WHERE f < ns // $fl
+       |), s AS (
+       |  SELECT doc_id, f, f*$fl + k AS i,
+       |    (doc_id*31 + (f*$fl + k)*17) % 65536 - 32768 AS v
+       |  FROM fr, range(0, $fl) t2(k)
+       |), w AS (
+       |  SELECT doc_id, f, i, v,
+       |    lag(v) OVER (PARTITION BY doc_id, f ORDER BY i) AS pv
+       |  FROM s
+       |)
+       |SELECT doc_id, f AS frame_idx,
+       |  CAST(SUM(v*v) AS BIGINT) AS energy,
+       |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+       |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       |FROM w GROUP BY doc_id, f
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   /** q116 — STREAMING materialized-view maintenance run to completion
     * in-process (seventh streaming shape): the events stream arrives on a
     * MemoryStream in three micro-batches; `foreachBatch` merges each

@@ -45,6 +45,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV sample decode roundtrips exactly; frame features match brute force") {
+    val samples = Array.tabulate(53)(i => ((i * 997 - 31000) % 32768).toShort)
+    for (junk <- Seq(false, true)) {
+      val bytes = Multimodal.encodeWavPcm16(22050, samples, junkChunk = junk)
+      val (sr, got) = Multimodal.decodeWavSamples(bytes)
+      assert(sr == 22050)
+      assert(got.toSeq == samples.toSeq, s"junk=$junk")
+    }
+    // frame features against a brute-force fold (frames of FrameLen, the
+    // 53 % 16 = 5-sample tail dropped)
+    val fl = Multimodal.FrameLen
+    val frames = samples.grouped(fl).filter(_.length == fl).toSeq
+    frames.zipWithIndex.foreach { case (f, idx) =>
+      val energy = f.map(v => v.toLong * v).sum
+      val peak = f.map(v => math.abs(v.toLong)).max
+      val zc = f.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(energy > 0 && peak > 0 && zc >= 0, s"frame $idx")
+    }
+    assert(frames.length == samples.length / fl)
+  }
+
   test("decoders reject what they do not support") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeBmp("nonsense".getBytes("ASCII"))
