@@ -140,6 +140,8 @@ object SparkEntry {
     "q117_linear_interp" -> (AnalyticsQueries.q117LinearInterp _),
     "q118_asof_tolerance" -> (Core.q118AsofTolerance _),
     "q119_wav_frames" -> (Advanced.q119WavFrames _),
+    "q120_quality_report" -> (Advanced.q120QualityReport _),
+    "q121_growth_metrics" -> (AnalyticsQueries.q121GrowthMetrics _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -370,6 +372,8 @@ object SparkEntry {
     "q117_linear_interp" -> AnalyticsQueries.oracleQ117,
     "q118_asof_tolerance" -> Core.oracleQ118,
     "q119_wav_frames" -> Advanced.oracleQ119,
+    "q120_quality_report" -> Advanced.oracleQ120,
+    "q121_growth_metrics" -> AnalyticsQueries.oracleQ121,
   )
 
   private val asofOracle: String =

@@ -910,6 +910,53 @@ object Advanced {
       |  MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q120 — declarative data-quality validation
+    * ([[graft.operators.Quality.validate]]): the publish-gate contract
+    * check as a first-class operator — five rules over the events stream,
+    * all evaluated in ONE scan as conditional-count aggregates, reported
+    * as exact violation counts + rates. A rule that cannot evaluate
+    * (null predicate) counts as a violation. */
+  def q120QualityReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    Quality.validate(Tables.events(s, dir), Seq(
+        "known_event_type" -> col("event_type")
+          .isin("click", "view", "purchase", "signup", "error"),
+        "ts_in_range" -> (col("ts") >= to_timestamp(lit("2024-01-01")) &&
+          col("ts") < to_timestamp(lit("2024-03-01"))),
+        "user_present" -> col("user_id").isNotNull,
+        "value_nonneg" -> (col("value") >= 0),
+        "value_upper" -> (col("value") <= 500.0)))
+      .orderBy(col("rule"))
+  }
+
+  val oracleQ120: String =
+    """WITH t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(
+      |      event_type IN ('click','view','purchase','signup','error'),
+      |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(ts >= TIMESTAMP '2024-01-01'
+      |      AND ts < TIMESTAMP '2024-03-01', FALSE) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v1,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(user_id IS NOT NULL, FALSE)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(value >= 0, FALSE)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(value <= 500.0, FALSE)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v4
+      |  FROM events
+      |)
+      |SELECT rule, n AS n_rows,
+      |  CASE i WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+      |    WHEN 3 THEN v3 ELSE v4 END AS n_violations,
+      |  CAST(CASE i WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+      |    WHEN 3 THEN v3 ELSE v4 END AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS violation_rate
+      |FROM t, (VALUES ('known_event_type', 0), ('ts_in_range', 1),
+      |  ('user_present', 2), ('value_nonneg', 3), ('value_upper', 4))
+      |  r(rule, i)
+      |ORDER BY rule""".stripMargin
+
   /** q119 — framewise audio feature extraction over REAL decoded WAV
     * payloads ([[graft.operators.Multimodal.wavFrameFeatures]]): energy,
     * peak, zero-crossings per 16-sample frame — the silence-trim /

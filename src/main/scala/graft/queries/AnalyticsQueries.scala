@@ -1135,6 +1135,68 @@ object AnalyticsQueries {
        |FROM mm, c WHERE event_type <> '$ControlGroup'
        |ORDER BY event_type""".stripMargin
 
+  /** Rolling-active window for q121 (inclusive, in days). */
+  val WauWindowDays = 7
+
+  /** q121 — growth metrics: rolling [[WauWindowDays]]-day active users
+    * (WAU) plus the cumulative-uniques growth curve, per activity day.
+    *
+    * Scale shape: the rolling distinct does NOT range-join the activity
+    * table against the day spine (quadratic in window width × activity);
+    * each (user, day) activity row explodes map-side onto the ≤7 target
+    * days it supports, then one countDistinct per day — the standard
+    * window-densification trick. Cumulative uniques ride the first-seen
+    * trick (min day per user → new-user counts → running sum); the one
+    * unpartitioned window runs over the DAY SPINE, which is metadata-
+    * scale (rule 6's calendar sanction), never the event stream. */
+  def q121GrowthMetrics(s: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = activity.select(col("day")).distinct()
+    val wau = activity
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          date_add(col("day"), WauWindowDays - 1))).as("d"))
+      .join(days.withColumnRenamed("day", "d"), Seq("d"))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+      .withColumnRenamed("d", "day")
+    val firsts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("nu"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firsts, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("nu"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .join(wau, Seq("day"))
+      .select(col("day"), col("wau"), col("new_users"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  val oracleQ121: String =
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+       |), days AS (
+       |  SELECT DISTINCT day FROM act
+       |), wau AS (
+       |  SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+       |  FROM days d JOIN act a
+       |    ON a.day <= d.day AND a.day > d.day - ${WauWindowDays}
+       |  GROUP BY d.day
+       |), firsts AS (
+       |  SELECT fd AS day, CAST(COUNT(*) AS BIGINT) AS nu
+       |  FROM (SELECT user_id, MIN(day) AS fd FROM act GROUP BY user_id)
+       |  GROUP BY fd
+       |)
+       |SELECT d.day, w.wau, COALESCE(f.nu, 0) AS new_users,
+       |  CAST(SUM(COALESCE(f.nu, 0)) OVER (ORDER BY d.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_users
+       |FROM days d
+       |JOIN wau w ON w.day = d.day
+       |LEFT JOIN firsts f ON f.day = d.day
+       |ORDER BY d.day""".stripMargin
+
   /** q117 — time-series resampling with LINEAR interpolation: each user's
     * daily closes are expanded onto a dense calendar spine between their
     * first and last observation, and gap days get the straight-line value

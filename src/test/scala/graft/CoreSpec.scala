@@ -256,6 +256,25 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("growth metrics: wau bounds dau and cum, cum nondecreasing") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.q121GrowthMetrics(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val dau = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy("day").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    var prevCum = 0L
+    rows.sortBy(_._1).foreach { case (day, wau, nu, cum) =>
+      assert(wau >= dau(day), s"$day wau<dau")
+      assert(wau <= cum, s"$day wau>cum")
+      assert(cum >= prevCum && nu >= 0, day)
+      prevCum = cum
+    }
+  }
+
   test("embed stats: dims complete, variance non-negative, n constant") {
     import graft.queries.TextQueries
     val rows = TextQueries.q108EmbedStats(spark, sf).collect()

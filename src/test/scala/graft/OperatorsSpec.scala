@@ -154,6 +154,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Quality.validate: exact counts, null predicate counts as violation, one row per rule") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (-2L, "b"),
+      (3L, null), (null, "a"), (5L, "c")).toDF("v", "s")
+    val got = Quality.validate(df, Seq(
+        "v_pos" -> (col("v") > 0), // null v -> null predicate -> violation
+        "s_known" -> col("s").isin("a", "b"),
+        "all_pass" -> lit(true)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 3)
+    assert(got("v_pos") == ((5L, 2L, 0.4))) // -2 fails, null fails
+    assert(got("s_known") == ((5L, 2L, 0.4))) // null s and 'c' fail
+    assert(got("all_pass") == ((5L, 0L, 0.0)))
+  }
+
   test("backwardWithin: stale matches nulled, boundary age inclusive, rows preserved") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
