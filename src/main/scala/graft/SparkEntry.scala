@@ -142,6 +142,7 @@ object SparkEntry {
     "q119_wav_frames" -> (Advanced.q119WavFrames _),
     "q120_quality_report" -> (Advanced.q120QualityReport _),
     "q121_growth_metrics" -> (AnalyticsQueries.q121GrowthMetrics _),
+    "q122_robust_z" -> (AnalyticsQueries.q122RobustZ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -374,6 +375,7 @@ object SparkEntry {
     "q119_wav_frames" -> Advanced.oracleQ119,
     "q120_quality_report" -> Advanced.oracleQ120,
     "q121_growth_metrics" -> AnalyticsQueries.oracleQ121,
+    "q122_robust_z" -> AnalyticsQueries.oracleQ122,
   )
 
   private val asofOracle: String =

@@ -1135,6 +1135,83 @@ object AnalyticsQueries {
        |FROM mm, c WHERE event_type <> '$ControlGroup'
        |ORDER BY event_type""".stripMargin
 
+  /** Type-7 median over a `sort_array(collect_list(...))`-shaped group
+    * row (columns `arr`, `n`) — the q21 interpolation, shared by q122's
+    * median and MAD stages. */
+  private def arrMedian: Column = {
+    val pos = (col("n") - 1) * lit(0.5)
+    val lower = floor(pos).cast("int")
+    val g = pos - floor(pos)
+    when(pos === lower.cast("double"), element_at(col("arr"), lower + 1))
+      .otherwise((lit(1.0) - g) * element_at(col("arr"), lower + 1) +
+        g * element_at(col("arr"), lower + 2))
+  }
+
+  /** Iglewicz–Hoaglin scaling constant for the modified z-score. */
+  val RobustZScale = 0.6745
+
+  /** q122 — robust (median/MAD) z-scores per sector: the outlier-resistant
+    * sibling of q04's mean/σ z-score — a handful of extreme balances can
+    * drag a mean-based z past any threshold, while the median/MAD version
+    * moves only with the bulk. Exact type-7 medians (q21's interpolation)
+    * for both the center and the deviation scale; `robust_z` is null when
+    * MAD is 0 (a degenerate constant group), never ±inf.
+    *
+    * Scale note: per-group `sort_array(collect_list(...))` bounds group
+    * state at the largest sector's cross-section (the q21 sanction —
+    * fine for per-sector cross-sections); past that, swap both median
+    * stages for the Winsorize rank-selection path (3 jobs for ALL groups,
+    * no whole-group arrays). The med/mad relations are nation-sized and
+    * broadcast onto the customer scan. */
+  def q122RobustZ(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val med = cust.groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_list(col("x"))).as("arr"),
+        count(lit(1)).as("n"))
+      .select(col("c_nationkey"), arrMedian.as("med"))
+    val mad = cust.join(med, Seq("c_nationkey"))
+      .select(col("c_nationkey"), abs(col("x") - col("med")).as("d"))
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_list(col("d"))).as("arr"),
+        count(lit(1)).as("n"))
+      .select(col("c_nationkey"), arrMedian.as("mad"))
+    cust.join(med, Seq("c_nationkey")).join(mad, Seq("c_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("x").as("acctbal"),
+        col("med"), col("mad"),
+        when(col("mad") > 0,
+          lit(RobustZScale) * (col("x") - col("med")) / col("mad"))
+          .as("robust_z"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val oracleQ122: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS x
+       |  FROM customer WHERE c_acctbal IS NOT NULL
+       |), g AS (
+       |  SELECT c_nationkey, list_sort(list(x)) AS arr, COUNT(*) AS n
+       |  FROM cust GROUP BY c_nationkey
+       |), med AS (
+       |  SELECT c_nationkey, ${sqlQuantile("0.5")} AS med FROM g
+       |), g2 AS (
+       |  SELECT c.c_nationkey, list_sort(list(abs(c.x - m.med))) AS arr,
+       |    COUNT(*) AS n
+       |  FROM cust c JOIN med m ON c.c_nationkey = m.c_nationkey
+       |  GROUP BY c.c_nationkey
+       |), mad AS (
+       |  SELECT c_nationkey, ${sqlQuantile("0.5")} AS mad FROM g2
+       |)
+       |SELECT c.c_custkey, c.c_nationkey, c.x AS acctbal, m.med, d.mad,
+       |  CASE WHEN d.mad > 0
+       |    THEN $RobustZScale * (c.x - m.med) / d.mad END AS robust_z
+       |FROM cust c
+       |JOIN med m ON m.c_nationkey = c.c_nationkey
+       |JOIN mad d ON d.c_nationkey = c.c_nationkey
+       |ORDER BY c_custkey""".stripMargin
+
   /** Rolling-active window for q121 (inclusive, in days). */
   val WauWindowDays = 7
 
