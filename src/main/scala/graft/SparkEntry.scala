@@ -143,6 +143,7 @@ object SparkEntry {
     "q120_quality_report" -> (Advanced.q120QualityReport _),
     "q121_growth_metrics" -> (AnalyticsQueries.q121GrowthMetrics _),
     "q122_robust_z" -> (AnalyticsQueries.q122RobustZ _),
+    "q123_allpairs_join" -> (TextQueries.q123AllPairsJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -376,6 +377,7 @@ object SparkEntry {
     "q120_quality_report" -> Advanced.oracleQ120,
     "q121_growth_metrics" -> AnalyticsQueries.oracleQ121,
     "q122_robust_z" -> AnalyticsQueries.oracleQ122,
+    "q123_allpairs_join" -> TextQueries.oracleQ123,
   )
 
   private val asofOracle: String =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Materialize, Quantize, Similarity}
+import graft.operators.{Dedup, Materialize, PrefixJoin, Quantize, Similarity}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * text statistics, language ID, quality scoring, exact + MinHash-LSH +
@@ -91,6 +91,40 @@ object TextQueries {
         .orderBy(col("id1"), col("id2"))
         .localCheckpoint()
     }
+
+  /** Exact-join threshold for q123 — higher than [[JaccardThreshold]]
+    * because the exact join's contract is exhaustiveness at a decision
+    * boundary, the regime where LSH's per-pair miss probability matters. */
+  val AllPairsTau = 0.5
+
+  /** q123 — EXACT all-pairs Jaccard join via prefix filtering
+    * ([[PrefixJoin.allPairsJaccard]]): every pair with shingle-set Jaccard
+    * ≥ τ, guaranteed complete (no LSH miss probability). The oracle is the
+    * unrestricted brute-force join, so the gate proves the prefix filter
+    * dropped NOTHING — the exactness claim itself is what's hash-pinned. */
+  def q123AllPairsJoin(s: SparkSession, dir: String): DataFrame =
+    PrefixJoin.allPairsJaccard(
+      Dedup.shingleHashArrays(Tables.documents(s, dir), "doc_id", "text",
+        ShingleK),
+      "doc_id", AllPairsTau)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+
+  lazy val oracleQ123: String =
+    s"""$shingleHashCtes, sz AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM hs0 GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS i1, b.doc_id AS i2, COUNT(*) AS i
+       |  FROM hs0 a JOIN hs0 b USING (h60)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+       |)
+       |SELECT i1 AS id1, i2 AS id2,
+       |  CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jaccard
+       |FROM inter
+       |JOIN sz s1 ON s1.doc_id = i1
+       |JOIN sz s2 ON s2.doc_id = i2
+       |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= $AllPairsTau
+       |ORDER BY id1, id2""".stripMargin
 
   def q16Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
@@ -1083,10 +1117,11 @@ GROUP BY d.source ORDER BY d.source"""
        |  FROM $normRel
        |)""".stripMargin
 
-  /** Shared CTE prefix: shingles → 60-bit hashes (the dedup carrier,
-    * mirroring shingleHashArrays: DISTINCT on the hash, not the string) →
-    * minhash signatures → bands. */
-  private val minhashCtes: String =
+  /** Shared CTE prefix: normalize → k-shingles → DISTINCT 60-bit hashes
+    * (`hs0(doc_id, h60)` — the DuckDB mirror of
+    * [[Dedup.shingleHashArrays]]). Composed into [[minhashCtes]] and the
+    * exact-join oracle [[oracleQ123]]. */
+  private val shingleHashCtes: String =
     s"""WITH norm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents
@@ -1098,7 +1133,11 @@ GROUP BY d.source ORDER BY d.source"""
        |  SELECT DISTINCT doc_id,
        |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h60
        |  FROM sh
-       |), hs AS (
+       |)""".stripMargin
+
+  /** [[shingleHashCtes]] extended with minhash signatures → bands. */
+  private val minhashCtes: String =
+    s"""$shingleHashCtes, hs AS (
        |  SELECT doc_id, h60 % ${Dedup.P} AS h FROM hs0
        |), params AS (
        |  SELECT i, 2*i + 3 AS a, 7*i + 1 AS b FROM range(0, $NumHashes) t(i)

@@ -273,4 +273,40 @@ class DedupSpec extends AnyFunSuite {
     assert(r(1L)._3 >= base.length)
     assert(r(2L)._3 >= base.length)
   }
+
+  test("prefix-filter all-pairs join is exact: equals brute force at any tau") {
+    import spark.implicits._
+    // random-ish word docs with planted near-dups across several overlap
+    // levels, so the threshold actually separates pairs
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rng = new scala.util.Random(7)
+    val base = (1 to 8).map(i =>
+      (i.toLong, Seq.fill(30)(words(rng.nextInt(words.length))).mkString(" ")))
+    val mutated = base.take(4).map { case (id, t) =>
+      val toks = t.split(" ")
+      val k = id.toInt * 3 // 3,6,9,12 token edits → varying Jaccard
+      val m = toks.zipWithIndex.map { case (w, i) =>
+        if (i < k) words(rng.nextInt(words.length)) else w }
+      (id + 100L, m.mkString(" "))
+    }
+    val d = (base ++ mutated).toDF("doc_id", "text")
+    val harrs = Dedup.shingleHashArrays(d, "doc_id", "text", 5)
+    for (tau <- Seq(0.3, 0.6, 0.9)) {
+      val got = graft.operators.PrefixJoin.allPairsJaccard(harrs, "doc_id", tau)
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+          r.getAs[Double]("jaccard")).toMap
+      // brute force over ALL pairs via the unbanded exact join
+      val brute = Dedup.jaccardPairs(
+          Dedup.shingles(d, "doc_id", "text", 5), "doc_id")
+        .filter(col("jaccard") >= tau)
+        .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+          r.getAs[Double]("jaccard")).toMap
+      assert(got.keySet == brute.keySet,
+        s"tau=$tau: prefix join missed ${brute.keySet -- got.keySet} " +
+          s"or invented ${got.keySet -- brute.keySet}")
+      got.foreach { case (k, v) => assert(v == brute(k),
+        s"tau=$tau pair $k: jaccard $v != brute ${brute(k)}") }
+    }
+  }
 }
