@@ -144,6 +144,7 @@ object SparkEntry {
     "q121_growth_metrics" -> (AnalyticsQueries.q121GrowthMetrics _),
     "q122_robust_z" -> (AnalyticsQueries.q122RobustZ _),
     "q123_allpairs_join" -> (TextQueries.q123AllPairsJoin _),
+    "q124_span_dedup" -> (Curation.q124SpanDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -378,6 +379,7 @@ object SparkEntry {
     "q121_growth_metrics" -> AnalyticsQueries.oracleQ121,
     "q122_robust_z" -> AnalyticsQueries.oracleQ122,
     "q123_allpairs_join" -> TextQueries.oracleQ123,
+    "q124_span_dedup" -> Curation.oracleQ124,
   )
 
   private val asofOracle: String =

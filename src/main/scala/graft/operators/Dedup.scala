@@ -367,6 +367,66 @@ object Dedup {
     * expand); marking is a hash-keyed shuffle semi-join (well balanced:
     * k-gram hashes are near-unique); islands/spans are doc-partitioned
     * windows. Nothing is corpus-quadratic. */
+  /** C4-style global span dedup WITH remediation (Raffel et al. 2020 §2.2
+    * deduplicated three-sentence spans corpus-wide, keeping one
+    * occurrence; this is the block-aligned analog for whitespace corpora):
+    * the normalized text is cut into non-overlapping `w`-token blocks, and
+    * for every distinct block text exactly ONE occurrence survives — the
+    * globally first by (doc, block index). Unlike the detection-only
+    * [[exactDupSpans]], this operator APPLIES the removal and returns the
+    * per-doc rebuild: kept/removed block counts, surviving token count,
+    * and the md5 fingerprint of the reassembled (kept-blocks-in-order)
+    * text — null when every block of a doc lost its keep race (an exact
+    * dup of earlier content).
+    *
+    * `posCap` bounds block indices per doc (fail-loud via the keeper-key
+    * encoding; callers pass the same cap the oracle uses so both engines
+    * agree on the (doc, blk) → scalar min encoding).
+    *
+    * Scale shape: the block-array carrier is scoped-materialized before
+    * its explode (rule 7 — array_join per element is the expensive
+    * class); the keeper table is ONE map-side-combined min aggregation
+    * keyed on the 16-byte block md5 (never the block text); the mark join
+    * fans out linearly in block occurrences (a hot boilerplate block
+    * costs its occurrence count, never a quadratic pair set — contrast
+    * the df-cap discussion in [[containmentPairs]]); the rollup is one
+    * doc-keyed aggregation. Three shuffles total, all combinable. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                w: Int, posCap: Long): DataFrame = {
+    val toks = docs.select(col(idCol),
+      split(Text.normalize(col(textCol)), " ").as("tk"))
+    val barr0 = toks.select(col(idCol),
+      expr(s"transform(sequence(0, CAST(ceil(size(tk) / $w.0) AS INT) - 1), " +
+        s"i -> struct(CAST(i AS BIGINT) AS blk, " +
+        s"array_join(slice(tk, i * $w + 1, $w), ' ') AS btxt))").as("barr"))
+    Materialize.withMaterialized(barr0) { b =>
+      val blk = b.select(col(idCol), explode(col("barr")).as("bs"))
+        .select(col(idCol), col("bs.blk").as("blk"), col("bs.btxt").as("btxt"))
+        .withColumn("bh", md5(col("btxt").cast("binary")))
+        // fail-loud if a doc outgrows the (doc, blk) scalar encoding —
+        // silent wraparound would quietly misrank keepers
+        .withColumn("__k", when(col("blk") < posCap,
+            col(idCol) * posCap + col("blk"))
+          .otherwise(raise_error(concat(lit(s"spanDedup posCap $posCap " +
+            "exceeded at blk="), col("blk").cast("string")))))
+      val keep = blk.groupBy(col("bh")).agg(min(col("__k")).as("kmin"))
+      blk.join(keep, Seq("bh"))
+        .withColumn("kept", col("__k") === col("kmin"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_blocks"),
+          count(when(!col("kept"), lit(1))).as("n_removed"),
+          sum(when(col("kept"), size(split(col("btxt"), " "))))
+            .cast("long").as("n_tokens_kept"),
+          sort_array(collect_list(
+            when(col("kept"), struct(col("blk"), col("btxt"))))).as("karr"))
+        .select(col(idCol), col("n_blocks"), col("n_removed"),
+          col("n_tokens_kept"),
+          when(size(col("karr")) > 0,
+            md5(expr("array_join(transform(karr, x -> x.btxt), ' ')")
+              .cast("binary"))).as("kept_fp"))
+    }
+  }
+
   def exactDupSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val norm = Text.normalize(col(textCol))

@@ -1071,6 +1071,49 @@ object Curation {
        |FROM agg a JOIN norm n USING (doc_id)
        |ORDER BY a.doc_id""".stripMargin
 
+  /** Block width (tokens) for the q124 span-dedup pass. */
+  val SpanW = 10
+
+  /** q124 — C4-style global span dedup APPLIED ([[Dedup.spanDedup]]):
+    * corpus-wide keep-first over non-overlapping [[SpanW]]-token blocks,
+    * with the per-doc rebuild (counts + reassembled-text fingerprint)
+    * hash-pinned. Complements q88 (detection/stats only) the way q69
+    * complements q15: this is the remediation operator a C4-style
+    * pipeline actually runs. kept_fp is NULL for docs that lost every
+    * block (pure duplicates of earlier content). */
+  def q124SpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", SpanW,
+        TextQueries.OraclePosCap)
+      .orderBy(col("doc_id"))
+
+  val oracleQ124: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), ${TextQueries.capGuardCte("capg", "norm")}, tok AS (
+       |  SELECT doc_id, string_split(t, ' ') AS tk FROM norm
+       |), blk AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS blk,
+       |    array_to_string(list_slice(tk, CAST(i*$SpanW+1 AS INT),
+       |      CAST(i*$SpanW+$SpanW AS INT)), ' ') AS btxt
+       |  FROM tok, range(0, ${TextQueries.OraclePosCap}) r(i), capg
+       |  WHERE capg.ok = 1 AND i*$SpanW < len(tk)
+       |), keep AS (
+       |  SELECT btxt, MIN(doc_id * ${TextQueries.OraclePosCap} + blk) AS kmin
+       |  FROM blk GROUP BY btxt
+       |), flag AS (
+       |  SELECT b.doc_id, b.blk, b.btxt,
+       |    (b.doc_id * ${TextQueries.OraclePosCap} + b.blk = k.kmin) AS kept
+       |  FROM blk b JOIN keep k ON k.btxt = b.btxt
+       |)
+       |SELECT doc_id,
+       |  COUNT(*) AS n_blocks,
+       |  COUNT(*) FILTER (NOT kept) AS n_removed,
+       |  CAST(SUM(len(string_split(btxt, ' '))) FILTER (kept) AS BIGINT)
+       |    AS n_tokens_kept,
+       |  md5(string_agg(btxt, ' ' ORDER BY blk) FILTER (kept)) AS kept_fp
+       |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's

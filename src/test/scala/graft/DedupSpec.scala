@@ -274,6 +274,26 @@ class DedupSpec extends AnyFunSuite {
     assert(r(2L)._3 >= base.length)
   }
 
+  test("span dedup keeps globally-first block, nulls fp of all-dup docs") {
+    import spark.implicits._
+    val block = (1 to 10).map(i => s"w$i").mkString(" ") // one exact block
+    val d = Seq(
+      (1L, s"$block unique tail one two three four five six seven"),
+      (2L, s"$block other ending eight nine ten eleven twelve thirteen x"),
+      (3L, block) // nothing but the shared block -> loses everything
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(d, "doc_id", "text", 10, 100000L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 1 keeps both blocks (it is first); docs 2,3 lose the shared one
+    assert(r(1L).getLong(1) == 2 && r(1L).getLong(2) == 0)
+    assert(r(2L).getLong(1) == 2 && r(2L).getLong(2) == 1)
+    assert(r(3L).getLong(1) == 1 && r(3L).getLong(2) == 1)
+    // doc 3 kept nothing: null fingerprint, null token count
+    assert(r(3L).isNullAt(3) && r(3L).isNullAt(4))
+    // doc 2's surviving text is its second block only
+    assert(r(2L).getLong(3) == 9)
+  }
+
   test("prefix-filter all-pairs join is exact: equals brute force at any tau") {
     import spark.implicits._
     // random-ish word docs with planted near-dups across several overlap
