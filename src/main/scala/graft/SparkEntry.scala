@@ -145,6 +145,7 @@ object SparkEntry {
     "q122_robust_z" -> (AnalyticsQueries.q122RobustZ _),
     "q123_allpairs_join" -> (TextQueries.q123AllPairsJoin _),
     "q124_span_dedup" -> (Curation.q124SpanDedup _),
+    "q125_bpe_merges" -> (Curation.q125BpeMerges _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -380,6 +381,7 @@ object SparkEntry {
     "q122_robust_z" -> AnalyticsQueries.oracleQ122,
     "q123_allpairs_join" -> TextQueries.oracleQ123,
     "q124_span_dedup" -> Curation.oracleQ124,
+    "q125_bpe_merges" -> Curation.oracleQ125,
   )
 
   private val asofOracle: String =

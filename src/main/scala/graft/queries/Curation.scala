@@ -1114,6 +1114,65 @@ object Curation {
        |  md5(string_agg(btxt, ' ' ORDER BY blk) FILTER (kept)) AS kept_fp
        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** BPE training rounds for q125. */
+  val BpeRounds = 8
+  /** Symbols-per-word cap for the q125 oracle's positional enumeration
+    * (same fail-loud convention as [[TextQueries.OraclePosCap]], but words
+    * are short — 1000 is orders of magnitude above any real token). */
+  val BpeSymCap = 1000
+
+  /** q125 — BPE merge training ([[graft.operators.Bpe.trainMerges]]): the
+    * first [[BpeRounds]] byte-pair merges learned from the corpus, with
+    * counts — hash-pinning the full iterative loop (pair counting, the
+    * deterministic (cnt desc, l, r) argmax, AND the greedy left-to-right
+    * merge application, since round N's counts only come out right if
+    * every earlier merge rewrote the vocabulary identically; the gate
+    * corpus learns a composed merge (m+er→mer) by round 6, so
+    * merged-symbol rewriting is genuinely exercised). */
+  def q125BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(Tables.documents(s, dir), "text",
+      BpeRounds)
+
+  lazy val oracleQ125: String = {
+    def roundCtes(i: Int): String =
+      s"""p$i AS (
+         |  SELECT list_extract(ss, CAST(i AS INT)) AS l,
+         |    list_extract(ss, CAST(i+1 AS INT)) AS r,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(sp, ' ') AS ss, freq FROM s$i),
+         |    range(1, $BpeSymCap) rng(i), g
+         |  WHERE g.ok = 1 AND i <= len(ss) - 1
+         |  GROUP BY 1, 2
+         |), m$i AS (
+         |  SELECT CAST($i AS INT) AS round, l, r, cnt FROM p$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1
+         |), s${i + 1} AS (
+         |  SELECT regexp_replace(sp, '\\b' || l || ' ' || r || '\\b',
+         |    l || r, 'g') AS sp, freq
+         |  FROM s$i, m$i
+         |)""".stripMargin
+    s"""WITH norm AS (
+       |  SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), w AS (
+       |  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(t, ' ')) AS tok FROM norm)
+       |  GROUP BY tok
+       |), s0 AS (
+       |  SELECT array_to_string(regexp_extract_all(word, '.'), ' ') AS sp,
+       |    freq
+       |  FROM w
+       |), g AS (
+       |  SELECT CASE WHEN max(len(string_split(sp, ' '))) >= $BpeSymCap
+       |    THEN error('bpe symbol cap $BpeSymCap exceeded')
+       |    ELSE 1 END AS ok FROM s0
+       |), ${(0 until BpeRounds).map(roundCtes).mkString(", ")}
+       |SELECT round, l, r, cnt FROM (
+       |  ${(0 until BpeRounds).map(i => s"SELECT * FROM m$i")
+            .mkString(" UNION ALL ")}
+       |) ORDER BY round""".stripMargin
+  }
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's

@@ -299,4 +299,24 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BPE training: greedy non-overlap, composed merges, deterministic ties") {
+    import spark.implicits._
+    // "aaaab": (a,a) appears 3 times overlapping but greedy left-to-right
+    // merges only positions (1,2) and (3,4) -> "aa aa b"; next round the
+    // composed pair (aa,aa) must win, proving merged symbols re-enter the
+    // pair alphabet
+    val docs = Seq.fill(5)("aaaab dd dd").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = graft.operators.Bpe.trainMerges(docs, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // round 0: (a,a) cnt 3*5=15 beats (d,d) cnt 2*5=10... per-word freq:
+    // word "aaaab" freq 5 -> pairs aa,aa,aa,ab each weighted 5
+    assert(m(0) == ((0, "a", "a", 15L)))
+    // round 1: "aa aa b" -> pair (aa,aa) cnt 5, (aa,b) 5, (d,d) 10: dd wins
+    assert(m(1) == ((1, "d", "d", 10L)))
+    // round 2: (aa,aa) vs (aa,b) tie at 5 -> lexicographic: (aa,aa) < (aa,b)
+    assert(m(2) == ((2, "aa", "aa", 5L)))
+  }
 }
