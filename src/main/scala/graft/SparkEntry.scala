@@ -146,6 +146,7 @@ object SparkEntry {
     "q123_allpairs_join" -> (TextQueries.q123AllPairsJoin _),
     "q124_span_dedup" -> (Curation.q124SpanDedup _),
     "q125_bpe_merges" -> (Curation.q125BpeMerges _),
+    "q126_cms_estimate" -> (Curation.q126CmsEstimate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -382,6 +383,7 @@ object SparkEntry {
     "q123_allpairs_join" -> TextQueries.oracleQ123,
     "q124_span_dedup" -> Curation.oracleQ124,
     "q125_bpe_merges" -> Curation.oracleQ125,
+    "q126_cms_estimate" -> Curation.oracleQ126,
   )
 
   private val asofOracle: String =

@@ -1173,6 +1173,72 @@ object Curation {
        |) ORDER BY round""".stripMargin
   }
 
+  /** Probe count per end (top/bottom) for the q126 CMS gate. */
+  val CmsProbes = 3
+
+  /** q126 — Count-Min sketch frequency estimation
+    * ([[graft.operators.CountMin]]): register grid built from the
+    * pre-aggregated vocab, probed at the [[CmsProbes]] most- and
+    * least-frequent tokens; output carries the TRUE count beside the
+    * estimate so the gate pins both the register state (through the
+    * estimates) and the overestimate-only contract. */
+  def q126CmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(Text.normalize(col("text")), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    Materialize.withMaterialized(vocab) { v =>
+      val buck = CountMin.bucketed(v, "tok", "cnt")
+      Materialize.withMaterialized(buck) { b =>
+        val regs = CountMin.registers(b)
+        val probes = v.orderBy(col("cnt").desc, col("tok")).limit(CmsProbes)
+          .select(col("tok"))
+          .union(v.orderBy(col("cnt").asc, col("tok")).limit(CmsProbes)
+            .select(col("tok")))
+          .distinct()
+        CountMin.estimates(probes, b, regs)
+          .join(v, Seq("tok"))
+          .select(col("tok").as("token"), col("cnt").as("true_cnt"),
+            col("cms_est"))
+          .orderBy(col("token"))
+          .localCheckpoint()
+      }
+    }
+  }
+
+  val oracleQ126: String =
+    s"""WITH norm AS (
+       |  SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), cnt AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(t, ' ')) AS tok FROM norm)
+       |  GROUP BY tok
+       |), buck AS (
+       |  SELECT tok, c, i,
+       |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok),
+       |      1, 15)) AS BIGINT) % ${graft.operators.CountMin.Width} AS bucket
+       |  FROM cnt, range(0, ${graft.operators.CountMin.Depth}) t(i)
+       |), regs AS (
+       |  SELECT i, bucket, CAST(SUM(c) AS BIGINT) AS rc
+       |  FROM buck GROUP BY i, bucket
+       |), probes AS (
+       |  SELECT tok FROM (SELECT tok FROM cnt ORDER BY c DESC, tok
+       |    LIMIT $CmsProbes)
+       |  UNION
+       |  SELECT tok FROM (SELECT tok FROM cnt ORDER BY c ASC, tok
+       |    LIMIT $CmsProbes)
+       |), est AS (
+       |  SELECT p.tok, MIN(r.rc) AS cms_est
+       |  FROM probes p
+       |  JOIN buck b ON b.tok = p.tok
+       |  JOIN regs r ON r.i = b.i AND r.bucket = b.bucket
+       |  GROUP BY p.tok
+       |)
+       |SELECT e.tok AS token, c.c AS true_cnt, e.cms_est
+       |FROM est e JOIN cnt c ON c.tok = e.tok
+       |ORDER BY token""".stripMargin
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's

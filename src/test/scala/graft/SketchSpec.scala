@@ -188,4 +188,32 @@ class SketchSpec extends AnyFunSuite {
     assert(clickWin._3 == 3L) // 3 events
     assert(math.abs(clickWin._4 - 2.0) < 0.01, s"estimate ${clickWin._4}")
   }
+
+  test("CMS: overestimate-only, exact for isolated keys, grids add on merge") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val vocab = (1 to 300).map(i => (s"tok$i", i.toLong)).toDF("tok", "cnt")
+    val buck = CountMin.bucketed(vocab, "tok", "cnt")
+    val regs = CountMin.registers(buck).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val truth = (1 to 300).map(i => s"tok$i" -> i.toLong).toMap
+    val est = CountMin.estimates(vocab.select("tok"), buck,
+        CountMin.registers(buck))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // never underestimates; any clean row (no collision) gives exactness
+    truth.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t underestimated: ${est(t)} < $c") }
+    assert(est.count { case (t, e) => e == truth(t) } > 200,
+      "with 300 keys over 4x256 buckets most estimates should be exact")
+    // merge = grid addition: sketch(A ++ B) == sketch(A) + sketch(B)
+    val (va, vb) = (vocab.filter(col("cnt") <= 150),
+      vocab.filter(col("cnt") > 150))
+    val ra = CountMin.registers(CountMin.bucketed(va, "tok", "cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rb = CountMin.registers(CountMin.bucketed(vb, "tok", "cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val summed = (ra.keySet ++ rb.keySet).map(k =>
+      k -> (ra.getOrElse(k, 0L) + rb.getOrElse(k, 0L))).toMap
+    assert(summed == regs)
+  }
 }
