@@ -147,6 +147,7 @@ object SparkEntry {
     "q124_span_dedup" -> (Curation.q124SpanDedup _),
     "q125_bpe_merges" -> (Curation.q125BpeMerges _),
     "q126_cms_estimate" -> (Curation.q126CmsEstimate _),
+    "q127_bpe_encode" -> (Curation.q127BpeEncode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -384,6 +385,7 @@ object SparkEntry {
     "q124_span_dedup" -> Curation.oracleQ124,
     "q125_bpe_merges" -> Curation.oracleQ125,
     "q126_cms_estimate" -> Curation.oracleQ126,
+    "q127_bpe_encode" -> Curation.oracleQ127,
   )
 
   private val asofOracle: String =

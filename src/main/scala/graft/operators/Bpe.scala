@@ -42,16 +42,23 @@ object Bpe {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("cnt"))
 
-  /** Train `rounds` merges over `docs(textCol)`; returns one row per merge:
-    * (round, l, r, cnt) in merge order. */
-  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  /** Train `rounds` merges AND apply them: returns (merges, encodedVocab)
+    * where merges has one (round, l, r, cnt) row per merge in order, and
+    * encodedVocab is the post-merge vocabulary (word, encoded, n_sym,
+    * freq) — `encoded` being the space-joined symbol sequence the trained
+    * tokenizer produces for the word. The encode side is what a corpus
+    * pipeline joins back onto documents (vocabulary-sized relation, one
+    * regexp_replace chain — never a per-document loop). */
+  def trainAndEncode(docs: DataFrame, textCol: String,
+                     rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val words0 = docs
       .select(explode(split(Text.normalize(col(textCol)), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(array_join(regexp_extract_all(col("word"), lit("."), lit(0)),
-        " ").as("sp"), col("freq"))
-    val merges = Materialize.withMaterialized(words0) { words =>
+      .select(col("word"),
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)),
+          " ").as("sp"), col("freq"))
+    val (merges, encoded) = Materialize.withMaterialized(words0) { words =>
       var cur: DataFrame = words
       val acc = Seq.newBuilder[(Int, String, String, Long)]
       for (rd <- 0 until rounds) {
@@ -68,14 +75,23 @@ object Bpe {
             regexp_replace(col("sp"), "\\b" + l + " " + r + "\\b", l + r))
         }
       }
-      acc.result()
+      val enc = cur.select(col("word"), col("sp").as("encoded"),
+        size(split(col("sp"), " ")).cast("long").as("n_sym"), col("freq"))
+        .localCheckpoint() // vocabulary-sized; must outlive the cache scope
+      (acc.result(), enc)
     }
     val schema = StructType(Seq(StructField("round", IntegerType, false),
       StructField("l", StringType, false), StructField("r", StringType, false),
       StructField("cnt", LongType, false)))
-    spark.createDataFrame(
+    val mergesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         merges.map { case (rd, l, r, c) => Row(rd, l, r, c) }, 1),
       schema)
+    (mergesDf, encoded)
   }
+
+  /** Train `rounds` merges over `docs(textCol)`; returns one row per merge:
+    * (round, l, r, cnt) in merge order. */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    trainAndEncode(docs, textCol, rounds)._1
 }

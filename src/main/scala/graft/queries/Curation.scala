@@ -1133,7 +1133,11 @@ object Curation {
     graft.operators.Bpe.trainMerges(Tables.documents(s, dir), "text",
       BpeRounds)
 
-  lazy val oracleQ125: String = {
+  /** Shared q125/q127 CTE chain: word-freq table → spaced symbols →
+    * [[BpeRounds]] unrolled (pair-count, argmax, merge-apply) rounds.
+    * Exposes `m0..m{R-1}` (the merges) and `s$BpeRounds` (the encoded
+    * vocabulary, carrying `word`). */
+  private lazy val bpeCtes: String = {
     def roundCtes(i: Int): String =
       s"""p$i AS (
          |  SELECT list_extract(ss, CAST(i AS INT)) AS l,
@@ -1147,7 +1151,7 @@ object Curation {
          |  SELECT CAST($i AS INT) AS round, l, r, cnt FROM p$i
          |  ORDER BY cnt DESC, l, r LIMIT 1
          |), s${i + 1} AS (
-         |  SELECT regexp_replace(sp, '\\b' || l || ' ' || r || '\\b',
+         |  SELECT word, regexp_replace(sp, '\\b' || l || ' ' || r || '\\b',
          |    l || r, 'g') AS sp, freq
          |  FROM s$i, m$i
          |)""".stripMargin
@@ -1159,19 +1163,40 @@ object Curation {
        |  FROM (SELECT unnest(string_split(t, ' ')) AS tok FROM norm)
        |  GROUP BY tok
        |), s0 AS (
-       |  SELECT array_to_string(regexp_extract_all(word, '.'), ' ') AS sp,
+       |  SELECT word,
+       |    array_to_string(regexp_extract_all(word, '.'), ' ') AS sp,
        |    freq
        |  FROM w
        |), g AS (
        |  SELECT CASE WHEN max(len(string_split(sp, ' '))) >= $BpeSymCap
        |    THEN error('bpe symbol cap $BpeSymCap exceeded')
        |    ELSE 1 END AS ok FROM s0
-       |), ${(0 until BpeRounds).map(roundCtes).mkString(", ")}
+       |), ${(0 until BpeRounds).map(roundCtes).mkString(", ")}""".stripMargin
+  }
+
+  lazy val oracleQ125: String =
+    s"""$bpeCtes
        |SELECT round, l, r, cnt FROM (
-       |  ${(0 until BpeRounds).map(i => s"SELECT * FROM m$i")
+       |  ${(0 until BpeRounds).map(i => s"SELECT round, l, r, cnt FROM m$i")
             .mkString(" UNION ALL ")}
        |) ORDER BY round""".stripMargin
-  }
+
+  /** q127 — BPE ENCODE (apply the q125-trained merges): the post-merge
+    * vocabulary with each word's symbol sequence and symbol count — what
+    * a tokenizer actually emits, and the relation a corpus pipeline joins
+    * back onto documents for subword token budgeting. Gates the
+    * application path end-to-end: round N's encoded forms are only right
+    * if all N merges rewrote identically. */
+  def q127BpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainAndEncode(Tables.documents(s, dir), "text",
+        BpeRounds)._2
+      .orderBy(col("word"))
+
+  lazy val oracleQ127: String =
+    s"""$bpeCtes
+       |SELECT word, sp AS encoded,
+       |  CAST(len(string_split(sp, ' ')) AS BIGINT) AS n_sym, freq
+       |FROM s$BpeRounds ORDER BY word""".stripMargin
 
   /** Probe count per end (top/bottom) for the q126 CMS gate. */
   val CmsProbes = 3

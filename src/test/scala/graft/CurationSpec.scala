@@ -318,5 +318,11 @@ class CurationSpec extends AnyFunSuite {
     assert(m(1) == ((1, "d", "d", 10L)))
     // round 2: (aa,aa) vs (aa,b) tie at 5 -> lexicographic: (aa,aa) < (aa,b)
     assert(m(2) == ((2, "aa", "aa", 5L)))
+    // encode side: the same merges applied to the vocabulary
+    val enc = graft.operators.Bpe.trainAndEncode(docs, "text", 3)._2
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(enc("aaaab") == (("aaaa b", 2L)))
+    assert(enc("dd") == (("dd", 1L)))
   }
 }
