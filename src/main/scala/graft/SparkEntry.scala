@@ -148,6 +148,7 @@ object SparkEntry {
     "q125_bpe_merges" -> (Curation.q125BpeMerges _),
     "q126_cms_estimate" -> (Curation.q126CmsEstimate _),
     "q127_bpe_encode" -> (Curation.q127BpeEncode _),
+    "q128_mmr_rerank" -> (TextQueries.q128MmrRerank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -386,6 +387,7 @@ object SparkEntry {
     "q125_bpe_merges" -> Curation.oracleQ125,
     "q126_cms_estimate" -> Curation.oracleQ126,
     "q127_bpe_encode" -> Curation.oracleQ127,
+    "q128_mmr_rerank" -> TextQueries.oracleQ128,
   )
 
   private val asofOracle: String =

@@ -126,6 +126,94 @@ object TextQueries {
        |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= $AllPairsTau
        |ORDER BY id1, id2""".stripMargin
 
+  /** MMR re-ranking constants — [[MmrPenalty]] is written as its own
+    * literal (0.3), never `1 - MmrLambda`, which is 1 ulp off in IEEE
+    * double and would de-sync the oracle. */
+  val MmrQueries = 8
+  val MmrCandN = 20
+  val MmrK = 5
+  val MmrLambda = 0.7
+  val MmrPenalty = 0.3
+
+  /** q128 — MMR diversity re-ranking ([[graft.operators.Mmr]]): for each
+    * of [[MmrQueries]] query vectors, cut top-[[MmrCandN]] by cosine,
+    * then greedily select [[MmrK]] maximizing λ·rel − (1−λ)·max-sim-to-
+    * selected. The oracle unrolls the greedy rounds, so the gate pins the
+    * whole sequential selection (each round's argmax depends on every
+    * earlier pick's pairwise sims). */
+  def q128MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Mmr
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") < MmrQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val rel = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.cosineSim(col("v"), col("qv")).as("rel"), col("v"))
+      .filter(col("rel").isNotNull)
+    val cand = rel.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rn") <= MmrCandN)
+      .select(col("qid"), col("vec_id").as("vecId"), col("rel"), col("v"))
+      .as[Mmr.Cand]
+    Mmr.select(cand, MmrLambda, MmrPenalty, MmrK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  lazy val oracleQ128: String = {
+    val cosine = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b)))"
+    def round(n: Int): String =
+      s"""s$n AS (
+         |  SELECT t.qid, t.vec_id, t.rel, c.v, t.mmr, CAST($n AS INT) AS rank
+         |  FROM (
+         |    SELECT qid, vec_id, rel, mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id)
+         |        AS rn
+         |    FROM (
+         |      SELECT c.qid, c.vec_id, c.rel,
+         |        CAST('$MmrLambda' AS DOUBLE) * c.rel
+         |          - CAST('$MmrPenalty' AS DOUBLE)
+         |            * MAX(${cosine("c.v", "s.v")}) AS mmr
+         |      FROM cand c JOIN sel${n - 1} s ON s.qid = c.qid
+         |      WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} x
+         |        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |      GROUP BY c.qid, c.vec_id, c.rel
+         |    )
+         |  ) t JOIN cand c ON c.qid = t.qid AND c.vec_id = t.vec_id
+         |  WHERE t.rn = 1
+         |), sel$n AS (
+         |  SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM s$n
+         |)""".stripMargin
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |    CAST(embedding AS DOUBLE[])) > 0
+       |), q AS (
+       |  SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < $MmrQueries
+       |), rel AS (
+       |  SELECT q.qid, e.vec_id, ${cosine("e.v", "q.qv")} AS rel, e.v
+       |  FROM emb e, q WHERE e.vec_id <> q.qid
+       |), cand AS (
+       |  SELECT qid, vec_id, rel, v FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, vec_id) AS rn FROM rel
+       |  ) WHERE rn <= $MmrCandN
+       |), s1 AS (
+       |  SELECT qid, vec_id, rel, v,
+       |    CAST('$MmrLambda' AS DOUBLE) * rel AS mmr, CAST(1 AS INT) AS rank
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1
+       |), sel1 AS (SELECT * FROM s1),
+       |${(2 to MmrK).map(round).mkString(", ")}
+       |SELECT qid AS query_id, rank, vec_id, mmr
+       |FROM sel$MmrK ORDER BY query_id, rank""".stripMargin
+  }
+
   def q16Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))

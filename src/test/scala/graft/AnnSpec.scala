@@ -192,4 +192,29 @@ class AnnSpec extends AnyFunSuite {
     // 8-bit quantization barely perturbs cosine ranks; demand a strong floor
     assert(recalls.forall(_ >= 0.7), recalls.mkString(","))
   }
+
+  test("MMR: rank-1 is the relevance argmax; near-dup candidate is demoted") {
+    import spark.implicits._
+    import graft.operators.Mmr
+    // query-aligned axis e1; candidate 2 is a near-copy of candidate 1,
+    // candidate 3 is orthogonal-ish but still relevant
+    def cand(id: Long, v: Array[Double], q: Array[Double]) = {
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      Mmr.Cand(0L, id, dot(v, q) /
+        (math.sqrt(dot(v, v)) * math.sqrt(dot(q, q))), v)
+    }
+    val q = Array(1.0, 0.0)
+    val cs = Seq(
+      cand(1L, Array(1.0, 0.05), q),    // rel ~0.999
+      cand(2L, Array(1.0, 0.05), q),    // exact dup of 1: sim-to-sel = 1
+      cand(3L, Array(0.05, -1.0), q))   // orthogonal to 1, rel ~0.05
+    val picks = Mmr.select(cs.toDS(), 0.5, 0.5, 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    // rank1 = highest rel (vec 1 wins the tie on id); rank2 = the DIVERSE
+    // vec 3 (0.5·0.05 − 0.5·0 > 0 beats the dup's 0.5·0.999 − 0.5·1 < 0);
+    // rank3 = the dup
+    assert(picks.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
 }
