@@ -149,6 +149,7 @@ object SparkEntry {
     "q126_cms_estimate" -> (Curation.q126CmsEstimate _),
     "q127_bpe_encode" -> (Curation.q127BpeEncode _),
     "q128_mmr_rerank" -> (TextQueries.q128MmrRerank _),
+    "q129_inverted_index" -> (TextQueries.q129InvertedIndex _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -388,6 +389,7 @@ object SparkEntry {
     "q126_cms_estimate" -> Curation.oracleQ126,
     "q127_bpe_encode" -> Curation.oracleQ127,
     "q128_mmr_rerank" -> TextQueries.oracleQ128,
+    "q129_inverted_index" -> TextQueries.oracleQ129,
   )
 
   private val asofOracle: String =

@@ -407,6 +407,73 @@ GROUP BY d.source ORDER BY d.source"""
     * contributions are pivoted to columns and summed in fixed query order
     * so the double addition order is deterministic (FP addition is not
     * associative; a groupBy sum would be partial-agg-order-dependent). */
+  /** Impact-list cut for q129. */
+  val InvIndexTopK = 3
+
+  /** q129 — inverted-index construction: per token, document frequency,
+    * collection frequency, the md5 fingerprint of the FULL doc-ordered
+    * posting list ("doc:tf,…"), and the top-[[InvIndexTopK]]
+    * impact-ordered postings (tf desc — the entries an impact-ordered /
+    * WAND-style query evaluator visits first). The retrieval-infra
+    * counterpart to q71's BM25 scoring: q71 consumes these statistics,
+    * this builds the index itself.
+    *
+    * Scale shape: (doc, tok) term frequencies are one map-side-combined
+    * shuffle; the per-token rollup is a second. The known hazard is the
+    * stop-token posting list (corpus-sized group state under
+    * collect_list) — the impact cut is computed in the same aggregate and
+    * is what a production index would PERSIST per block (doc-ordered
+    * full lists live as segmented runs, not one array; the fingerprint
+    * here stands in for those segments). */
+  def q129InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(Text.normalize(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("post"),
+        sort_array(collect_list(struct((-col("tf")).as("ntf"),
+          col("doc_id")))).as("imp"))
+      .select(col("tok").as("token"), col("df"), col("cf"),
+        md5(expr("array_join(transform(post, x -> " +
+          "concat(x.doc_id, ':', x.tf)), ',')").cast("binary"))
+          .as("postings_fp"),
+        expr(s"array_join(transform(slice(imp, 1, $InvIndexTopK), " +
+          "x -> concat(x.doc_id, ':', -x.ntf)), ',')").as("top_impact"))
+      .orderBy(col("token"))
+  }
+
+  val oracleQ129: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm)
+       |  WHERE len(tok) > 0 GROUP BY doc_id, tok
+       |), imp AS (
+       |  SELECT tok, doc_id, tf,
+       |    ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id)
+       |      AS rn
+       |  FROM tf
+       |), impcut AS (
+       |  SELECT tok, string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+       |      CAST(tf AS VARCHAR), ',' ORDER BY tf DESC, doc_id)
+       |    AS top_impact
+       |  FROM imp WHERE rn <= $InvIndexTopK GROUP BY tok
+       |)
+       |SELECT f.tok AS token,
+       |  CAST(COUNT(*) AS BIGINT) AS df,
+       |  CAST(SUM(f.tf) AS BIGINT) AS cf,
+       |  md5(string_agg(CAST(f.doc_id AS VARCHAR) || ':' ||
+       |    CAST(f.tf AS VARCHAR), ',' ORDER BY f.doc_id)) AS postings_fp,
+       |  ANY_VALUE(i.top_impact) AS top_impact
+       |FROM tf f JOIN impcut i ON i.tok = f.tok
+       |GROUP BY f.tok ORDER BY token""".stripMargin
+
   def q71Bm25(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
