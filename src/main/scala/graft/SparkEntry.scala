@@ -150,6 +150,7 @@ object SparkEntry {
     "q127_bpe_encode" -> (Curation.q127BpeEncode _),
     "q128_mmr_rerank" -> (TextQueries.q128MmrRerank _),
     "q129_inverted_index" -> (TextQueries.q129InvertedIndex _),
+    "q130_quality_classifier" -> (Curation.q130QualityClassifier _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -390,6 +391,7 @@ object SparkEntry {
     "q127_bpe_encode" -> Curation.oracleQ127,
     "q128_mmr_rerank" -> TextQueries.oracleQ128,
     "q129_inverted_index" -> TextQueries.oracleQ129,
+    "q130_quality_classifier" -> Curation.oracleQ130,
   )
 
   private val asofOracle: String =

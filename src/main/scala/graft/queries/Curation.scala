@@ -1264,6 +1264,89 @@ object Curation {
        |FROM est e JOIN cnt c ON c.tok = e.tok
        |ORDER BY token""".stripMargin
 
+  /** q130 classifier constants: feature-hash width, per-mille weight
+    * range, per-mille bias. Weights are DETERMINISTIC pseudo-weights
+    * (md5 of the bucket id) standing in for a trained vector — the
+    * operator under test is the inference plumbing (hashed features →
+    * sparse dot with a broadcast weight vector → mean pool → sigmoid →
+    * decision), which is identical whatever the weights are. */
+  val ClfBuckets = 256
+  val ClfWeightRange = 2001
+  val ClfBias = 0.1
+
+  /** q130 — fastText-style quality-classifier INFERENCE (Joulin et al.
+    * 2017 architecture: hashed-bigram bag → mean-pooled linear score →
+    * sigmoid): the model-based quality gate modern curation stacks run
+    * beside the heuristic one (q70). Per-doc logits accumulate as EXACT
+    * integer per-mille weight sums (order-free), the one transcendental
+    * (sigmoid's exp) is quantized on the 1e-6 grid per the repo's
+    * cross-engine rule, and `keep` is the thresholded decision.
+    *
+    * Scale shape: the weight vector is a [[ClfBuckets]]-row dim built
+    * from `spark.range` and broadcast onto the hashed-bigram stream
+    * (map-side join); scoring is one doc-keyed combinable aggregation.
+    * Swapping real trained weights in changes a 256-row table, not the
+    * plan. */
+  def q130QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val bg0 = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(split(Text.normalize(col("text")), " "),
+          w => length(w) > 0).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("bg"))
+      .select(col("doc_id"), (Text.hash60(col("bg")) % ClfBuckets).as("bucket"))
+    val wdim = s.range(ClfBuckets).select(col("id").as("bucket"),
+      (Text.hash60(concat(lit("w:"), col("id").cast("string")))
+        % ClfWeightRange - lit(1000L)).as("w3"))
+    val z = bg0.join(broadcast(wdim), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w3")).as("z3"))
+      .withColumn("z", col("z3").cast("double") / lit(1000.0)
+        / col("n_bigrams").cast("double") + lit(ClfBias))
+    z.select(col("doc_id"), col("n_bigrams"), col("z3"),
+        graft.functions.jsRound(
+          lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("prob"))
+      .withColumn("keep", col("prob") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ130: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    w -> len(w) > 0) AS t
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(b), 1, 15)) AS BIGINT) % $ClfBuckets
+       |      AS bucket
+       |  FROM (SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t)),
+       |        i -> t[i] || ' ' || t[i + 1])) AS b
+       |    FROM t0 WHERE len(t) >= 2)
+       |), wdim AS (
+       |  SELECT i AS bucket,
+       |    CAST(('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % $ClfWeightRange - 1000 AS w3
+       |  FROM range(0, $ClfBuckets) r(i)
+       |), sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(w.w3) AS BIGINT) AS z3
+       |  FROM bg JOIN wdim w USING (bucket) GROUP BY doc_id
+       |), zz AS (
+       |  SELECT doc_id, n_bigrams, z3,
+       |    CAST(z3 AS DOUBLE) / 1e3 / CAST(n_bigrams AS DOUBLE)
+       |      + CAST('$ClfBias' AS DOUBLE) AS z
+       |  FROM sc
+       |)
+       |SELECT doc_id, n_bigrams, z3,
+       |  floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) / 1e6 AS prob,
+       |  (floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) / 1e6) >= 0.5 AS keep
+       |FROM zz ORDER BY doc_id""".stripMargin
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's
