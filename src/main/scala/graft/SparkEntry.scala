@@ -151,6 +151,7 @@ object SparkEntry {
     "q128_mmr_rerank" -> (TextQueries.q128MmrRerank _),
     "q129_inverted_index" -> (TextQueries.q129InvertedIndex _),
     "q130_quality_classifier" -> (Curation.q130QualityClassifier _),
+    "q131_jl_projection" -> (TextQueries.q131JlProjection _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -392,6 +393,7 @@ object SparkEntry {
     "q128_mmr_rerank" -> TextQueries.oracleQ128,
     "q129_inverted_index" -> TextQueries.oracleQ129,
     "q130_quality_classifier" -> Curation.oracleQ130,
+    "q131_jl_projection" -> TextQueries.oracleQ131,
   )
 
   private val asofOracle: String =

@@ -214,6 +214,86 @@ object TextQueries {
        |FROM sel$MmrK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** JL projection: 64-dim embeddings → [[JlK]] dims with a deterministic
+    * Achlioptas ±1 sign matrix (md5-derived per (row, col), embedded as
+    * literals in BOTH engines). [[JlK]] = 16 makes the 1/√k scale exactly
+    * 0.25 — no sqrt in the hot path. */
+  val JlK = 16
+  val JlD = 64
+  val JlProbeN = 8
+
+  private lazy val jlSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Int = {
+      val hex = md.digest(s"jl:$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1
+      else -1
+    }
+    (0 until JlK).map(j => (0 until JlD).map(i => sign(j, i)))
+  }
+
+  /** q131 — Johnson-Lindenstrauss random projection (Achlioptas 2003
+    * database-friendly ±1 form): project the [[JlD]]-dim embeddings to
+    * [[JlK]] dims and report, for every probe pair, the original and
+    * projected squared L2 distances and their distortion ratio — the
+    * quantity the JL lemma bounds, and what a pipeline checks before
+    * swapping the cheap projected vectors into its ANN recall path.
+    *
+    * Scale shape: the sign matrix is 1 KiB of LITERALS compiled into the
+    * projection expression (k native codegen dot folds per row — no join,
+    * no shuffle, no md5 at runtime); the whole projection is map-side.
+    * The pair grid here is probe-bounded ([[JlProbeN]]² pairs); corpus-
+    * scale consumers feed the projected column into the existing blocked
+    * /banded pair machinery instead. */
+  def q131JlProjection(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < JlProbeN)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val proj = emb.select(col("vec_id"), col("v"),
+      array(jlSigns.map(row =>
+        (VectorExprs.dot(col("v"),
+          array(row.map(x => lit(x.toDouble)): _*)) / lit(4.0))): _*).as("p"))
+    val a = proj.select(col("vec_id").as("id1"), col("v").as("va"),
+      col("p").as("pa"))
+    val b = proj.select(col("vec_id").as("id2"), col("v").as("vb"),
+      col("p").as("pb"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("orig_d2",
+        VectorExprs.sumSquares(zip_with(col("va"), col("vb"), (x, y) => x - y)))
+      .withColumn("proj_d2",
+        VectorExprs.sumSquares(zip_with(col("pa"), col("pb"), (x, y) => x - y)))
+      .filter(col("orig_d2") > 0)
+      .select(col("id1"), col("id2"), col("orig_d2"), col("proj_d2"),
+        (col("proj_d2") / col("orig_d2")).as("ratio"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  lazy val oracleQ131: String = {
+    val rows = jlSigns.map(row =>
+      "CAST([" + row.map(x => s"$x.0").mkString(", ") + "] AS DOUBLE[])")
+    val pEntries = rows.map(r => s"list_dot_product(v, $r) / 4.0")
+      .mkString(",\n    ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id < $JlProbeN
+       |), proj AS (
+       |  SELECT vec_id, v, [$pEntries] AS p FROM emb
+       |), pairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    list_transform(range(1, ${JlD + 1}),
+       |      i -> a.v[CAST(i AS INT)] - b.v[CAST(i AS INT)]) AS dv,
+       |    list_transform(range(1, ${JlK + 1}),
+       |      i -> a.p[CAST(i AS INT)] - b.p[CAST(i AS INT)]) AS dp
+       |  FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+       |)
+       |SELECT id1, id2, list_dot_product(dv, dv) AS orig_d2,
+       |  list_dot_product(dp, dp) AS proj_d2,
+       |  list_dot_product(dp, dp) / list_dot_product(dv, dv) AS ratio
+       |FROM pairs WHERE list_dot_product(dv, dv) > 0
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   def q16Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))

@@ -217,4 +217,16 @@ class AnnSpec extends AnyFunSuite {
     // rank3 = the dup
     assert(picks.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
   }
+
+  test("JL projection: pairwise distance ratios concentrate around 1") {
+    val r = graft.queries.TextQueries
+      .q131JlProjection(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getAs[Double]("ratio"))
+    assert(r.nonEmpty)
+    // k=16 gives a loose but real JL envelope; catastrophic distortion
+    // (a wrong sign matrix, a dropped scale) lands far outside it
+    assert(r.forall(x => x > 0.2 && x < 3.0), r.mkString(","))
+    val mean = r.sum / r.length
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean")
+  }
 }
