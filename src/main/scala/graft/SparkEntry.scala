@@ -152,6 +152,7 @@ object SparkEntry {
     "q129_inverted_index" -> (TextQueries.q129InvertedIndex _),
     "q130_quality_classifier" -> (Curation.q130QualityClassifier _),
     "q131_jl_projection" -> (TextQueries.q131JlProjection _),
+    "q132_compaction_plan" -> (Curation.q132CompactionPlan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -394,6 +395,7 @@ object SparkEntry {
     "q129_inverted_index" -> TextQueries.oracleQ129,
     "q130_quality_classifier" -> Curation.oracleQ130,
     "q131_jl_projection" -> TextQueries.oracleQ131,
+    "q132_compaction_plan" -> Curation.oracleQ132,
   )
 
   private val asofOracle: String =

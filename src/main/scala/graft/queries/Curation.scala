@@ -1347,6 +1347,51 @@ object Curation {
        |  (floor((1.0 / (1.0 + exp(-z))) * 1e6 + 0.5) / 1e6) >= 0.5 AS keep
        |FROM zz ORDER BY doc_id""".stripMargin
 
+  /** Target output-group capacity (chars) for the q132 compaction plan. */
+  val CompactTarget = 4000L
+
+  /** q132 — small-file compaction planning: group a partition's files
+    * into ~[[CompactTarget]]-sized output groups, the way
+    * `FileSourceScanExec` packs splits under `maxPartitionBytes` and
+    * table-maintenance jobs (Delta OPTIMIZE / Iceberg rewrite) plan
+    * rewrite groups. Files (here: `documents` rows, size = n_chars)
+    * sort size-DESCENDING per partition (`source`) and pack next-fit:
+    * group = ⌊(running-sum − size) / target⌋ — the windowed form of the
+    * planner loop, deterministic and shuffle-minimal (one window over
+    * the manifest, which is METADATA — at 100 TB the file manifest is
+    * millions of rows, not billions; a single window per partition key
+    * is the right cost). Emits the plan plus per-group rollups a rewrite
+    * job executes from. */
+  def q132CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("grp",
+        ((sum(col("n_chars")).over(w) - col("n_chars")) / CompactTarget)
+          .cast("long"))
+    planned.groupBy(col("source"), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("grp_bytes"),
+        min(col("doc_id")).as("first_file"), max(col("doc_id")).as("last_file"))
+      .orderBy(col("source"), col("grp"))
+  }
+
+  val oracleQ132: String =
+    s"""WITH planned AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST((SUM(n_chars) OVER (PARTITION BY source
+       |        ORDER BY n_chars DESC, doc_id
+       |        ROWS UNBOUNDED PRECEDING) - n_chars)
+       |      // $CompactTarget AS BIGINT) AS grp
+       |  FROM documents
+       |)
+       |SELECT source, grp, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(n_chars) AS BIGINT) AS grp_bytes,
+       |  MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
+       |FROM planned GROUP BY source, grp
+       |ORDER BY source, grp""".stripMargin
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's
