@@ -153,6 +153,7 @@ object SparkEntry {
     "q130_quality_classifier" -> (Curation.q130QualityClassifier _),
     "q131_jl_projection" -> (TextQueries.q131JlProjection _),
     "q132_compaction_plan" -> (Curation.q132CompactionPlan _),
+    "q133_rebalance" -> (Curation.q133Rebalance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -396,6 +397,7 @@ object SparkEntry {
     "q130_quality_classifier" -> Curation.oracleQ130,
     "q131_jl_projection" -> TextQueries.oracleQ131,
     "q132_compaction_plan" -> Curation.oracleQ132,
+    "q133_rebalance" -> Curation.oracleQ133,
   )
 
   private val asofOracle: String =

@@ -69,4 +69,36 @@ object Sampling {
         - 1).cast("long"))
       .drop("__h")
   }
+
+  /** EXACT class rebalancing: downsample every stratum to the minority
+    * stratum's count, deterministically — rank each row within its
+    * stratum by (md5 hash, id) and keep rank ≤ min-count. Unlike
+    * [[stratifiedHash]] (fixed configured rates, approximate counts),
+    * the draw here is computed FROM the data and lands each class on
+    * exactly the same count — the class-balance contract a fine-tuning
+    * set or eval suite needs.
+    *
+    * Determinism is the same hash-order story as [[shardAssign]]: the
+    * kept set is a pure function of the ids (no RNG), though unlike the
+    * rate-based draw it is NOT append-stable — new arrivals can displace
+    * ranks, which is inherent to any exact-count contract.
+    *
+    * Scale shape: one count aggregation (rows = |strata|, min taken via
+    * a broadcast scalar), one window rank per stratum (the unavoidable
+    * cost of exactness — rate-based [[stratifiedHash]] is the zero-
+    * shuffle alternative when ±1% counts are acceptable). */
+  def balanceToMinority(df: DataFrame, idCol: String,
+                        stratCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(stratCol)).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__m"))
+    val h = conv(substring(md5(concat(lit("rb:"),
+      col(idCol).cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(stratCol)).orderBy(h, col(idCol))))
+      .crossJoin(broadcast(minCnt))
+      .filter(col("__rk") <= col("__m"))
+      .drop("__rk", "__m")
+  }
 }

@@ -1392,6 +1392,30 @@ object Curation {
        |FROM planned GROUP BY source, grp
        |ORDER BY source, grp""".stripMargin
 
+  /** q133 — exact class rebalancing ([[Sampling.balanceToMinority]]):
+    * every language downsampled to the minority language's count by
+    * deterministic hash rank. The gate pins the exact kept SET (not just
+    * counts): which doc survives depends on the full within-stratum hash
+    * order. */
+  def q133Rebalance(s: SparkSession, dir: String): DataFrame =
+    Sampling.balanceToMinority(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang")
+      .orderBy(col("doc_id"))
+
+  val oracleQ133: String =
+    s"""WITH c AS (
+       |  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+       |), m AS (SELECT MIN(cnt) AS m FROM c),
+       |rk AS (
+       |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY CAST(('0x' || substr(md5('rb:' ||
+       |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rk
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang FROM rk, m WHERE rk <= m
+       |ORDER BY doc_id""".stripMargin
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's

@@ -325,4 +325,18 @@ class CurationSpec extends AnyFunSuite {
     assert(enc("aaaab") == (("aaaa b", 2L)))
     assert(enc("dd") == (("dd", 1L)))
   }
+
+  test("balanceToMinority: every stratum lands on exactly the min count") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "en")) ++
+      (101 to 130).map(i => (i.toLong, "ja")) ++
+      (131 to 140).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val kept = Sampling.balanceToMinority(df, "doc_id", "lang").collect()
+    val byLang = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 10, "ja" -> 10, "de" -> 10))
+    // deterministic: re-running picks the identical set
+    val again = Sampling.balanceToMinority(df, "doc_id", "lang")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+  }
 }
