@@ -154,6 +154,7 @@ object SparkEntry {
     "q131_jl_projection" -> (TextQueries.q131JlProjection _),
     "q132_compaction_plan" -> (Curation.q132CompactionPlan _),
     "q133_rebalance" -> (Curation.q133Rebalance _),
+    "q134_rrf_fusion" -> (TextQueries.q134RrfFusion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -398,6 +399,7 @@ object SparkEntry {
     "q131_jl_projection" -> TextQueries.oracleQ131,
     "q132_compaction_plan" -> Curation.oracleQ132,
     "q133_rebalance" -> Curation.oracleQ133,
+    "q134_rrf_fusion" -> TextQueries.oracleQ134,
   )
 
   private val asofOracle: String =

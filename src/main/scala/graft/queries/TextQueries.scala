@@ -294,6 +294,99 @@ object TextQueries {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** RRF constant (Cormack et al. 2009's k=60) and run cut for q134. */
+  val RrfK = 60
+  val RrfCut = 20
+  val RrfTopN = 10
+
+  /** q134 — reciprocal-rank fusion of three retrieval runs (cosine /
+    * dot-product / negative-L2 rankings of the same query vector): the
+    * standard zero-tuning combiner for hybrid retrieval (lexical +
+    * dense, or multiple dense metrics). Per run, candidates cut at
+    * rank ≤ [[RrfCut]]; fused score = Σ 1/([[RrfK]] + rank) over the
+    * runs that retrieved the doc; top [[RrfTopN]] by (score, vec_id).
+    *
+    * Exactness: ranks are integers, each run contributes the double
+    * `1/(k+rank)`, and the fused sum is the fixed-order three-term
+    * expression `c + d + l` (null → 0) — no data-ordered summation
+    * anywhere, so the gate pins it bit-exactly.
+    *
+    * Scale shape: the three scorings share ONE scan+broadcast of the
+    * query vector (three score columns in a single projection); each
+    * run's rank is a window over the top-cut; fusion is a 3-way
+    * full-outer join on doc id of rank-cut-sized relations. */
+  def q134RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val scored = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.cosineSim(col("v"), col("qv")).as("s_cos"),
+        VectorExprs.dot(col("v"), col("qv")).as("s_dot"),
+        (-VectorExprs.sumSquares(zip_with(col("v"), col("qv"),
+          (x, y) => x - y))).as("s_l2"))
+    def run(scoreCol: String): DataFrame =
+      scored.filter(col(scoreCol).isNotNull)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col(scoreCol).desc, col("vec_id"))))
+        .filter(col("rk") <= RrfCut)
+        .select(col("vec_id"), col("rk"))
+    val fused = run("s_cos").withColumnRenamed("rk", "r_cos")
+      .join(run("s_dot").withColumnRenamed("rk", "r_dot"),
+        Seq("vec_id"), "full")
+      .join(run("s_l2").withColumnRenamed("rk", "r_l2"),
+        Seq("vec_id"), "full")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_cos")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_dot")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_l2")), lit(0.0)))
+    fused.orderBy(col("rrf").desc, col("vec_id")).limit(RrfTopN)
+      .select(col("vec_id"), col("r_cos"), col("r_dot"), col("r_l2"),
+        col("rrf"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+  }
+
+  lazy val oracleQ134: String = {
+    val cosine =
+      "list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * " +
+        "sqrt(list_dot_product(qv, qv)))"
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT vec_id, $cosine AS s_cos,
+       |    list_dot_product(v, qv) AS s_dot,
+       |    -list_dot_product(dv, dv) AS s_l2
+       |  FROM (SELECT e.vec_id, e.v, q.qv,
+       |      list_transform(range(1, ${JlD + 1}),
+       |        i -> e.v[CAST(i AS INT)] - q.qv[CAST(i AS INT)]) AS dv
+       |    FROM emb e, q WHERE e.vec_id <> 0)
+       |), rc AS (
+       |  SELECT vec_id, rk FROM (SELECT vec_id, ROW_NUMBER() OVER
+       |    (ORDER BY s_cos DESC, vec_id) AS rk FROM scored
+       |    WHERE s_cos IS NOT NULL) WHERE rk <= $RrfCut
+       |), rd AS (
+       |  SELECT vec_id, rk FROM (SELECT vec_id, ROW_NUMBER() OVER
+       |    (ORDER BY s_dot DESC, vec_id) AS rk FROM scored) WHERE rk <= $RrfCut
+       |), rl AS (
+       |  SELECT vec_id, rk FROM (SELECT vec_id, ROW_NUMBER() OVER
+       |    (ORDER BY s_l2 DESC, vec_id) AS rk FROM scored) WHERE rk <= $RrfCut
+       |), fused AS (
+       |  SELECT COALESCE(rc.vec_id, rd.vec_id, rl.vec_id) AS vec_id,
+       |    rc.rk AS r_cos, rd.rk AS r_dot, rl.rk AS r_l2,
+       |    COALESCE(1.0 / ($RrfK + rc.rk), 0.0)
+       |      + COALESCE(1.0 / ($RrfK + rd.rk), 0.0)
+       |      + COALESCE(1.0 / ($RrfK + rl.rk), 0.0) AS rrf
+       |  FROM rc
+       |  FULL JOIN rd ON rd.vec_id = rc.vec_id
+       |  FULL JOIN rl ON rl.vec_id = COALESCE(rc.vec_id, rd.vec_id)
+       |)
+       |SELECT vec_id, r_cos, r_dot, r_l2, rrf FROM fused
+       |ORDER BY rrf DESC, vec_id LIMIT $RrfTopN""".stripMargin
+  }
+
   def q16Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
