@@ -155,6 +155,7 @@ object SparkEntry {
     "q132_compaction_plan" -> (Curation.q132CompactionPlan _),
     "q133_rebalance" -> (Curation.q133Rebalance _),
     "q134_rrf_fusion" -> (TextQueries.q134RrfFusion _),
+    "q135_dataset_card" -> (Curation.q135DatasetCard _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -400,6 +401,7 @@ object SparkEntry {
     "q132_compaction_plan" -> Curation.oracleQ132,
     "q133_rebalance" -> Curation.oracleQ133,
     "q134_rrf_fusion" -> TextQueries.oracleQ134,
+    "q135_dataset_card" -> Curation.oracleQ135,
   )
 
   private val asofOracle: String =

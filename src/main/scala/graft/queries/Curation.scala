@@ -1416,6 +1416,97 @@ object Curation {
        |SELECT doc_id, lang FROM rk, m WHERE rk <= m
        |ORDER BY doc_id""".stripMargin
 
+  /** q135 — the per-source "dataset card": the nightly corpus report a
+    * curation pipeline publishes beside its shards — doc/token counts,
+    * mean quality, exact-dup rate (md5 fingerprints duplicated anywhere
+    * in the corpus, attributed to each source), and language entropy.
+    * Every continuous statistic rides the scaled-integer discipline:
+    * per-doc quality and per-language ln(p) are quantized to 1e-6
+    * integers BEFORE any data-ordered sum, so the aggregation is exact
+    * integer math and the gate pins it bit-identically.
+    *
+    * Scale shape: ONE corpus scan builds the materialized (source, lang,
+    * tokens, q6, fingerprint) base; everything after is group-by rollups
+    * of that base plus a fingerprint-keyed semi-join for the dup count —
+    * all map-side combinable, nothing corpus-quadratic. */
+  def q135DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val base0 = Tables.documents(s, dir).select(col("source"), col("lang"),
+      Text.tokenCount(col("text")).cast("long").as("nt"),
+      floor(Text.qualityScore(col("text")) * lit(1e6) + lit(0.5)).as("q6"),
+      Text.fingerprint(col("text")).as("fp"))
+    Materialize.withMaterialized(base0) { base =>
+      val dupFps = base.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("fp"))
+      val nDup = base.join(dupFps, Seq("fp"), "leftsemi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+      val ns = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"), sum(col("q6")).as("sq6"))
+      val lg = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val ent = lg.join(broadcast(ns.select(col("source"), col("n_docs"))),
+          Seq("source"))
+        .select(col("source"), (col("c") *
+          floor(log(col("c").cast("double") / col("n_docs").cast("double"))
+            * lit(1e6) + lit(0.5))).as("hterm"))
+        .groupBy(col("source")).agg(sum(col("hterm")).as("hsum"))
+      ns.join(ent, Seq("source")).join(nDup, Seq("source"), "left")
+        .na.fill(0L, Seq("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("sq6").cast("double")
+            / (col("n_docs").cast("double") * lit(1e6))).as("mean_quality"),
+          col("n_dup"),
+          (col("n_dup").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"),
+          (-col("hsum").cast("double")
+            / (col("n_docs").cast("double") * lit(1e6))).as("lang_entropy"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+    }
+  }
+
+  val oracleQ135: String =
+    s"""WITH base AS (
+       |  SELECT source, lang,
+       |    CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS nt,
+       |    CAST(floor((${TextQueries.qualityExpr}) * 1e6 + 0.5) AS BIGINT)
+       |      AS q6,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM (SELECT source, lang, text,
+       |      len(regexp_extract_all(text, '\\w+')) AS n_tokens,
+       |      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |        'g'), ' ') AS toks
+       |    FROM documents) t
+       |), dup AS (
+       |  SELECT fp FROM base GROUP BY fp HAVING COUNT(*) > 1
+       |), nd AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup
+       |  FROM base WHERE fp IN (SELECT fp FROM dup) GROUP BY source
+       |), ns AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(q6) AS BIGINT) AS sq6
+       |  FROM base GROUP BY source
+       |), lg AS (
+       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM base GROUP BY source, lang
+       |), ent AS (
+       |  SELECT lg.source,
+       |    CAST(SUM(lg.c * CAST(floor(ln(CAST(lg.c AS DOUBLE)
+       |      / CAST(ns.n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS hsum
+       |  FROM lg JOIN ns USING (source) GROUP BY lg.source
+       |)
+       |SELECT ns.source, n_docs, n_tokens,
+       |  CAST(sq6 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6)
+       |    AS mean_quality,
+       |  CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup,
+       |  CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    AS dup_rate,
+       |  -CAST(ent.hsum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1e6)
+       |    AS lang_entropy
+       |FROM ns JOIN ent USING (source) LEFT JOIN nd USING (source)
+       |ORDER BY source""".stripMargin
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's
