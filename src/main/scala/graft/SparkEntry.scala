@@ -156,6 +156,7 @@ object SparkEntry {
     "q133_rebalance" -> (Curation.q133Rebalance _),
     "q134_rrf_fusion" -> (TextQueries.q134RrfFusion _),
     "q135_dataset_card" -> (Curation.q135DatasetCard _),
+    "q136_quality_keeper" -> (TextQueries.q136QualityKeeper _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -402,6 +403,7 @@ object SparkEntry {
     "q133_rebalance" -> Curation.oracleQ133,
     "q134_rrf_fusion" -> TextQueries.oracleQ134,
     "q135_dataset_card" -> Curation.oracleQ135,
+    "q136_quality_keeper" -> TextQueries.oracleQ136,
   )
 
   private val asofOracle: String =

@@ -517,6 +517,58 @@ FROM reach GROUP BY a ORDER BY doc_id"""
 
   lazy val oracleQ79: String = oracleQ61
 
+  /** q136 — QUALITY-AWARE dedup keeper selection: within each near-dup
+    * cluster keep the highest-quality member (tie: lowest doc_id), not
+    * the arbitrary min-id canonical q61/q69 use. This is the keeper rule
+    * real curation stacks prefer (SemDeDup and friends keep the best
+    * exemplar, dropping near-dups of LOWER quality); min-id is only
+    * right when members are interchangeable. Quality compares as the
+    * 1e-6 scaled INTEGER (q13's score quantized), so the argmax has no
+    * FP-tie ambiguity.
+    *
+    * Scale shape: clusters come from the gated CC; quality joins on
+    * doc_id; the keeper is one grouped max over a (q6, -doc_id) struct
+    * (combinable — no window over the corpus), joined back onto the
+    * cluster-member relation (pair-graph-sized, not corpus-sized). */
+  def q136QualityKeeper(s: SparkSession, dir: String): DataFrame = {
+    val cc = Dedup.connectedComponentsAdaptive(
+      q15NearDupPairs(s, dir).select(col("id1"), col("id2")))
+    val qv = Tables.documents(s, dir).select(col("doc_id"),
+      floor(Text.qualityScore(col("text")) * lit(1e6) + lit(0.5)).as("q6"))
+    val mq = cc.select(col("doc_id"), col("cluster")).join(qv, Seq("doc_id"))
+    val keeper = mq.groupBy(col("cluster"))
+      .agg(max(struct(col("q6"), (-col("doc_id")).as("nid"))).as("k"))
+      .select(col("cluster"), (-col("k.nid")).as("keeper"))
+    mq.join(keeper, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("q6"), col("keeper"),
+        (col("doc_id") === col("keeper")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val oracleQ136: String =
+    s"""$clusterCtes, mem AS (
+       |  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster
+       |  FROM reach GROUP BY a
+       |), qv AS (
+       |  SELECT doc_id, CAST(floor(($qualityExpr) * 1e6 + 0.5) AS BIGINT)
+       |    AS q6
+       |  FROM (SELECT doc_id, text,
+       |      len(regexp_extract_all(text, '\\w+')) AS n_tokens,
+       |      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+       |        'g'), ' ') AS toks
+       |    FROM documents) t
+       |), mq AS (
+       |  SELECT mem.doc_id, mem.cluster, qv.q6
+       |  FROM mem JOIN qv USING (doc_id)
+       |), kp AS (
+       |  SELECT cluster, doc_id AS keeper FROM (
+       |    SELECT cluster, doc_id, ROW_NUMBER() OVER (PARTITION BY cluster
+       |      ORDER BY q6 DESC, doc_id) AS rn FROM mq) WHERE rn = 1
+       |)
+       |SELECT mq.doc_id, mq.cluster, mq.q6, kp.keeper,
+       |  (mq.doc_id = kp.keeper) AS keep
+       |FROM mq JOIN kp USING (cluster) ORDER BY doc_id""".stripMargin
+
   /** The dedup pipeline APPLIED, end to end: shingle → MinHash-LSH
     * candidates → Jaccard verify → connected components → drop every
     * non-canonical cluster member → per-source surviving-corpus report.
