@@ -157,6 +157,7 @@ object SparkEntry {
     "q134_rrf_fusion" -> (TextQueries.q134RrfFusion _),
     "q135_dataset_card" -> (Curation.q135DatasetCard _),
     "q136_quality_keeper" -> (TextQueries.q136QualityKeeper _),
+    "q137_semantic_decontam" -> (TextQueries.q137SemanticDecontam _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -404,6 +405,7 @@ object SparkEntry {
     "q134_rrf_fusion" -> TextQueries.oracleQ134,
     "q135_dataset_card" -> Curation.oracleQ135,
     "q136_quality_keeper" -> TextQueries.oracleQ136,
+    "q137_semantic_decontam" -> TextQueries.oracleQ137,
   )
 
   private val asofOracle: String =

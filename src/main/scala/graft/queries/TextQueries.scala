@@ -569,6 +569,74 @@ FROM reach GROUP BY a ORDER BY doc_id"""
        |  (mq.doc_id = kp.keeper) AS keep
        |FROM mq JOIN kp USING (cluster) ORDER BY doc_id""".stripMargin
 
+  /** Semantic-contamination flag threshold for q137. */
+  val SemContamTau = 0.92
+
+  /** q137 — SEMANTIC decontamination (the dense-embedding counterpart of
+    * q68's exact k-gram screen, per the contamination analyses in GPT-3
+    * §4 / PaLM app. / SemDeDup): for every TRAIN document (vec_id =
+    * doc_id contract), the maximum cosine to any EVAL-benchmark
+    * document ([[graft.queries.Curation.DecontamEvalSource]]) and the
+    * eval doc attaining it; `contaminated` flags max-cos ≥
+    * [[SemContamTau]]. Catches paraphrase-level leakage exact n-gram
+    * overlap misses.
+    *
+    * Scale shape: the eval benchmark is SMALL by nature — it broadcasts
+    * (same asymmetry q68 exploits), the train corpus never shuffles, and
+    * the per-train argmax is a combinable grouped max over a
+    * (cos, -eval_id) struct. Train-side norms are hoisted per row
+    * (rule 9), native codegen dot folds do the math. */
+  def q137SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs
+    val evalIds = Tables.documents(s, dir)
+      .filter(col("source") === Curation.DecontamEvalSource)
+      .select(col("doc_id").as("vec_id"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(VectorExprs.sumSquares(col("v")) > 0)
+    val evalV = emb.join(evalIds, Seq("vec_id"))
+      .select(col("vec_id").as("eid"), col("v").as("ev"))
+    val trainV = emb.join(evalIds, Seq("vec_id"), "left_anti")
+    trainV.crossJoin(broadcast(evalV))
+      .select(col("vec_id"),
+        struct(graft.functions.cosineSim(col("v"), col("ev")).as("c"),
+          (-col("eid")).as("ne")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("s")).as("m"))
+      .select(col("vec_id"), (-col("m.ne")).as("best_eval"),
+        col("m.c").as("max_cos"),
+        (col("m.c") >= SemContamTau).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  lazy val oracleQ137: String = {
+    val cosine =
+      "list_dot_product(v, evv) / (sqrt(list_dot_product(v, v)) * " +
+        "sqrt(list_dot_product(evv, evv)))"
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+       |    CAST(embedding AS DOUBLE[])) > 0
+       |), evset AS (
+       |  SELECT e.vec_id AS eid, e.v AS evv FROM emb e
+       |  JOIN documents d ON d.doc_id = e.vec_id
+       |  WHERE d.source = '${Curation.DecontamEvalSource}'
+       |), tr AS (
+       |  SELECT e.vec_id, e.v FROM emb e
+       |  WHERE e.vec_id NOT IN (SELECT eid FROM evset)
+       |), scored AS (
+       |  SELECT t.vec_id, s.eid, $cosine AS c
+       |  FROM tr t CROSS JOIN evset s
+       |), best AS (
+       |  SELECT vec_id, eid, c FROM (
+       |    SELECT vec_id, eid, c, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, eid) AS rn FROM scored) WHERE rn = 1
+       |)
+       |SELECT vec_id, eid AS best_eval, c AS max_cos,
+       |  (c >= $SemContamTau) AS contaminated
+       |FROM best ORDER BY vec_id""".stripMargin
+  }
+
   /** The dedup pipeline APPLIED, end to end: shingle → MinHash-LSH
     * candidates → Jaccard verify → connected components → drop every
     * non-canonical cluster member → per-source surviving-corpus report.
