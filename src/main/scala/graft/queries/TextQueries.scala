@@ -97,6 +97,19 @@ object TextQueries {
     * boundary, the regime where LSH's per-pair miss probability matters. */
   val AllPairsTau = 0.5
 
+  /** Shingle width for the exact join: LONG shingles (k=16), not the LSH
+    * pipeline's k=5. Prefix filtering's selectivity comes from element
+    * RARITY, which requires a sparse universe: at k=5 this corpus has
+    * only ~2k distinct shingles across ~1M memberships (df up to 78% of
+    * the corpus), and the "rarest-element" prefix join degenerates to
+    * ~11M candidates for a 256-pair answer — no τ fixes that (τ=0.9
+    * still left 5.3M). At k=16 the universe is ~600k shingles (max df
+    * ~6%), candidates drop 130× to ~87k, and the filter works as
+    * designed. Same reason Lee et al. 2022 run exact dedup on 50-gram
+    * windows: long shingles are what make exact joins tractable at
+    * 100 TB. (Measured at sf0.1; see PLANS.md q123.) */
+  val AllPairsK = 16
+
   /** q123 — EXACT all-pairs Jaccard join via prefix filtering
     * ([[PrefixJoin.allPairsJaccard]]): every pair with shingle-set Jaccard
     * ≥ τ, guaranteed complete (no LSH miss probability). The oracle is the
@@ -105,13 +118,13 @@ object TextQueries {
   def q123AllPairsJoin(s: SparkSession, dir: String): DataFrame =
     PrefixJoin.allPairsJaccard(
       Dedup.shingleHashArrays(Tables.documents(s, dir), "doc_id", "text",
-        ShingleK),
+        AllPairsK),
       "doc_id", AllPairsTau)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
   lazy val oracleQ123: String =
-    s"""$shingleHashCtes, sz AS (
+    s"""${shingleHashCtesK(AllPairsK)}, sz AS (
        |  SELECT doc_id, COUNT(*) AS sz FROM hs0 GROUP BY doc_id
        |), inter AS (
        |  SELECT a.doc_id AS i1, b.doc_id AS i2, COUNT(*) AS i
@@ -1565,23 +1578,26 @@ GROUP BY d.source ORDER BY d.source"""
        |  FROM $normRel
        |)""".stripMargin
 
-  /** Shared CTE prefix: normalize → k-shingles → DISTINCT 60-bit hashes
-    * (`hs0(doc_id, h60)` — the DuckDB mirror of
-    * [[Dedup.shingleHashArrays]]). Composed into [[minhashCtes]] and the
-    * exact-join oracle [[oracleQ123]]. */
-  private val shingleHashCtes: String =
+  /** Shared CTE prefix at an arbitrary shingle width: normalize →
+    * k-shingles → DISTINCT 60-bit hashes (`hs0(doc_id, h60)` — the DuckDB
+    * mirror of [[Dedup.shingleHashArrays]]). */
+  private def shingleHashCtesK(k: Int): String =
     s"""WITH norm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents
        |), ${capGuardCte("capg", "norm")}, sh AS (
-       |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $ShingleK) AS shingle
+       |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $k) AS shingle
        |  FROM norm, range(1, $OraclePosCap) r(i), capg
-       |  WHERE capg.ok = 1 AND len(t) >= $ShingleK AND i <= len(t) - ${ShingleK - 1}
+       |  WHERE capg.ok = 1 AND len(t) >= $k AND i <= len(t) - ${k - 1}
        |), hs0 AS (
        |  SELECT DISTINCT doc_id,
        |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h60
        |  FROM sh
        |)""".stripMargin
+
+  /** [[shingleHashCtesK]] at the LSH pipeline's [[ShingleK]] — composed
+    * into [[minhashCtes]]. */
+  private lazy val shingleHashCtes: String = shingleHashCtesK(ShingleK)
 
   /** [[shingleHashCtes]] extended with minhash signatures → bands. */
   private val minhashCtes: String =
