@@ -158,6 +158,8 @@ object SparkEntry {
     "q135_dataset_card" -> (Curation.q135DatasetCard _),
     "q136_quality_keeper" -> (TextQueries.q136QualityKeeper _),
     "q137_semantic_decontam" -> (TextQueries.q137SemanticDecontam _),
+    "q138_top_p" -> (Curation.q138TopP _),
+    "q139_pmi_pairs" -> (Curation.q139PmiPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -406,6 +408,8 @@ object SparkEntry {
     "q135_dataset_card" -> Curation.oracleQ135,
     "q136_quality_keeper" -> TextQueries.oracleQ136,
     "q137_semantic_decontam" -> TextQueries.oracleQ137,
+    "q138_top_p" -> Curation.oracleQ138,
+    "q139_pmi_pairs" -> Curation.oracleQ139,
   )
 
   private val asofOracle: String =

@@ -1507,6 +1507,150 @@ object Curation {
        |FROM ns JOIN ent USING (source) LEFT JOIN nd USING (source)
        |ORDER BY source""".stripMargin
 
+  /** Nucleus mass (×10) for q138 — p = 0.8 carried as the integer 8 so
+    * the cutoff compares exact integers, never floats. */
+  val TopPNum = 8
+
+  /** q138 — top-p (nucleus) cutoff sets over the corpus bigram
+    * distribution (Holtzman et al. 2020's sampling rule, computed as a
+    * dataset statistic): for every context token, the SMALLEST
+    * most-probable next-token set whose mass reaches p, reported with
+    * its size and exact mass. The decoding-side companion to q100's
+    * bigram LM — and the membership rule is pure integer arithmetic:
+    * token counts are exact, and "mass before this token < p·total"
+    * compares `(cum−cnt)·10 < 8·total` with no division anywhere.
+    *
+    * Scale shape: bigram counts are one map-side-combined shuffle; the
+    * per-context ranking window runs over the (context, next) VOCAB
+    * relation (vocabulary²-bounded, not corpus-bounded); the rollup is
+    * one grouped aggregation. */
+  def q138TopP(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(filter(split(Text.normalize(col("text")), " "),
+        w => length(w) > 0).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(t) - 1), " +
+        "i -> struct(element_at(t, i) AS prev, " +
+        "element_at(t, i + 1) AS next))")).as("p"))
+      .groupBy(col("p.prev").as("prev"), col("p.next").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = bg.groupBy(col("prev")).agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_next"))
+    val w = Window.partitionBy(col("prev"))
+      .orderBy(col("cnt").desc, col("next"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bg.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(tot), Seq("prev"))
+      .filter((col("cum") - col("cnt")) * 10 < lit(TopPNum) * col("total"))
+      .groupBy(col("prev"))
+      .agg(count(lit(1)).as("topp_size"), max(col("cum")).as("topp_cnt"),
+        first(col("total")).as("total"), first(col("n_next")).as("n_next"))
+      .select(col("prev"), col("n_next"), col("topp_size"),
+        col("topp_cnt"), col("total"))
+      .orderBy(col("prev"))
+  }
+
+  val oracleQ138: String =
+    s"""WITH t0 AS (
+       |  SELECT list_filter(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    w -> len(w) > 0) AS t
+       |  FROM documents
+       |), tg AS (
+       |  SELECT CASE WHEN max(len(t)) >= ${TextQueries.OraclePosCap}
+       |    THEN error('q138 token cap exceeded') ELSE 1 END AS ok FROM t0
+       |), bg AS (
+       |  SELECT t[CAST(i AS INT)] AS prev, t[CAST(i+1 AS INT)] AS next,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM t0, range(1, ${TextQueries.OraclePosCap}) r(i), tg
+       |  WHERE tg.ok = 1 AND len(t) >= 2 AND i <= len(t) - 1
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT prev, CAST(SUM(cnt) AS BIGINT) AS total,
+       |    CAST(COUNT(*) AS BIGINT) AS n_next
+       |  FROM bg GROUP BY prev
+       |), ranked AS (
+       |  SELECT bg.prev, bg.cnt,
+       |    SUM(bg.cnt) OVER (PARTITION BY bg.prev
+       |      ORDER BY bg.cnt DESC, bg.next ROWS UNBOUNDED PRECEDING) AS cum,
+       |    tot.total, tot.n_next
+       |  FROM bg JOIN tot USING (prev)
+       |)
+       |SELECT prev, n_next, CAST(COUNT(*) AS BIGINT) AS topp_size,
+       |  CAST(MAX(cum) AS BIGINT) AS topp_cnt, total
+       |FROM ranked WHERE (cum - cnt) * 10 < $TopPNum * total
+       |GROUP BY prev, n_next, total ORDER BY prev""".stripMargin
+
+  /** Pair cut for the q139 PMI survey. */
+  val PmiTopK = 30
+
+  /** q139 — pointwise-mutual-information co-occurrence mining (Church &
+    * Hanks 1990): the [[PmiTopK]] most frequent within-document word
+    * pairs with their exact document-co-occurrence counts and PMI =
+    * ln(c12·D / (c1·c2)), quantized on the 1e-6 grid. The collocation/
+    * topic-signal survey a corpus audit runs beside the unigram KL
+    * drift (q84). Ranking is by EXACT integers (c12, w1, w2) — the
+    * transcendental only decorates the result, it never orders it.
+    *
+    * Scale shape: the distinct (doc, word) relation is one
+    * map-side-combined distinct; the pair self-join keys on doc_id with
+    * per-doc fan-out bounded by distinct-words-per-doc² (vocabulary
+    * discipline — the corpus-wide pair space is vocab²-bounded, not
+    * corpus²); df and D attach as broadcast dims to the TOP-K cut only. */
+  def q139PmiPairs(s: SparkSession, dir: String): DataFrame = {
+    val dt0 = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        filter(split(Text.normalize(col("text")), " "),
+          w => length(w) > 0))).as("w"))
+    Materialize.withMaterialized(dt0) { dt =>
+      val dfw = dt.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nd = dt.agg(countDistinct(col("doc_id")).as("d"))
+      val pairs = dt.select(col("doc_id"), col("w").as("w1"))
+        .join(dt.select(col("doc_id"), col("w").as("w2")), Seq("doc_id"))
+        .filter(col("w1") < col("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      pairs.orderBy(col("c12").desc, col("w1"), col("w2")).limit(PmiTopK)
+        .join(broadcast(dfw.select(col("w").as("w1"), col("c").as("c1"))),
+          Seq("w1"))
+        .join(broadcast(dfw.select(col("w").as("w2"), col("c").as("c2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(nd))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          floor(log((col("c12") * col("d")).cast("double")
+            / (col("c1") * col("c2")).cast("double")) * lit(1e6) + lit(0.5))
+            .as("pmi6"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .localCheckpoint()
+    }
+  }
+
+  val oracleQ139: String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(
+       |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |      x -> len(x) > 0)) AS w
+       |    FROM documents)
+       |), dfw AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY w
+       |), nd AS (
+       |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM dt
+       |), pairs AS (
+       |  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT * FROM pairs ORDER BY c12 DESC, w1, w2 LIMIT $PmiTopK
+       |)
+       |SELECT t.w1, t.w2, t.c12, f1.c AS c1, f2.c AS c2,
+       |  CAST(floor(ln(CAST(t.c12 * nd.d AS DOUBLE)
+       |    / CAST(f1.c * f2.c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS pmi6
+       |FROM top t
+       |CROSS JOIN nd
+       |JOIN dfw f1 ON f1.w = t.w1
+       |JOIN dfw f2 ON f2.w = t.w2
+       |ORDER BY c12 DESC, w1, w2""".stripMargin
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's
