@@ -160,6 +160,7 @@ object SparkEntry {
     "q137_semantic_decontam" -> (TextQueries.q137SemanticDecontam _),
     "q138_top_p" -> (Curation.q138TopP _),
     "q139_pmi_pairs" -> (Curation.q139PmiPairs _),
+    "q140_gif_decode" -> (Advanced.q140GifDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -410,6 +411,7 @@ object SparkEntry {
     "q137_semantic_decontam" -> TextQueries.oracleQ137,
     "q138_top_p" -> Curation.oracleQ138,
     "q139_pmi_pairs" -> Curation.oracleQ139,
+    "q140_gif_decode" -> Advanced.oracleQ140,
   )
 
   private val asofOracle: String =

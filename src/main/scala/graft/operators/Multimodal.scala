@@ -560,4 +560,195 @@ object Multimodal {
         ((col("checksum") * 31 + col("frame_idx")) % 1000000007L)
           .as("frame_checksum"))
   }
+
+  // -------------------- GIF87a (LZW) --------------------
+  // The third real compressed-format codec (after DEFLATE/PNG and the
+  // uncompressed BMP/WAV walks): GIF's variable-code-width LZW is a
+  // dictionary STATE MACHINE — decode correctness depends on rebuilding
+  // the encoder's dictionary one code behind it, including the classic
+  // lag-by-one width-bump pairing (encoder bumps at next == 2^cs + 1,
+  // decoder at next == 2^cs) and the "code not yet in dict" KwKwK case.
+  // A wrong width transition desynchronizes every later pixel, so the
+  // q140 index-sum gate catches it deterministically.
+
+  /** Deterministic 256-entry palette: (i, 255-i, (7i) mod 256). */
+  private def gifPalette(i: Int): (Int, Int, Int) =
+    (i, 255 - i, (7 * i) % 256)
+
+  /** Encode an 8-bit-indexed image as a minimal GIF87a: header, logical
+    * screen descriptor with a 256-entry global color table, one image
+    * descriptor, LZW-compressed data in ≤255-byte sub-blocks, trailer. */
+  def encodeGif(width: Int, height: Int, idx: Array[Byte]): Array[Byte] = {
+    require(idx.length == width * height, "index count != w*h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(width); le16(height)
+    out.write(0xf7) // global color table, 8 bpp, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    (0 until 256).foreach { i =>
+      val (r, g, b) = gifPalette(i); out.write(r); out.write(g); out.write(b)
+    }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(width); le16(height)
+    out.write(0) // no local table, not interlaced
+    val minCode = 8
+    out.write(minCode)
+    // --- LZW encode, LSB-first bit packing ---
+    val clear = 1 << minCode; val eoi = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0
+    var codeSize = minCode + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nbits; nbits += codeSize
+      while (nbits >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+    }
+    val dict = new java.util.HashMap[(Int, Int), Int]() // (prefixCode, sym)
+    var next = eoi + 1
+    emit(clear)
+    var cur = idx(0) & 0xff
+    var i = 1
+    while (i < idx.length) {
+      val sym = idx(i) & 0xff
+      val key = (cur, sym)
+      if (dict.containsKey(key)) cur = dict.get(key)
+      else {
+        emit(cur)
+        require(next < 4096, "dict full — mid-stream clear not implemented " +
+          "(encode inputs are sized below 4096 additions)")
+        dict.put(key, next); next += 1
+        // lag-by-one pairing with the decoder's bump-at-2^cs rule
+        if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        cur = sym
+      }
+      i += 1
+    }
+    emit(cur); emit(eoi)
+    if (nbits > 0) bits.write((acc & 0xff).toInt)
+    // sub-blocks
+    val data = bits.toByteArray
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode a GIF87a 8-bit image produced by a conforming encoder.
+    * Returns (width, height, Σ palette indices, r+g+b of pixel 0's
+    * palette entry). Fail-loud on structure: header, sub-block bounds,
+    * pixel-count mismatch, and out-of-range codes all throw. */
+  def decodeGif(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    require(bytes.length > 13 &&
+      new String(bytes, 0, 6, "ASCII") == "GIF87a", "not a GIF87a")
+    def u8(p: Int): Int = bytes(p) & 0xff
+    def le16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    val sw = le16(6); val sh = le16(8)
+    val flags = u8(10)
+    require((flags & 0x80) != 0, "expected a global color table")
+    val gctSize = 2 << (flags & 7)
+    var pos = 13
+    val palette = pos
+    require(pos + 3 * gctSize <= bytes.length, "truncated palette")
+    pos += 3 * gctSize
+    require(u8(pos) == 0x2c, "expected image descriptor")
+    val iw = le16(pos + 5); val ih = le16(pos + 7)
+    require(iw == sw && ih == sh, "sub-image decode not supported")
+    require((u8(pos + 9) & 0xc0) == 0, "local table/interlace unsupported")
+    pos += 10
+    val minCode = u8(pos); pos += 1
+    require(minCode == 8, s"expected 8-bit min code, got $minCode")
+    // reassemble sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var bl = u8(pos); pos += 1
+    while (bl != 0) {
+      require(pos + bl <= bytes.length, "truncated sub-block")
+      data.write(bytes, pos, bl); pos += bl
+      bl = u8(pos); pos += 1
+    }
+    require(pos < bytes.length && u8(pos) == 0x3b, "missing trailer")
+    val d = data.toByteArray
+    // --- LZW decode ---
+    val clear = 1 << minCode; val eoi = clear + 1
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    // dict as (prefix code, final symbol); literals implicit
+    val prefixOf = new Array[Int](4096); val symOf = new Array[Int](4096)
+    def expand(code: Int, into: java.io.ByteArrayOutputStream): Int = {
+      // returns the FIRST symbol of the expansion; writes expansion
+      var c = code; val stack = new scala.collection.mutable.ArrayBuffer[Int]()
+      while (c >= clear + 2) { stack += symOf(c); c = prefixOf(c) }
+      stack += c
+      var j = stack.length - 1
+      while (j >= 0) { into.write(stack(j)); j -= 1 }
+      c
+    }
+    val px = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0; var bi = 0
+    var prev = -1
+    var done = false
+    while (!done) {
+      while (nbits < codeSize && bi < d.length) {
+        acc |= (d(bi) & 0xffL) << nbits; nbits += 8; bi += 1
+      }
+      require(nbits >= codeSize, "ran out of LZW data before EOI")
+      val code = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>>= codeSize; nbits -= codeSize
+      if (code == clear) { codeSize = minCode + 1; next = eoi + 1; prev = -1 }
+      else if (code == eoi) done = true
+      else {
+        require(code < next || (code == next && prev >= 0),
+          s"LZW code $code out of range (next=$next)")
+        val first =
+          if (code < next) expand(code, px)
+          else { // KwKwK: code not yet in dict = prev expansion + its first
+            val tmp = new java.io.ByteArrayOutputStream()
+            val f = expand(prev, tmp)
+            tmp.write(f)
+            tmp.writeTo(px)
+            f
+          }
+        if (prev >= 0) {
+          require(next < 4096, "dict overflow")
+          prefixOf(next) = prev; symOf(next) = first; next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    val pix = px.toByteArray
+    require(pix.length == iw * ih,
+      s"decoded ${pix.length} pixels, expected ${iw * ih}")
+    var s = 0L; var fi = 0
+    while (fi < pix.length) { s += pix(fi) & 0xff; fi += 1 }
+    val p0 = pix(0) & 0xff
+    val rgb = (u8(palette + 3 * p0) + u8(palette + 3 * p0 + 1) +
+      u8(palette + 3 * p0 + 2)).toLong
+    (iw, ih, s, rgb)
+  }
+
+  final case class GifDecodeRow(doc_id: Long, width: Int, height: Int,
+                                idx_sum: Long, first_rgb: Long)
+
+  /** q140 carrier: per doc, synthesize a deterministic indexed image,
+    * round it through the REAL GIF87a/LZW codec, and emit decode stats
+    * the closed-form oracle reproduces arithmetically — same contract as
+    * q78 (BMP/WAV) and q91 (PNG). Image sizes are chosen to push the
+    * dictionary past 512 entries so the 9→10-bit width transition is
+    * exercised on real data, not just in the spec. */
+  def gifDecodeStats(s: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 16).toInt
+      val h = (16 + id % 8).toInt
+      val idx = Array.tabulate(w * h)(i => ((id * 7 + i * 31) % 256).toByte)
+      val (dw, dh, sum, rgb) = decodeGif(encodeGif(w, h, idx))
+      GifDecodeRow(id, dw, dh, sum, rgb)
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
 }

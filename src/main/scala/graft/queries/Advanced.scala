@@ -439,6 +439,27 @@ object Advanced {
   def q91PngDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.pngDecodeStats(s, dir)
 
+  /** q140 — REAL GIF87a/LZW decode ([[Multimodal.decodeGif]]): per doc a
+    * deterministic indexed image rides through the variable-code-width
+    * LZW encoder and back; the closed-form oracle reproduces the decode
+    * stats arithmetically (q78/q91 contract). Image sizes push the LZW
+    * dictionary past 512 entries, so the 9→10-bit width transition — the
+    * classic desync bug in LZW implementations — is exercised on every
+    * row. */
+  def q140GifDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.gifDecodeStats(s, dir)
+
+  val oracleQ140: String =
+    """SELECT doc_id,
+      |  CAST(16 + doc_id % 16 AS INT) AS width,
+      |  CAST(16 + doc_id % 8 AS INT) AS height,
+      |  CAST(list_aggregate(list_transform(
+      |    range(0, (16 + doc_id % 16) * (16 + doc_id % 8)),
+      |    i -> (doc_id*7 + i*31) % 256), 'sum') AS BIGINT) AS idx_sum,
+      |  CAST(255 + (7 * ((doc_id*7) % 256)) % 256 AS BIGINT) AS first_rgb
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** The watermarked tumbling-window aggregation
     * ([[graft.streaming.WindowedAgg.tumbling]]) run TO COMPLETION
     * in-process — the canonical readStream → watermark → window → agg →

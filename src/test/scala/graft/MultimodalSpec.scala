@@ -122,4 +122,37 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodePng(java.util.Arrays.copyOf(good, good.length - 6))
     }
   }
+
+  test("GIF/LZW roundtrip is exact incl. KwKwK runs and width transitions") {
+    def roundtrip(w: Int, h: Int, idx: Array[Byte]): Unit = {
+      val (dw, dh, sum, rgb) = Multimodal.decodeGif(
+        Multimodal.encodeGif(w, h, idx))
+      assert(dw == w && dh == h)
+      assert(sum == idx.map(_ & 0xff).map(_.toLong).sum)
+      val p0 = idx(0) & 0xff
+      assert(rgb == p0 + (255 - p0) + (7 * p0) % 256)
+    }
+    // constant image: immediate KwKwK case (code == next) every step
+    roundtrip(16, 8, Array.fill(16 * 8)(7.toByte))
+    // long random-ish image: dictionary passes 512 -> 10-bit codes and
+    // approaches 1024 -> the 10->11 transition on bigger sizes
+    val rng = new scala.util.Random(11)
+    roundtrip(40, 30, Array.fill(40 * 30)(rng.nextInt(256).toByte))
+    roundtrip(64, 48, Array.fill(64 * 48)(rng.nextInt(256).toByte))
+    // structured repetition: dictionary hits long phrases
+    roundtrip(50, 20, Array.tabulate(50 * 20)(i => ((i % 10) * 3).toByte))
+    // 1x1 and 2x1 degenerate sizes
+    roundtrip(1, 1, Array(200.toByte))
+    roundtrip(2, 1, Array(5.toByte, 5.toByte))
+  }
+
+  test("GIF decoder fails loudly on structure violations") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeGif("GIF89a not really".getBytes("ASCII"))
+    }
+    val good = Multimodal.encodeGif(8, 8, Array.tabulate(64)(_.toByte))
+    intercept[IllegalArgumentException] { // chop the trailer + data
+      Multimodal.decodeGif(java.util.Arrays.copyOf(good, good.length - 10))
+    }
+  }
 }
