@@ -161,6 +161,8 @@ object SparkEntry {
     "q138_top_p" -> (Curation.q138TopP _),
     "q139_pmi_pairs" -> (Curation.q139PmiPairs _),
     "q140_gif_decode" -> (Advanced.q140GifDecode _),
+    "q141_skip_grams" -> (Curation.q141SkipGrams _),
+    "q142_zipf_fit" -> (Curation.q142ZipfFit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -412,6 +414,8 @@ object SparkEntry {
     "q138_top_p" -> Curation.oracleQ138,
     "q139_pmi_pairs" -> Curation.oracleQ139,
     "q140_gif_decode" -> Advanced.oracleQ140,
+    "q141_skip_grams" -> Curation.oracleQ141,
+    "q142_zipf_fit" -> Curation.oracleQ142,
   )
 
   private val asofOracle: String =

@@ -1651,6 +1651,126 @@ object Curation {
        |JOIN dfw f2 ON f2.w = t.w2
        |ORDER BY c12 DESC, w1, w2""".stripMargin
 
+  /** Skip-gram window for q141; weights 1/d carried as 6/d (d ≤ 3 →
+    * 6, 3, 2) so the weighted counts are exact integers. */
+  val SkipGramW = 3
+
+  /** q141 — skip-gram co-occurrence counts (the word2vec/GloVe input
+    * statistic): ordered within-window pairs (first, second) at distance
+    * d ≤ [[SkipGramW]], with plain counts and the distance-decayed
+    * weight Σ 1/d — carried as the exact integer Σ 6/d, so nothing
+    * floats. Corpus → embedding-training-input, the step before any
+    * embedding job.
+    *
+    * Scale shape: positions explode map-side into their ≤W forward
+    * targets (the q121 window-densification trick — an equi-join on
+    * (doc, pos), never a per-doc quadratic range join); the pair rollup
+    * is one vocab²-bounded map-side-combined aggregation. */
+  def q141SkipGrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(filter(
+        split(Text.normalize(col("text")), " "),
+        w => length(w) > 0)).as(Seq("pos", "w")))
+    Materialize.withMaterialized(toks) { t =>
+      val targets = t.select(col("doc_id"), col("w").as("w1"),
+          explode(expr(s"transform(sequence(1, $SkipGramW), " +
+            "d -> struct(pos + d AS tpos, CAST(6 / d AS BIGINT) AS w6))"))
+            .as("tg"))
+        .select(col("doc_id"), col("w1"), col("tg.tpos").as("pos"),
+          col("tg.w6").as("w6"))
+      targets.join(t.select(col("doc_id"), col("pos"), col("w").as("w2")),
+          Seq("doc_id", "pos"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"), sum(col("w6")).as("wsum6"))
+        .orderBy(col("w1"), col("w2"))
+        .localCheckpoint()
+    }
+  }
+
+  val oracleQ141: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    x -> len(x) > 0) AS t
+       |  FROM documents
+       |), tg AS (
+       |  SELECT CASE WHEN max(len(t)) >= ${TextQueries.OraclePosCap}
+       |    THEN error('q141 token cap exceeded') ELSE 1 END AS ok FROM t0
+       |), pos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p, t[CAST(i AS INT)] AS w
+       |  FROM t0, range(1, ${TextQueries.OraclePosCap}) r(i), tg
+       |  WHERE tg.ok = 1 AND i <= len(t)
+       |)
+       |SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  CAST(SUM(CAST(6 / (b.p - a.p) AS BIGINT)) AS BIGINT) AS wsum6
+       |FROM pos a JOIN pos b
+       |  ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND $SkipGramW
+       |GROUP BY a.w, b.w ORDER BY w1, w2""".stripMargin
+
+  /** q142 — Zipf rank-frequency fit: OLS slope/intercept of ln(freq)
+    * against ln(rank) over the corpus vocabulary — the standard sanity
+    * check that a text corpus is natural-language-shaped (slope ≈ −1)
+    * rather than template spam. ln terms are quantized to 1e-6 integers
+    * (the q84 discipline), every OLS moment is an exact integer sum, and
+    * the two final divisions are single deterministic double ops — so a
+    * regression THROUGH transcendentals still gates bit-exactly.
+    *
+    * Scale shape: one vocab count shuffle; the rank window runs over the
+    * VOCABULARY (q129's discipline); moments fold in one single-row
+    * aggregation. */
+  def q142ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(filter(split(Text.normalize(col("text")), " "),
+        w => length(w) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ranked = vocab.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w"))))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1e6) + lit(0.5)).as("x6"),
+        floor(log(col("cnt").cast("double")) * lit(1e6) + lit(0.5)).as("y6"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"),
+        sum(col("y6")).as("sy"), sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("x6") * col("x6")).as("sxx"))
+      .select(col("n").as("n_vocab"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        ((col("sy").cast("double")
+          - ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * col("sx").cast("double"))
+          / (col("n").cast("double") * lit(1e6))).as("intercept"))
+  }
+
+  val oracleQ142: String =
+    s"""WITH vocab AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_filter(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    x -> len(x) > 0)) AS w FROM documents)
+       |  GROUP BY w
+       |), ranked AS (
+       |  SELECT
+       |    CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w)
+       |      AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x6,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y6
+       |  FROM vocab
+       |), m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x6) AS BIGINT) AS sx,
+       |    CAST(SUM(y6) AS BIGINT) AS sy,
+       |    CAST(SUM(x6 * y6) AS BIGINT) AS sxy,
+       |    CAST(SUM(x6 * x6) AS BIGINT) AS sxx
+       |  FROM ranked
+       |)
+       |SELECT n AS n_vocab,
+       |  CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       |  (CAST(sy AS DOUBLE)
+       |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+       |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * 1e6) AS intercept
+       |FROM m""".stripMargin
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's
