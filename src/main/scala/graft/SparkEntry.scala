@@ -163,6 +163,7 @@ object SparkEntry {
     "q140_gif_decode" -> (Advanced.q140GifDecode _),
     "q141_skip_grams" -> (Curation.q141SkipGrams _),
     "q142_zipf_fit" -> (Curation.q142ZipfFit _),
+    "q143_stream_cms" -> (Curation.q143StreamCms _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -416,6 +417,7 @@ object SparkEntry {
     "q140_gif_decode" -> Advanced.oracleQ140,
     "q141_skip_grams" -> Curation.oracleQ141,
     "q142_zipf_fit" -> Curation.oracleQ142,
+    "q143_stream_cms" -> Curation.oracleQ143,
   )
 
   private val asofOracle: String =

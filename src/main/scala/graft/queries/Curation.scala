@@ -1771,6 +1771,61 @@ object Curation {
        |    / (CAST(n AS DOUBLE) * 1e6) AS intercept
        |FROM m""".stripMargin
 
+  /** q143 — STREAMING Count-Min maintenance run to completion in-process
+    * ([[graft.streaming.StreamCms]], the ninth streaming shape): the
+    * corpus arrives on a MemoryStream in three micro-batches, each
+    * batch's register partials merge into the standing grid (counter
+    * grids add — q126's merge law), and the final grid must hash-match
+    * the plain batch sketch. The driver-side collect feeds only the
+    * in-process test transport (cf. q92); production replaces
+    * MemoryStream with readStream. */
+  def q143StreamCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamCms
+    import graft.streaming.StreamCms.Doc
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => Doc(id, t) }
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Doc]
+    val m = new StreamCms.Maintainer
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamCms.maintained(mem.toDS(), m).start()
+      try {
+        val third = docs.length / 3
+        Seq(docs.slice(0, third), docs.slice(third, 2 * third),
+            docs.slice(2 * third, docs.length)).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    m.current.select(col("i"), col("bucket"), col("rc"))
+      .orderBy(col("i"), col("bucket"))
+  }
+
+  val oracleQ143: String =
+    s"""WITH norm AS (
+       |  SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), cnt AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(t, ' ')) AS tok FROM norm)
+       |  GROUP BY tok
+       |), buck AS (
+       |  SELECT tok, c, i,
+       |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok),
+       |      1, 15)) AS BIGINT) % ${graft.operators.CountMin.Width} AS bucket
+       |  FROM cnt, range(0, ${graft.operators.CountMin.Depth}) t(i)
+       |)
+       |SELECT i, bucket, CAST(SUM(c) AS BIGINT) AS rc
+       |FROM buck GROUP BY i, bucket
+       |ORDER BY i, bucket""".stripMargin
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's

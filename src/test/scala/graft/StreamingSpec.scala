@@ -215,4 +215,36 @@ class StreamingSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(oneBatch == batch)
   }
+
+  test("streaming CMS registers are invariant to micro-batch boundaries") {
+    import spark.implicits._
+    import graft.streaming.StreamCms
+    import graft.streaming.StreamCms.Doc
+    implicit val sc = spark.sqlContext
+    val docs = (1 to 30).map(i =>
+      Doc(i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} shared words"))
+    def runWith(chunks: Seq[Seq[Doc]]): Map[(Int, Long), Long] = {
+      val mem = MemoryStream[Doc]
+      val m = new StreamCms.Maintainer
+      val q = StreamCms.maintained(mem.toDS(), m).start()
+      try {
+        chunks.foreach { c =>
+          mem.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      m.current.collect().map(r =>
+        (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val one = runWith(Seq(docs))
+    val four = runWith(docs.grouped(8).toSeq)
+    assert(one == four)
+    // equals the batch-built grid
+    val batch = graft.operators.CountMin.registers(
+        graft.operators.CountMin.bucketed(
+          docs.toDF().select(explode(split(
+            graft.functions.Text.normalize(col("text")), " ")).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("cnt")), "tok", "cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(one == batch)
+  }
 }
