@@ -164,6 +164,7 @@ object SparkEntry {
     "q141_skip_grams" -> (Curation.q141SkipGrams _),
     "q142_zipf_fit" -> (Curation.q142ZipfFit _),
     "q143_stream_cms" -> (Curation.q143StreamCms _),
+    "q144_split_assign" -> (Curation.q144SplitAssign _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -418,6 +419,7 @@ object SparkEntry {
     "q141_skip_grams" -> Curation.oracleQ141,
     "q142_zipf_fit" -> Curation.oracleQ142,
     "q143_stream_cms" -> Curation.oracleQ143,
+    "q144_split_assign" -> Curation.oracleQ144,
   )
 
   private val asofOracle: String =

@@ -1826,6 +1826,50 @@ object Curation {
        |FROM buck GROUP BY i, bucket
        |ORDER BY i, bucket""".stripMargin
 
+  /** Permille boundaries for the q144 three-way split: [0,800) train,
+    * [800,900) val, [900,1000) test. */
+  val SplitTrainUpto = 800
+  val SplitValUpto = 900
+
+  /** q144 — deterministic train/val/test split assignment: the canonical
+    * 80/10/10 ML split as a pure hash of doc_id
+    * ([[Sampling.hashBucketPermille]]), so membership is reproducible,
+    * engine-independent, append-stable, and disjoint BY CONSTRUCTION
+    * (one bucket value → exactly one range). The gate pins per-
+    * (lang, split) counts plus the exact id-sum so assignment — not just
+    * cardinality — is verified; coverage is checkable downstream because
+    * the three splits' counts partition each language's total.
+    *
+    * Scale shape: one codegen'd map-side projection + one tiny grouped
+    * rollup — the split itself never shuffles the corpus. */
+  def q144SplitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        Sampling.hashBucketPermille(col("doc_id")).as("b"))
+      .withColumn("split",
+        when(col("b") < SplitTrainUpto, "train")
+          .when(col("b") < SplitValUpto, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"), col("split"))
+
+  val oracleQ144: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 1000 AS bk
+       |  FROM documents
+       |)
+       |SELECT lang,
+       |  CASE WHEN bk < $SplitTrainUpto THEN 'train'
+       |       WHEN bk < $SplitValUpto THEN 'val' ELSE 'test' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   /** Log₂-bucketed quantile-histogram sketch (the DDSketch/HDR-histogram
     * family: log buckets ⇒ bounded RELATIVE error) for per-source
     * doc-length monitoring — the mergeable-sketch counterpart of q82's
