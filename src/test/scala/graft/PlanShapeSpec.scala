@@ -111,4 +111,34 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan(name).contains("CartesianProduct"), name)
     }
   }
+
+  test("classifier inference: weight dim broadcasts onto the bigram stream") {
+    val p = plan("q130_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("skip-grams: window densification is an equi-join, never a range join") {
+    val p = plan("q141_skip_grams")
+    // a per-doc range join would surface as BroadcastNestedLoopJoin or
+    // CartesianProduct with a p2-p1 BETWEEN condition; the densified form
+    // is a plain hash join on (doc_id, pos)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("semantic decontam: eval side broadcasts; train corpus never shuffles to a sort") {
+    val p = plan("q137_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("new round-7 gates avoid cartesian degeneration") {
+    for (name <- Seq("q123_allpairs_join", "q124_span_dedup",
+        "q126_cms_estimate", "q129_inverted_index", "q135_dataset_card",
+        "q136_quality_keeper", "q139_pmi_pairs", "q144_split_assign")) {
+      assert(!plan(name).contains("CartesianProduct"), name)
+    }
+  }
 }
