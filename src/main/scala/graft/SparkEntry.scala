@@ -165,6 +165,7 @@ object SparkEntry {
     "q142_zipf_fit" -> (Curation.q142ZipfFit _),
     "q143_stream_cms" -> (Curation.q143StreamCms _),
     "q144_split_assign" -> (Curation.q144SplitAssign _),
+    "q145_novelty_curve" -> (TextQueries.q145NoveltyCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -420,6 +421,7 @@ object SparkEntry {
     "q142_zipf_fit" -> Curation.oracleQ142,
     "q143_stream_cms" -> Curation.oracleQ143,
     "q144_split_assign" -> Curation.oracleQ144,
+    "q145_novelty_curve" -> TextQueries.oracleQ145,
   )
 
   private val asofOracle: String =

@@ -400,6 +400,47 @@ object TextQueries {
        |ORDER BY rrf DESC, vec_id LIMIT $RrfTopN""".stripMargin
   }
 
+  /** q145 — per-document n-gram NOVELTY: for each doc, the fraction of
+    * its distinct shingles whose globally FIRST occurrence (min doc_id)
+    * is this doc — the freshness/memorization profile dataset curators
+    * chart over ingest order (a collapsing novelty curve means the crawl
+    * is re-reading itself; a doc near 0 is assembled from seen text even
+    * if no single source passes the q15 resemblance bar).
+    *
+    * Scale shape: shingle-hash carrier built map-side; first-occurrence
+    * is ONE map-side-combined min aggregation on the hash; the novelty
+    * count is an aggregation over the exploded carrier joined to that
+    * dim on the hash (fan-out = occurrence count, linear); one doc-keyed
+    * rollup. Nothing pairwise anywhere — novelty is the linear-cost
+    * cousin of the quadratic dup-pair queries. */
+  def q145NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val harrs = Dedup.shingleHashArrays(Tables.documents(s, dir), "doc_id",
+      "text", ShingleK)
+    Materialize.withMaterialized(harrs) { h =>
+      val ex = h.select(col("doc_id"), explode(col("harr")).as("el"))
+      val firstDoc = ex.groupBy(col("el")).agg(min(col("doc_id")).as("fd"))
+      ex.join(firstDoc.hint("shuffle_hash"), Seq("el"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kgrams"),
+          count(when(col("fd") === col("doc_id"), lit(1))).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_kgrams").cast("double"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+  }
+
+  lazy val oracleQ145: String =
+    s"""$shingleHashCtes, fd AS (
+       |  SELECT h60, MIN(doc_id) AS fd FROM hs0 GROUP BY h60
+       |)
+       |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kgrams,
+       |  CAST(COUNT(*) FILTER (f.fd = s.doc_id) AS BIGINT) AS n_novel,
+       |  CAST(COUNT(*) FILTER (f.fd = s.doc_id) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+       |FROM hs0 s JOIN fd f USING (h60)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   def q16Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
