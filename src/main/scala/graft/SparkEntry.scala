@@ -166,6 +166,7 @@ object SparkEntry {
     "q143_stream_cms" -> (Curation.q143StreamCms _),
     "q144_split_assign" -> (Curation.q144SplitAssign _),
     "q145_novelty_curve" -> (TextQueries.q145NoveltyCurve _),
+    "q146_triangles" -> (Advanced.q146Triangles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -422,6 +423,7 @@ object SparkEntry {
     "q143_stream_cms" -> Curation.oracleQ143,
     "q144_split_assign" -> Curation.oracleQ144,
     "q145_novelty_curve" -> TextQueries.oracleQ145,
+    "q146_triangles" -> Advanced.oracleQ146,
   )
 
   private val asofOracle: String =

@@ -1122,4 +1122,53 @@ object Advanced {
        |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
        |ORDER BY rank DESC, node LIMIT 100""".stripMargin
   }
+
+  /** q146 — per-node TRIANGLE counts over the part co-purchase graph
+    * (parts linked iff they appear in the same order): the local-clustering
+    * statistic graph curators use to separate organic neighborhoods from
+    * crawl/bot cliques, and the third graph shape alongside q61/q79's
+    * component labeling (reachability) and q113's PageRank (propagation) —
+    * triangles are a strictly LOCAL subgraph count.
+    *
+    * Scale shape: [[graft.operators.Triangles.perNode]] — degree-ordered
+    * orientation bounds wedge work at O(m^{3/2}) on any topology (hub
+    * out-degree ≤ O(√m) under the orientation), the fix for the "curse of
+    * the last reducer". The top-100 cut plans as TakeOrderedAndProject.
+    *
+    * The oracle enumerates the same triangles id-ordered (u<v<w triple
+    * join) — orientation changes the plan, not the set. */
+  def q146Triangles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Triangles
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.select(col("ok"), col("p").as("pa"))
+      .join(li.select(col("ok"), col("p").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("u"), col("pb").as("v"))
+      .distinct()
+    Triangles.perNode(edges)
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(100)
+  }
+
+  val oracleQ146: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), edges AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |), tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM edges e1
+      |  JOIN edges e2 ON e2.u = e1.v
+      |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+      |), corners AS (
+      |  SELECT a AS node FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri
+      |)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |FROM corners GROUP BY node
+      |ORDER BY n_tri DESC, node LIMIT 100""".stripMargin
 }

@@ -295,6 +295,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sr8 == sr)
   }
 
+  test("Triangles: K4, triangle-free cycle, bowtie, partitioning-invariant") {
+    import spark.implicits._
+    import graft.operators.Triangles
+    def counts(edges: Seq[(String, String)], parts: Int = 1): Map[String, Long] =
+      Triangles.perNode(edges.toDF("u", "v").repartition(parts)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4: each node sits in C(3,2) = 3 triangles
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d")
+    assert(counts(k4) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // C5 has no triangles — empty result, not zero rows per node
+    val c5 = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "e" -> "a")
+    assert(counts(c5).isEmpty)
+    // bowtie: two triangles sharing vertex m
+    val bowtie = Seq("a" -> "b", "a" -> "m", "b" -> "m",
+      "c" -> "d", "c" -> "m", "d" -> "m")
+    assert(counts(bowtie) ==
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L, "m" -> 2L))
+    // exact integers => identical at any parallelism (distinct: k4 and
+    // bowtie share the a-b and c-d pairs, and the contract is one row
+    // per unordered pair)
+    val merged = (k4 ++ bowtie).distinct
+    assert(counts(merged, parts = 7) == counts(merged))
+  }
+
   test("VectorStats moments: null rows skipped, ragged vectors rejected, overflow fails loudly") {
     import spark.implicits._
     import graft.operators.VectorStats
