@@ -167,6 +167,7 @@ object SparkEntry {
     "q144_split_assign" -> (Curation.q144SplitAssign _),
     "q145_novelty_curve" -> (TextQueries.q145NoveltyCurve _),
     "q146_triangles" -> (Advanced.q146Triangles _),
+    "q147_auc" -> (Curation.q147Auc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,6 +425,7 @@ object SparkEntry {
     "q144_split_assign" -> Curation.oracleQ144,
     "q145_novelty_curve" -> TextQueries.oracleQ145,
     "q146_triangles" -> Advanced.oracleQ146,
+    "q147_auc" -> Curation.oracleQ147,
   )
 
   private val asofOracle: String =

@@ -2280,4 +2280,78 @@ object Curation {
        |FROM toks2 GROUP BY tok
        |HAVING CAST(COUNT(*) AS BIGINT) * $HeavyK > (SELECT n FROM tot)
        |ORDER BY tok""".stripMargin
+
+  /** q147 — exact tie-adjusted Mann-Whitney AUC per source: how well does
+    * a ranking signal (here document length) separate a binary label (here
+    * lang = 'en')? The standard evaluation for the quality classifiers the
+    * q130/q136 family trains — and the statistic every data-curation
+    * report cards (filter thresholds, classifier cutoffs) hang on.
+    *
+    * Exactness: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with midrank ties. All
+    * arithmetic rides INTEGER carriers: per (source, score) group counts,
+    * a running "strictly below" prefix count, and 2·R⁺ = Σ n⁺ᵍ(2·below +
+    * n + 1) — the ½ in midranks cancels against the doubling, so the
+    * numerator 2R⁺ − n⁺(n⁺+1) is an exact BIGINT and the final double is
+    * one division, bit-identical across engines.
+    *
+    * Scale shape: rows collapse to (source, score) groups FIRST (map-side
+    * combined — the full corpus never feeds a window), the prefix sum runs
+    * over the per-source DISTINCT-score relation (bounded by score
+    * cardinality, not row count), and the rollup is one tiny per-source
+    * aggregation. No global sort anywhere. */
+  def q147Auc(s: SparkSession, dir: String): DataFrame =
+    aucBySource(Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos")))
+
+  /** Exact midrank AUC per `source` group of a (source, score, pos) frame
+    * (pos ∈ {0,1}); see [[q147Auc]] for the integer-carrier derivation. */
+  def aucBySource(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = d.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val a = g.withColumn("below", coalesce(sum(col("n")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("np") * (lit(2L) * col("below") + col("n") + lit(1L)))
+          .as("r2"),
+        sum(col("np")).as("npos"),
+        (sum(col("n")) - sum(col("np"))).as("nneg"))
+    a.select(col("source"), col("npos"), col("nneg"),
+        (col("r2") - col("npos") * (col("npos") + lit(1L))).as("auc_num2"),
+        when(col("npos") > 0 && col("nneg") > 0,
+          (col("r2") - col("npos") * (col("npos") + lit(1L))).cast("double")
+            / (lit(2L) * col("npos") * col("nneg")).cast("double"))
+          .as("auc"))
+      .orderBy(col("source"))
+  }
+
+  val oracleQ147: String =
+    """WITH d AS (
+      |  SELECT source, n_chars AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents
+      |), g AS (
+      |  SELECT source, score, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pos) AS BIGINT) AS np
+      |  FROM d GROUP BY source, score
+      |), w AS (
+      |  SELECT source, score, n, np,
+      |    COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM g
+      |), a AS (
+      |  SELECT source,
+      |    CAST(SUM(np * (2 * below + n + 1)) AS BIGINT) AS r2,
+      |    CAST(SUM(np) AS BIGINT) AS npos,
+      |    CAST(SUM(n) - SUM(np) AS BIGINT) AS nneg
+      |  FROM w GROUP BY source
+      |)
+      |SELECT source, npos, nneg,
+      |  CAST(r2 - npos * (npos + 1) AS BIGINT) AS auc_num2,
+      |  CASE WHEN npos > 0 AND nneg > 0 THEN
+      |    CAST(r2 - npos * (npos + 1) AS DOUBLE)
+      |      / CAST(2 * npos * nneg AS DOUBLE) END AS auc
+      |FROM a ORDER BY source""".stripMargin
 }

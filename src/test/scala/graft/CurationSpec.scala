@@ -10,6 +10,34 @@ import graft.operators.{Dedup, Packing, Sampling}
 class CurationSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
+  // ---------------- exact AUC ----------------
+
+  test("aucBySource: perfect=1, reversed=0, all-ties=0.5, midrank formula, degenerate=null") {
+    import spark.implicits._
+    import graft.queries.Curation
+    def auc(rows: Seq[(String, Long, Long)]): Map[String, (Long, Option[Double])] =
+      Curation.aucBySource(rows.toDF("source", "score", "pos")).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .toMap
+    // perfect separation (all positives score higher) → AUC 1;
+    // reversed → 0; constant score → every pair is a tie → 0.5
+    val m = auc(Seq(
+      ("perf", 10L, 1L), ("perf", 11L, 1L), ("perf", 1L, 0L), ("perf", 2L, 0L),
+      ("rev", 1L, 1L), ("rev", 2L, 1L), ("rev", 10L, 0L), ("rev", 11L, 0L),
+      ("tie", 5L, 1L), ("tie", 5L, 1L), ("tie", 5L, 0L), ("tie", 5L, 0L),
+      ("onecls", 3L, 1L), ("onecls", 4L, 1L)))
+    assert(m("perf")._2.contains(1.0))
+    assert(m("rev")._2.contains(0.0))
+    assert(m("tie")._2.contains(0.5))
+    assert(m("onecls")._2.isEmpty) // no negatives → AUC undefined, not 0/0
+    // hand-checked midrank case: pos scores {3,1}, neg {2,1}
+    // ranks: score1 → midrank 1.5 (×2), score2 → 3, score3 → 4
+    // R+ = 4 + 1.5 = 5.5; AUC = (5.5 - 3)/4 = 0.625
+    val h = auc(Seq(("h", 3L, 1L), ("h", 1L, 1L), ("h", 2L, 0L), ("h", 1L, 0L)))
+    assert(h("h")._1 == 5L && h("h")._2.contains(0.625))
+  }
+
   // ---------------- stratified hash sampling ----------------
 
   test("stratified hash sample: deterministic, stable under appends, ~rate") {
