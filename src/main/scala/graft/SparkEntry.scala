@@ -168,6 +168,7 @@ object SparkEntry {
     "q145_novelty_curve" -> (TextQueries.q145NoveltyCurve _),
     "q146_triangles" -> (Advanced.q146Triangles _),
     "q147_auc" -> (Curation.q147Auc _),
+    "q148_nfc" -> (Curation.q148Nfc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -426,6 +427,7 @@ object SparkEntry {
     "q145_novelty_curve" -> TextQueries.oracleQ145,
     "q146_triangles" -> Advanced.oracleQ146,
     "q147_auc" -> Curation.oracleQ147,
+    "q148_nfc" -> Curation.oracleQ148,
   )
 
   private val asofOracle: String =

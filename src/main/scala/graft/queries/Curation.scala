@@ -2354,4 +2354,44 @@ object Curation {
       |    CAST(r2 - npos * (npos + 1) AS DOUBLE)
       |      / CAST(2 * npos * nneg AS DOUBLE) END AS auc
       |FROM a ORDER BY source""".stripMargin
+
+  /** q148 — Unicode NFC normalization ([[graft.functions.NfcExpr]]): the
+    * canonical-composition pass every exact-match surface (dedup
+    * fingerprints, shingles, blocklists) needs before trusting byte
+    * equality, and an engine-surface gap — Spark ships no normalization
+    * function while Postgres/DuckDB do.
+    *
+    * The synthetic corpus is pure ASCII (NFC-invariant), so the gate
+    * CONSTRUCTS decomposed text deterministically in both engines: 'a' →
+    * 'a'+U+0300 and 'e' → 'e'+U+0301 over a 60-char prefix, then
+    * normalizes — NFC must compose them back to 'à'/'é', shrinking the
+    * codepoint count by exactly the number of combining marks and
+    * producing a string both engines agree on byte-for-byte (the JDK
+    * Normalizer and DuckDB's utf8proc implement the same Unicode tables).
+    * Map-side only; the fast path never materializes a JDK String for
+    * all-ASCII rows. */
+  def q148Nfc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcExpr
+    val deco = regexp_replace(
+      regexp_replace(substring(col("text"), 1, 60), "a", "a\u0300"),
+      "e", "e\u0301")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), deco.as("deco"))
+      .select(col("doc_id"), length(col("deco")).as("n_deco"),
+        NfcExpr(col("deco")).as("nfc"))
+      .withColumn("n_nfc", length(col("nfc")))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ148: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(substring(text, 1, 60),
+      |      'a', 'a' || chr(768), 'g'), 'e', 'e' || chr(769), 'g') AS deco
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(length(deco) AS INTEGER) AS n_deco,
+      |  nfc_normalize(deco) AS nfc,
+      |  CAST(length(nfc_normalize(deco)) AS INTEGER) AS n_nfc
+      |FROM d ORDER BY doc_id""".stripMargin
 }

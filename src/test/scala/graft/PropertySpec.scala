@@ -262,4 +262,29 @@ class PropertySpec extends AnyFunSuite {
     assert(Seq[String](null).toDF("text")
       .select(graft.functions.Text.normalize(col("text"))).first().isNullAt(0))
   }
+
+  test("nfc: composes decomposed marks, fixes ASCII and already-NFC text, matches JDK Normalizer") {
+    import spark.implicits._
+    import graft.functions.NfcExpr
+    import java.text.Normalizer
+    val cases = Seq(
+      "plain ascii stays", "", " ",
+      "e\u0301clair a\u0300 la cre\u0300me", // decomposed -> composed
+      "\u00e9clair \u00e0 la cr\u00e8me",      // already NFC -> unchanged
+      "mixed \u00e9 and e\u0301", "\u65e5\u672c\u8a9e\u30c6\u30b9\u30c8",
+      "A\u030aring = \u00c5",             // A+ring vs precomposed Aring
+      "\ufb01 ligature kept",       // NFC (not NFKC) keeps U+FB01
+      "q\u0307\u0323 reorder")               // combining-class reordering
+    val got = cases.toDF("s")
+      .select(NfcExpr(col("s")).as("n")).as[String].collect()
+    val want = cases.map(Normalizer.normalize(_, Normalizer.Form.NFC))
+    assert(got.toSeq == want)
+    // already-normalized inputs come back verbatim (identity, incl. ASCII)
+    assert(got(0) == cases(0) && got(4) == cases(4))
+    // ligature must survive (distinguishes NFC from NFKC)
+    assert(got(8).contains('ﬁ'))
+    // null passes through
+    assert(Seq[String](null).toDF("s")
+      .select(NfcExpr(col("s"))).first().isNullAt(0))
+  }
 }
