@@ -169,6 +169,7 @@ object SparkEntry {
     "q146_triangles" -> (Advanced.q146Triangles _),
     "q147_auc" -> (Curation.q147Auc _),
     "q148_nfc" -> (Curation.q148Nfc _),
+    "q149_mixture_plan" -> (Curation.q149MixturePlan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -428,6 +429,7 @@ object SparkEntry {
     "q146_triangles" -> Advanced.oracleQ146,
     "q147_auc" -> Curation.oracleQ147,
     "q148_nfc" -> Curation.oracleQ148,
+    "q149_mixture_plan" -> Curation.oracleQ149,
   )
 
   private val asofOracle: String =

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2394,4 +2394,106 @@ object Curation {
       |  nfc_normalize(deco) AS nfc,
       |  CAST(length(nfc_normalize(deco)) AS INTEGER) AS n_nfc
       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Target mixture for q149 as eighths: en half the training tokens, the
+    * four other languages an eighth each. */
+  val MixDen = 8L
+  private def mixNum(lang: Column): Column =
+    when(lang === "en", lit(4L)).otherwise(lit(1L))
+
+  /** q149 — exact data-MIXTURE planning: the step that turns "train on 50%
+    * en / 12.5% each of de,es,fr,zh, without upsampling" into per-(lang,
+    * source) token takes. Two levels, both exact integer arithmetic:
+    *
+    *  1. Feasible budget: B = min over languages of ⌊tokens_l·D / w_l⌋ —
+    *     the largest total budget whose language shares all fit within
+    *     the available tokens at ≤ 1 epoch. Language budget
+    *     B_l = ⌊B·w_l / D⌋.
+    *  2. Hamilton largest-remainder apportionment of B_l across that
+    *     language's sources: integer base quota ⌊B_l·t_ls / t_l⌋ per
+    *     source, then the leftover B_l − Σbase (< #sources) goes +1 to
+    *     the sources with the largest scaled remainders (ties → smaller
+    *     source id). Σ take = B_l exactly — no drifting ±1s for the
+    *     shard writer to reconcile downstream.
+    *
+    * Scale shape: one map-side-combined (lang, source) token count over
+    * the corpus, a language rollup (≤ #langs rows), one broadcast scalar
+    * (B), and a window over per-language source lists (fan-in = sources
+    * per language, never corpus rows). Products B_l·t_ls are guarded
+    * fail-loud against silent BIGINT wrap (at true 100 TB token counts
+    * switch the two product lines to DECIMAL(38,0) carriers). */
+  def q149MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        size(filter(split(Text.normalize(col("text")), " "),
+          t => length(t) > 0)).cast("long").as("nt"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("nt")).as("t_ls"))
+    val langTot = toks.groupBy(col("lang")).agg(sum(col("t_ls")).as("t_l"))
+    val bRow = langTot
+      .withColumn("wn", mixNum(col("lang")))
+      .agg(min(expr(s"t_l * $MixDen DIV wn")).as("b"))
+    val planned = toks
+      .join(langTot, Seq("lang"))
+      .crossJoin(broadcast(bRow))
+      .withColumn("wn", mixNum(col("lang")))
+      .withColumn("b_l", expr(s"b * wn DIV $MixDen"))
+      // fail loud before a silent 64-bit wrap (b_l·t_ls is the widest
+      // product in the plan)
+      .withColumn("_g", assert_true(col("b_l") <= lit(3000000000L) &&
+        col("t_ls") <= lit(3000000000L),
+        lit("q149: token counts exceed the BIGINT-safe planning bound")))
+      .withColumn("base", expr("b_l * t_ls DIV t_l"))
+      .withColumn("rem", col("b_l") * col("t_ls") - col("base") * col("t_l"))
+    val wLang = Window.partitionBy(col("lang"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("rem").desc, col("source"))
+    planned
+      .withColumn("leftover", col("b_l") - sum(col("base")).over(wLang))
+      .withColumn("rk", row_number().over(wRank))
+      .select(col("lang"), col("source"), col("t_ls").as("tokens"),
+        col("t_l").as("lang_tokens"), col("b_l").as("lang_budget"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("take"))
+      .withColumn("rate",
+        col("take").cast("double") / col("tokens").cast("double"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val oracleQ149: String =
+    s"""WITH toks AS (
+       |  SELECT lang, source, CAST(SUM(len(list_filter(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    t -> len(t) > 0))) AS BIGINT) AS t_ls
+       |  FROM documents GROUP BY lang, source
+       |), lt AS (
+       |  SELECT lang, CAST(SUM(t_ls) AS BIGINT) AS t_l FROM toks GROUP BY lang
+       |), w AS (
+       |  SELECT lang, t_l,
+       |    CASE WHEN lang = 'en' THEN 4 ELSE 1 END AS wn FROM lt
+       |), b AS (
+       |  SELECT CAST(MIN(t_l * $MixDen // wn) AS BIGINT) AS b FROM w
+       |), planned AS (
+       |  SELECT t.lang, t.source, t.t_ls, w.t_l,
+       |    CAST(b.b * w.wn // $MixDen AS BIGINT) AS b_l,
+       |    CAST((b.b * w.wn // $MixDen) * t.t_ls // w.t_l AS BIGINT) AS base,
+       |    CAST((b.b * w.wn // $MixDen) * t.t_ls
+       |      - ((b.b * w.wn // $MixDen) * t.t_ls // w.t_l) * w.t_l AS BIGINT)
+       |      AS rem
+       |  FROM toks t JOIN w ON t.lang = w.lang CROSS JOIN b
+       |), ranked AS (
+       |  SELECT lang, source, t_ls, t_l, b_l, base, rem,
+       |    b_l - SUM(base) OVER (PARTITION BY lang) AS leftover,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY rem DESC, source) AS rk
+       |  FROM planned
+       |)
+       |SELECT lang, source, t_ls AS tokens, t_l AS lang_tokens,
+       |  b_l AS lang_budget,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS take,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS DOUBLE)
+       |    / CAST(t_ls AS DOUBLE) AS rate
+       |FROM ranked ORDER BY lang, source""".stripMargin
 }

@@ -38,6 +38,33 @@ class CurationSpec extends AnyFunSuite {
     assert(h("h")._1 == 5L && h("h")._2.contains(0.625))
   }
 
+  test("mixture plan: takes sum exactly to language budgets, never oversample, budget maximal") {
+    import graft.queries.Curation
+    val rows = Curation.q149MixturePlan(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    // no source oversampled (≤ 1 epoch) and rates in [0, 1]
+    rows.foreach { r =>
+      assert(r.getAs[Long]("take") <= r.getAs[Long]("tokens"), r)
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 1.0, r)
+    }
+    // Hamilton apportionment: per-language takes sum EXACTLY to b_l
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("take")).sum ==
+        rs.head.getAs[Long]("lang_budget"), lang)
+    }
+    // budget maximality: the binding language's b_l uses (nearly) all its
+    // tokens — some language must be within #sources of its total
+    val binding = rows.groupBy(_.getAs[String]("lang")).exists {
+      case (_, rs) =>
+        val bl = rs.head.getAs[Long]("lang_budget")
+        val tl = rs.head.getAs[Long]("lang_tokens")
+        bl <= tl && tl - bl < Curation.MixDen
+    }
+    assert(binding, "no language is budget-binding")
+  }
+
   // ---------------- stratified hash sampling ----------------
 
   test("stratified hash sample: deterministic, stable under appends, ~rate") {
