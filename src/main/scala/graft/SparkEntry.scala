@@ -170,6 +170,7 @@ object SparkEntry {
     "q147_auc" -> (Curation.q147Auc _),
     "q148_nfc" -> (Curation.q148Nfc _),
     "q149_mixture_plan" -> (Curation.q149MixturePlan _),
+    "q150_dbscan" -> (TextQueries.q150Dbscan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -430,6 +431,7 @@ object SparkEntry {
     "q147_auc" -> Curation.oracleQ147,
     "q148_nfc" -> Curation.oracleQ148,
     "q149_mixture_plan" -> Curation.oracleQ149,
+    "q150_dbscan" -> TextQueries.oracleQ150,
   )
 
   private val asofOracle: String =

@@ -635,6 +635,51 @@ object Dedup {
     }
   }
 
+  /** DBSCAN-discipline role assignment over a verified similarity-pair
+    * graph (Ester et al. KDD'96 with the pair set as the eps-neighborhood
+    * relation): core = a vertex with ≥ minPts−1 neighbors, clusters =
+    * connected components of the CORE-CORE subgraph, border = non-core
+    * adjacent to a core (labeled with the smallest cluster label among
+    * its core neighbors), noise = the rest of `universe`. Unlike plain
+    * [[connectedComponents]], a low-degree bridge pair cannot chain two
+    * clusters — it classifies as border/noise instead of merging.
+    *
+    * @param pairs    distinct undirected pairs (id1, id2), id1 != id2
+    * @param universe one row per (doc_id) to classify — also defines the
+    *                 output row set (isolated vertices → noise)
+    * @return (doc_id, role ∈ core|border|noise, cluster BIGINT or null)
+    */
+  def dbscanRoles(pairs: DataFrame, universe: DataFrame,
+                  minPts: Int): DataFrame = {
+    val bedges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    val deg = bedges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val core = deg.filter(col("deg") + 1 >= minPts).select(col("a").as("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id1")), Seq("id1"), "left_semi")
+      .join(core.select(col("id").as("id2")), Seq("id2"), "left_semi")
+    val cc = connectedComponents(coreEdges)
+    // singleton cores (no core neighbor) never appear in coreEdges —
+    // they are their own cluster
+    val coreCl = core.join(cc, core("id") === cc("doc_id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val borders = bedges
+      .join(coreCl.select(col("id").as("b"), col("cluster").as("ncl")),
+        Seq("b"))
+      .join(core.select(col("id").as("a")), Seq("a"), "left_anti")
+      .groupBy(col("a")).agg(min(col("ncl")).as("bcl"))
+    universe
+      .join(coreCl.select(col("id").as("doc_id"), col("cluster").as("ccl")),
+        Seq("doc_id"), "left")
+      .join(borders.select(col("a").as("doc_id"), col("bcl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ccl").isNotNull, "core")
+          .when(col("bcl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("ccl"), col("bcl")).as("cluster"))
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii, "Connected
     * Components in MapReduce and Beyond", SoCC'14) — the O(log n)-ROUND

@@ -571,6 +571,68 @@ FROM reach GROUP BY a ORDER BY doc_id"""
 
   lazy val oracleQ79: String = oracleQ61
 
+  /** Minimum eps-neighborhood size (INCLUDING the point itself) for a
+    * document to be a DBSCAN core in q150. */
+  val DbscanMinPts = 3
+
+  /** q150 — DBSCAN-discipline clustering of the near-dup graph: core =
+    * a doc with ≥ [[DbscanMinPts]]−1 neighbors at jaccard ≥ threshold,
+    * border = non-core adjacent to a core (assigned the smallest cluster
+    * label among its core neighbors), noise = everything else. Clusters
+    * are connected components of the CORE-CORE subgraph (Ester et al.
+    * KDD'96 density-reachability, with the q15 eps-neighborhood).
+    *
+    * Why alongside q61: plain CC merges through EVERY verified pair, so
+    * one borderline false-positive pair chains two unrelated dup groups
+    * into one cluster; DBSCAN only chains through core points, so
+    * low-degree bridge pairs become border/noise instead of merge edges —
+    * the principled anti-chaining variant of dedup clustering at corpus
+    * scale.
+    *
+    * Scale shape: everything after q15's candidate-bounded pair set is
+    * pair-bounded — degree count, core filter, core-core semi-joins, CC
+    * over the (smaller) core subgraph, one min-label border aggregation;
+    * the only corpus-sized relation is the final doc_id left-join roll-up.
+    * No broadcast assumptions: cluster maps join by key (at 100 TB a
+    * 30%-dup corpus's cluster map outgrows a broadcast). */
+  def q150Dbscan(s: SparkSession, dir: String): DataFrame =
+    Dedup.dbscanRoles(q15NearDupPairs(s, dir).select(col("id1"), col("id2")),
+        Tables.documents(s, dir).select(col("doc_id")), DbscanMinPts)
+      .orderBy(col("doc_id"))
+
+  // DuckDB allows several recursive CTEs in one WITH RECURSIVE list, so
+  // this appends a core-restricted reachability (reach2) after
+  // clusterCtes; the unreferenced full `reach` is never evaluated.
+  lazy val oracleQ150: String =
+    clusterCtes + s""", deg AS (
+  SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS c FROM bedges GROUP BY a
+), core AS (
+  SELECT id FROM deg WHERE c + 1 >= $DbscanMinPts
+), coreedges AS (
+  SELECT a, b FROM bedges
+  WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)
+), reach2(a, b) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.a, e.b FROM reach2 r JOIN coreedges e ON e.a = r.b
+), corecl AS (
+  SELECT a AS id, CAST(MIN(b) AS BIGINT) AS cluster FROM reach2 GROUP BY a
+), borders AS (
+  SELECT e.a AS id, MIN(c.cluster) AS cluster
+  FROM bedges e JOIN corecl c ON c.id = e.b
+  WHERE e.a NOT IN (SELECT id FROM core)
+  GROUP BY e.a
+)
+SELECT d.doc_id,
+  CASE WHEN cc.id IS NOT NULL THEN 'core'
+       WHEN bb.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  CAST(COALESCE(cc.cluster, bb.cluster) AS BIGINT) AS cluster
+FROM documents d
+LEFT JOIN corecl cc ON cc.id = d.doc_id
+LEFT JOIN borders bb ON bb.id = d.doc_id
+ORDER BY d.doc_id"""
+
   /** q136 — QUALITY-AWARE dedup keeper selection: within each near-dup
     * cluster keep the highest-quality member (tie: lowest doc_id), not
     * the arbitrary min-id canonical q61/q69 use. This is the keeper rule

@@ -29,6 +29,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
   }
 
+  test("dbscanRoles: bridge through non-core does not chain, border takes min label, singleton core, isolated = noise") {
+    import spark.implicits._
+    // two K4 cliques joined via low-degree node 5, plus a star at 20 and
+    // an isolated vertex 10; minPts = 4 → core iff degree ≥ 3
+    def k4(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b)
+    val pairs = (k4(Seq(1L, 2L, 3L, 4L)) ++ k4(Seq(6L, 7L, 8L, 9L)) ++
+      Seq((4L, 5L), (5L, 6L), (20L, 21L), (20L, 22L), (20L, 23L)))
+      .toDF("id1", "id2")
+    val universe = (1L to 10L).union(20L to 23L).toDF("doc_id")
+    val got = Dedup.dbscanRoles(pairs, universe, minPts = 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    // the two cliques stay SEPARATE clusters (node 5 is non-core: deg 2)
+    (1L to 4L).foreach(i => assert(got(i) == ("core", Some(1L)), i))
+    (6L to 9L).foreach(i => assert(got(i) == ("core", Some(6L)), i))
+    // 5 is border of both; deterministic min cluster label wins
+    assert(got(5L) == ("border", Some(1L)))
+    // star center: core with zero core neighbors → its own cluster
+    assert(got(20L) == ("core", Some(20L)))
+    (21L to 23L).foreach(i => assert(got(i) == ("border", Some(20L)), i))
+    // isolated universe member classifies as noise with null cluster
+    assert(got(10L) == ("noise", None))
+  }
+
   test("exact jaccard ranks the near-dup pair highest") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 5)
     val jac = Dedup.jaccardPairs(sh, "doc_id")
