@@ -93,7 +93,13 @@ object Bench {
     "q95_stream_cardinality", "q96_stream_breadth",
     "q98_sq8_recall", "q99_pq_adc_recall",
     "q105_stream_stream_join", "q112_lev_pairs", "q113_pagerank",
-    "q115_source_overlap", "q116_stream_maintain")
+    "q115_source_overlap", "q116_stream_maintain",
+    // round-7 additions whose shared-child medians exceeded ~1.5s
+    "q117_linear_interp", "q123_allpairs_join", "q124_span_dedup",
+    "q125_bpe_merges", "q126_cms_estimate", "q127_bpe_encode",
+    "q135_dataset_card", "q136_quality_keeper", "q139_pmi_pairs",
+    "q141_skip_grams", "q143_stream_cms", "q145_novelty_curve",
+    "q146_triangles", "q150_dbscan")
 
   private val GroupSize = 8
 
@@ -107,6 +113,8 @@ object Bench {
     ("q15_neardup_pairs", "q79_neardup_clusters_stars"),
     // q112 = q14's candidate pipeline + prefix joins + banded DP verify
     ("q14_minhash_candidates", "q112_lev_pairs"),
+    // q150 = q15's pairs + core/border/noise classification
+    ("q15_neardup_pairs", "q150_dbscan"),
   )
 
   private def coordinate(): Unit = {

@@ -298,21 +298,20 @@ class OperatorsSpec extends AnyFunSuite {
   test("Triangles: K4, triangle-free cycle, bowtie, partitioning-invariant") {
     import spark.implicits._
     import graft.operators.Triangles
-    def counts(edges: Seq[(String, String)], parts: Int = 1): Map[String, Long] =
+    def counts(edges: Seq[(Long, Long)], parts: Int = 1): Map[Long, Long] =
       Triangles.perNode(edges.toDF("u", "v").repartition(parts)).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // K4: each node sits in C(3,2) = 3 triangles
-    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d",
-      "b" -> "c", "b" -> "d", "c" -> "d")
-    assert(counts(k4) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
-    // C5 has no triangles — empty result, not zero rows per node
-    val c5 = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "e" -> "a")
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 (nodes 1-4): each node sits in C(3,2) = 3 triangles
+    val k4 = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(counts(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // C5 (nodes 5-9) has no triangles — empty result, not zero rows per node
+    val c5 = Seq(5L -> 6L, 6L -> 7L, 7L -> 8L, 8L -> 9L, 9L -> 5L)
     assert(counts(c5).isEmpty)
-    // bowtie: two triangles sharing vertex m
-    val bowtie = Seq("a" -> "b", "a" -> "m", "b" -> "m",
-      "c" -> "d", "c" -> "m", "d" -> "m")
+    // bowtie: two triangles sharing vertex 10
+    val bowtie = Seq(11L -> 12L, 11L -> 10L, 12L -> 10L,
+      13L -> 14L, 13L -> 10L, 14L -> 10L)
     assert(counts(bowtie) ==
-      Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L, "m" -> 2L))
+      Map(11L -> 1L, 12L -> 1L, 13L -> 1L, 14L -> 1L, 10L -> 2L))
     // exact integers => identical at any parallelism (distinct: k4 and
     // bowtie share the a-b and c-d pairs, and the contract is one row
     // per unordered pair)
