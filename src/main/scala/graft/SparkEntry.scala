@@ -171,6 +171,7 @@ object SparkEntry {
     "q148_nfc" -> (Curation.q148Nfc _),
     "q149_mixture_plan" -> (Curation.q149MixturePlan _),
     "q150_dbscan" -> (TextQueries.q150Dbscan _),
+    "q151_cluster_labels" -> (TextQueries.q151ClusterLabels _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -432,6 +433,7 @@ object SparkEntry {
     "q148_nfc" -> Curation.oracleQ148,
     "q149_mixture_plan" -> Curation.oracleQ149,
     "q150_dbscan" -> TextQueries.oracleQ150,
+    "q151_cluster_labels" -> TextQueries.oracleQ151,
   )
 
   private val asofOracle: String =

@@ -575,6 +575,99 @@ FROM reach GROUP BY a ORDER BY doc_id"""
     * document to be a DBSCAN core in q150. */
   val DbscanMinPts = 3
 
+  /** Terms reported per cluster by q151. */
+  val ClusterLabelTopK = 5
+
+  /** q151 — c-TF-IDF cluster labeling (the BERTopic class-TF-IDF
+    * statistic): for each near-dup cluster, the [[ClusterLabelTopK]]
+    * terms maximizing tf_{c,t} · ln(1 + A/f_t), where f_t is the term's
+    * frequency across all clustered docs and A the average tokens per
+    * cluster — the human-readable "what is this duplicate group ABOUT"
+    * report curators attach to dedup audits.
+    *
+    * Exactness: with A = T/C, ln(1 + A/f_t) = ln((C·f_t + T)/(C·f_t)) —
+    * a ln of one exact-integer ratio, quantized to the repo's
+    * floor(x·1e6 + 0.5) BIGINT convention (q81's lp6 discipline), so the
+    * score tf·idf6 is exact integer arithmetic and the top-K cut is
+    * deterministic (score desc, term).
+    *
+    * Scale shape: the per-(cluster, term) count is the ONLY corpus-sized
+    * aggregation (one map-side-combined shuffle of the exploded tokens);
+    * f_t, T, and C all derive from that materialized carrier — the token
+    * stream is never re-read; the final rank runs per cluster over its
+    * distinct terms (WindowGroupLimit prunes to top-K per partition). */
+  def q151ClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = Dedup.connectedComponents(
+      q15NearDupPairs(s, dir).select(col("id1"), col("id2")))
+    val tf0 = Tables.documents(s, dir)
+      .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"))
+      .select(col("cluster"),
+        explode(split(Text.normalize(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    Materialize.withMaterialized(tf0) { tf =>
+      val ft = tf.groupBy(col("term")).agg(sum(col("tf")).as("ft"))
+      val tot = tf.agg(sum(col("tf")).as("tt"))
+      val nc = tf.select(col("cluster")).distinct()
+        .agg(count(lit(1)).as("nc"))
+      val idf6 = floor(log(
+        (col("nc") * col("ft") + col("tt")).cast("double")
+          / (col("nc") * col("ft")).cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long")
+      val scored = tf
+        .join(ft.hint("shuffle_hash"), Seq("term"))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(nc))
+        .withColumn("idf6", idf6)
+        .withColumn("score", col("tf") * col("idf6"))
+      val rk = row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("score").desc, col("term")))
+      scored.withColumn("rk", rk)
+        .filter(col("rk") <= ClusterLabelTopK)
+        .select(col("cluster"), col("term"), col("tf"), col("ft"),
+          col("idf6"), col("score"), col("rk").cast("long").as("rk"))
+        .orderBy(col("cluster"), col("rk"))
+        .localCheckpoint()
+    }
+  }
+
+  lazy val oracleQ151: String =
+    clusterCtes + s""", cl AS (
+  SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster FROM reach GROUP BY a
+), ctoks AS (
+  SELECT c.cluster, t.tok AS term
+  FROM (SELECT doc_id, unnest(string_split(
+          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents) t
+  JOIN cl c USING (doc_id)
+  WHERE len(t.tok) > 0
+), tf AS (
+  SELECT cluster, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ctoks GROUP BY cluster, term
+), ft AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS ft FROM tf GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS tt FROM tf
+), ncl AS (
+  SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) AS nc FROM tf
+), scored AS (
+  SELECT f.cluster, f.term, f.tf, g.ft,
+    CAST(floor(ln(CAST(n.nc * g.ft + t.tt AS DOUBLE)
+      / CAST(n.nc * g.ft AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS idf6
+  FROM tf f JOIN ft g USING (term) CROSS JOIN tot t CROSS JOIN ncl n
+), ranked AS (
+  SELECT cluster, term, tf, ft, idf6,
+    CAST(tf * idf6 AS BIGINT) AS score,
+    row_number() OVER (PARTITION BY cluster
+      ORDER BY tf * idf6 DESC, term) AS rk
+  FROM scored
+)
+SELECT cluster, term, tf, ft, idf6, score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= $ClusterLabelTopK
+ORDER BY cluster, rk"""
+
   /** q150 — DBSCAN-discipline clustering of the near-dup graph: core =
     * a doc with ≥ [[DbscanMinPts]]−1 neighbors at jaccard ≥ threshold,
     * border = non-core adjacent to a core (assigned the smallest cluster
