@@ -99,7 +99,8 @@ object Bench {
     "q125_bpe_merges", "q126_cms_estimate", "q127_bpe_encode",
     "q135_dataset_card", "q136_quality_keeper", "q139_pmi_pairs",
     "q141_skip_grams", "q143_stream_cms", "q145_novelty_curve",
-    "q146_triangles", "q150_dbscan", "q151_cluster_labels")
+    "q146_triangles", "q150_dbscan", "q151_cluster_labels",
+    "q152_lsh_calibration")
 
   private val GroupSize = 8
 
@@ -117,6 +118,8 @@ object Bench {
     ("q15_neardup_pairs", "q150_dbscan"),
     // q151 = q15's pairs + CC + c-TF-IDF labeling
     ("q15_neardup_pairs", "q151_cluster_labels"),
+    // q152 = q14's candidate pipeline + match-count and exact-verify joins
+    ("q14_minhash_candidates", "q152_lsh_calibration"),
   )
 
   private def coordinate(): Unit = {

@@ -172,6 +172,7 @@ object SparkEntry {
     "q149_mixture_plan" -> (Curation.q149MixturePlan _),
     "q150_dbscan" -> (TextQueries.q150Dbscan _),
     "q151_cluster_labels" -> (TextQueries.q151ClusterLabels _),
+    "q152_lsh_calibration" -> (TextQueries.q152LshCalibration _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -434,6 +435,7 @@ object SparkEntry {
     "q149_mixture_plan" -> Curation.oracleQ149,
     "q150_dbscan" -> TextQueries.oracleQ150,
     "q151_cluster_labels" -> TextQueries.oracleQ151,
+    "q152_lsh_calibration" -> TextQueries.oracleQ152,
   )
 
   private val asofOracle: String =

@@ -441,6 +441,106 @@ object TextQueries {
        |FROM hs0 s JOIN fd f USING (h60)
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
 
+  /** q152 — LSH CALIBRATION report: per estimated-similarity decile, how
+    * far the [[NumHashes]]-component minhash estimate m/n sits from the
+    * exact shingle Jaccard on the SAME candidate pairs — the empirical
+    * artifact that justifies a chosen (bands, rows) configuration before
+    * pointing the q15 pipeline at a new corpus (est⁻exact bias per decile
+    * is exactly what moves when n or the banding changes).
+    *
+    * Exactness: both ratios are quantized by pure integer arithmetic —
+    * x6 = (2·10⁶·num + den) ÷ (2·den) is floor(num/den·10⁶ + ½) without
+    * touching a double — so per-bucket sums and the absolute errors are
+    * exact BIGINTs; the only doubles are the final per-bucket means.
+    *
+    * Scale shape: candidates come from the banded self-join (never
+    * all-pairs); the match count is a candidate-bounded join against the
+    * slim wide-signature relation (shuffle_hash — candidate side is a
+    * stats-less checkpoint, PLANS rule 8), the exact side a
+    * candidate-bounded join against the hashed-shingle carrier; the
+    * decile rollup is a ≤10-group aggregation. */
+  def q152LshCalibration(s: SparkSession, dir: String): DataFrame = {
+    val n = NumHashes
+    Materialize.withMaterialized(Dedup.shingleHashArrays(
+        Tables.documents(s, dir), "doc_id", "text", ShingleK)) { harrs =>
+      val sig = Dedup.minhashSignaturesFromHashes(harrs, "doc_id", n)
+      val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
+      val s1 = sig.select(col("doc_id").as("id1") +:
+        (0 until n).map(i => col(s"mh$i").as(s"__a$i")): _*).hint("shuffle_hash")
+      val s2 = sig.select(col("doc_id").as("id2") +:
+        (0 until n).map(i => col(s"mh$i").as(s"__b$i")): _*).hint("shuffle_hash")
+      val m = (0 until n).map(i =>
+        when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val a1 = harrs.select(col("doc_id").as("id1"), col("harr").as("__h1"))
+        .hint("shuffle_hash")
+      val a2 = harrs.select(col("doc_id").as("id2"), col("harr").as("__h2"))
+        .hint("shuffle_hash")
+      val paired = cand
+        .join(s1, Seq("id1")).join(s2, Seq("id2"))
+        .withColumn("m", m)
+        .select(col("id1"), col("id2"), col("m"))
+        .join(a1, Seq("id1")).join(a2, Seq("id2"))
+        .withColumn("i",
+          size(array_intersect(col("__h1"), col("__h2"))).cast("long"))
+        .withColumn("u", size(col("__h1")).cast("long")
+          + size(col("__h2")).cast("long") - col("i"))
+        .select(col("id1"), col("id2"), col("m"), col("i"), col("u"))
+        .localCheckpoint() // candidate-bounded; stops filter/agg pushdown
+                           // from re-evaluating the intersects (rule 8)
+      paired
+        .withColumn("bucket", least(expr(s"m * 10 DIV $n"), lit(9L)))
+        .withColumn("est6", expr(s"(2000000 * m + $n) DIV (2 * $n)"))
+        .withColumn("j6", expr("(2000000 * i + u) DIV (2 * u)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("est6")).as("sum_est6"),
+          sum(col("j6")).as("sum_j6"),
+          sum(abs(col("est6") - col("j6"))).as("sum_abs_err6"))
+        .withColumn("mae",
+          col("sum_abs_err6").cast("double") / lit(1e6) / col("n_pairs"))
+        .orderBy(col("bucket"))
+    }
+  }
+
+  lazy val oracleQ152: String =
+    s"""$minhashCtes, mm AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS m
+       |  FROM cand c
+       |  JOIN sig s1 ON s1.doc_id = c.id1
+       |  JOIN sig s2 ON s2.doc_id = c.id2 AND s2.i = s1.i
+       |  GROUP BY c.id1, c.id2
+       |), sz AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM hs0
+       |  GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS i1, b.doc_id AS i2, CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM hs0 a JOIN hs0 b USING (h60)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+       |), pairs2 AS (
+       |  SELECT c.id1, c.id2, mm.m, COALESCE(it.i, 0) AS i,
+       |    s1.sz + s2.sz - COALESCE(it.i, 0) AS u
+       |  FROM cand c
+       |  JOIN mm ON mm.id1 = c.id1 AND mm.id2 = c.id2
+       |  LEFT JOIN inter it ON it.i1 = c.id1 AND it.i2 = c.id2
+       |  JOIN sz s1 ON s1.doc_id = c.id1
+       |  JOIN sz s2 ON s2.doc_id = c.id2
+       |), scored AS (
+       |  SELECT least(m * 10 // $NumHashes, 9) AS bucket,
+       |    (2000000 * m + $NumHashes) // (2 * $NumHashes) AS est6,
+       |    (2000000 * i + u) // (2 * u) AS j6
+       |  FROM pairs2
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(est6) AS BIGINT) AS sum_est6,
+       |  CAST(SUM(j6) AS BIGINT) AS sum_j6,
+       |  CAST(SUM(ABS(est6 - j6)) AS BIGINT) AS sum_abs_err6,
+       |  CAST(SUM(ABS(est6 - j6)) AS DOUBLE) / 1e6 / COUNT(*) AS mae
+       |FROM scored GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def q16Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
