@@ -173,6 +173,7 @@ object SparkEntry {
     "q150_dbscan" -> (TextQueries.q150Dbscan _),
     "q151_cluster_labels" -> (TextQueries.q151ClusterLabels _),
     "q152_lsh_calibration" -> (TextQueries.q152LshCalibration _),
+    "q153_kcore" -> (Advanced.q153KCore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -436,6 +437,7 @@ object SparkEntry {
     "q150_dbscan" -> TextQueries.oracleQ150,
     "q151_cluster_labels" -> TextQueries.oracleQ151,
     "q152_lsh_calibration" -> TextQueries.oracleQ152,
+    "q153_kcore" -> Advanced.oracleQ153,
   )
 
   private val asofOracle: String =

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** k-core (onion) decomposition by iterative peeling: repeatedly remove
+  * every node with degree < k until the remaining graph (the k-core) has
+  * minimum degree ≥ k. Each node's removal round is its onion layer —
+  * the standard statistic for separating a dense organic core from
+  * tendrils in co-occurrence / interaction graphs.
+  *
+  * Scale shape: each round is two map-side-combined degree counts plus
+  * two anti-joins against the (bounded) weak set; every round's edge set
+  * is localCheckpoint'ed so plans stay constant-size (the iterative-
+  * lineage rule — see [[Dedup.connectedComponents]]). Rounds are
+  * data-dependent (a long path at k = 2 peels one layer per round);
+  * `maxRounds` bounds the loop and non-convergence FAILS LOUDLY rather
+  * than returning a wrong core.
+  */
+object KCore {
+
+  /** @param edges     undirected DISTINCT edges (u, v), u != v, integral
+    *                  ids, one row per unordered pair
+    * @param k         core threshold (min degree of the surviving core)
+    * @param maxRounds fail-loud bound on peel rounds
+    * @return (node BIGINT, peel_round BIGINT null for core survivors,
+    *         core_deg BIGINT null for peeled nodes), one row per node
+    */
+  def peel(spark: SparkSession, edges0: DataFrame, k: Int,
+           maxRounds: Int): DataFrame = {
+    val edges = edges0.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")).localCheckpoint()
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+    def degrees(g: DataFrame): DataFrame =
+      g.select(col("u").as("x")).unionAll(g.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    var g = edges
+    var removed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("node", LongType),
+        StructField("peel_round", LongType))))
+    var round = 1L
+    var weakCount = 1L
+    while (weakCount > 0 && round <= maxRounds) {
+      val weak = degrees(g).filter(col("d") < k)
+        .select(col("x")).localCheckpoint()
+      weakCount = weak.count()
+      if (weakCount > 0) {
+        removed = removed.unionByName(weak
+          .select(col("x").as("node"), lit(round).as("peel_round")))
+          .localCheckpoint()
+        g = g.join(weak.select(col("x").as("u")), Seq("u"), "left_anti")
+          .join(weak.select(col("x").as("v")), Seq("v"), "left_anti")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    require(weakCount == 0,
+      s"KCore.peel: did not converge within $maxRounds rounds")
+    nodes
+      .join(removed, Seq("node"), "left")
+      .join(degrees(g).select(col("x").as("node"), col("d").as("core_deg")),
+        Seq("node"), "left")
+      .select(col("node"), col("peel_round"), col("core_deg"))
+  }
+}

@@ -1152,6 +1152,94 @@ object Advanced {
       .limit(100)
   }
 
+  /** Core threshold and unroll bound for q153. K = 80 sits just below the
+    * co-purchase graph's collapse threshold (empirically: 5 peel rounds
+    * and a surviving ~93% core at both sf0.01 and sf0.1; K = 90 empties
+    * the graph), so the gate exercises real multi-round peeling with a
+    * non-trivial fixpoint. The oracle unrolls [[KCoreRounds]] rounds —
+    * peeling is idempotent after convergence, so surplus rounds are
+    * no-ops — and fails loudly if the last round still removed nodes. */
+  val KCoreK = 80
+  val KCoreRounds = 8
+
+  /** q153 — k-core (onion) decomposition of the part co-purchase graph:
+    * iteratively peel nodes with degree < K; report each node's PEEL
+    * ROUND (the "onion layer" — null for core survivors) and the
+    * survivors' final in-core degree. The standard graph-curation
+    * statistic for separating a dense organic core from tendrils, and the
+    * fourth graph shape in the engine (peeling fixpoint) alongside
+    * reachability (q61/q79), propagation (q113) and local counting
+    * (q146).
+    *
+    * Scale shape: each round is two map-side-combined degree counts and
+    * two anti-joins against the (bounded) weak set, with every round's
+    * edge set localCheckpoint'ed (the iterative-lineage rule — plans stay
+    * constant-size). Round count is data-dependent; the empirical 5 at
+    * both SFs is asserted < [[KCoreRounds]] and non-convergence fails
+    * loudly in BOTH engines rather than returning a wrong core. */
+  def q153KCore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KCore
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.select(col("ok"), col("p").as("pa"))
+      .join(li.select(col("ok"), col("p").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("u"), col("pb").as("v"))
+      .distinct()
+    KCore.peel(s, edges, KCoreK, KCoreRounds).orderBy(col("node"))
+  }
+
+  val oracleQ153: String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    // reference, so the g-chain would re-read lineitem exponentially many
+    // times (the q61 recursive-oracle lesson; here it exhausted the fd
+    // limit before memory)
+    def round(i: Int): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM (SELECT u AS x FROM g$i UNION ALL SELECT v FROM g$i)
+         |  GROUP BY x
+         |), w$i AS MATERIALIZED (
+         |  SELECT x FROM d$i WHERE d < $KCoreK
+         |), g${i + 1} AS MATERIALIZED (
+         |  SELECT u, v FROM g$i
+         |  WHERE u NOT IN (SELECT x FROM w$i)
+         |    AND v NOT IN (SELECT x FROM w$i)
+         |)""".stripMargin
+    val rounds = (0 until KCoreRounds).map(round).mkString(", ")
+    val removedUnion = (0 until KCoreRounds)
+      .map(i => s"SELECT x, ${i + 1} AS peel_round FROM w$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |), g0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+       |), nodes AS (
+       |  SELECT u AS node FROM g0 UNION SELECT v FROM g0
+       |), $rounds, d$KCoreRounds AS MATERIALIZED (
+       |  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+       |  FROM (SELECT u AS x FROM g$KCoreRounds
+       |        UNION ALL SELECT v FROM g$KCoreRounds)
+       |  GROUP BY x
+       |), removed AS (
+       |  $removedUnion
+       |), chk AS (
+       |  SELECT CASE WHEN (SELECT COUNT(*) FROM w${KCoreRounds - 1}) > 0
+       |    THEN error('q153: k-core did not converge in the unrolled rounds')
+       |    ELSE 1 END AS ok
+       |)
+       |SELECT n.node, CAST(r.peel_round AS BIGINT) AS peel_round,
+       |  fd.d AS core_deg
+       |FROM nodes n
+       |LEFT JOIN removed r ON r.x = n.node
+       |LEFT JOIN d$KCoreRounds fd ON fd.x = n.node
+       |CROSS JOIN chk
+       |WHERE chk.ok = 1
+       |ORDER BY n.node""".stripMargin
+  }
+
   val oracleQ146: String =
     """WITH li AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem

@@ -319,6 +319,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(counts(merged, parts = 7) == counts(merged))
   }
 
+  test("KCore.peel: onion layers on triangle+path, core degrees, fail-loud on round cap") {
+    import spark.implicits._
+    import graft.operators.KCore
+    // triangle {1,2,3} with a path 3-4-5-6 hanging off; k=2 peels the
+    // path one layer per round from the free end inward
+    val edges = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      3L -> 4L, 4L -> 5L, 5L -> 6L).toDF("u", "v")
+    val got = KCore.peel(spark, edges, k = 2, maxRounds = 10).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // triangle survives as the 2-core with in-core degree 2
+    (1L to 3L).foreach(i => assert(got(i) == (None, Some(2L)), i))
+    // onion layers: 6 (deg 1) peels in round 1, then 5, then 4
+    assert(got(6L)._1.contains(1L))
+    assert(got(5L)._1.contains(2L))
+    assert(got(4L)._1.contains(3L))
+    assert(Seq(4L, 5L, 6L).forall(got(_)._2.isEmpty))
+    // fail-loud when the cap is too small for the path's layer count
+    intercept[IllegalArgumentException] {
+      KCore.peel(spark, edges, k = 2, maxRounds = 2).collect()
+    }
+  }
+
   test("VectorStats moments: null rows skipped, ragged vectors rejected, overflow fails loudly") {
     import spark.implicits._
     import graft.operators.VectorStats
