@@ -174,6 +174,7 @@ object SparkEntry {
     "q151_cluster_labels" -> (TextQueries.q151ClusterLabels _),
     "q152_lsh_calibration" -> (TextQueries.q152LshCalibration _),
     "q153_kcore" -> (Advanced.q153KCore _),
+    "q154_char_entropy" -> (Curation.q154CharEntropy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -438,6 +439,7 @@ object SparkEntry {
     "q151_cluster_labels" -> TextQueries.oracleQ151,
     "q152_lsh_calibration" -> TextQueries.oracleQ152,
     "q153_kcore" -> Advanced.oracleQ153,
+    "q154_char_entropy" -> Curation.oracleQ154,
   )
 
   private val asofOracle: String =

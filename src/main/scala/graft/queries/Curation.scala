@@ -2355,6 +2355,62 @@ object Curation {
       |      / CAST(2 * npos * nneg AS DOUBLE) END AS auc
       |FROM a ORDER BY source""".stripMargin
 
+  /** q154 — per-document CHARACTER-ENTROPY quality signal: Shannon
+    * entropy (bits/char) of each doc's codepoint distribution — the
+    * cheap compression-proxy filter (RefinedWeb/Dolma-style) that kills
+    * base64 blobs, key-mash gibberish (entropy too high for prose) and
+    * run-on repetition (too low) without a model. Complements the lexical
+    * q13/q70 gates and the model-based q72/q100 scores.
+    *
+    * Exactness: H = ln N − (Σ cᵢ·ln cᵢ)/N. Each ln is quantized to the
+    * repo's floor(x·10⁶ + ½) BIGINT convention BEFORE the order-dependent
+    * sum, so Σ cᵢ·l6(cᵢ) is an exact integer; bits/char divides by an
+    * embedded ln 2 literal (cross-engine transcendental discipline). The
+    * final doubles are two divisions and one subtraction in pinned order.
+    *
+    * Scale shape: one map-side-combined (doc, char) count, one per-doc
+    * rollup — linear, no windows, nothing pairwise. */
+  def q154CharEntropy(s: SparkSession, dir: String): DataFrame = {
+    val ln2 = "CAST('0.6931471805599453' AS DOUBLE)"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars_used"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c") *
+          floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long")).as("sum_cl6"))
+      .withColumn("entropy_bits",
+        (floor(log(col("n_chars_used").cast("double")) * lit(1e6)
+            + lit(0.5)).cast("long").cast("double")
+          - col("sum_cl6").cast("double") / col("n_chars_used"))
+          / lit(1e6) / expr(ln2))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ154: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+      |), cc AS (
+      |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ch WHERE len(ch) > 0 GROUP BY doc_id, ch
+      |), agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_used,
+      |    CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+      |    CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS sum_cl6
+      |  FROM cc GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_chars_used, distinct_chars, sum_cl6,
+      |  (CAST(CAST(floor(ln(CAST(n_chars_used AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS DOUBLE)
+      |    - CAST(sum_cl6 AS DOUBLE) / n_chars_used)
+      |    / 1e6 / CAST('0.6931471805599453' AS DOUBLE) AS entropy_bits
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** q148 — Unicode NFC normalization ([[graft.functions.NfcExpr]]): the
     * canonical-composition pass every exact-match surface (dedup
     * fingerprints, shingles, blocklists) needs before trusting byte
