@@ -175,6 +175,7 @@ object SparkEntry {
     "q152_lsh_calibration" -> (TextQueries.q152LshCalibration _),
     "q153_kcore" -> (Advanced.q153KCore _),
     "q154_char_entropy" -> (Curation.q154CharEntropy _),
+    "q155_ivf_sweep" -> (TextQueries.q155IvfSweep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -440,6 +441,7 @@ object SparkEntry {
     "q152_lsh_calibration" -> TextQueries.oracleQ152,
     "q153_kcore" -> Advanced.oracleQ153,
     "q154_char_entropy" -> Curation.oracleQ154,
+    "q155_ivf_sweep" -> TextQueries.oracleQ155,
   )
 
   private val asofOracle: String =

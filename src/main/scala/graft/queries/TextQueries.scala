@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1147,6 +1147,129 @@ GROUP BY d.source ORDER BY d.source"""
     * within them. The TRAINED quantizer ([[Similarity.ivfKmeansGated]])
     * is gated as q74; this variant gates the search semantics at
     * iteration zero. */
+  /** Probe widths swept by q155. */
+  val SweepNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+  val SweepQueries = 8
+  val SweepK = 10
+
+  /** q155 — IVF recall-vs-nprobe SWEEP: recall@[[SweepK]] of the
+    * [[Similarity.ivfDeterministic]] index for every probe width in
+    * [[SweepNprobes]], over [[SweepQueries]] held-out queries — the
+    * tuning curve an ANN deployment reads before fixing nProbe (q57/q74
+    * gate ONE operating point; this gates the whole curve).
+    *
+    * The sweep costs ONE assignment pass: recall(q, p) = #{exact top-k
+    * members whose assigned cell has probe-rank ≤ p under q} / k — an
+    * exact-top-k member inside the probed cells always survives the
+    * probed-subset top-k cut (no more than k−1 vectors beat it anywhere),
+    * so no per-p search is run at all. Cells, probe ranks and hit counts
+    * are exact integers; recall is one final division.
+    *
+    * Scale shape: centroids and the query set are broadcast dims; the
+    * corpus is scanned once for assignment and once for the exact top-k
+    * (both argmin/top-k per row groups, WindowGroupLimit-prunable); the
+    * sweep explode fans out k·|queries|·|probes| bounded rows. */
+  def q155IvfSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val vecs = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val corpus = vecs.filter(col("vec_id") >= SweepQueries)
+    val cents = vecs
+      .filter(col("vec_id") >= SweepQueries &&
+        col("vec_id") < SweepQueries + IvfCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val queries = vecs.filter(col("vec_id") < SweepQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def l2m2dot(v: Column): Column =
+      graft.functions.dotProduct(col("cv"), col("cv")) -
+        lit(2.0) * graft.functions.dotProduct(v, col("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__score"), col("cell"))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("__score", l2m2dot(col("v")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val cos = graft.functions.dotProduct(col("v"), col("qv")) /
+      (sqrt(graft.functions.dotProduct(col("v"), col("v"))) *
+        sqrt(graft.functions.dotProduct(col("qv"), col("qv"))))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("__cos").desc, col("vec_id"))
+    val topk = corpus.crossJoin(broadcast(queries))
+      .withColumn("__cos", cos)
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= SweepK)
+      .select(col("qid"), col("vec_id"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("__score"), col("cell"))
+    val probeRank = cents.crossJoin(broadcast(queries))
+      .withColumn("__score", l2m2dot(col("qv")))
+      .select(col("qid"), col("cell"),
+        row_number().over(wProbe).cast("long").as("pr"))
+    val nprobes = SweepNprobes.map(p => lit(p.toLong))
+    topk
+      .join(assigned, Seq("vec_id"))
+      .join(probeRank.hint("broadcast"), Seq("qid", "cell"))
+      .crossJoin(broadcast(
+        s.range(1).select(explode(array(nprobes: _*)).as("nprobe"))))
+      .groupBy(col("qid"), col("nprobe"))
+      .agg(sum(when(col("pr") <= col("nprobe"), 1L).otherwise(0L))
+        .as("hits"))
+      .withColumn("recall",
+        col("hits").cast("double") / lit(SweepK.toDouble))
+      .orderBy(col("qid"), col("nprobe"))
+  }
+
+  lazy val oracleQ155: String = {
+    val probeValues = SweepNprobes.map(p => s"($p)").mkString(", ")
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), corpus AS (
+       |  SELECT * FROM vecs WHERE vec_id >= $SweepQueries
+       |), cents AS (
+       |  SELECT vec_id AS cell, v AS cv FROM vecs
+       |  WHERE vec_id >= $SweepQueries
+       |    AND vec_id < ${SweepQueries + IvfCells}
+       |), qs AS (
+       |  SELECT vec_id AS qid, v AS qv FROM vecs
+       |  WHERE vec_id < $SweepQueries
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT t.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |        list_dot_product(c.cv, c.cv)
+       |          - 2.0 * list_dot_product(t.v, c.cv), c.cell) AS rn
+       |    FROM corpus t, cents c
+       |  ) WHERE rn = 1
+       |), topk AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, t.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        list_dot_product(t.v, q.qv)
+       |          / (sqrt(list_dot_product(t.v, t.v))
+       |             * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+       |        t.vec_id) AS rn
+       |    FROM corpus t, qs q
+       |  ) WHERE rn <= $SweepK
+       |), pr AS (
+       |  SELECT qid, cell, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY list_dot_product(cv, cv)
+       |      - 2.0 * list_dot_product(qv, cv), cell) AS BIGINT) AS pr
+       |  FROM cents, qs
+       |), np(nprobe) AS (VALUES $probeValues)
+       |SELECT t.qid, CAST(np.nprobe AS BIGINT) AS nprobe,
+       |  CAST(SUM(CASE WHEN a_pr.pr <= np.nprobe THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN a_pr.pr <= np.nprobe THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / ${SweepK.toDouble} AS recall
+       |FROM topk t
+       |JOIN assigned a ON a.vec_id = t.vec_id
+       |JOIN pr a_pr ON a_pr.qid = t.qid AND a_pr.cell = a.cell
+       |CROSS JOIN np
+       |GROUP BY t.qid, np.nprobe
+       |ORDER BY t.qid, nprobe""".stripMargin
+  }
+
   def q57IvfSearch(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfDeterministic(Tables.embeddings(s, dir), "vec_id",
       "embedding", queryId = 0L, nCells = IvfCells, nProbe = IvfProbes, k = 10)
