@@ -176,6 +176,7 @@ object SparkEntry {
     "q153_kcore" -> (Advanced.q153KCore _),
     "q154_char_entropy" -> (Curation.q154CharEntropy _),
     "q155_ivf_sweep" -> (TextQueries.q155IvfSweep _),
+    "q156_cdc_chunks" -> (Curation.q156CdcChunks _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -442,6 +443,7 @@ object SparkEntry {
     "q153_kcore" -> Advanced.oracleQ153,
     "q154_char_entropy" -> Curation.oracleQ154,
     "q155_ivf_sweep" -> TextQueries.oracleQ155,
+    "q156_cdc_chunks" -> Curation.oracleQ156,
   )
 
   private val asofOracle: String =

@@ -2411,6 +2411,107 @@ object Curation {
       |    / 1e6 / CAST('0.6931471805599453' AS DOUBLE) AS entropy_bits
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Cut mask for q156 (cut when h mod 32 = 0 → expected chunk ≈ 32
+    * chars at the gate corpus's alphabet). */
+  val CdcMask = 32L
+
+  /** q156 — content-defined chunking (gear rolling hash, the
+    * FastCDC/LBFS family): chunk boundaries fall where the rolling hash
+    * h_i = (2·h_{i−1} + gear(c_i)) mod 2³² hits h ≡ 0 (mod [[CdcMask]]),
+    * so boundaries depend on CONTENT, not offsets — an insertion shifts
+    * at most the chunk it lands in, which is what makes CDC the standard
+    * primitive for storage-level dedup and delta-sync of large corpora
+    * (a fixed-width chunker would re-chunk everything after the edit).
+    *
+    * Exactness: gear(c) = (codepoint·2654435761) mod 2³² and the
+    * recurrence are pure integer math. Spark computes the fold as ONE
+    * map-side `aggregate` higher-order expression per doc (sequential by
+    * construction — rolling hashes are the textbook case where a
+    * per-element fold, not a parallel reduction, is semantically
+    * required); the oracle replays the identical recurrence as a
+    * per-position recursive CTE. ASCII corpus contract: Spark's
+    * `ascii(c)` equals DuckDB's `unicode(c)` on codepoints < 128 (the
+    * gate corpus); a non-ASCII corpus would swap in a codepoint
+    * expression on the Spark side.
+    *
+    * Scale shape: entirely map-side per document (the fold carries
+    * O(cuts) state, no shuffle at all before the final sort); row fan-out
+    * is one row per chunk. */
+  def q156CdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables.documents(s, dir))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Gear-CDC chunk table for a (doc_id, text) frame — see [[q156CdcChunks]]. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val codes = expr(
+      """transform(filter(split(text, ''), c -> length(c) > 0),
+        |  c -> (ascii(c) * 2654435761) % 4294967296)""".stripMargin)
+    val folded = expr(
+      s"""aggregate(
+         |  transform(__codes, (g, i) ->
+         |    named_struct('g', g, 'i', CAST(i + 1 AS BIGINT))),
+         |  named_struct('h', CAST(0 AS BIGINT),
+         |    'cuts', CAST(array() AS ARRAY<BIGINT>)),
+         |  (acc, x) -> named_struct(
+         |    'h', (acc.h * 2 + x.g) % 4294967296,
+         |    'cuts', CASE WHEN ((acc.h * 2 + x.g) % 4294967296) % $CdcMask = 0
+         |            THEN concat(acc.cuts, array(x.i))
+         |            ELSE acc.cuts END))""".stripMargin)
+    val ends = expr(
+      """CASE WHEN size(__cuts) = 0 OR element_at(__cuts, -1) != __n
+        |     THEN concat(__cuts, array(__n)) ELSE __cuts END""".stripMargin)
+    val chunks = expr(
+      """transform(__ends, (e, i) -> named_struct(
+        |  'chunk_idx', CAST(i + 1 AS BIGINT),
+        |  'start_pos', CASE WHEN i = 0 THEN CAST(1 AS BIGINT)
+        |               ELSE element_at(__ends, i) + 1 END,
+        |  'end_pos', e))""".stripMargin)
+    docs
+      .select(col("doc_id"), codes.as("__codes"))
+      .filter(size(col("__codes")) > 0)
+      .select(col("doc_id"), folded.as("__f"),
+        size(col("__codes")).cast("long").as("__n"))
+      .select(col("doc_id"), col("__f.cuts").as("__cuts"), col("__n"))
+      .select(col("doc_id"), ends.as("__ends"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_pos"),
+        col("c.end_pos"),
+        (col("c.end_pos") - col("c.start_pos") + 1L).as("chunk_len"))
+  }
+
+  val oracleQ156: String =
+    s"""WITH RECURSIVE chars AS MATERIALIZED (
+       |  SELECT doc_id, generate_subscripts(cs, 1) AS i, unnest(cs) AS ch
+       |  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents)
+       |), codes AS MATERIALIZED (
+       |  SELECT doc_id, i, (unicode(ch) * 2654435761) % 4294967296 AS g
+       |  FROM chars WHERE len(ch) > 0
+       |), rec(doc_id, i, h) AS (
+       |  SELECT doc_id, i, g FROM codes WHERE i = 1
+       |  UNION ALL
+       |  SELECT c.doc_id, c.i, (r.h * 2 + c.g) % 4294967296
+       |  FROM rec r JOIN codes c ON c.doc_id = r.doc_id AND c.i = r.i + 1
+       |), cutrows AS (
+       |  SELECT doc_id, i AS e FROM rec WHERE h % $CdcMask = 0
+       |), lens AS (
+       |  SELECT doc_id, CAST(MAX(i) AS BIGINT) AS n FROM rec GROUP BY doc_id
+       |), ends AS (
+       |  SELECT doc_id, e FROM cutrows
+       |  UNION ALL
+       |  SELECT l.doc_id, l.n FROM lens l
+       |  LEFT JOIN (SELECT doc_id, MAX(e) AS me FROM cutrows
+       |             GROUP BY doc_id) m USING (doc_id)
+       |  WHERE m.me IS NULL OR m.me < l.n
+       |)
+       |SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS chunk_idx,
+       |  CAST(COALESCE(LAG(e) OVER w, 0) + 1 AS BIGINT) AS start_pos,
+       |  CAST(e AS BIGINT) AS end_pos,
+       |  CAST(e - COALESCE(LAG(e) OVER w, 0) AS BIGINT) AS chunk_len
+       |FROM ends
+       |WINDOW w AS (PARTITION BY doc_id ORDER BY e)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** q148 — Unicode NFC normalization ([[graft.functions.NfcExpr]]): the
     * canonical-composition pass every exact-match surface (dedup
     * fingerprints, shingles, blocklists) needs before trusting byte

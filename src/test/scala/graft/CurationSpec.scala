@@ -10,6 +10,39 @@ import graft.operators.{Dedup, Packing, Sampling}
 class CurationSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
 
+  // ---------------- content-defined chunking ----------------
+
+  test("cdc chunks: cover exactly, boundaries are content-defined (substitution is local)") {
+    import spark.implicits._
+    import graft.queries.Curation
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // substitute ONE char at position 200 (0-based); lengths equal
+    val edited = base.updated(200, if (base(200) == 'q') 'z' else 'q')
+    val chunks = Curation.cdcChunks(
+        Seq((1L, base), (2L, edited)).toDF("doc_id", "text"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)).toMap
+    // chunks tile the doc exactly: starts chain, ends at length
+    chunks.values.foreach { cs =>
+      assert(cs.head._2 == 1L && cs.last._3 == 400L)
+      cs.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(s2 == e1 + 1)
+        case _ =>
+      }
+    }
+    // the gear hash's 2^32 modulus forgets a char after 32 shifts, so
+    // every boundary at positions > 200+32 must appear in BOTH docs —
+    // the content-defined property a fixed-width chunker lacks
+    val ends1 = chunks(1L).map(_._3).filter(_ > 233L).toSet
+    val ends2 = chunks(2L).map(_._3).filter(_ > 233L).toSet
+    assert(ends1 == ends2 && ends1.nonEmpty)
+    // and the edit DID move something locally (sanity that the test bites)
+    assert(chunks(1L) != chunks(2L))
+  }
+
   // ---------------- exact AUC ----------------
 
   test("aucBySource: perfect=1, reversed=0, all-ties=0.5, midrank formula, degenerate=null") {
