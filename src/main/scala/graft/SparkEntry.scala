@@ -177,6 +177,7 @@ object SparkEntry {
     "q154_char_entropy" -> (Curation.q154CharEntropy _),
     "q155_ivf_sweep" -> (TextQueries.q155IvfSweep _),
     "q156_cdc_chunks" -> (Curation.q156CdcChunks _),
+    "q157_stream_sessions" -> (AnalyticsQueries.q157StreamSessions _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -444,6 +445,7 @@ object SparkEntry {
     "q154_char_entropy" -> Curation.oracleQ154,
     "q155_ivf_sweep" -> TextQueries.oracleQ155,
     "q156_cdc_chunks" -> Curation.oracleQ156,
+    "q157_stream_sessions" -> AnalyticsQueries.oracleQ157,
   )
 
   private val asofOracle: String =

@@ -857,6 +857,61 @@ object AnalyticsQueries {
        |FROM r GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  /** q157 — STREAMING gap-sessionization run TO COMPLETION in-process
+    * ([[graft.streaming.StreamSessions]], flatMapGroupsWithState +
+    * EventTimeTimeout — the tenth streaming shape and the last state API
+    * surface): globally sorted micro-batch slices, then a far-future
+    * sentinel raises the watermark so every user's final open session
+    * times out and flushes. The sentinel's own session times out PAST
+    * the final watermark, so it never emits (the q93 flush trick).
+    * Gate contract: stream ≡ batch — the oracle is q102's, verbatim. */
+  def q157StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamSessions
+    import graft.streaming.StreamSessions.Event
+    val evs = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect()
+      .sortBy(t => (t._1.getTime, t._3)) // in-order arrival per user
+      .map { case (ts, u, e, v) => Event(ts, u, e, v) }
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Event]
+    val sink = s"q157_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamSessions.sessions(mem.toDS(), SessionGapSec)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try {
+        val third = evs.length / 3
+        Seq(evs.slice(0, third), evs.slice(third, 2 * third),
+            evs.slice(2 * third, evs.length)).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        mem.addData(Event(
+          java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L, 0L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    val out = s.table(sink)
+      .select(col("userId").as("user_id"),
+        col("sessionIdx").as("session_idx"),
+        col("nEvents").as("n_events"),
+        timestamp_micros(col("startUs")).as("session_start"),
+        timestamp_micros(col("endUs")).as("session_end"),
+        expr("(endUs - startUs) DIV 1000000").as("duration_sec"),
+        col("sum6").as("value_sum6"))
+      .orderBy(col("user_id"), col("session_idx"))
+      .localCheckpoint() // pin rows before the temp view is dropped
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  lazy val oracleQ157: String = oracleQ102
+
   /** Funnel conversion window: each later stage must land within 24 h of
     * the previous one. */
   val FunnelWindowSec = 86400L
