@@ -178,6 +178,7 @@ object SparkEntry {
     "q155_ivf_sweep" -> (TextQueries.q155IvfSweep _),
     "q156_cdc_chunks" -> (Curation.q156CdcChunks _),
     "q157_stream_sessions" -> (AnalyticsQueries.q157StreamSessions _),
+    "q158_vit_patches" -> (Advanced.q158VitPatches _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -446,6 +447,7 @@ object SparkEntry {
     "q155_ivf_sweep" -> TextQueries.oracleQ155,
     "q156_cdc_chunks" -> Curation.oracleQ156,
     "q157_stream_sessions" -> AnalyticsQueries.oracleQ157,
+    "q158_vit_patches" -> Advanced.oracleQ158,
   )
 
   private val asofOracle: String =

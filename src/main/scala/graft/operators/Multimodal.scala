@@ -751,4 +751,63 @@ object Multimodal {
     }.toDF()
       .orderBy(col("doc_id"))
   }
+
+  final case class PatchRow(doc_id: Long, patch_y: Int, patch_x: Int,
+                            n_px: Long, psum: Long)
+
+  /** Decode a 24-bit BMP and accumulate p×p PATCH sums (all 3 channels)
+    * in LOGICAL top-down coordinates — the ViT-preprocessing grid. A
+    * decoder that ignores the bottom-up file row order produces
+    * vertically mirrored patch sums even though the TOTAL sum (q78's
+    * statistic) is unchanged, so this is a strictly stronger check of
+    * the row walk than decodeBmp. Ragged edges produce partial patches
+    * (n_px < p²), as real ViT pipelines must handle before padding. */
+  def decodeBmpPatches(bytes: Array[Byte],
+                       p: Int): Seq[(Int, Int, Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOffset = bb.getInt(10)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22)
+    require(bb.getShort(28) == 24 && bb.getInt(30) == 0,
+      "only uncompressed 24-bit BMP supported")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val gx = (width + p - 1) / p
+    val gy = (height + p - 1) / p
+    val sums = new Array[Long](gx * gy)
+    val counts = new Array[Long](gx * gy)
+    var y = 0
+    while (y < height) {
+      val rowStart = dataOffset + (height - 1 - y) * rowSize // top-down
+      val py = y / p
+      var x = 0
+      while (x < width) {
+        val cell = py * gx + x / p
+        val o = rowStart + x * 3
+        sums(cell) += (bytes(o) & 0xff) + (bytes(o + 1) & 0xff) +
+          (bytes(o + 2) & 0xff)
+        counts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    for (py <- 0 until gy; px <- 0 until gx)
+      yield (py, px, counts(py * gx + px), sums(py * gx + px))
+  }
+
+  /** q158: ViT-style patch grid over the synthetic BMP corpus — encode →
+    * REAL decode → per-patch channel sums, one map-side pass per doc
+    * (bytes never shuffle; only the slim patch rows move). */
+  def vitPatches(s: org.apache.spark.sql.SparkSession, dir: String,
+                 p: Int): DataFrame = {
+    import s.implicits._
+    synthMedia(graft.Tables.documents(s, dir))
+      .filter(_.media_type == "bmp")
+      .flatMap { m =>
+        decodeBmpPatches(m.payload, p).map { case (py, px, n, sum) =>
+          PatchRow(m.doc_id, py, px, n, sum)
+        }
+      }.toDF()
+      .orderBy(col("doc_id"), col("patch_y"), col("patch_x"))
+  }
 }

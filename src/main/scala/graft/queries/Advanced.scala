@@ -1152,6 +1152,42 @@ object Advanced {
       .limit(100)
   }
 
+  /** Patch edge for q158's ViT grid. */
+  val VitPatch = 4
+
+  /** q158 — ViT-style PATCH extraction through the REAL BMP decode path
+    * ([[Multimodal.decodeBmpPatches]]): per-doc images decode into a
+    * [[VitPatch]]×[[VitPatch]] logical top-down patch grid with exact
+    * per-patch channel sums and ragged partial edges — the
+    * tokenize-an-image preprocessing step every vision-language data
+    * pipeline runs before embedding. Strictly stronger than q78's total
+    * sum: a decoder that ignores BMP's bottom-up row order mirrors the
+    * grid vertically and breaks most patch sums while leaving the total
+    * intact. The oracle re-derives every patch sum arithmetically from
+    * the synthesis formula (pixel i = (id·7+i) mod 256). */
+  def q158VitPatches(s: SparkSession, dir: String): DataFrame =
+    Multimodal.vitPatches(s, dir, VitPatch)
+
+  val oracleQ158: String =
+    s"""WITH bmp AS (
+       |  SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS w,
+       |    CAST(3 + doc_id % 7 AS INT) AS h
+       |  FROM documents WHERE doc_id % 2 = 0
+       |), px AS (
+       |  SELECT doc_id, w, h, unnest(range(0, w*h*3)) AS i FROM bmp
+       |), cells AS (
+       |  SELECT doc_id,
+       |    CAST((i // (3*w)) // $VitPatch AS INT) AS patch_y,
+       |    CAST(((i // 3) % w) // $VitPatch AS INT) AS patch_x,
+       |    (doc_id*7 + i) % 256 AS v
+       |  FROM px
+       |)
+       |SELECT doc_id, patch_y, patch_x,
+       |  CAST(COUNT(*) // 3 AS BIGINT) AS n_px,
+       |  CAST(SUM(v) AS BIGINT) AS psum
+       |FROM cells GROUP BY doc_id, patch_y, patch_x
+       |ORDER BY doc_id, patch_y, patch_x""".stripMargin
+
   /** Core threshold and unroll bound for q153. K = 80 sits just below the
     * co-purchase graph's collapse threshold (empirically: 5 peel rounds
     * and a surviving ~93% core at both sf0.01 and sf0.1; K = 90 empties
