@@ -179,6 +179,7 @@ object SparkEntry {
     "q156_cdc_chunks" -> (Curation.q156CdcChunks _),
     "q157_stream_sessions" -> (AnalyticsQueries.q157StreamSessions _),
     "q158_vit_patches" -> (Advanced.q158VitPatches _),
+    "q159_pii_redact" -> (Curation.q159PiiRedact _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -448,6 +449,7 @@ object SparkEntry {
     "q156_cdc_chunks" -> Curation.oracleQ156,
     "q157_stream_sessions" -> AnalyticsQueries.oracleQ157,
     "q158_vit_patches" -> Advanced.oracleQ158,
+    "q159_pii_redact" -> Curation.oracleQ159,
   )
 
   private val asofOracle: String =

@@ -2512,6 +2512,75 @@ object Curation {
        |WINDOW w AS (PARTITION BY doc_id ORDER BY e)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q159 — PII detection + REDACTION audit (the Dolma/RefinedWeb PII
+    * pass): count and mask email/phone patterns, report the redacted
+    * fingerprint — the pre-training privacy scrub every released corpus
+    * documents. The synthetic corpus carries no PII, so the gate INJECTS
+    * it deterministically in both engines (doc_id ≡ 0 mod 3 → an email,
+    * ≡ 0 mod 5 → a phone; ≡ 0 mod 15 → both), then detects and redacts —
+    * counts, lengths and the md5 of the redacted text must all match
+    * bit-exactly, which also pins Spark (java.util.regex) and DuckDB
+    * (RE2) to the compatible-regex subset the patterns are written in.
+    *
+    * Scale shape: pure map-side regex projections; one row per doc. */
+  def q159PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phonePat = "555-[0-9]{4}"
+    val injected = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+      .otherwise(col("text"))
+    val injected2 = when(col("doc_id") % 5 === 0,
+        concat(col("__t1"), lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("__t1"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), injected.as("__t1"))
+      .select(col("doc_id"), injected2.as("__t2"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(__t2, '$emailPat', 0)"))
+          .cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(__t2, '$phonePat', 0)"))
+          .cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("__t2"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>").as("__r"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("__r")).cast("long").as("redacted_len"),
+        md5(col("__r")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ159: String =
+    """WITH t1 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |           || '@example.com now'
+      |      ELSE text END AS t
+      |  FROM documents
+      |), t2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN t || ' call 555-'
+      |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE t END AS t
+      |  FROM t1
+      |), det AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+      |      AS BIGINT) AS n_emails,
+      |    CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT)
+      |      AS n_phones,
+      |    regexp_replace(regexp_replace(t,
+      |      '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |      '555-[0-9]{4}', '<PHONE>', 'g') AS r
+      |  FROM t2
+      |)
+      |SELECT doc_id, n_emails, n_phones,
+      |  CAST(length(r) AS BIGINT) AS redacted_len, md5(r) AS redacted_md5
+      |FROM det ORDER BY doc_id""".stripMargin
+
   /** q148 — Unicode NFC normalization ([[graft.functions.NfcExpr]]): the
     * canonical-composition pass every exact-match surface (dedup
     * fingerprints, shingles, blocklists) needs before trusting byte
