@@ -180,6 +180,7 @@ object SparkEntry {
     "q157_stream_sessions" -> (AnalyticsQueries.q157StreamSessions _),
     "q158_vit_patches" -> (Advanced.q158VitPatches _),
     "q159_pii_redact" -> (Curation.q159PiiRedact _),
+    "q160_leadlag" -> (AnalyticsQueries.q160LeadLag _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -450,6 +451,7 @@ object SparkEntry {
     "q157_stream_sessions" -> AnalyticsQueries.oracleQ157,
     "q158_vit_patches" -> Advanced.oracleQ158,
     "q159_pii_redact" -> Curation.oracleQ159,
+    "q160_leadlag" -> AnalyticsQueries.oracleQ160,
   )
 
   private val asofOracle: String =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Materialize
 
 /** Derived-analytics operators (SURVEY.md §2.4–§2.8): market-breadth
   * conditional counts, calendar-spine rolling windows, exact median bands,
@@ -856,6 +857,88 @@ object AnalyticsQueries {
        |    AS value_sum6
        |FROM r GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Lag sweep for q160 (days of B-shift, negative = B leads A). */
+  val LeadLagRange: Seq[Int] = -3 to 3
+
+  /** q160 — LEAD-LAG cross-correlation sweep: Pearson corr between the
+    * 'view' and 'purchase' daily-sum series at every shift in
+    * [[LeadLagRange]] — the lead/lag screen the reference's macro layer
+    * points at indicator pairs (does A move before B?), gated as a full
+    * curve rather than one point (q26 gates lag-0 corr of returns).
+    *
+    * Exactness: daily sums ride floor(v·100+½) cent integers; per lag,
+    * n/Σx/Σy/Σxy/Σx²/Σy² are exact BIGINTs (bounded: 30 days × ~2.4e7
+    * cents → n·Σxy ≲ 5e17 < 2⁶³) and the Pearson ratio is assembled in
+    * one pinned expression shape in both engines; zero-variance series
+    * yield null, not NaN.
+    *
+    * Scale shape: one map-side-combined (date, type) aggregation
+    * collapses the stream to ≤ days×types rows; the 7-lag sweep is a
+    * bounded explode over that tiny dim — the event stream is read
+    * once. */
+  def q160LeadLag(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+    Materialize.withMaterialized(daily) { dm =>
+      val a = dm.filter(col("event_type") === "view")
+        .select(col("d"), col("cents").as("x"))
+      val b = dm.filter(col("event_type") === "purchase")
+        .select(col("d").as("bd"), col("cents").as("y"))
+      val lags = LeadLagRange.map(l => lit(l))
+      val sums = a
+        .crossJoin(broadcast(
+          s.range(1).select(explode(array(lags: _*)).as("lag"))))
+        .join(b, expr("bd = date_add(d, CAST(lag AS INT))"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      sums.select(col("lag").cast("long").as("lag"), col("n"),
+          col("sxy"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+               col("n") * col("syy") - col("sy") * col("sy") > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                 * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))))
+            .as("corr"))
+        .orderBy(col("lag"))
+    }
+  }
+
+  val oracleQ160: String =
+    """WITH daily AS (
+      |  SELECT ts::date AS d, event_type,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1, 2
+      |), a AS (
+      |  SELECT d, cents AS x FROM daily WHERE event_type = 'view'
+      |), b AS (
+      |  SELECT d AS bd, cents AS y FROM daily WHERE event_type = 'purchase'
+      |), lags(lag) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3)),
+      |sums AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y*y) AS BIGINT) AS syy
+      |  FROM a CROSS JOIN lags JOIN b ON bd = d + lag
+      |  GROUP BY lag
+      |)
+      |SELECT CAST(lag AS BIGINT) AS lag, n, sxy,
+      |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+      |    CAST(n*sxy - sx*sy AS DOUBLE)
+      |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+      |         * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS corr
+      |FROM sums ORDER BY lag""".stripMargin
 
   /** q157 — STREAMING gap-sessionization run TO COMPLETION in-process
     * ([[graft.streaming.StreamSessions]], flatMapGroupsWithState +
