@@ -181,6 +181,7 @@ object SparkEntry {
     "q158_vit_patches" -> (Advanced.q158VitPatches _),
     "q159_pii_redact" -> (Curation.q159PiiRedact _),
     "q160_leadlag" -> (AnalyticsQueries.q160LeadLag _),
+    "q161_kmv_sketch" -> (Curation.q161KmvSketch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -452,6 +453,7 @@ object SparkEntry {
     "q158_vit_patches" -> Advanced.oracleQ158,
     "q159_pii_redact" -> Curation.oracleQ159,
     "q160_leadlag" -> AnalyticsQueries.oracleQ160,
+    "q161_kmv_sketch" -> Curation.oracleQ161,
   )
 
   private val asofOracle: String =

@@ -2512,6 +2512,86 @@ object Curation {
        |WINDOW w AS (PARTITION BY doc_id ORDER BY e)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Retained minima per source for the q161 KMV sketch. */
+  val KmvK = 32
+
+  /** q161 — KMV (k-minimum-values) DISTINCT sketch per source: retain
+    * the [[KmvK]] smallest 60-bit token hashes; the k-th minimum m_k
+    * estimates the distinct count as (k−1)·2⁶⁰/m_k (Bar-Yossef et al.
+    * 2002) — the order-statistics cousin of the q82 HLL (HLL: fixed
+    * 2^p registers, union-mergeable; KMV: k values, ALSO intersectable
+    * — the sketch you keep when cross-source overlap estimates matter).
+    * Sources with fewer than k distinct hashes fall back to the exact
+    * count (the standard KMV rule), so the gate exercises both paths if
+    * any source is small; the estimate column pins the error the sketch
+    * actually makes against the exact count carried alongside.
+    *
+    * Exactness: minima and counts are exact integers from one
+    * (source, h60) distinct + one per-source rank; the estimate is a
+    * single pinned-double expression. Scale shape: the distinct is the
+    * only corpus-sized shuffle; the rank runs per source and
+    * WindowGroupLimit prunes to k rows per source before the rollup. */
+  def q161KmvSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h60 = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(Text.normalize(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("source"), h60.as("h"))
+      .distinct()
+    Materialize.withMaterialized(toks) { t =>
+      val exact = t.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_distinct"))
+      val rn = row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h")))
+      val minima = t.withColumn("rn", rn).filter(col("rn") <= KmvK)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_mins"),
+          max(when(col("rn") === KmvK, col("h"))).as("kth_min"))
+      val two60 = "CAST('1152921504606846976' AS DOUBLE)"
+      minima.join(exact, Seq("source"))
+        .select(col("source"), col("n_mins"), col("kth_min"),
+          col("exact_distinct"),
+          when(col("kth_min").isNotNull,
+            lit((KmvK - 1).toDouble) * expr(two60)
+              / col("kth_min").cast("double"))
+            .otherwise(col("exact_distinct").cast("double"))
+            .as("est_distinct"))
+        .orderBy(col("source"))
+    }
+  }
+
+  val oracleQ161: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT source, unnest(string_split(
+       |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |    FROM documents
+       |  ) WHERE len(tok) > 0
+       |), ranked AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM toks
+       |), minima AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_mins,
+       |    MAX(CASE WHEN rn = $KmvK THEN h END) AS kth_min
+       |  FROM ranked WHERE rn <= $KmvK GROUP BY source
+       |), exact AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+       |  FROM toks GROUP BY source
+       |)
+       |SELECT m.source, m.n_mins, m.kth_min, e.exact_distinct,
+       |  CASE WHEN m.kth_min IS NOT NULL THEN
+       |    CAST(${KmvK - 1} AS DOUBLE)
+       |      * CAST('1152921504606846976' AS DOUBLE)
+       |      / CAST(m.kth_min AS DOUBLE)
+       |  ELSE CAST(e.exact_distinct AS DOUBLE) END AS est_distinct
+       |FROM minima m JOIN exact e USING (source)
+       |ORDER BY m.source""".stripMargin
+
   /** q159 — PII detection + REDACTION audit (the Dolma/RefinedWeb PII
     * pass): count and mask email/phone patterns, report the redacted
     * fingerprint — the pre-training privacy scrub every released corpus
