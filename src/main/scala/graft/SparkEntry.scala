@@ -182,6 +182,7 @@ object SparkEntry {
     "q159_pii_redact" -> (Curation.q159PiiRedact _),
     "q160_leadlag" -> (AnalyticsQueries.q160LeadLag _),
     "q161_kmv_sketch" -> (Curation.q161KmvSketch _),
+    "q162_kmv_overlap" -> (Curation.q162KmvOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -454,6 +455,7 @@ object SparkEntry {
     "q159_pii_redact" -> Curation.oracleQ159,
     "q160_leadlag" -> AnalyticsQueries.oracleQ160,
     "q161_kmv_sketch" -> Curation.oracleQ161,
+    "q162_kmv_overlap" -> Curation.oracleQ162,
   )
 
   private val asofOracle: String =

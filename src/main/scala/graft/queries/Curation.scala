@@ -2592,6 +2592,139 @@ object Curation {
        |FROM minima m JOIN exact e USING (source)
        |ORDER BY m.source""".stripMargin
 
+  /** q162 — KMV cross-source OVERLAP estimation: for every source pair,
+    * merge the two [[KmvK]]-minima sketches, keep the k smallest of the
+    * union, and estimate Jaccard as (members of both sets among them)/k′
+    * (Beyer et al. SIGMOD'07) — the sketch-sized answer to "which crawl
+    * dumps overlap enough to cross-dedup" (q77's incremental dedup needs
+    * the PAIRS; this tells you which pairs are worth running it on).
+    * The exact token-set Jaccard rides alongside, so the gate pins the
+    * estimator's actual error on every pair.
+    *
+    * Exactness: sketch membership, union ranks and intersection counts
+    * are exact integers; both ratios are single pinned divisions.
+    *
+    * Scale shape: the per-source minima relation is k·|sources| rows —
+    * the pairwise stage never touches the corpus (that is the point of
+    * the sketch); the exact-Jaccard audit column joins the distinct
+    * (source, h) relation on h — candidate-bounded by token overlap,
+    * and at true scale it is the column you DROP, not the sketch. */
+  def q162KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h60 = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val toks = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(split(Text.normalize(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("source"), h60.as("h"))
+      .distinct()
+    Materialize.withMaterialized(toks) { t =>
+      val minima = t
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"))))
+        .filter(col("rn") <= KmvK)
+        .select(col("source"), col("h"))
+      Materialize.withMaterialized(minima) { m =>
+        val both = m.select(col("source").as("s1"), col("h"))
+          .join(m.select(col("source").as("s2"), col("h")), Seq("h"))
+          .filter(col("s1") < col("s2"))
+        val unionRanked = m.select(col("source").as("s1"), col("h"))
+          .join(m.select(col("source").as("s2")).distinct(),
+            col("s1") < col("s2"))
+          .select(col("s1"), col("s2"), col("h"))
+          .unionByName(m.select(col("source").as("s2"), col("h"))
+            .join(m.select(col("source").as("s1")).distinct(),
+              col("s1") < col("s2"))
+            .select(col("s1"), col("s2"), col("h")))
+          .distinct()
+          .withColumn("urn", row_number().over(
+            Window.partitionBy(col("s1"), col("s2")).orderBy(col("h"))))
+          .filter(col("urn") <= KmvK)
+        val est = unionRanked
+          .join(both.select(col("s1"), col("s2"), col("h"),
+            lit(1L).as("inboth")), Seq("s1", "s2", "h"), "left")
+          .groupBy(col("s1"), col("s2"))
+          .agg(count(lit(1)).as("k_union"),
+            sum(coalesce(col("inboth"), lit(0L))).as("n_both"))
+        val sz = t.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        val inter = t.select(col("source").as("s1"), col("h"))
+          .join(t.select(col("source").as("s2"), col("h")), Seq("h"))
+          .filter(col("s1") < col("s2"))
+          .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("i"))
+        est
+          .join(sz.select(col("source").as("s1"), col("sz").as("z1")),
+            Seq("s1"))
+          .join(sz.select(col("source").as("s2"), col("sz").as("z2")),
+            Seq("s2"))
+          .join(inter, Seq("s1", "s2"), "left")
+          .select(col("s1"), col("s2"), col("k_union"), col("n_both"),
+            (col("n_both").cast("double") / col("k_union").cast("double"))
+              .as("est_jaccard"),
+            (coalesce(col("i"), lit(0L)).cast("double") /
+              (col("z1") + col("z2") - coalesce(col("i"), lit(0L)))
+                .cast("double")).as("exact_jaccard"))
+          .orderBy(col("s1"), col("s2"))
+      }
+    }
+  }
+
+  val oracleQ162: String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT source, unnest(string_split(
+       |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+       |    FROM documents
+       |  ) WHERE len(tok) > 0
+       |), minima AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM toks
+       |  ) WHERE rn <= $KmvK
+       |), srcs AS (SELECT DISTINCT source FROM minima),
+       |prs AS (
+       |  SELECT a.source AS s1, b.source AS s2 FROM srcs a JOIN srcs b
+       |  ON a.source < b.source
+       |), uni AS (
+       |  SELECT DISTINCT p.s1, p.s2, m.h
+       |  FROM prs p JOIN minima m ON m.source IN (p.s1, p.s2)
+       |), uranked AS (
+       |  SELECT s1, s2, h,
+       |    row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS urn
+       |  FROM uni
+       |), bothm AS (
+       |  SELECT a.source AS s1, b.source AS s2, a.h
+       |  FROM minima a JOIN minima b ON a.h = b.h AND a.source < b.source
+       |), est AS (
+       |  SELECT u.s1, u.s2, CAST(COUNT(*) AS BIGINT) AS k_union,
+       |    CAST(SUM(CASE WHEN bo.h IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_both
+       |  FROM uranked u
+       |  LEFT JOIN bothm bo ON bo.s1 = u.s1 AND bo.s2 = u.s2 AND bo.h = u.h
+       |  WHERE u.urn <= $KmvK
+       |  GROUP BY u.s1, u.s2
+       |), sz AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM toks
+       |  GROUP BY source
+       |), it AS (
+       |  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM toks a JOIN toks b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.s1, e.s2, e.k_union, e.n_both,
+       |  CAST(e.n_both AS DOUBLE) / CAST(e.k_union AS DOUBLE)
+       |    AS est_jaccard,
+       |  CAST(COALESCE(it.i, 0) AS DOUBLE)
+       |    / CAST(z1.sz + z2.sz - COALESCE(it.i, 0) AS DOUBLE)
+       |    AS exact_jaccard
+       |FROM est e
+       |JOIN sz z1 ON z1.source = e.s1
+       |JOIN sz z2 ON z2.source = e.s2
+       |LEFT JOIN it ON it.s1 = e.s1 AND it.s2 = e.s2
+       |ORDER BY e.s1, e.s2""".stripMargin
+
   /** q159 — PII detection + REDACTION audit (the Dolma/RefinedWeb PII
     * pass): count and mask email/phone patterns, report the redacted
     * fingerprint — the pre-training privacy scrub every released corpus
