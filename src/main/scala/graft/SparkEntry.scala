@@ -183,6 +183,7 @@ object SparkEntry {
     "q160_leadlag" -> (AnalyticsQueries.q160LeadLag _),
     "q161_kmv_sketch" -> (Curation.q161KmvSketch _),
     "q162_kmv_overlap" -> (Curation.q162KmvOverlap _),
+    "q163_calibration" -> (Curation.q163Calibration _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -456,6 +457,7 @@ object SparkEntry {
     "q160_leadlag" -> AnalyticsQueries.oracleQ160,
     "q161_kmv_sketch" -> Curation.oracleQ161,
     "q162_kmv_overlap" -> Curation.oracleQ162,
+    "q163_calibration" -> Curation.oracleQ163,
   )
 
   private val asofOracle: String =

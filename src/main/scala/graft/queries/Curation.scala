@@ -2512,6 +2512,55 @@ object Curation {
        |WINDOW w AS (PARTITION BY doc_id ORDER BY e)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q163 — CALIBRATION curve (reliability diagram): bucket a
+    * probability-like score into deciles and compare mean predicted
+    * probability against the empirical positive rate per bucket — the
+    * standard companion to q147's AUC (AUC measures discrimination;
+    * calibration measures whether 0.8 MEANS 80%), plus the expected
+    * calibration error (ECE) carriers. Score: a logistic link over
+    * document length, p = σ((n_chars − 150)/50); label: lang = 'en'.
+    *
+    * Exactness: the transcendental σ is quantized ONCE to p6 =
+    * floor(p·10⁶ + ½) per row (the repo's post-transcendental
+    * discipline), after which buckets, sums and positive counts are
+    * exact integers; the two means are final pinned divisions.
+    *
+    * Scale shape: one map-side projection + one ≤10-group aggregation. */
+  def q163Calibration(s: SparkSession, dir: String): DataFrame = {
+    val p6 = floor(lit(1e6) /
+      (lit(1.0) + exp(-(col("n_chars").cast("double") - lit(150.0))
+        / lit(50.0))) + lit(0.5)).cast("long")
+    Tables.documents(s, dir)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+        p6.as("p6"))
+      .withColumn("bucket", least(expr("p6 DIV 100000"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("p6")).as("sum_p6"),
+        sum(col("pos")).as("n_pos"))
+      .select(col("bucket"), col("n"), col("sum_p6"), col("n_pos"),
+        (col("sum_p6").cast("double") / lit(1e6) / col("n"))
+          .as("mean_pred"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"))
+      .orderBy(col("bucket"))
+  }
+
+  val oracleQ163: String =
+    """WITH scored AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    CAST(floor(1e6 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) - 150.0)
+      |      / 50.0)) + 0.5) AS BIGINT) AS p6
+      |  FROM documents
+      |), b AS (
+      |  SELECT least(p6 // 100000, 9) AS bucket, pos, p6 FROM scored
+      |)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(p6) AS BIGINT) AS sum_p6,
+      |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(SUM(p6) AS DOUBLE) / 1e6 / COUNT(*) AS mean_pred,
+      |  CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS pos_rate
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Retained minima per source for the q161 KMV sketch. */
   val KmvK = 32
 
