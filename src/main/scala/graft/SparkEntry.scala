@@ -184,6 +184,7 @@ object SparkEntry {
     "q161_kmv_sketch" -> (Curation.q161KmvSketch _),
     "q162_kmv_overlap" -> (Curation.q162KmvOverlap _),
     "q163_calibration" -> (Curation.q163Calibration _),
+    "q164_kmeans_elbow" -> (TextQueries.q164KmeansElbow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -458,6 +459,7 @@ object SparkEntry {
     "q161_kmv_sketch" -> Curation.oracleQ161,
     "q162_kmv_overlap" -> Curation.oracleQ162,
     "q163_calibration" -> Curation.oracleQ163,
+    "q164_kmeans_elbow" -> TextQueries.oracleQ164,
   )
 
   private val asofOracle: String =

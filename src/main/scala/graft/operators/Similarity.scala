@@ -158,31 +158,78 @@ object Similarity {
       .withColumn("v",
         expr("transform(vd, x -> CAST(floor(x * 1e6 + 0.5) AS DOUBLE))"))
     Materialize.withMaterialized(vecs0) { vecs =>
-      def score(v: Column): Column =
-        dotProduct(col("cv"), col("cv")) - lit(2.0) * dotProduct(v, col("cv"))
-      val wMin = Window.partitionBy(col(idCol))
-        .orderBy(col("__score"), col("cell"))
-      def assign(cents: DataFrame): DataFrame =
-        vecs.crossJoin(broadcast(cents))
-          .withColumn("__score", score(col("v")))
-          .withColumn("__rn", row_number().over(wMin))
-          .filter(col("__rn") === 1)
-      var cents = vecs.filter(col(idCol) < nCells)
-        .select(col(idCol).cast("int").as("cell"), col("v").as("cv"))
+      val cents = lloyd(vecs, idCol, nCells, iters)
+      kmAssignUnder(vecs, idCol, cents)
+        .select(col(idCol), col("cell"), col("vd"))
         .localCheckpoint()
-      for (_ <- 1 to iters) {
-        val upd = assign(cents)
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos"))
-          .agg((sum(col("x")) / count(lit(1))).as("m"))
-          .groupBy(col("cell"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
-            "s -> s.m)").as("cvNew"))
-        cents = cents.join(upd, Seq("cell"), "left")
-          .select(col("cell"), coalesce(col("cvNew"), col("cv")).as("cv"))
-          .localCheckpoint()
-      }
-      assign(cents).select(col(idCol), col("cell"), col("vd"))
+    }
+  }
+
+  /** Exact-integer Lloyd training loop (the q74/q86 quantizer) over a
+    * MATERIALIZED (idCol, vd, v) relation: seeds = the nCells lowest-id
+    * vectors, `iters` full iterations, empty cells keep their previous
+    * centroid. Factored out so the q164 elbow sweep can train several k
+    * against one carrier. */
+  private[graft] def lloyd(vecs: DataFrame, idCol: String, nCells: Int,
+                           iters: Int): DataFrame = {
+    var cents = vecs.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("int").as("cell"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val upd = kmAssignUnder(vecs, idCol, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x")) / count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+          "s -> s.m)").as("cvNew"))
+      cents = cents.join(upd, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cvNew"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Argmin-cell assignment of `vecs` under broadcast `cents` (ties →
+    * lowest cell id); carries all of vecs' columns plus `cell`. */
+  private[graft] def kmAssignUnder(vecs: DataFrame, idCol: String,
+                                   cents: DataFrame): DataFrame = {
+    val score =
+      dotProduct(col("cv"), col("cv")) -
+        lit(2.0) * dotProduct(col("v"), col("cv"))
+    val wMin = Window.partitionBy(col(idCol))
+      .orderBy(col("__score"), col("cell"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("__score", score)
+      .withColumn("__rn", row_number().over(wMin))
+      .filter(col("__rn") === 1)
+  }
+
+  /** k-means ELBOW sweep: train [[lloyd]] for every k in `ks` against ONE
+    * materialized carrier and report per-k inertia (Σ of each vector's
+    * distance² to its assigned centroid, per-row quantized to
+    * floor(d²+½) BIGINTs so the sum is exact) plus the number of cells
+    * actually used — the model-selection curve read before fixing an IVF
+    * or SemDeDup cell count. Centroids broadcast; each k costs
+    * iters+1 map-side argmin passes; nothing pairwise. */
+  def kmeansElbow(emb: DataFrame, idCol: String, vecCol: String,
+                  ks: Seq[Int], iters: Int): DataFrame = {
+    val vecs0 = emb.select(col(idCol), asDouble(col(vecCol)).as("vd"))
+      .withColumn("v",
+        expr("transform(vd, x -> CAST(floor(x * 1e6 + 0.5) AS DOUBLE))"))
+    Materialize.withMaterialized(vecs0) { vecs =>
+      ks.map { k =>
+        val cents = lloyd(vecs, idCol, k, iters)
+        kmAssignUnder(vecs, idCol, cents)
+          .withColumn("__d2", col("__score") + dotProduct(col("v"), col("v")))
+          .agg(count(lit(1)).as("n_vecs"),
+            countDistinct(col("cell")).as("n_cells_used"),
+            sum(floor(col("__d2") + lit(0.5)).cast("long")).as("inertia6"))
+          .withColumn("k", lit(k.toLong))
+          .select(col("k"), col("n_vecs"), col("n_cells_used"),
+            col("inertia6"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("k"))
         .localCheckpoint()
     }
   }

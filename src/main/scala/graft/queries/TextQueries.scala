@@ -1596,6 +1596,57 @@ GROUP BY d.source ORDER BY d.source"""
        |ORDER BY cosine_sim DESC, af.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Cell counts swept by the q164 elbow. */
+  val ElbowKs: Seq[Int] = Seq(4, 8, 16)
+
+  /** q164 — k-means ELBOW sweep ([[Similarity.kmeansElbow]]): inertia
+    * (exact per-row-quantized Σd²) and used-cell counts for each k in
+    * [[ElbowKs]] under the gated exact-integer Lloyd trainer — the
+    * model-selection curve behind q74's IvfCells and q86's SemDeDup cell
+    * count, gated as a whole curve. The oracle replays all three
+    * trainings with the q74 kmIteration chains under per-k CTE names. */
+  def q164KmeansElbow(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansElbow(Tables.embeddings(s, dir), "vec_id",
+      "embedding", ElbowKs, IvfKmIters)
+
+  lazy val oracleQ164: String = {
+    def chain(k: Int): String = {
+      val (c0, c1, c2) = (s"c0k$k", s"c1k$k", s"c2k$k")
+      s"""$c0 AS (
+         |  SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM vecs
+         |  WHERE vec_id < $k
+         |), ${kmIteration(c0, c1, "")}, ${kmIteration(c1, c2, "")},
+         |ak$k AS (
+         |  SELECT vec_id, cell, sc, sd FROM (
+         |    SELECT t.vec_id, c.cell,
+         |      list_dot_product(c.cv, c.cv)
+         |        - 2.0 * list_dot_product(t.v, c.cv) AS sc,
+         |      list_dot_product(t.v, t.v) AS sd,
+         |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+         |        list_dot_product(c.cv, c.cv)
+         |          - 2.0 * list_dot_product(t.v, c.cv), c.cell) AS rn
+         |    FROM vecs t, $c2 c
+         |  ) WHERE rn = 1
+         |), agg$k AS (
+         |  SELECT CAST($k AS BIGINT) AS k,
+         |    CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells_used,
+         |    CAST(SUM(CAST(floor(sc + sd + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS inertia6
+         |  FROM ak$k
+         |)""".stripMargin
+    }
+    s"""WITH vecs0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+       |), vecs AS MATERIALIZED (
+       |  SELECT vec_id, vd,
+       |    list_transform(vd, x -> floor(x * 1e6 + 0.5)) AS v
+       |  FROM vecs0
+       |), ${ElbowKs.map(chain).mkString(", ")}
+       |${ElbowKs.map(k => s"SELECT * FROM agg$k").mkString("\nUNION ALL ")}
+       |ORDER BY k""".stripMargin
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): k-means-cluster the
     * embedding space, then drop all but one member of every
