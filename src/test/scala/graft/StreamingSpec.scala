@@ -247,4 +247,44 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(one == batch)
   }
+
+  test("streaming sessions: in-batch disorder sorted, numbering survives timeout flush, sentinel never emits") {
+    import spark.implicits._
+    import graft.streaming.StreamSessions
+    import graft.streaming.StreamSessions.{Closed, Event}
+    implicit val sc = spark.sqlContext
+    def run(batches: Seq[Seq[Event]]): Seq[(Long, Long, Long, Long)] = {
+      val mem = MemoryStream[Event]
+      val q = StreamSessions.sessions(mem.toDS(), gapSec = 600)
+        .writeStream.format("memory").queryName("sess")
+        .outputMode("append").start()
+      try batches.foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.table("sess").as[Closed].collect()
+        .map(c => (c.userId, c.sessionIdx, c.nEvents, c.sum6))
+        .sortBy(t => (t._1, t._2)).toSeq
+      spark.catalog.dropTempView("sess")
+      out
+    }
+    // user 1: session A (2 events), >gap pause, session B (1 event);
+    // batch 1 is deliberately OUT OF ORDER within the batch
+    val b1 = Seq(
+      Event(ts("2024-01-01 10:05:00"), 1, 2, 2.0),
+      Event(ts("2024-01-01 10:00:00"), 1, 1, 1.0))
+    // watermark (10:05 − 10 min delay = 09:55) < session end + gap →
+    // session A still open after batch 1; batch 2's far-future event for
+    // user 2 pushes the watermark past it → A flushes VIA TIMEOUT, then
+    // batch 3 opens user 1's session B — its index must be 2, not 1
+    val b2 = Seq(Event(ts("2024-01-01 12:00:00"), 2, 3, 5.0))
+    val b3 = Seq(Event(ts("2024-01-01 12:00:30"), 1, 4, 3.0))
+    val sentinel = Seq(Event(ts("2030-01-01 00:00:00"), -1, 9, 0.0))
+    val got = run(Seq(b1, b2, b3, sentinel))
+    assert(got == Seq(
+      (1L, 1L, 2L, 3000000L), // A: both events, disorder sorted, sum6 exact
+      (1L, 2L, 1L, 3000000L), // B: numbering survived A's timeout flush
+      (2L, 1L, 1L, 5000000L)))
+    // sentinel user -1 never emitted (its timeout is past the watermark)
+    assert(!got.exists(_._1 == -1L))
+  }
 }
