@@ -185,6 +185,7 @@ object SparkEntry {
     "q162_kmv_overlap" -> (Curation.q162KmvOverlap _),
     "q163_calibration" -> (Curation.q163Calibration _),
     "q164_kmeans_elbow" -> (TextQueries.q164KmeansElbow _),
+    "q165_gzip_roundtrip" -> (Advanced.q165GzipRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -460,6 +461,7 @@ object SparkEntry {
     "q162_kmv_overlap" -> Curation.oracleQ162,
     "q163_calibration" -> Curation.oracleQ163,
     "q164_kmeans_elbow" -> TextQueries.oracleQ164,
+    "q165_gzip_roundtrip" -> Advanced.oracleQ165,
   )
 
   private val asofOracle: String =

@@ -752,6 +752,46 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  final case class GzipRow(doc_id: Long, n_raw: Long, rt_md5: String,
+                           roundtrip_ok: Boolean)
+
+  /** q165: REAL gzip compress → decompress roundtrip over the corpus
+    * text (`java.util.zip`, the DEFLATE codec PNG's IDAT already
+    * exercises — here over actual documents, the way webtext corpora
+    * store their payload columns). The oracle can't predict compressed
+    * sizes (implementation-defined), so the gate pins what IS
+    * deterministic: the decompressed bytes must be the original text
+    * (md5 + equality), which breaks on any window/flush/trailer bug.
+    * The compression-actually-compresses property is spec'd in
+    * MultimodalSpec instead. Map-side per doc; bytes never shuffle. */
+  def gzipRoundtrip(s: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].map {
+        case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(raw); gz.close()
+          val back = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray)).readAllBytes()
+          val md = java.security.MessageDigest.getInstance("MD5")
+          GzipRow(id, raw.length.toLong,
+            md.digest(back).map("%02x".format(_)).mkString,
+            java.util.Arrays.equals(raw, back))
+      }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Compressed size for the MultimodalSpec compression-ratio check. */
+  def gzipSize(text: String): Int = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(text.getBytes("UTF-8")); gz.close()
+    bos.size()
+  }
+
   final case class PatchRow(doc_id: Long, patch_y: Int, patch_x: Int,
                             n_px: Long, psum: Long)
 

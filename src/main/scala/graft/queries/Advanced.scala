@@ -1152,6 +1152,18 @@ object Advanced {
       .limit(100)
   }
 
+  /** q165 — gzip text-column roundtrip ([[Multimodal.gzipRoundtrip]]):
+    * real DEFLATE over the actual corpus; md5 + byte equality of the
+    * decompressed payload against the source pins the codec. */
+  def q165GzipRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.gzipRoundtrip(s, dir)
+
+  val oracleQ165: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_raw,
+      |  md5(text) AS rt_md5, TRUE AS roundtrip_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Patch edge for q158's ViT grid. */
   val VitPatch = 4
 

@@ -155,4 +155,23 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeGif(java.util.Arrays.copyOf(good, good.length - 10))
     }
   }
+
+  test("gzip actually compresses repetitive text and roundtrips unicode") {
+    import graft.operators.Multimodal
+    // the q165 gate pins the roundtrip; the compression PROPERTY (the
+    // reason the column format exists) is pinned here since the oracle
+    // cannot predict implementation-defined deflate sizes
+    val repetitive = "spark table row scan merge " * 50
+    assert(Multimodal.gzipSize(repetitive) < repetitive.length / 5)
+    // short + unicode inputs survive the byte roundtrip (multi-byte
+    // UTF-8 must not split across the deflate stream boundaries)
+    val uni = "日本語テスト é à ü " + ("deflate " * 3)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(uni.getBytes("UTF-8")); gz.close()
+    val back = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).readAllBytes(),
+      "UTF-8")
+    assert(back == uni)
+  }
 }
