@@ -100,7 +100,8 @@ object Bench {
     "q135_dataset_card", "q136_quality_keeper", "q139_pmi_pairs",
     "q141_skip_grams", "q143_stream_cms", "q145_novelty_curve",
     "q146_triangles", "q150_dbscan", "q151_cluster_labels",
-    "q152_lsh_calibration", "q153_kcore", "q157_stream_sessions")
+    "q152_lsh_calibration", "q153_kcore", "q157_stream_sessions",
+    "q161_kmv_sketch", "q162_kmv_overlap", "q164_kmeans_elbow")
 
   private val GroupSize = 8
 
