@@ -186,6 +186,7 @@ object SparkEntry {
     "q163_calibration" -> (Curation.q163Calibration _),
     "q164_kmeans_elbow" -> (TextQueries.q164KmeansElbow _),
     "q165_gzip_roundtrip" -> (Advanced.q165GzipRoundtrip _),
+    "q166_snapshot_diff" -> (Curation.q166SnapshotDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -462,6 +463,7 @@ object SparkEntry {
     "q163_calibration" -> Curation.oracleQ163,
     "q164_kmeans_elbow" -> TextQueries.oracleQ164,
     "q165_gzip_roundtrip" -> Advanced.oracleQ165,
+    "q166_snapshot_diff" -> Curation.oracleQ166,
   )
 
   private val asofOracle: String =

@@ -2512,6 +2512,74 @@ object Curation {
        |WINDOW w AS (PARTITION BY doc_id ORDER BY e)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q166 — dataset SNAPSHOT DIFF audit: classify every doc across two
+    * corpus versions as added / removed / changed / unchanged, with
+    * field-level attribution for the changed rows — the release-notes
+    * artifact every versioned-dataset publish pipelines (and the audit
+    * that catches a silently mutated shard between dumps). Version B is
+    * derived deterministically in both engines (mod-7 drops, mod-11 text
+    * edits, mod-13 lang remaps, mod-17 additions under shifted ids), so
+    * the full-outer-join classification and the changed-field lists are
+    * exactly reproducible.
+    *
+    * Scale shape: one full-outer equi-join on the key plus map-side
+    * field comparisons — the diff never materializes anything but the
+    * classified rows. */
+  def q166SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val base = Tables.documents(s, dir)
+    val bKept = base.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 13 === 0, lit("xx"))
+          .otherwise(col("lang")).as("lang"))
+    val bNew = base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        col("lang"))
+    val b = bKept.unionByName(bNew)
+    a.select(col("doc_id"), col("text").as("ta"), col("lang").as("la"))
+      .join(b.select(col("doc_id"), col("text").as("tb"),
+        col("lang").as("lb")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("ta").isNull, "added")
+          .when(col("tb").isNull, "removed")
+          .when(col("ta") === col("tb") && col("la") === col("lb"),
+            "unchanged")
+          .otherwise("changed").as("status"),
+        when(col("ta").isNotNull && col("tb").isNotNull,
+          concat_ws(",",
+            when(col("la") =!= col("lb"), lit("lang")),
+            when(col("ta") =!= col("tb"), lit("text"))))
+          .as("changed_fields"))
+      .orderBy(col("doc_id"))
+  }
+
+  val oracleQ166: String =
+    """WITH a AS (
+      |  SELECT doc_id, text AS ta, lang AS la FROM documents
+      |), b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS tb,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lb
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang FROM documents
+      |  WHERE doc_id % 17 = 0
+      |)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN ta = tb AND la = lb THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN
+      |    concat_ws(',',
+      |      CASE WHEN la <> lb THEN 'lang' END,
+      |      CASE WHEN ta <> tb THEN 'text' END) END AS changed_fields
+      |FROM a FULL JOIN b ON a.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** q163 — CALIBRATION curve (reliability diagram): bucket a
     * probability-like score into deciles and compare mean predicted
     * probability against the empirical positive rate per bucket — the
