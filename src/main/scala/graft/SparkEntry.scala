@@ -187,6 +187,7 @@ object SparkEntry {
     "q164_kmeans_elbow" -> (TextQueries.q164KmeansElbow _),
     "q165_gzip_roundtrip" -> (Advanced.q165GzipRoundtrip _),
     "q166_snapshot_diff" -> (Curation.q166SnapshotDiff _),
+    "q167_shuffle_manifest" -> (Curation.q167ShuffleManifest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -464,6 +465,7 @@ object SparkEntry {
     "q164_kmeans_elbow" -> TextQueries.oracleQ164,
     "q165_gzip_roundtrip" -> Advanced.oracleQ165,
     "q166_snapshot_diff" -> Curation.oracleQ166,
+    "q167_shuffle_manifest" -> Curation.oracleQ167,
   )
 
   private val asofOracle: String =

@@ -2512,6 +2512,50 @@ object Curation {
        |WINDOW w AS (PARTITION BY doc_id ORDER BY e)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Epochs materialized by the q167 shuffle manifest. */
+  val ShuffleEpochs = 2
+
+  /** q167 — per-epoch deterministic SHUFFLE manifest: the (epoch, step,
+    * doc) ordering a training run actually consumes — every epoch is an
+    * independent pseudorandom permutation (seeded by epoch number, so
+    * the run is bit-reproducible AND no two epochs present the data in
+    * the same order, the property replay-debugging and loss-spike
+    * forensics depend on). Permutation key = the corpus md5-h60
+    * convention over "epoch:doc_id"; step = rank within epoch.
+    *
+    * Scale shape: keying is map-side; each epoch's rank is one
+    * sort-based window over the epoch partition — at real scale the
+    * manifest writer becomes the q64 two-phase prefix-sum shape, and the
+    * window here is the per-epoch special case of it (epochs are the
+    * partitions). */
+  def q167ShuffleManifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epochs = s.range(ShuffleEpochs).withColumnRenamed("id", "epoch")
+    val keyed = Tables.documents(s, dir).select(col("doc_id"))
+      .crossJoin(broadcast(epochs))
+      .withColumn("h", conv(substring(md5(
+        concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+    keyed
+      .withColumn("step", row_number().over(Window.partitionBy(col("epoch"))
+        .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("epoch"), col("step"), col("doc_id"), col("h"))
+      .orderBy(col("epoch"), col("step"))
+  }
+
+  val oracleQ167: String =
+    s"""WITH keyed AS (
+       |  SELECT e.epoch, d.doc_id,
+       |    CAST('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':'
+       |      || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(0, $ShuffleEpochs)) AS epoch) e
+       |)
+       |SELECT epoch, CAST(row_number() OVER (PARTITION BY epoch
+       |    ORDER BY h, doc_id) AS BIGINT) AS step,
+       |  doc_id, h
+       |FROM keyed ORDER BY epoch, step""".stripMargin
+
   /** q166 — dataset SNAPSHOT DIFF audit: classify every doc across two
     * corpus versions as added / removed / changed / unchanged, with
     * field-level attribution for the changed rows — the release-notes
