@@ -49,6 +49,24 @@ object SortedIntersectExpr {
       if (o == out.length) out else java.util.Arrays.copyOf(out, o))
   }
 
+  /** Intersection COUNT only — no result array allocation; the verify
+    * stage's inner loop (it needs |A∩B|, not the elements). */
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
   private def checkLongArray(dt: DataType): TypeCheckResult = dt match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -80,7 +98,36 @@ object SortedIntersectExpr {
       copy(left = newLeft, right = newRight)
   }
 
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongArray(left.dataType) match {
+        case TypeCheckResult.TypeCheckSuccess => checkLongArray(right.dataType)
+        case fail => fail
+      }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      intersectCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SortedIntersectExpr.intersectCount($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
   def apply(a: Column, b: Column): Column =
     GraftInterop.column(SortedIntersect(
+      GraftInterop.expression(a), GraftInterop.expression(b)))
+
+  def count(a: Column, b: Column): Column =
+    GraftInterop.column(SortedIntersectCount(
       GraftInterop.expression(a), GraftInterop.expression(b)))
 }

@@ -48,10 +48,16 @@ object Dedup {
     * the expression form of [[shingleHashArrays]] for callers that must
     * carry extra columns through the projection (streaming keeps its
     * event-time). Single source of truth for the carrier expression. */
+  // array_sort: the carrier is SORTED ascending so the verify stage can
+  // intersect with the native two-pointer SortedIntersectExpr count
+  // (codegen'd) instead of the interpreted hash-set array_intersect.
+  // Every consumer treats harr as a SET (signature folds, banding,
+  // explode, jaccard) — order is free to choose; sorted is the one that
+  // makes intersection linear-merge cheap.
   def shingleHashCol(normCol: String, k: Int): Column =
-    expr(s"array_distinct(transform(sequence(1, length($normCol) - ${k - 1}), " +
+    expr(s"array_sort(array_distinct(transform(sequence(1, length($normCol) - ${k - 1}), " +
       s"i -> CAST(conv(substring(md5(CAST(substring($normCol, i, $k) AS BINARY)), " +
-      "1, 15), 16, 10) AS BIGINT)))")
+      "1, 15), 16, 10) AS BIGINT))))")
 
   /** Per-doc DISTINCT 60-bit shingle-hash array ([[Text.hash60]] of each
     * k-gram), computed entirely map-side — the scale-preferred carrier for
@@ -157,7 +163,10 @@ object Dedup {
     val a2 = harrs.select(col(idCol).as("id2"), col("harr").as("__h2"))
       .hint("shuffle_hash")
     cand.join(a1, Seq("id1")).join(a2, Seq("id2"))
-      .withColumn("inter", size(array_intersect(col("__h1"), col("__h2"))).cast("long"))
+      // native two-pointer merge count over the SORTED harr carrier
+      // (codegen'd) — replaces the interpreted hash-set array_intersect
+      .withColumn("inter",
+        graft.functions.SortedIntersectExpr.count(col("__h1"), col("__h2")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("__h1")).cast("long") + size(col("__h2")).cast("long") - col("inter")))

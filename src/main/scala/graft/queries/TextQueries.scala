@@ -482,7 +482,7 @@ object TextQueries {
         .select(col("id1"), col("id2"), col("m"))
         .join(a1, Seq("id1")).join(a2, Seq("id2"))
         .withColumn("i",
-          size(array_intersect(col("__h1"), col("__h2"))).cast("long"))
+          graft.functions.SortedIntersectExpr.count(col("__h1"), col("__h2")))
         .withColumn("u", size(col("__h1")).cast("long")
           + size(col("__h2")).cast("long") - col("i"))
         .select(col("id1"), col("id2"), col("m"), col("i"), col("u"))

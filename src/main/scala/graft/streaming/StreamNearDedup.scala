@@ -73,7 +73,7 @@ object StreamNearDedup {
       "docId", rowsPerBand, keep = Seq("ts", "harr"))
     val verified = nBand.join(sBand, Seq("band", "bkey"))
       .withColumn("inter",
-        size(array_intersect(col("harr"), col("__h2"))).cast("long"))
+        graft.functions.SortedIntersectExpr.count(col("harr"), col("__h2")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("harr")).cast("long") + size(col("__h2")).cast("long")
