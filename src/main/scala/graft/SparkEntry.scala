@@ -188,6 +188,7 @@ object SparkEntry {
     "q165_gzip_roundtrip" -> (Advanced.q165GzipRoundtrip _),
     "q166_snapshot_diff" -> (Curation.q166SnapshotDiff _),
     "q167_shuffle_manifest" -> (Curation.q167ShuffleManifest _),
+    "q168_personalized_pr" -> (Advanced.q168PersonalizedPr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -466,6 +467,7 @@ object SparkEntry {
     "q165_gzip_roundtrip" -> Advanced.oracleQ165,
     "q166_snapshot_diff" -> Curation.oracleQ166,
     "q167_shuffle_manifest" -> Curation.oracleQ167,
+    "q168_personalized_pr" -> Advanced.oracleQ168,
   )
 
   private val asofOracle: String =

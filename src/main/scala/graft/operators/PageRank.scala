@@ -64,4 +64,55 @@ object PageRank {
       rank
     }
   }
+
+  /** PERSONALIZED PageRank (Jeh & Widom 2003): the teleport mass lands on
+    * a SEED set instead of uniformly, so ranks measure graph proximity TO
+    * the seeds — the data-selection primitive ("find corpus items most
+    * connected to these trusted examples") and the link-spam/authority
+    * variant of [[run]]. Same exact-integer discipline: the per-seed
+    * teleport base is one integer division of the conserved total mass
+    * n·scale, so the fixpoint replays bit-identically in the oracle's
+    * unrolled CTEs.
+    *
+    * Start state: all mass at the seeds (n·scale ÷ |S| each). Non-seed
+    * base is 0 — a node only accrues rank through walk inflow.
+    *
+    * @param seeds one column (`node`); must be a subset of the edge
+    *              endpoints, deduplicated */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                      scale: Long = DefaultScale): DataFrame = {
+    require(iterations >= 1 && scale > 0)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    Materialize.withMaterialized(edges.join(deg, Seq("src"))) { degE =>
+      val nodes = degE.select(col("src").as("node"))
+        .union(degE.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      val seeded0 = nodes.join(
+        seeds.select(col("node"), lit(true).as("is_seed")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      // scalar counts ride the plan as a broadcast 1-row dim — no collect
+      val counts = seeded0.agg(count(lit(1)).as("n"),
+        sum(when(col("is_seed"), 1L).otherwise(0L)).as("ns"))
+      val seeded = seeded0.crossJoin(broadcast(counts)).localCheckpoint()
+      val teleNum = DampDen - DampNum
+      var rank = seeded.select(col("node"), col("is_seed"), col("n"), col("ns"),
+        when(col("is_seed"), expr(s"(n * $scale) DIV ns"))
+          .otherwise(0L).as("rank"))
+      for (_ <- 1 to iterations) {
+        val contribs = degE
+          .join(rank.select(col("node").as("src"), col("rank")), Seq("src"))
+          .select(col("dst").as("node"),
+            expr(s"((rank * $DampNum) div $DampDen) div deg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("inr"))
+        rank = seeded.join(contribs, Seq("node"), "left")
+          .select(col("node"), col("is_seed"), col("n"), col("ns"),
+            (when(col("is_seed"),
+              expr(s"($teleNum * n * $scale) DIV ($DampDen * ns)"))
+              .otherwise(0L) + coalesce(col("inr"), lit(0L))).as("rank"))
+          .localCheckpoint()
+      }
+      rank.select(col("node"), col("is_seed"), col("rank"))
+    }
+  }
 }

@@ -1123,6 +1123,78 @@ object Advanced {
        |ORDER BY rank DESC, node LIMIT 100""".stripMargin
   }
 
+  /** Seed selector modulus for q168 (parts with partkey ≡ 0 mod 97). */
+  val PprSeedMod = 97L
+
+  /** q168 — PERSONALIZED PageRank ([[graft.operators.PageRank.runPersonalized]])
+    * over the supplier↔part graph: teleport mass pinned to a deterministic
+    * ~1% part seed set, ranks = graph proximity to the seeds — the
+    * "expand from trusted examples" selection primitive, and the seeded
+    * counterpart of q113's global PageRank. Top-100 by (rank, node)
+    * plans as TakeOrderedAndProject. */
+  def q168PersonalizedPr(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PageRank
+    val li = Tables.lineitem(s, dir)
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("sup"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("prt"),
+        col("l_partkey"))
+    val edges = li.select(col("sup").as("src"), col("prt").as("dst"))
+      .union(li.select(col("prt").as("src"), col("sup").as("dst")))
+      .distinct()
+    val seeds = li.filter(col("l_partkey") % PprSeedMod === 0)
+      .select(col("prt").as("node")).distinct()
+    PageRank.runPersonalized(edges, seeds, PageRankIters)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(100)
+  }
+
+  val oracleQ168: String = {
+    val s = graft.operators.PageRank.DefaultScale
+    def iter(prev: String, cur: String): String =
+      s"""c$cur AS (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM((r.rank * 85 // 100) // d.deg) AS BIGINT) AS inr
+         |  FROM edges e
+         |  JOIN r$prev r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst
+         |), r$cur AS (
+         |  SELECT n.node,
+         |    CAST(CASE WHEN n.is_seed
+         |      THEN (15 * n.n * $s) // (100 * n.ns) ELSE 0 END
+         |      + COALESCE(c.inr, 0) AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$cur c ON n.node = c.node
+         |)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT DISTINCT 's' || l_suppkey AS sup, 'p' || l_partkey AS prt,
+       |    l_partkey
+       |  FROM lineitem
+       |), edges AS (
+       |  SELECT sup AS src, prt AS dst FROM li
+       |  UNION
+       |  SELECT prt AS src, sup AS dst FROM li
+       |), deg AS (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+       |), seeds AS (
+       |  SELECT DISTINCT prt AS node FROM li WHERE l_partkey % $PprSeedMod = 0
+       |), nodes0 AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |  UNION SELECT DISTINCT dst AS node FROM edges
+       |), nodes AS (
+       |  SELECT n.node, s.node IS NOT NULL AS is_seed,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes0) AS n,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM seeds) AS ns
+       |  FROM nodes0 n LEFT JOIN seeds s ON s.node = n.node
+       |), r0 AS (
+       |  SELECT node, CAST(CASE WHEN is_seed
+       |    THEN (n * $s) // ns ELSE 0 END AS BIGINT) AS rank
+       |  FROM nodes
+       |), ${iter("0", "1")}, ${iter("1", "2")}, ${iter("2", "3")}
+       |SELECT r.node, n.is_seed, r.rank FROM r3 r
+       |JOIN nodes n ON n.node = r.node
+       |ORDER BY r.rank DESC, r.node LIMIT 100""".stripMargin
+  }
+
   /** q146 — per-node TRIANGLE counts over the part co-purchase graph
     * (parts linked iff they appear in the same order): the local-clustering
     * statistic graph curators use to separate organic neighborhoods from

@@ -343,6 +343,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Personalized PageRank: mass stays seed-reachable, proximity ordering, seeds dominate") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    // chain s -> a -> b plus an unreachable pair x <-> y; seed = {s}
+    val edges = Seq(("s", "a"), ("a", "b"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val seeds = Seq("s").toDF("node")
+    val r = PageRank.runPersonalized(edges, seeds, 3).collect()
+      .map(row => row.getString(0) -> (row.getBoolean(1), row.getLong(2)))
+      .toMap
+    // nodes unreachable from the seed accrue NO mass (global PR gives
+    // every node base mass — the defining difference)
+    assert(r("x")._2 == 0L && r("y")._2 == 0L)
+    // proximity ordering: seed > 1-hop > 2-hop, all positive
+    assert(r("s")._2 > r("a")._2 && r("a")._2 > r("b")._2 && r("b")._2 > 0L)
+    assert(r("s")._1 && !r("a")._1)
+    // partitioning-invariant exact integers
+    val r8 = PageRank.runPersonalized(edges.repartition(8), seeds, 3)
+      .collect().map(row => row.getString(0) -> row.getLong(2)).toMap
+    assert(r8 == r.view.mapValues(_._2).toMap)
+  }
+
   test("VectorStats moments: null rows skipped, ragged vectors rejected, overflow fails loudly") {
     import spark.implicits._
     import graft.operators.VectorStats
