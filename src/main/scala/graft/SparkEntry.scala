@@ -189,6 +189,7 @@ object SparkEntry {
     "q166_snapshot_diff" -> (Curation.q166SnapshotDiff _),
     "q167_shuffle_manifest" -> (Curation.q167ShuffleManifest _),
     "q168_personalized_pr" -> (Advanced.q168PersonalizedPr _),
+    "q169_burst_detect" -> (AnalyticsQueries.q169BurstDetect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -468,6 +469,7 @@ object SparkEntry {
     "q166_snapshot_diff" -> Curation.oracleQ166,
     "q167_shuffle_manifest" -> Curation.oracleQ167,
     "q168_personalized_pr" -> Advanced.oracleQ168,
+    "q169_burst_detect" -> AnalyticsQueries.oracleQ169,
   )
 
   private val asofOracle: String =

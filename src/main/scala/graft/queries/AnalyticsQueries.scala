@@ -858,6 +858,51 @@ object AnalyticsQueries {
        |FROM r GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  /** q169 — BURST detection on daily event-type series: flag days whose
+    * count exceeds 2.5× the trailing 7-day EXACT median — the
+    * ops-monitoring shape behind crawl-anomaly and ingest-spike alerts
+    * (median baseline, not mean, so one prior spike cannot mask the
+    * next). Only days with a FULL 7-day history are scored: a 7-value
+    * median is the 4th order statistic — an exact integer in both
+    * engines, no interpolation convention to align. The 2.5× threshold
+    * rides integers too (2·cnt > 5·med).
+    *
+    * Scale shape: one map-side-combined (type, day) count, then one
+    * type-partitioned window over the day series (bounded by the
+    * calendar, not event rows). */
+  def q169BurstDetect(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("nprior", count(lit(1)).over(w))
+      .withColumn("med7",
+        sort_array(collect_list(col("cnt")).over(w)).getItem(3))
+      .filter(col("nprior") === 7)
+      .select(col("event_type"), col("d"), col("cnt"), col("med7"),
+        (col("cnt") * 2 > col("med7") * 5).as("burst"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  val oracleQ169: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::date AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), win AS (
+      |  SELECT event_type, d, cnt,
+      |    COUNT(*) OVER w AS nprior,
+      |    list_sort(list(cnt) OVER w)[4] AS med7
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, d, cnt, CAST(med7 AS BIGINT) AS med7,
+      |  cnt * 2 > med7 * 5 AS burst
+      |FROM win WHERE nprior = 7
+      |ORDER BY event_type, d""".stripMargin
+
   /** Lag sweep for q160 (days of B-shift, negative = B leads A). */
   val LeadLagRange: Seq[Int] = -3 to 3
 
