@@ -190,6 +190,7 @@ object SparkEntry {
     "q167_shuffle_manifest" -> (Curation.q167ShuffleManifest _),
     "q168_personalized_pr" -> (Advanced.q168PersonalizedPr _),
     "q169_burst_detect" -> (AnalyticsQueries.q169BurstDetect _),
+    "q170_decayed_activity" -> (AnalyticsQueries.q170DecayedActivity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -470,6 +471,7 @@ object SparkEntry {
     "q167_shuffle_manifest" -> Curation.oracleQ167,
     "q168_personalized_pr" -> Advanced.oracleQ168,
     "q169_burst_detect" -> AnalyticsQueries.oracleQ169,
+    "q170_decayed_activity" -> AnalyticsQueries.oracleQ170,
   )
 
   private val asofOracle: String =

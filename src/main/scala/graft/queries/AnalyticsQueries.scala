@@ -903,6 +903,55 @@ object AnalyticsQueries {
       |FROM win WHERE nprior = 7
       |ORDER BY event_type, d""".stripMargin
 
+  /** Half-life in days for q170's exponential decay. */
+  val DecayHalfLifeDays = 7.0
+
+  /** q170 — time-DECAYED activity score per event type: Σ over days of
+    * count · 2^(−age/halflife) — the recency-weighted rollup behind
+    * freshness-aware source scoring (a source active last week outranks
+    * one equally active last month). Weights are quantized per DAY
+    * (floor(2^(−k/7)·10⁶+½), k an integer age) BEFORE the weighted sum,
+    * so the aggregate is an exact Σ cnt·w6 BIGINT — the repo's
+    * post-transcendental discipline applied to pow.
+    *
+    * Scale shape: one (type, day) map-side-combined count, one tiny
+    * per-type max-date join, one rollup — the event stream is read
+    * once. */
+  def q170DecayedActivity(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val latest = daily.groupBy(col("event_type")).agg(max(col("d")).as("dmax"))
+    daily.join(latest, Seq("event_type"))
+      .withColumn("age", datediff(col("dmax"), col("d")).cast("long"))
+      .withColumn("w6", floor(
+        pow(lit(2.0), -col("age").cast("double") / lit(DecayHalfLifeDays))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("dmax")).as("dmax"), sum(col("cnt")).as("total"),
+        sum(col("cnt") * col("w6")).as("decayed6"))
+      .withColumn("decayed", col("decayed6").cast("double") / lit(1e6))
+      .orderBy(col("event_type"))
+  }
+
+  val oracleQ170: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, ts::date AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), latest AS (
+       |  SELECT event_type, MAX(d) AS dmax FROM daily GROUP BY event_type
+       |), wtd AS (
+       |  SELECT dd.event_type, l.dmax, dd.cnt,
+       |    CAST(floor(pow(2.0, -CAST(l.dmax - dd.d AS DOUBLE)
+       |      / $DecayHalfLifeDays) * 1e6 + 0.5) AS BIGINT) AS w6
+       |  FROM daily dd JOIN latest l USING (event_type)
+       |)
+       |SELECT event_type, MAX(dmax) AS dmax,
+       |  CAST(SUM(cnt) AS BIGINT) AS total,
+       |  CAST(SUM(cnt * w6) AS BIGINT) AS decayed6,
+       |  CAST(SUM(cnt * w6) AS DOUBLE) / 1e6 AS decayed
+       |FROM wtd GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Lag sweep for q160 (days of B-shift, negative = B leads A). */
   val LeadLagRange: Seq[Int] = -3 to 3
 
