@@ -191,6 +191,7 @@ object SparkEntry {
     "q168_personalized_pr" -> (Advanced.q168PersonalizedPr _),
     "q169_burst_detect" -> (AnalyticsQueries.q169BurstDetect _),
     "q170_decayed_activity" -> (AnalyticsQueries.q170DecayedActivity _),
+    "q171_good_turing" -> (Curation.q171GoodTuring _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -472,6 +473,7 @@ object SparkEntry {
     "q168_personalized_pr" -> Advanced.oracleQ168,
     "q169_burst_detect" -> AnalyticsQueries.oracleQ169,
     "q170_decayed_activity" -> AnalyticsQueries.oracleQ170,
+    "q171_good_turing" -> Curation.oracleQ171,
   )
 
   private val asofOracle: String =

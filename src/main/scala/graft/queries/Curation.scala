@@ -2512,6 +2512,101 @@ object Curation {
        |WINDOW w AS (PARTITION BY doc_id ORDER BY e)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Frequency rows reported per source by q171. */
+  val GtMaxR = 5
+
+  /** q171 — GOOD-TURING count-of-counts per source: N_r = number of token
+    * types occurring exactly r times, the Good-Turing adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, and the unseen-probability-mass estimate
+    * N_1/n_tokens — the classical smoothing statistic (and the "how much
+    * vocabulary haven't we crawled yet" species-richness estimate corpus
+    * reports quote). Hapax ratio N_1/n_types rides alongside as the
+    * lexical-diversity signal.
+    *
+    * Exactness: two nested exact counts (type frequencies, then counts
+    * of counts); the r-star, mass and hapax columns are single pinned
+    * divisions.
+    * Scale shape: one (source, token) map-side-combined count, one
+    * (source, r) rollup — never more than one corpus-sized shuffle. */
+  def q171GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    // TRIGRAM types: the unigram vocabulary saturates at sf0.1 (every
+    // type's r > GtMaxR → empty report); token 3-grams keep a live
+    // N_1..N_5 tail at both gate scales, which is also the realistic
+    // regime Good-Turing exists for
+    val freq = Tables.documents(s, dir)
+      .select(col("source"),
+        filter(split(Text.normalize(col("text")), " "),
+          t => length(t) > 0).as("ta"))
+      .filter(size(col("ta")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ta) - 2), i -> concat(" +
+          "element_at(ta, i), ' ', element_at(ta, i + 1), ' ', " +
+          "element_at(ta, i + 2)))")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("r"))
+    Materialize.withMaterialized(freq) { f =>
+      val coc = f.filter(col("r") <= GtMaxR)
+        .groupBy(col("source"), col("r"))
+        .agg(count(lit(1)).as("n_r"))
+      val tot = f.groupBy(col("source"))
+        .agg(sum(col("r")).as("n_tokens"), count(lit(1)).as("n_types"))
+      val next = coc.select(col("source"), (col("r") - 1).as("r"),
+        col("n_r").as("n_r1"))
+      coc.join(next, Seq("source", "r"), "left")
+        .join(tot, Seq("source"))
+        .select(col("source"), col("r"), col("n_r"),
+          col("n_tokens"), col("n_types"),
+          when(col("n_r1").isNotNull,
+            (col("r") + 1).cast("double") * col("n_r1").cast("double")
+              / col("n_r").cast("double")).as("r_star"),
+          when(col("r") === 1,
+            col("n_r").cast("double") / col("n_tokens").cast("double"))
+            .as("unseen_mass"),
+          when(col("r") === 1,
+            col("n_r").cast("double") / col("n_types").cast("double"))
+            .as("hapax_ratio"))
+        .orderBy(col("source"), col("r"))
+        .localCheckpoint()
+    }
+  }
+
+  val oracleQ171: String =
+    s"""WITH ta AS (
+       |  SELECT source, list_filter(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    t -> len(t) > 0) AS ts
+       |  FROM documents
+       |), freq AS (
+       |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS r
+       |  FROM (
+       |    SELECT source, unnest(list_transform(range(1, len(ts) - 1),
+       |      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS tok
+       |    FROM ta WHERE len(ts) >= 3
+       |  )
+       |  GROUP BY source, tok
+       |), coc AS (
+       |  SELECT source, r, CAST(COUNT(*) AS BIGINT) AS n_r
+       |  FROM freq WHERE r <= $GtMaxR GROUP BY source, r
+       |), tot AS (
+       |  SELECT source, CAST(SUM(r) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_types
+       |  FROM freq GROUP BY source
+       |)
+       |SELECT c.source, c.r, c.n_r, t.n_tokens, t.n_types,
+       |  CASE WHEN nx.n_r IS NOT NULL THEN
+       |    CAST(c.r + 1 AS DOUBLE) * CAST(nx.n_r AS DOUBLE)
+       |      / CAST(c.n_r AS DOUBLE) END AS r_star,
+       |  CASE WHEN c.r = 1 THEN
+       |    CAST(c.n_r AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) END
+       |    AS unseen_mass,
+       |  CASE WHEN c.r = 1 THEN
+       |    CAST(c.n_r AS DOUBLE) / CAST(t.n_types AS DOUBLE) END
+       |    AS hapax_ratio
+       |FROM coc c
+       |LEFT JOIN coc nx ON nx.source = c.source AND nx.r = c.r + 1
+       |JOIN tot t ON t.source = c.source
+       |ORDER BY c.source, c.r""".stripMargin
+
   /** Epochs materialized by the q167 shuffle manifest. */
   val ShuffleEpochs = 2
 
