@@ -192,6 +192,7 @@ object SparkEntry {
     "q169_burst_detect" -> (AnalyticsQueries.q169BurstDetect _),
     "q170_decayed_activity" -> (AnalyticsQueries.q170DecayedActivity _),
     "q171_good_turing" -> (Curation.q171GoodTuring _),
+    "q172_richness" -> (Curation.q172Richness _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -474,6 +475,7 @@ object SparkEntry {
     "q169_burst_detect" -> AnalyticsQueries.oracleQ169,
     "q170_decayed_activity" -> AnalyticsQueries.oracleQ170,
     "q171_good_turing" -> Curation.oracleQ171,
+    "q172_richness" -> Curation.oracleQ172,
   )
 
   private val asofOracle: String =

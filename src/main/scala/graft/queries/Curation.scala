@@ -2607,6 +2607,67 @@ object Curation {
        |JOIN tot t ON t.source = c.source
        |ORDER BY c.source, c.r""".stripMargin
 
+  /** q172 — species-RICHNESS summary per source over the q171 trigram
+    * type space: observed types, Chao1 richness estimate
+    * S + N₁²/(2·N₂) (how many types exist INCLUDING unseen ones), and
+    * Good's coverage C = 1 − N₁/n (what fraction of the source's true
+    * type mass the crawl has already seen) — the "is more crawling worth
+    * it" answer corpus planners actually ask. Same two nested exact
+    * counts as q171; estimates are single pinned divisions. */
+  def q172Richness(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(col("source"),
+        filter(split(Text.normalize(col("text")), " "),
+          t => length(t) > 0).as("ta"))
+      .filter(size(col("ta")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(ta) - 2), i -> concat(" +
+          "element_at(ta, i), ' ', element_at(ta, i + 1), ' ', " +
+          "element_at(ta, i + 2)))")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("r"))
+    freq.groupBy(col("source"))
+      .agg(sum(col("r")).as("n_tokens"), count(lit(1)).as("s_obs"),
+        sum(when(col("r") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("r") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tokens"), col("s_obs"), col("n1"),
+        col("n2"),
+        when(col("n2") > 0, col("s_obs").cast("double")
+          + col("n1").cast("double") * col("n1").cast("double")
+            / (lit(2.0) * col("n2").cast("double"))).as("chao1"),
+        (lit(1.0) - col("n1").cast("double")
+          / col("n_tokens").cast("double")).as("coverage"))
+      .orderBy(col("source"))
+  }
+
+  val oracleQ172: String =
+    """WITH ta AS (
+      |  SELECT source, list_filter(string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |    t -> len(t) > 0) AS ts
+      |  FROM documents
+      |), freq AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM (
+      |    SELECT source, unnest(list_transform(range(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS tok
+      |    FROM ta WHERE len(ts) >= 3
+      |  )
+      |  GROUP BY source, tok
+      |), agg AS (
+      |  SELECT source, CAST(SUM(r) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS s_obs,
+      |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM freq GROUP BY source
+      |)
+      |SELECT source, n_tokens, s_obs, n1, n2,
+      |  CASE WHEN n2 > 0 THEN CAST(s_obs AS DOUBLE)
+      |    + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+      |      / (2.0 * CAST(n2 AS DOUBLE)) END AS chao1,
+      |  1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
+      |FROM agg ORDER BY source""".stripMargin
+
   /** Epochs materialized by the q167 shuffle manifest. */
   val ShuffleEpochs = 2
 
