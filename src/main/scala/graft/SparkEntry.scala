@@ -193,6 +193,7 @@ object SparkEntry {
     "q170_decayed_activity" -> (AnalyticsQueries.q170DecayedActivity _),
     "q171_good_turing" -> (Curation.q171GoodTuring _),
     "q172_richness" -> (Curation.q172Richness _),
+    "q173_heaps_fit" -> (Curation.q173HeapsFit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -476,6 +477,7 @@ object SparkEntry {
     "q170_decayed_activity" -> AnalyticsQueries.oracleQ170,
     "q171_good_turing" -> Curation.oracleQ171,
     "q172_richness" -> Curation.oracleQ172,
+    "q173_heaps_fit" -> Curation.oracleQ173,
   )
 
   private val asofOracle: String =

@@ -2668,6 +2668,104 @@ object Curation {
       |  1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
       |FROM agg ORDER BY source""".stripMargin
 
+  /** q173 — HEAPS'-LAW vocabulary-growth fit per source: V(n) ≈ K·n^β
+    * estimated by OLS on (ln n, ln V) over the source's cumulative
+    * (tokens-seen, types-seen) curve — the growth-law companion to
+    * q142's Zipf rank-frequency fit and the model behind q172's "how
+    * much vocabulary is left" question. The cumulative type count
+    * needs no per-prefix sets: each type contributes at its FIRST doc
+    * (one min-aggregation), and V is a running sum of first-occurrence
+    * counts in doc order.
+    *
+    * Same discipline as q142: per-point lns quantized to
+    * floor(x·10⁶+½) BIGINTs before the order-dependent sums; slope and
+    * intercept assembled from exact integer moments in one pinned
+    * expression shape. */
+  def q173HeapsFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        filter(split(Text.normalize(col("text")), " "),
+          t => length(t) > 0).as("ta"))
+    Materialize.withMaterialized(docs) { d =>
+      val perDoc = d.select(col("source"), col("doc_id"),
+        size(col("ta")).cast("long").as("n_d"))
+      val firstDoc = d
+        .select(col("source"), col("doc_id"), explode(col("ta")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(min(col("doc_id")).as("fd"))
+        .groupBy(col("source"), col("fd"))
+        .agg(count(lit(1)).as("nt"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = perDoc
+        .join(firstDoc.withColumnRenamed("fd", "doc_id"),
+          Seq("source", "doc_id"), "left")
+        .withColumn("v", sum(coalesce(col("nt"), lit(0L))).over(w))
+        .withColumn("n", sum(col("n_d")).over(w))
+        .filter(col("v") > 0 && col("n") > 0)
+        .select(col("source"),
+          floor(log(col("n").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long").as("x6"),
+          floor(log(col("v").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long").as("y6"))
+      val slope =
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+      curve.groupBy(col("source"))
+        .agg(count(lit(1)).as("m"), sum(col("x6")).as("sx"),
+          sum(col("y6")).as("sy"), sum(col("x6") * col("y6")).as("sxy"),
+          sum(col("x6") * col("x6")).as("sxx"))
+        .select(col("source"), col("m").as("n_points"),
+          slope.as("beta"),
+          ((col("sy").cast("double") - slope * col("sx").cast("double"))
+            / (col("m").cast("double") * lit(1e6))).as("ln_k"))
+        .orderBy(col("source"))
+    }
+  }
+
+  val oracleQ173: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, list_filter(string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |    t -> len(t) > 0) AS ta
+      |  FROM documents
+      |), perdoc AS (
+      |  SELECT source, doc_id, CAST(len(ta) AS BIGINT) AS n_d FROM d
+      |), fd AS (
+      |  SELECT source, fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+      |  FROM (
+      |    SELECT source, tok, MIN(doc_id) AS fd
+      |    FROM (SELECT source, doc_id, unnest(ta) AS tok FROM d)
+      |    GROUP BY source, tok
+      |  ) GROUP BY source, fd
+      |), curve AS (
+      |  SELECT p.source,
+      |    CAST(floor(ln(CAST(SUM(p.n_d) OVER w AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS x6,
+      |    CAST(floor(ln(CAST(SUM(COALESCE(f.nt, 0)) OVER w AS DOUBLE))
+      |      * 1e6 + 0.5) AS BIGINT) AS y6,
+      |    SUM(COALESCE(f.nt, 0)) OVER w AS v,
+      |    SUM(p.n_d) OVER w AS n
+      |  FROM perdoc p LEFT JOIN fd f USING (source, doc_id)
+      |  WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), mom AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+      |    CAST(SUM(x6 * y6) AS BIGINT) AS sxy,
+      |    CAST(SUM(x6 * x6) AS BIGINT) AS sxx
+      |  FROM curve WHERE v > 0 AND n > 0 GROUP BY source
+      |)
+      |SELECT source, m AS n_points,
+      |  CAST(m * sxy - sx * sy AS DOUBLE)
+      |    / CAST(m * sxx - sx * sx AS DOUBLE) AS beta,
+      |  (CAST(sy AS DOUBLE)
+      |    - CAST(m * sxy - sx * sy AS DOUBLE)
+      |      / CAST(m * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(m AS DOUBLE) * 1e6) AS ln_k
+      |FROM mom ORDER BY source""".stripMargin
+
   /** Epochs materialized by the q167 shuffle manifest. */
   val ShuffleEpochs = 2
 
