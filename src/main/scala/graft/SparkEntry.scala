@@ -194,6 +194,7 @@ object SparkEntry {
     "q171_good_turing" -> (Curation.q171GoodTuring _),
     "q172_richness" -> (Curation.q172Richness _),
     "q173_heaps_fit" -> (Curation.q173HeapsFit _),
+    "q174_quantile_norm" -> (Curation.q174QuantileNorm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -478,6 +479,7 @@ object SparkEntry {
     "q171_good_turing" -> Curation.oracleQ171,
     "q172_richness" -> Curation.oracleQ172,
     "q173_heaps_fit" -> Curation.oracleQ173,
+    "q174_quantile_norm" -> Curation.oracleQ174,
   )
 
   private val asofOracle: String =

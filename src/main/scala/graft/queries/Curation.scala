@@ -2766,6 +2766,70 @@ object Curation {
       |    / (CAST(m AS DOUBLE) * 1e6) AS ln_k
       |FROM mom ORDER BY source""".stripMargin
 
+  /** q174 — QUANTILE NORMALIZATION of a per-doc score across sources:
+    * replace each doc's source-local score with the GLOBAL score at the
+    * same quantile — the batch-effect remover that makes "top 10% by
+    * quality" mean the same thing in every source before a global
+    * threshold is applied (a length/quality cutoff tuned on one crawl
+    * otherwise over-filters another).
+    *
+    * Exact integer contract: source rank r_s (row_number by (score,
+    * doc_id)), target global position p = ⌈r_s·N / n_s⌉ in pure integer
+    * arithmetic ((r_s·N + n_s − 1) DIV n_s), and the normalized value is
+    * the global order statistic at p — a join on integer positions, no
+    * interpolation convention to align.
+    *
+    * Scale shape: one source-partitioned rank + one global rank (at
+    * 100 TB the global rank becomes q64's two-phase prefix-sum shape —
+    * the single-partition window here is the gate-scale special case)
+    * and one position-keyed equi-join. */
+  def q174QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+    Materialize.withMaterialized(d) { dm =>
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))
+      val wGlob = Window.orderBy(col("score"), col("doc_id"))
+      val withRanks = dm
+        .withColumn("rs", row_number().over(wSrc).cast("long"))
+        .withColumn("ns", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+      val globalOrd = dm
+        .select(col("score").as("gscore"),
+          row_number().over(wGlob).cast("long").as("p"))
+      val n = dm.agg(count(lit(1)).as("nn"))
+      withRanks.crossJoin(broadcast(n))
+        .withColumn("p", expr("(rs * nn + ns - 1) DIV ns"))
+        .join(globalOrd, Seq("p"))
+        .select(col("doc_id"), col("source"), col("score"),
+          col("rs"), col("p"), col("gscore").as("norm_score"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+  }
+
+  val oracleQ174: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars AS score FROM documents
+      |), r AS (
+      |  SELECT doc_id, source, score,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY score, doc_id) AS BIGINT) AS rs,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS nn
+      |  FROM d
+      |), g AS (
+      |  SELECT score AS gscore,
+      |    CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS p
+      |  FROM d
+      |)
+      |SELECT r.doc_id, r.source, r.score, r.rs,
+      |  (r.rs * r.nn + r.ns - 1) // r.ns AS p,
+      |  g.gscore AS norm_score
+      |FROM r JOIN g ON g.p = (r.rs * r.nn + r.ns - 1) // r.ns
+      |ORDER BY r.doc_id""".stripMargin
+
   /** Epochs materialized by the q167 shuffle manifest. */
   val ShuffleEpochs = 2
 
