@@ -195,6 +195,7 @@ object SparkEntry {
     "q172_richness" -> (Curation.q172Richness _),
     "q173_heaps_fit" -> (Curation.q173HeapsFit _),
     "q174_quantile_norm" -> (Curation.q174QuantileNorm _),
+    "q175_ks_test" -> (Curation.q175KsTest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -480,6 +481,7 @@ object SparkEntry {
     "q172_richness" -> Curation.oracleQ172,
     "q173_heaps_fit" -> Curation.oracleQ173,
     "q174_quantile_norm" -> Curation.oracleQ174,
+    "q175_ks_test" -> Curation.oracleQ175,
   )
 
   private val asofOracle: String =

@@ -2830,6 +2830,93 @@ object Curation {
       |FROM r JOIN g ON g.p = (r.rs * r.nn + r.ns - 1) // r.ns
       |ORDER BY r.doc_id""".stripMargin
 
+  /** q175 — exact two-sample KOLMOGOROV-SMIRNOV drift test per source:
+    * D = max over the score grid of |F_source(x) − F_rest(x)|, each
+    * source's length distribution against the rest of the corpus — the
+    * nonparametric drift test that catches SHAPE changes the mean-based
+    * q114 Welch t and the binned q84 KL smooth over. Carried as the
+    * exact integer rational |i·m − j·n| over (n·m): the max numerator is
+    * a BIGINT, so the statistic is bit-exact and the only double is the
+    * final division.
+    *
+    * Scale shape: one (source, score) count, a per-source cumulative
+    * window over the DISTINCT-score grid (bounded by score cardinality,
+    * never corpus rows — the same collapse as q147's AUC), one global
+    * cumulative joined in, one per-source max. */
+  def q175KsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").as("score"))
+    Materialize.withMaterialized(
+      d.groupBy(col("source"), col("score")).agg(count(lit(1)).as("c"))
+    ) { counts =>
+      val grid = counts.select(col("source")).distinct()
+        .crossJoin(counts.select(col("score")).distinct())
+      val wCum = Window.partitionBy(col("source")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumSrc = grid.join(counts, Seq("source", "score"), "left")
+        .withColumn("i", sum(coalesce(col("c"), lit(0L))).over(wCum))
+      val globCum = counts.groupBy(col("score")).agg(sum(col("c")).as("gc"))
+        .withColumn("tot", sum(col("gc")).over(
+          Window.orderBy(col("score"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("score"), col("tot"))
+      val nPer = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val nAll = counts.agg(sum(col("c")).as("nn"))
+      cumSrc
+        .join(globCum, Seq("score"))
+        .join(nPer, Seq("source"))
+        .crossJoin(broadcast(nAll))
+        .withColumn("m", col("nn") - col("n"))
+        .withColumn("j", col("tot") - col("i"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n"), max(col("m")).as("m"),
+          max(abs(col("i") * col("m") - col("j") * col("n"))).as("d_num"))
+        .withColumn("ks",
+          col("d_num").cast("double") / (col("n") * col("m")).cast("double"))
+        .orderBy(col("source"))
+    }
+  }
+
+  val oracleQ175: String =
+    """WITH d AS (
+      |  SELECT source, n_chars AS score FROM documents
+      |), counts AS (
+      |  SELECT source, score, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM d GROUP BY source, score
+      |), grid AS (
+      |  SELECT s.source, x.score
+      |  FROM (SELECT DISTINCT source FROM counts) s
+      |  CROSS JOIN (SELECT DISTINCT score FROM counts) x
+      |), cums AS (
+      |  SELECT g.source, g.score,
+      |    SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source
+      |      ORDER BY g.score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+      |  FROM grid g LEFT JOIN counts c
+      |    ON c.source = g.source AND c.score = g.score
+      |), gcum AS (
+      |  SELECT score, SUM(gc) OVER (ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tot
+      |  FROM (SELECT score, CAST(SUM(c) AS BIGINT) AS gc FROM counts
+      |        GROUP BY score)
+      |), nper AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts
+      |  GROUP BY source
+      |), nall AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS nn FROM counts
+      |)
+      |SELECT cu.source, MAX(np.n) AS n, MAX(na.nn - np.n) AS m,
+      |  CAST(MAX(ABS(cu.i * (na.nn - np.n) - (gl.tot - cu.i) * np.n))
+      |    AS BIGINT) AS d_num,
+      |  CAST(MAX(ABS(cu.i * (na.nn - np.n) - (gl.tot - cu.i) * np.n))
+      |    AS DOUBLE) / CAST(MAX(np.n) * MAX(na.nn - np.n) AS DOUBLE) AS ks
+      |FROM cums cu
+      |JOIN gcum gl ON gl.score = cu.score
+      |JOIN nper np ON np.source = cu.source
+      |CROSS JOIN nall na
+      |GROUP BY cu.source ORDER BY cu.source""".stripMargin
+
   /** Epochs materialized by the q167 shuffle manifest. */
   val ShuffleEpochs = 2
 
