@@ -101,7 +101,8 @@ object Bench {
     "q141_skip_grams", "q143_stream_cms", "q145_novelty_curve",
     "q146_triangles", "q150_dbscan", "q151_cluster_labels",
     "q152_lsh_calibration", "q153_kcore", "q157_stream_sessions",
-    "q161_kmv_sketch", "q162_kmv_overlap", "q164_kmeans_elbow")
+    "q161_kmv_sketch", "q162_kmv_overlap", "q164_kmeans_elbow",
+    "q168_personalized_pr", "q70_corpus_clean")
 
   private val GroupSize = 8
 
