@@ -2731,12 +2731,18 @@ object Curation {
       |    t -> len(t) > 0) AS ta
       |  FROM documents
       |), perdoc AS (
+      |  -- len(ta) >= 3 mirrors the Spark side's size(ta) >= 3 filter:
+      |  -- sub-trigram docs contribute neither tokens nor types to the
+      |  -- growth curve (latent divergence otherwise — the gate corpus
+      |  -- never has such docs, but the contract must match anyway)
       |  SELECT source, doc_id, CAST(len(ta) AS BIGINT) AS n_d FROM d
+      |  WHERE len(ta) >= 3
       |), fd AS (
       |  SELECT source, fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nt
       |  FROM (
       |    SELECT source, tok, MIN(doc_id) AS fd
-      |    FROM (SELECT source, doc_id, unnest(ta) AS tok FROM d)
+      |    FROM (SELECT source, doc_id, unnest(ta) AS tok FROM d
+      |          WHERE len(ta) >= 3)
       |    GROUP BY source, tok
       |  ) GROUP BY source, fd
       |), curve AS (
