@@ -196,6 +196,7 @@ object SparkEntry {
     "q173_heaps_fit" -> (Curation.q173HeapsFit _),
     "q174_quantile_norm" -> (Curation.q174QuantileNorm _),
     "q175_ks_test" -> (Curation.q175KsTest _),
+    "q176_packing_audit" -> (Curation.q176PackingAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -482,6 +483,7 @@ object SparkEntry {
     "q173_heaps_fit" -> Curation.oracleQ173,
     "q174_quantile_norm" -> Curation.oracleQ174,
     "q175_ks_test" -> Curation.oracleQ175,
+    "q176_packing_audit" -> Curation.oracleQ176,
   )
 
   private val asofOracle: String =

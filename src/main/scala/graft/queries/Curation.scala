@@ -2059,6 +2059,74 @@ object Curation {
        |  CAST((run - n_tokens) % $SeqLen AS BIGINT) AS pack_offset
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q176 — PACKING-EFFICIENCY audit over the q64 packer: per language,
+    * the trainer-facing report of what greedy concat-and-chunk packing
+    * actually produced — pack count, last-pack fill, overall token
+    * efficiency, and the BOUNDARY statistics attention-mask builders pay
+    * for (how many documents straddle a pack boundary, and how many
+    * boundaries in total get crossed). Everything derives from the gated
+    * [[Packing.packSequences]] columns; crossings are pure integer
+    * arithmetic ((offset + len − 1) div seqLen); efficiency is the one
+    * final division.
+    *
+    * Scale shape: the packer's own two-phase prefix sums plus ONE
+    * per-language rollup — no new corpus-sized relation. */
+  def q176PackingAudit(s: SparkSession, dir: String): DataFrame = {
+    val packed = Packing.packSequences(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "lang", "n_tokens", SeqLen, PackBucketWidth)
+    packed
+      .withColumn("crossings",
+        expr(s"(pack_offset + greatest(n_tokens, 1) - 1) div $SeqLen"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(expr(s"(pack_offset + greatest(n_tokens, 1) - 1) div $SeqLen + pack_id"))
+          + 1L).as("n_packs"),
+        sum(when(col("crossings") > 0, 1L).otherwise(0L)).as("n_spanning"),
+        sum(col("crossings")).as("total_crossings"))
+      .withColumn("last_fill",
+        col("total_tokens") - (col("n_packs") - 1) * lit(SeqLen))
+      .withColumn("efficiency", col("total_tokens").cast("double")
+        / (col("n_packs") * lit(SeqLen)).cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  val oracleQ176: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM t
+       |), p AS (
+       |  SELECT lang, n_tokens,
+       |    (run - n_tokens) // $SeqLen AS pack_id,
+       |    (run - n_tokens) % $SeqLen AS pack_offset
+       |  FROM r
+       |), c AS (
+       |  SELECT lang, n_tokens, pack_id,
+       |    (pack_offset + greatest(n_tokens, 1) - 1) // $SeqLen AS crossings
+       |  FROM p
+       |)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(MAX(crossings + pack_id) + 1 AS BIGINT) AS n_packs,
+       |  CAST(SUM(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_spanning,
+       |  CAST(SUM(crossings) AS BIGINT) AS total_crossings,
+       |  CAST(SUM(n_tokens) - (MAX(crossings + pack_id) + 1 - 1) * $SeqLen
+       |    AS BIGINT) AS last_fill,
+       |  CAST(SUM(n_tokens) AS DOUBLE)
+       |    / CAST((MAX(crossings + pack_id) + 1) * $SeqLen AS DOUBLE)
+       |    AS efficiency
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Jelinek-Mercer interpolation weight for the bigram LM: λ on the
     * bigram MLE, (1-λ) on the add-one unigram fallback. */
   val LmLambda = 0.9
