@@ -197,6 +197,7 @@ object SparkEntry {
     "q174_quantile_norm" -> (Curation.q174QuantileNorm _),
     "q175_ks_test" -> (Curation.q175KsTest _),
     "q176_packing_audit" -> (Curation.q176PackingAudit _),
+    "q177_benford" -> (AnalyticsQueries.q177Benford _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -484,6 +485,7 @@ object SparkEntry {
     "q174_quantile_norm" -> Curation.oracleQ174,
     "q175_ks_test" -> Curation.oracleQ175,
     "q176_packing_audit" -> Curation.oracleQ176,
+    "q177_benford" -> AnalyticsQueries.oracleQ177,
   )
 
   private val asofOracle: String =

@@ -903,6 +903,70 @@ object AnalyticsQueries {
       |FROM win WHERE nprior = 7
       |ORDER BY event_type, d""".stripMargin
 
+  /** q177 — BENFORD'S-LAW first-digit test on lineitem prices: observed
+    * leading-digit counts vs log₁₀(1+1/d) expectations and the χ²
+    * decomposition — the forensic data-quality screen for fabricated or
+    * truncated financial feeds (a vendor padding prices flattens the
+    * digit curve long before any range check fires).
+    *
+    * Exactness: digits come from the CENTS integer's decimal string (no
+    * double→string formatting divergence); expectations are quantized to
+    * exp6 BIGINTs; each digit's χ² term is computed from exact integer
+    * operands and quantized to cp6 BEFORE the 9-term total, so the
+    * global statistic is an exact integer sum. One map-side projection +
+    * one 9-group rollup. */
+  def q177Benford(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+    val obs = Tables.lineitem(s, dir)
+      .select(cents.as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("obs"))
+    val withExp = obs
+      .withColumn("n", sum(col("obs")).over(
+        Window.partitionBy()))
+      .withColumn("exp6", floor(
+        log10(lit(1.0) + lit(1.0) / col("d").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("cp6", floor(
+        ((col("obs") * lit(1000000L) - col("n") * col("exp6")).cast("double")
+          * (col("obs") * lit(1000000L) - col("n") * col("exp6")).cast("double"))
+          / (col("n") * col("exp6")).cast("double") / lit(1e6)
+          + lit(0.5)).cast("long"))
+    withExp
+      .withColumn("chi2_6", sum(col("cp6")).over(Window.partitionBy()))
+      .select(col("d"), col("obs"), col("n"), col("exp6"), col("cp6"),
+        col("chi2_6"))
+      .orderBy(col("d"))
+  }
+
+  val oracleQ177: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM lineitem
+      |), digits AS (
+      |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS d
+      |  FROM c WHERE c > 0
+      |), obs AS (
+      |  SELECT d, CAST(COUNT(*) AS BIGINT) AS obs FROM digits GROUP BY d
+      |), e AS (
+      |  SELECT d, obs, (SELECT CAST(SUM(obs) AS BIGINT) FROM obs) AS n,
+      |    CAST(floor(log10(1.0 + 1.0 / CAST(d AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS exp6
+      |  FROM obs
+      |), parts AS (
+      |  SELECT d, obs, n, exp6,
+      |    CAST(floor(
+      |      CAST(obs * 1000000 - n * exp6 AS DOUBLE)
+      |        * CAST(obs * 1000000 - n * exp6 AS DOUBLE)
+      |        / CAST(n * exp6 AS DOUBLE) / 1e6 + 0.5) AS BIGINT) AS cp6
+      |  FROM e
+      |)
+      |SELECT d, obs, n, exp6, cp6,
+      |  (SELECT CAST(SUM(cp6) AS BIGINT) FROM parts) AS chi2_6
+      |FROM parts ORDER BY d""".stripMargin
+
   /** Half-life in days for q170's exponential decay. */
   val DecayHalfLifeDays = 7.0
 
