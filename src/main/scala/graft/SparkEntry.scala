@@ -198,6 +198,7 @@ object SparkEntry {
     "q175_ks_test" -> (Curation.q175KsTest _),
     "q176_packing_audit" -> (Curation.q176PackingAudit _),
     "q177_benford" -> (AnalyticsQueries.q177Benford _),
+    "q178_mann_kendall" -> (AnalyticsQueries.q178MannKendall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -486,6 +487,7 @@ object SparkEntry {
     "q175_ks_test" -> Curation.oracleQ175,
     "q176_packing_audit" -> Curation.oracleQ176,
     "q177_benford" -> AnalyticsQueries.oracleQ177,
+    "q178_mann_kendall" -> AnalyticsQueries.oracleQ178,
   )
 
   private val asofOracle: String =

@@ -967,6 +967,82 @@ object AnalyticsQueries {
       |  (SELECT CAST(SUM(cp6) AS BIGINT) FROM parts) AS chi2_6
       |FROM parts ORDER BY d""".stripMargin
 
+  /** q178 — MANN-KENDALL trend test per event-type daily series: S =
+    * Σ_{i<j} sign(x_j − x_i), the tie-corrected variance, and the normal
+    * z statistic — the nonparametric "is this metric trending"
+    * monitoring test (q169 flags spikes; this flags drifts a spike
+    * detector never sees). S and the variance numerator are exact
+    * integers from a pairwise self-join; z is one pinned expression.
+    *
+    * Scale shape: the O(n²) pair join runs on the per-type DAILY series
+    * (calendar-bounded — 30×30 pairs per type at any corpus size), never
+    * on event rows; the event stream collapses map-side first. */
+  def q178MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    Materialize.withMaterialized(daily) { dm =>
+      val a = dm.select(col("event_type"), col("d").as("di"),
+        col("cnt").as("xi"))
+      val b = dm.select(col("event_type"), col("d").as("dj"),
+        col("cnt").as("xj"))
+      val sAgg = a.join(b, Seq("event_type"))
+        .filter(col("di") < col("dj"))
+        .groupBy(col("event_type"))
+        .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"))
+      val ties = dm.groupBy(col("event_type"), col("cnt"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tie_term"),
+          sum(col("t")).as("n"))
+      sAgg.join(ties, Seq("event_type"))
+        .withColumn("var18",
+          col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+            - col("tie_term"))
+        .select(col("event_type"), col("n"), col("s"), col("var18"),
+          when(col("var18") > 0,
+            when(col("s") > 0, (col("s") - 1).cast("double"))
+              .when(col("s") < 0, (col("s") + 1).cast("double"))
+              .otherwise(lit(0.0))
+              / sqrt(col("var18").cast("double") / lit(18.0)))
+            .as("z"))
+        .orderBy(col("event_type"))
+    }
+  }
+
+  val oracleQ178: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::date AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), sagg AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+      |                  WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT)
+      |      AS s
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d < b.d
+      |  GROUP BY a.event_type
+      |), ties AS (
+      |  SELECT event_type,
+      |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+      |    CAST(SUM(t) AS BIGINT) AS n
+      |  FROM (SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM daily GROUP BY event_type, cnt)
+      |  GROUP BY event_type
+      |)
+      |SELECT s.event_type, t.n, s.s,
+      |  CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term AS BIGINT)
+      |    AS var18,
+      |  CASE WHEN t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term > 0 THEN
+      |    (CASE WHEN s.s > 0 THEN CAST(s.s - 1 AS DOUBLE)
+      |          WHEN s.s < 0 THEN CAST(s.s + 1 AS DOUBLE)
+      |          ELSE 0.0 END)
+      |    / sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term
+      |        AS DOUBLE) / 18.0) END AS z
+      |FROM sagg s JOIN ties t ON t.event_type = s.event_type
+      |ORDER BY s.event_type""".stripMargin
+
   /** Half-life in days for q170's exponential decay. */
   val DecayHalfLifeDays = 7.0
 
