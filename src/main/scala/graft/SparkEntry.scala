@@ -199,6 +199,7 @@ object SparkEntry {
     "q176_packing_audit" -> (Curation.q176PackingAudit _),
     "q177_benford" -> (AnalyticsQueries.q177Benford _),
     "q178_mann_kendall" -> (AnalyticsQueries.q178MannKendall _),
+    "q179_theil_sen" -> (AnalyticsQueries.q179TheilSen _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -488,6 +489,7 @@ object SparkEntry {
     "q176_packing_audit" -> Curation.oracleQ176,
     "q177_benford" -> AnalyticsQueries.oracleQ177,
     "q178_mann_kendall" -> AnalyticsQueries.oracleQ178,
+    "q179_theil_sen" -> AnalyticsQueries.oracleQ179,
   )
 
   private val asofOracle: String =

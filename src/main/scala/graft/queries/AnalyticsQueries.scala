@@ -1043,6 +1043,64 @@ object AnalyticsQueries {
       |FROM sagg s JOIN ties t ON t.event_type = s.event_type
       |ORDER BY s.event_type""".stripMargin
 
+  /** q179 — THEIL-SEN slope per event-type daily series: the (lower)
+    * median of all pairwise slopes (x_j−x_i)/(d_j−d_i) — the robust
+    * trend MAGNITUDE companion to q178's Mann-Kendall direction test
+    * (one outlier day corrupts an OLS slope; it moves one of ~435
+    * pairwise slopes here). The median is the exact ⌈n/2⌉-th order
+    * statistic under (slope, di, dj) ordering — a deterministic element
+    * pick, no interpolation.
+    *
+    * Scale shape: same calendar-bounded pair join as q178 (30×30 per
+    * type, independent of corpus size) + one per-type rank. */
+  def q179TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    Materialize.withMaterialized(daily) { dm =>
+      val a = dm.select(col("event_type"), col("d").as("di"),
+        col("cnt").as("xi"))
+      val b = dm.select(col("event_type"), col("d").as("dj"),
+        col("cnt").as("xj"))
+      val slopes = a.join(b, Seq("event_type"))
+        .filter(col("di") < col("dj"))
+        .select(col("event_type"), col("di"), col("dj"),
+          ((col("xj") - col("xi")).cast("double") /
+            datediff(col("dj"), col("di")).cast("double")).as("slope"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("slope"), col("di"), col("dj"))
+      slopes
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(np + 1) DIV 2"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+          col("slope").as("theil_sen"))
+        .orderBy(col("event_type"))
+    }
+  }
+
+  val oracleQ179: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::date AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), slopes AS (
+      |  SELECT a.event_type, a.d AS di, b.d AS dj,
+      |    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+      |      AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d < b.d
+      |), ranked AS (
+      |  SELECT event_type, slope,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope, di, dj) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+      |  FROM slopes
+      |)
+      |SELECT event_type, np AS n_pairs, slope AS theil_sen
+      |FROM ranked WHERE rn = (np + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   /** Half-life in days for q170's exponential decay. */
   val DecayHalfLifeDays = 7.0
 
