@@ -200,6 +200,7 @@ object SparkEntry {
     "q177_benford" -> (AnalyticsQueries.q177Benford _),
     "q178_mann_kendall" -> (AnalyticsQueries.q178MannKendall _),
     "q179_theil_sen" -> (AnalyticsQueries.q179TheilSen _),
+    "q180_changepoint" -> (AnalyticsQueries.q180Changepoint _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -490,6 +491,7 @@ object SparkEntry {
     "q177_benford" -> AnalyticsQueries.oracleQ177,
     "q178_mann_kendall" -> AnalyticsQueries.oracleQ178,
     "q179_theil_sen" -> AnalyticsQueries.oracleQ179,
+    "q180_changepoint" -> AnalyticsQueries.oracleQ180,
   )
 
   private val asofOracle: String =

@@ -1101,6 +1101,90 @@ object AnalyticsQueries {
       |FROM ranked WHERE rn = (np + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** q180 — single CHANGEPOINT detection per event-type daily series
+    * (binary segmentation, the first split of CUSUM/PELT): the boundary
+    * τ minimizing SSE_left + SSE_right — "when did this metric's level
+    * shift", the retrospective counterpart of q169's online spike flag.
+    * SSEs derive from exact integer prefix sums (Σx, Σx²); each
+    * candidate's cost is quantized to floor(cost·10⁶+½) BIGINTs so the
+    * argmin is a deterministic integer compare (tie → earliest date).
+    *
+    * Scale shape: one (type, day) count, one prefix-sum window over the
+    * calendar-bounded series, one per-type rank — corpus rows are read
+    * once. */
+  def q180Changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val pre = daily
+      .withColumn("k", count(lit(1)).over(wCum))
+      .withColumn("sx", sum(col("x")).over(wCum))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tx", sum(col("x")).over(wAll))
+      .withColumn("txx", sum(col("x") * col("x")).over(wAll))
+      .filter(col("k") < col("n")) // τ = last day of the LEFT segment
+    val costL = col("sxx").cast("double") -
+      (col("sx") * col("sx")).cast("double") / col("k").cast("double")
+    val costR = (col("txx") - col("sxx")).cast("double") -
+      ((col("tx") - col("sx")) * (col("tx") - col("sx"))).cast("double") /
+        (col("n") - col("k")).cast("double")
+    val scored = pre.withColumn("cost6",
+      floor((costL + costR) * lit(1e6) + lit(0.5)).cast("long"))
+    val wMin = Window.partitionBy(col("event_type"))
+      .orderBy(col("cost6"), col("d"))
+    scored.withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("d").as("tau"),
+        col("k").as("n_left"), (col("n") - col("k")).as("n_right"),
+        (col("sx").cast("double") / col("k").cast("double"))
+          .as("mean_left"),
+        ((col("tx") - col("sx")).cast("double")
+          / (col("n") - col("k")).cast("double")).as("mean_right"),
+        col("cost6"))
+      .orderBy(col("event_type"))
+  }
+
+  val oracleQ180: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::date AS d, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |), pre AS (
+      |  SELECT event_type, d,
+      |    CAST(COUNT(*) OVER wc AS BIGINT) AS k,
+      |    CAST(SUM(x) OVER wc AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) OVER wc AS BIGINT) AS sxx,
+      |    CAST(COUNT(*) OVER wa AS BIGINT) AS n,
+      |    CAST(SUM(x) OVER wa AS BIGINT) AS tx,
+      |    CAST(SUM(x * x) OVER wa AS BIGINT) AS txx
+      |  FROM daily
+      |  WINDOW wc AS (PARTITION BY event_type ORDER BY d
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wa AS (PARTITION BY event_type)
+      |), scored AS (
+      |  SELECT event_type, d, k, n, sx, tx,
+      |    CAST(floor((
+      |      (CAST(sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE)
+      |        / CAST(k AS DOUBLE))
+      |      + (CAST(txx - sxx AS DOUBLE)
+      |        - CAST((tx - sx) * (tx - sx) AS DOUBLE)
+      |          / CAST(n - k AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS cost6
+      |  FROM pre WHERE k < n
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY cost6, d) AS rn
+      |  FROM scored
+      |)
+      |SELECT event_type, d AS tau, k AS n_left,
+      |  CAST(n - k AS BIGINT) AS n_right,
+      |  CAST(sx AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
+      |  CAST(tx - sx AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_right,
+      |  cost6
+      |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   /** Half-life in days for q170's exponential decay. */
   val DecayHalfLifeDays = 7.0
 
