@@ -201,6 +201,7 @@ object SparkEntry {
     "q178_mann_kendall" -> (AnalyticsQueries.q178MannKendall _),
     "q179_theil_sen" -> (AnalyticsQueries.q179TheilSen _),
     "q180_changepoint" -> (AnalyticsQueries.q180Changepoint _),
+    "q181_dow_profile" -> (AnalyticsQueries.q181DowProfile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -492,6 +493,7 @@ object SparkEntry {
     "q178_mann_kendall" -> AnalyticsQueries.oracleQ178,
     "q179_theil_sen" -> AnalyticsQueries.oracleQ179,
     "q180_changepoint" -> AnalyticsQueries.oracleQ180,
+    "q181_dow_profile" -> AnalyticsQueries.oracleQ181,
   )
 
   private val asofOracle: String =

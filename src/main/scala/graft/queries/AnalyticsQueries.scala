@@ -1185,6 +1185,62 @@ object AnalyticsQueries {
       |  cost6
       |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** q181 — DAY-OF-WEEK seasonality profile per event type: observed
+    * counts per weekday vs the uniform expectation, with the χ²
+    * decomposition — the weekly-seasonality screen run before any
+    * day-over-day comparison is trusted (a Monday/Sunday imbalance
+    * masquerades as growth in naive diffs). Same integer discipline as
+    * q177's Benford test: expectations and χ² terms quantized to
+    * BIGINTs before the total, the only doubles are displayed shares.
+    *
+    * Scale shape: one map-side-combined (type, dow) count — 35 groups —
+    * then arithmetic. */
+  def q181DowProfile(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        dayofweek(to_date(col("ts"))).cast("long").as("dow"))
+      .agg(count(lit(1)).as("obs"))
+    val w = Window.partitionBy(col("event_type"))
+    obs
+      .withColumn("n", sum(col("obs")).over(w))
+      .withColumn("ndays", count(lit(1)).over(w))
+      // χ² term vs uniform: (obs·ndays − n)² / (n·ndays), scaled to ¢6
+      .withColumn("cp6", floor(
+        ((col("obs") * col("ndays") - col("n")).cast("double")
+          * (col("obs") * col("ndays") - col("n")).cast("double"))
+          / (col("n") * col("ndays")).cast("double") * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .withColumn("chi2_6", sum(col("cp6")).over(w))
+      .select(col("event_type"), col("dow"), col("obs"), col("n"),
+        (col("obs").cast("double") / col("n").cast("double")).as("share"),
+        col("cp6"), col("chi2_6"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val oracleQ181: String =
+    """WITH obs AS (
+      |  -- +1: DuckDB dayofweek is 0-6 (Sun=0); Spark's is 1-7 (Sun=1)
+      |  SELECT event_type, CAST(dayofweek(ts::date) + 1 AS BIGINT) AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS obs
+      |  FROM events GROUP BY 1, 2
+      |), e AS (
+      |  SELECT event_type, dow, obs,
+      |    CAST(SUM(obs) OVER w AS BIGINT) AS n,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS ndays
+      |  FROM obs WINDOW w AS (PARTITION BY event_type)
+      |), parts AS (
+      |  SELECT event_type, dow, obs, n,
+      |    CAST(floor(
+      |      CAST(obs * ndays - n AS DOUBLE)
+      |        * CAST(obs * ndays - n AS DOUBLE)
+      |        / CAST(n * ndays AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS cp6
+      |  FROM e
+      |)
+      |SELECT event_type, dow, obs, n,
+      |  CAST(obs AS DOUBLE) / CAST(n AS DOUBLE) AS share, cp6,
+      |  CAST(SUM(cp6) OVER (PARTITION BY event_type) AS BIGINT) AS chi2_6
+      |FROM parts ORDER BY event_type, dow""".stripMargin
+
   /** Half-life in days for q170's exponential decay. */
   val DecayHalfLifeDays = 7.0
 
