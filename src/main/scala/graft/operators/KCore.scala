@@ -37,6 +37,13 @@ object KCore {
       g.select(col("u").as("x")).unionAll(g.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
     var g = edges
+    // surviving node set, carried explicitly: a node whose incident edges
+    // ALL disappear in one round (every neighbor weak, own degree >= k)
+    // vanishes from degrees(g) — without the carried set it would never be
+    // classified (peel_round AND core_deg both null). Left-joining alive
+    // against degrees treats missing degree as 0, so such nodes peel in
+    // the following round, as standard k-core semantics demand.
+    var alive = nodes.localCheckpoint()
     var removed = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("node", LongType),
@@ -44,12 +51,17 @@ object KCore {
     var round = 1L
     var weakCount = 1L
     while (weakCount > 0 && round <= maxRounds) {
-      val weak = degrees(g).filter(col("d") < k)
-        .select(col("x")).localCheckpoint()
+      val weak = alive
+        .join(degrees(g).withColumnRenamed("x", "node"), Seq("node"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < k)
+        .select(col("node").as("x")).localCheckpoint()
       weakCount = weak.count()
       if (weakCount > 0) {
         removed = removed.unionByName(weak
           .select(col("x").as("node"), lit(round).as("peel_round")))
+          .localCheckpoint()
+        alive = alive
+          .join(weak.select(col("x").as("node")), Seq("node"), "left_anti")
           .localCheckpoint()
         g = g.join(weak.select(col("x").as("u")), Seq("u"), "left_anti")
           .join(weak.select(col("x").as("v")), Seq("v"), "left_anti")

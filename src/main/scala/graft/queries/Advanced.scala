@@ -1315,13 +1315,21 @@ object Advanced {
     // reference, so the g-chain would re-read lineitem exponentially many
     // times (the q61 recursive-oracle lesson; here it exhausted the fd
     // limit before memory)
+    // per-round ALIVE node sets (n$i) mirror KCore.peel's carried
+    // surviving-node set: a node absent from d$i but still alive peels
+    // with degree 0 (all its edges vanished in the prior round) instead
+    // of silently never being classified
     def round(i: Int): String =
       s"""d$i AS MATERIALIZED (
          |  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
          |  FROM (SELECT u AS x FROM g$i UNION ALL SELECT v FROM g$i)
          |  GROUP BY x
          |), w$i AS MATERIALIZED (
-         |  SELECT x FROM d$i WHERE d < $KCoreK
+         |  SELECT n.node AS x FROM n$i n LEFT JOIN d$i d ON d.x = n.node
+         |  WHERE COALESCE(d.d, 0) < $KCoreK
+         |), n${i + 1} AS MATERIALIZED (
+         |  SELECT node FROM n$i
+         |  WHERE node NOT IN (SELECT x FROM w$i)
          |), g${i + 1} AS MATERIALIZED (
          |  SELECT u, v FROM g$i
          |  WHERE u NOT IN (SELECT x FROM w$i)
@@ -1338,6 +1346,8 @@ object Advanced {
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
        |), nodes AS (
        |  SELECT u AS node FROM g0 UNION SELECT v FROM g0
+       |), n0 AS MATERIALIZED (
+       |  SELECT node FROM nodes
        |), $rounds, d$KCoreRounds AS MATERIALIZED (
        |  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
        |  FROM (SELECT u AS x FROM g$KCoreRounds

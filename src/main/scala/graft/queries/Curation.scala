@@ -2755,6 +2755,11 @@ object Curation {
       .select(col("source"), col("doc_id"),
         filter(split(Text.normalize(col("text")), " "),
           t => length(t) > 0).as("ta"))
+      // sub-trigram docs contribute neither tokens nor types to the growth
+      // curve — mirrors the oracle's len(ta) >= 3 on BOTH consumers (the
+      // gate corpus has no such docs, but the cross-engine contract must
+      // not depend on that)
+      .filter(size(col("ta")) >= 3)
     Materialize.withMaterialized(docs) { d =>
       val perDoc = d.select(col("source"), col("doc_id"),
         size(col("ta")).cast("long").as("n_d"))
@@ -3391,9 +3396,12 @@ object Curation {
       .select(col("doc_id"), injected.as("__t1"))
       .select(col("doc_id"), injected2.as("__t2"))
       .select(col("doc_id"),
-        size(expr(s"regexp_extract_all(__t2, '$emailPat', 0)"))
+        // Column API, not expr(): a SQL string literal would pass through
+        // unescapeSQLString and turn '\.' into an any-char '.', silently
+        // diverging the COUNT pattern from the redaction/oracle pattern
+        size(regexp_extract_all(col("__t2"), lit(emailPat), lit(0)))
           .cast("long").as("n_emails"),
-        size(expr(s"regexp_extract_all(__t2, '$phonePat', 0)"))
+        size(regexp_extract_all(col("__t2"), lit(phonePat), lit(0)))
           .cast("long").as("n_phones"),
         regexp_replace(
           regexp_replace(col("__t2"), emailPat, "<EMAIL>"),
@@ -3519,11 +3527,14 @@ object Curation {
       .withColumn("wn", mixNum(col("lang")))
       .withColumn("b_l", expr(s"b * wn DIV $MixDen"))
       // fail loud before a silent 64-bit wrap (b_l·t_ls is the widest
-      // product in the plan)
-      .withColumn("_g", assert_true(col("b_l") <= lit(3000000000L) &&
-        col("t_ls") <= lit(3000000000L),
-        lit("q149: token counts exceed the BIGINT-safe planning bound")))
-      .withColumn("base", expr("b_l * t_ls DIV t_l"))
+      // product in the plan) — the guard lives INSIDE the consumed column
+      // so Catalyst column pruning can't drop it (a standalone assert
+      // column is dead code the moment nothing selects it)
+      .withColumn("base",
+        when(col("b_l") <= lit(3000000000L) && col("t_ls") <= lit(3000000000L),
+          expr("b_l * t_ls DIV t_l"))
+          .otherwise(raise_error(
+            lit("q149: token counts exceed the BIGINT-safe planning bound"))))
       .withColumn("rem", col("b_l") * col("t_ls") - col("base") * col("t_l"))
     val wLang = Window.partitionBy(col("lang"))
     val wRank = Window.partitionBy(col("lang"))

@@ -343,6 +343,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("KCore.peel: node whose edges all vanish in one round still peels (degree-0 case)") {
+    import spark.implicits._
+    import graft.operators.KCore
+    // star: center 1 joined to leaves 2,3 (deg 2 = k), each leaf deg 1.
+    // Round 1 peels both leaves; ALL of 1's edges vanish at once, so 1
+    // is absent from the next round's degree table. The carried alive
+    // set must peel it in round 2 with degree 0 — the r7 ADVICE hole
+    // left it unclassified (both columns null).
+    val edges = Seq(1L -> 2L, 1L -> 3L).toDF("u", "v")
+    val got = KCore.peel(spark, edges, k = 2, maxRounds = 10).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(2L) == ((Some(1L), None)))
+    assert(got(3L) == ((Some(1L), None)))
+    assert(got(1L) == ((Some(2L), None)), "center must peel in round 2, not vanish")
+  }
+
   test("Personalized PageRank: mass stays seed-reachable, proximity ordering, seeds dominate") {
     import spark.implicits._
     import graft.operators.PageRank
