@@ -104,7 +104,7 @@ object Bench {
     "q161_kmv_sketch", "q162_kmv_overlap", "q164_kmeans_elbow",
     "q168_personalized_pr", "q70_corpus_clean")
 
-  private val GroupSize = 8
+  private val GroupSize = 16
 
   /** Containment pairs: the first query's pipeline is a strict subset of
     * the second's, so a clean harness can never time the second faster
@@ -262,14 +262,8 @@ object Bench {
   private def emit(byName: Map[String, (Double, Double)],
                    ordered: Seq[(String, (Double, Double))],
                    isoMode: String): Unit = {
-    // millisecond precision + short query keys ("q25" not
-    // "q25_factor_vectors") keep the one-line JSON inside the driver's
-    // 2000-char tail buffer — round 4's full-precision long-key line
-    // overflowed it and the driver recorded parsed:null
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def short(k: String): String = k.takeWhile(_ != '_')
-    val qs = ordered.map { case (k, (med, _)) =>
-      "\"" + short(k) + "\":" + f3(med) }.mkString("{", ",", "}")
     val total = ordered.map(_._2._1).filter(_ >= 0).sum
     // containment invariants: subset must not exceed superset by >10%
     // (10% = rep noise allowance); any hit names the violated pair
@@ -288,6 +282,36 @@ object Bench {
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"reps":$reps,"iso":"$isoMode","inv":"$inv","sf":"$sfDir"}""")
+    def line(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$extra"reps":$reps,"iso":"$isoMode","inv":"$inv","sf":"$sfDir"}"""
+    // FULL artifact — every median + total + inv — goes to a FILE the
+    // tail can never truncate: round 7's 181-entry stdout line overflowed
+    // the driver's 2000-char tail buffer, losing 32 medians and leaving
+    // parsed:null. The file is the complete record; stdout is best-effort.
+    val fullQs = ordered.map { case (k, (med, _)) =>
+      "\"" + short(k) + "\":" + f3(med) }.mkString("{", ",", "}")
+    val full = line(fullQs, "")
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
+    try java.nio.file.Files.write(outPath,
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"BENCH write $outPath: $e") }
+    // stdout line: if the full map fits the driver's tail buffer, print
+    // it; otherwise print the HEAVIEST medians that fit (the informative
+    // tail of the distribution — sub-100ms entries are the fungible ones)
+    // plus qn (true count) and a pointer to the complete file
+    if (full.length <= 1900) println(full)
+    else {
+      val overhead = line("{}", s""""qn":${ordered.size},"queries_file":"$outPath",""").length
+      var budget = 1900 - overhead
+      val kept = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+      ordered.sortBy(-_._2._1).foreach { case (k, (med, _)) =>
+        val cost = short(k).length + f3(med).length + 4
+        if (budget - cost >= 0) { budget -= cost; kept += (short(k) -> med) }
+      }
+      val qs = kept.map { case (k, m) => "\"" + k + "\":" + f3(m) }
+        .mkString("{", ",", "}")
+      println(line(qs, s""""qn":${ordered.size},"queries_file":"$outPath","""))
+    }
   }
 }
