@@ -202,6 +202,7 @@ object SparkEntry {
     "q179_theil_sen" -> (AnalyticsQueries.q179TheilSen _),
     "q180_changepoint" -> (AnalyticsQueries.q180Changepoint _),
     "q181_dow_profile" -> (AnalyticsQueries.q181DowProfile _),
+    "q182_jpeg_decode" -> (Advanced.q182JpegDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -494,6 +495,7 @@ object SparkEntry {
     "q179_theil_sen" -> AnalyticsQueries.oracleQ179,
     "q180_changepoint" -> AnalyticsQueries.oracleQ180,
     "q181_dow_profile" -> AnalyticsQueries.oracleQ181,
+    "q182_jpeg_decode" -> Advanced.oracleQ182,
   )
 
   private val asofOracle: String =

@@ -8,25 +8,23 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs as a typed `mapPartitions` over batches (the
   * JVM analog of an Arrow-batched decode UDF).
   *
-  * Two decode paths coexist:
-  *  - [[stubDecode]] — the declared stand-in for codec families that
-  *    genuinely need native libraries this container lacks (JPEG's DCT,
-  *    H.264/AV1 video), kept so q35/q51 gate the metadata plumbing
-  *    unchanged. Swap its body for a codec call (e.g.
-  *    TwelveMonkeys/JavaCV) to productionize; the plan shape is final.
-  *  - [[decodeBmp]] / [[decodeWav]] — REAL pure-JVM codecs for two
-  *    uncompressed formats: 24-bit BMP (little-endian header walk,
-  *    bottom-up padded pixel rows) and PCM16 RIFF/WAVE (chunk-list walk,
-  *    fmt/data parse). Gated end-to-end by q78 against a closed-form
-  *    oracle: the encoder synthesizes payload bytes whose decoded
-  *    statistics DuckDB can derive arithmetically, so a wrong header
-  *    offset, a mishandled row pad, or an unskipped chunk breaks the
-  *    hash match.
-  *  - [[decodePng]] / [[encodePng]] — a REAL COMPRESSED format, pure-JVM
-  *    via `java.util.zip`: zlib DEFLATE inflate, CRC-32 chunk
-  *    verification, multi-IDAT concatenation, and all five PNG scanline
-  *    filter reversals. Gated as q91 with the same closed-form-oracle
-  *    technique.
+  * Every decode path is a REAL pure-JVM codec — the last declared stub
+  * (JPEG) retired in round 8:
+  *  - [[graft.operators.Jpeg]] — baseline JPEG: FDCT/quant/Huffman
+  *    encode, full marker-walk + Huffman + dequant + IDCT (+ YCbCr→RGB)
+  *    decode. Gated as q182; [[extractFeatures]] uses it for `image`
+  *    payloads and for `video` as an MJPEG frame stream.
+  *  - [[decodeBmp]] / [[decodeWav]] — uncompressed formats: 24-bit BMP
+  *    (little-endian header walk, bottom-up padded pixel rows) and PCM16
+  *    RIFF/WAVE (chunk-list walk, fmt/data parse). Gated by q78 against
+  *    a closed-form oracle: the encoder synthesizes payload bytes whose
+  *    decoded statistics DuckDB can derive arithmetically, so a wrong
+  *    header offset, a mishandled row pad, or an unskipped chunk breaks
+  *    the hash match.
+  *  - [[decodePng]] / [[encodePng]] — zlib DEFLATE inflate, CRC-32 chunk
+  *    verification, multi-IDAT concatenation, all five PNG scanline
+  *    filter reversals (q91); [[decodeGif]] — GIF87a variable-width LZW
+  *    (q140); gzip member parse + CRC (q165).
   *
   * Scale notes: payload bytes never pass through a shuffle here — features
   * are extracted map-side and only the slim metadata rows move on. That is
@@ -38,42 +36,97 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, media_type: String,
                             payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, media_type: String,
-                                 n_bytes: Long, width: Int, height: Int,
+                                 n_samples: Long, width: Int, height: Int,
                                  n_frames: Int, checksum: Long)
 
-  /** Attach a synthetic binary payload to the documents table (stand-in
-    * for real image/audio bytes; deterministic: UTF-8 of the text). */
-  def attachPayloads(docs: DataFrame): Dataset[MediaRow] = {
-    import docs.sparkSession.implicits._
-    docs.select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, lit("image"))
-          .when(col("doc_id") % 3 === 1, lit("audio"))
-          .otherwise(lit("video")).as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRow]
+  /** Synthesized media dims (full 8×8 blocks, 8..32 × 8..24) — shared by
+    * the payload synthesizer, the q182 gate, and their oracles. */
+  private[operators] def mediaDims(id: Long): (Int, Int) =
+    ((8 * (1 + id % 4)).toInt, (8 * (1 + id % 3)).toInt)
+
+  /** Flat 8×8 blocks, value 2·((id·37 + frame·11 + b·53) mod 128) for
+    * row-major block index b: EVEN values make the lossy JPEG pipeline
+    * reconstruct them bit-exactly (see [[graft.operators.Jpeg]] scaladoc),
+    * which is what lets DuckDB derive decoded stats in closed form. */
+  private[operators] def flatBlockPixels(id: Long, frame: Int, w: Int,
+                                         h: Int): Array[Byte] = {
+    val bw = w / 8
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = (y / 8) * bw + (x / 8)
+        px(y * w + x) = (2 * ((id * 37 + frame * 11 + b * 53) % 128)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
   }
 
-  /** STUB decode: deterministic pseudo-features from the payload bytes.
-    * A real implementation would decode the codec here; the signature,
-    * batching, and output schema are the production shape. */
-  def stubDecode(r: MediaRow): MediaFeatures = {
-    val n = r.payload.length.toLong
-    // byte-sum checksum — forces a real scan of the payload bytes, the
-    // same access pattern a codec would have
-    var sum = 0L
-    var i = 0
-    while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
-    MediaFeatures(r.doc_id, r.media_type, n,
-      width = (64 + n % 1024).toInt,
-      height = (64 + (n * 7) % 768).toInt,
-      n_frames = (1 + n % 30).toInt,
-      checksum = sum)
+  /** Attach REAL binary payloads to the documents table: a baseline JPEG
+    * for `image`, a PCM16 WAV for `audio`, and an MJPEG frame stream
+    * (concatenated JPEGs — the classic motion-JPEG transport) for
+    * `video`. All deterministic functions of doc_id so the downstream
+    * decode gates have closed-form oracles. */
+  def attachPayloads(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = mediaDims(id)
+      id % 3 match {
+        case 0 =>
+          MediaRow(id, "image", Jpeg.encodeGray(w, h, flatBlockPixels(id, 0, w, h)))
+        case 1 =>
+          val n = (64 + id % 101).toInt
+          val ss = Array.tabulate(n)(i =>
+            ((id * 31 + i.toLong * 17) % 2048 - 1024).toShort)
+          MediaRow(id, "audio",
+            encodeWavPcm16((8000 + (id % 4) * 4000).toInt, ss,
+              junkChunk = id % 4 == 1))
+        case _ =>
+          val nf = (1 + id % 5).toInt
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nf) {
+            out.write(Jpeg.encodeGray(w, h, flatBlockPixels(id, f, w, h)))
+            f += 1
+          }
+          MediaRow(id, "video", out.toByteArray)
+      }
+    }
+  }
+
+  /** REAL decode dispatch on payload magic bytes: JPEG SOI → baseline
+    * JPEG (frames decoded until the stream is exhausted, so single-image
+    * and MJPEG payloads take the same path), RIFF → PCM16 WAV. Unknown
+    * bytes fail loudly. Replaced the declared stub in round 8 — every
+    * reported feature is now a decoded statistic, not a header claim. */
+  def decodeFeatures(r: MediaRow): MediaFeatures = {
+    val p = r.payload
+    require(p.length >= 12, s"media payload too short (${p.length}B)")
+    if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      var off = 0; var frames = 0; var sum = 0L
+      var w = 0; var h = 0; var ns = 0L
+      while (off < p.length) {
+        val (dw, dh, _, s, _, end) = Jpeg.decodeStats(p, off)
+        if (frames == 0) { w = dw; h = dh }
+        else require(dw == w && dh == h,
+          s"MJPEG frame dims changed ${w}x$h -> ${dw}x$dh")
+        sum += s; ns += dw.toLong * dh; frames += 1; off = end
+      }
+      MediaFeatures(r.doc_id, r.media_type, ns, w, h, frames, sum)
+    } else if (new String(p, 0, 4, "ASCII") == "RIFF") {
+      val (_, n, sum) = decodeWav(p)
+      MediaFeatures(r.doc_id, r.media_type, n, 0, 0, 1, sum)
+    } else throw new IllegalArgumentException(
+      s"unrecognized media payload for doc ${r.doc_id}")
   }
 
   /** Distributed feature extraction: mapPartitions over payload batches. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(stubDecode))
+    media.mapPartitions(_.map(decodeFeatures))
   }
 
   /** End-to-end: documents → payloads → features (driver-testdata shape). */
@@ -81,6 +134,30 @@ object Multimodal {
     extractFeatures(attachPayloads(graft.Tables.documents(s, dir)))
       .toDF()
       .orderBy(col("doc_id"))
+
+  final case class JpegDecodeRow(doc_id: Long, width: Int, height: Int,
+                                 n_blocks: Int, content_sum: Long,
+                                 corner_px: Int)
+
+  /** q182: synthesize flat-block grayscale JPEGs, decode them through the
+    * REAL baseline pipeline (marker walk, Huffman, dequant, IDCT), and
+    * report decoded statistics. On this gate subspace the lossy codec is
+    * exactly predictable (see [[graft.operators.Jpeg]]), so the oracle
+    * derives every column arithmetically from doc_id: a wrong quant step,
+    * a DPCM predictor bug, a mis-built Huffman table, or a broken IDCT
+    * scaling shifts content_sum/corner_px and breaks the hash match.
+    * Same map-side shape as q78/q91: bytes never shuffle. */
+  def jpegDecodeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = mediaDims(id)
+      val bytes = Jpeg.encodeGray(w, h, flatBlockPixels(id, 0, w, h))
+      val (dw, dh, nb, sum, corner, end) = Jpeg.decodeStats(bytes)
+      require(end == bytes.length, "decoder did not consume the full stream")
+      JpegDecodeRow(id, dw, dh, nb, sum, corner)
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
 
   // ------------------------------------------------------------------
   // Real pure-JVM codecs (BMP / WAV) + the q78 decode-stats pipeline
@@ -542,10 +619,11 @@ object Multimodal {
     * UDF): one output row per every-`everyN`-th frame via
     * `explode(sequence(...))`, with fit-into-`target`² letterbox dims
     * (scale = min(target/w, target/h), floor) and a deterministic per-frame
-    * checksum derived from the stub decode. The frame-bytes extraction
-    * itself would live in [[stubDecode]]'s codec slot; the row explosion,
-    * dims math, and downstream schema are the production shape — frames
-    * multiply ROWS map-side, bytes still never shuffle. */
+    * checksum derived from the REAL decoded content sum (the per-frame
+    * pixel extraction itself lives in [[decodeFeatures]]'s MJPEG loop).
+    * The row explosion, dims math, and downstream schema are the
+    * production shape — frames multiply ROWS map-side, bytes still never
+    * shuffle. */
   def sampleFrames(feats: DataFrame, everyN: Int, target: Int): DataFrame = {
     val scale = least(lit(target.toDouble) / col("width"),
       lit(target.toDouble) / col("height"))

@@ -41,9 +41,10 @@ object Advanced {
       .orderBy(col("o_orderkey"))
   }
 
-  /** Multimodal metadata extraction: binary payloads → deterministic
-    * stub-decoded features via typed mapPartitions (schema/plumbing real,
-    * codec stubbed — Multimodal.stubDecode). */
+  /** Multimodal feature extraction: REAL binary payloads (baseline JPEG
+    * image, PCM16 WAV audio, MJPEG video) decoded by the real codecs via
+    * typed mapPartitions — every feature column is a decoded statistic
+    * (Multimodal.decodeFeatures; the declared stub retired in round 8). */
   def q35MultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.features(s, dir)
 
@@ -201,31 +202,63 @@ object Advanced {
        |ORDER BY o_orderkey""".stripMargin
   }
 
-  val oracleQ35: String =
-    """WITH base AS (
+  /** Shared dims/checksum CTEs for the real-codec media oracles
+    * (q35/q51/q182): the synthesized payloads are exact functions of
+    * doc_id (Multimodal.mediaDims / flatBlockPixels / the WAV sample
+    * formula), and on the flat-even-block subspace the lossy JPEG
+    * pipeline reconstructs bit-exactly, so DECODED statistics are
+    * arithmetic here. */
+  private val mediaDimsCte: String =
+    """dims AS (
       |  SELECT doc_id,
-      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |    text, strlen(text) AS n_bytes
+      |    CAST(8 * (1 + doc_id % 4) AS INT) AS w,
+      |    CAST(8 * (1 + doc_id % 3) AS INT) AS h
       |  FROM documents
-      |), capg AS (
-      |  SELECT CASE WHEN max(strlen(text)) >= 100000 THEN error(
-      |    'oracle position cap 100000 exceeded - raise the range bound')
-      |    ELSE 1 END AS ok
-      |  FROM base
-      |), chk AS (
-      |  SELECT doc_id, CAST(SUM(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS checksum
-      |  FROM base, range(1, 100000) r(i), capg
-      |  WHERE capg.ok = 1 AND i <= strlen(text)
-      |  GROUP BY doc_id
-      |)
-      |SELECT b.doc_id, b.media_type, b.n_bytes,
-      |  CAST(64 + b.n_bytes % 1024 AS INT) AS width,
-      |  CAST(64 + (b.n_bytes * 7) % 768 AS INT) AS height,
-      |  CAST(1 + b.n_bytes % 30 AS INT) AS n_frames,
-      |  c.checksum
-      |FROM base b JOIN chk c USING (doc_id)
-      |ORDER BY b.doc_id""".stripMargin
+      |)""".stripMargin
+
+  val oracleQ35: String =
+    s"""WITH $mediaDimsCte, img AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(64 * (2 * ((doc_id * 37 + b * 53) % 128))) AS BIGINT)
+       |      AS checksum
+       |  FROM (SELECT doc_id, unnest(range(0, (w // 8) * (h // 8))) AS b
+       |        FROM dims WHERE doc_id % 3 = 0)
+       |  GROUP BY doc_id
+       |), aud AS (
+       |  SELECT doc_id,
+       |    CAST(SUM((doc_id * 31 + i * 17) % 2048 - 1024) AS BIGINT)
+       |      AS checksum
+       |  FROM (SELECT doc_id, unnest(range(0, 64 + doc_id % 101)) AS i
+       |        FROM documents WHERE doc_id % 3 = 1)
+       |  GROUP BY doc_id
+       |), vid AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(64 * (2 * ((doc_id * 37 + f * 11 + b * 53) % 128)))
+       |      AS BIGINT) AS checksum
+       |  FROM (SELECT doc_id, f, unnest(range(0, (w // 8) * (h // 8))) AS b
+       |        FROM (SELECT doc_id, w, h,
+       |                unnest(range(0, 1 + doc_id % 5)) AS f
+       |              FROM dims WHERE doc_id % 3 = 2))
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+       |       WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+       |    AS media_type,
+       |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN d.w * d.h
+       |            WHEN d.doc_id % 3 = 1 THEN 64 + d.doc_id % 101
+       |            ELSE (1 + d.doc_id % 5) * d.w * d.h END AS BIGINT)
+       |    AS n_samples,
+       |  CAST(CASE WHEN d.doc_id % 3 = 1 THEN 0 ELSE d.w END AS INT) AS width,
+       |  CAST(CASE WHEN d.doc_id % 3 = 1 THEN 0 ELSE d.h END AS INT) AS height,
+       |  CAST(CASE WHEN d.doc_id % 3 = 2 THEN 1 + d.doc_id % 5 ELSE 1 END
+       |    AS INT) AS n_frames,
+       |  COALESCE(i.checksum, a.checksum, v.checksum) AS checksum
+       |FROM dims d
+       |LEFT JOIN img i USING (doc_id)
+       |LEFT JOIN aud a USING (doc_id)
+       |LEFT JOIN vid v USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   val oracleQ36: String =
     """SELECT l_orderkey, COUNT(*) AS n,
@@ -708,38 +741,27 @@ object Advanced {
       |ORDER BY doc_id""".stripMargin
 
   val oracleQ51: String =
-    """WITH base AS (
-      |  SELECT doc_id,
-      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |    text, strlen(text) AS n_bytes
-      |  FROM documents
-      |), capg AS (
-      |  SELECT CASE WHEN max(strlen(text)) >= 100000 THEN error(
-      |    'oracle position cap 100000 exceeded - raise the range bound')
-      |    ELSE 1 END AS ok
-      |  FROM base
-      |), chk AS (
-      |  SELECT doc_id, CAST(SUM(ord(substr(text, CAST(i AS INT), 1))) AS BIGINT) AS checksum
-      |  FROM base, range(1, 100000) r(i), capg
-      |  WHERE capg.ok = 1 AND i <= strlen(text)
-      |  GROUP BY doc_id
-      |), f AS (
-      |  SELECT b.doc_id,
-      |    CAST(64 + b.n_bytes % 1024 AS INT) AS width,
-      |    CAST(64 + (b.n_bytes * 7) % 768 AS INT) AS height,
-      |    CAST(1 + b.n_bytes % 30 AS INT) AS n_frames,
-      |    c.checksum
-      |  FROM base b JOIN chk c USING (doc_id)
-      |  WHERE b.media_type = 'video'
-      |)
-      |SELECT doc_id, CAST(i AS INT) AS frame_idx,
-      |  CAST(floor(width * least(224.0 / width, 224.0 / height)) AS INT) AS out_w,
-      |  CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_h,
-      |  CAST((checksum * 31 + i) % 1000000007 AS BIGINT) AS frame_checksum
-      |FROM f, range(0, 100) r(i)
-      |WHERE i <= n_frames - 1 AND i % 3 = 0
-      |ORDER BY doc_id, frame_idx""".stripMargin
+    s"""WITH $mediaDimsCte, vid AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(64 * (2 * ((doc_id * 37 + f * 11 + b * 53) % 128)))
+       |      AS BIGINT) AS checksum
+       |  FROM (SELECT doc_id, f, unnest(range(0, (w // 8) * (h // 8))) AS b
+       |        FROM (SELECT doc_id, w, h,
+       |                unnest(range(0, 1 + doc_id % 5)) AS f
+       |              FROM dims WHERE doc_id % 3 = 2))
+       |  GROUP BY doc_id
+       |), f AS (
+       |  SELECT d.doc_id, d.w AS width, d.h AS height,
+       |    CAST(1 + d.doc_id % 5 AS INT) AS n_frames, v.checksum
+       |  FROM dims d JOIN vid v USING (doc_id)
+       |)
+       |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       |  CAST(floor(width * least(224.0 / width, 224.0 / height)) AS INT) AS out_w,
+       |  CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_h,
+       |  CAST((checksum * 31 + i) % 1000000007 AS BIGINT) AS frame_checksum
+       |FROM f, range(0, 100) r(i)
+       |WHERE i <= n_frames - 1 AND i % 3 = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Attribution window for the stream-stream join (6 h — sized to the
     * synthetic event density, same rationale as
@@ -1271,6 +1293,33 @@ object Advanced {
        |  CAST(SUM(v) AS BIGINT) AS psum
        |FROM cells GROUP BY doc_id, patch_y, patch_x
        |ORDER BY doc_id, patch_y, patch_x""".stripMargin
+
+  /** q182 — REAL baseline JPEG decode ([[graft.operators.Jpeg]]): flat
+    * even-valued 8×8 blocks make the lossy DCT pipeline exactly
+    * predictable (DC quant step 16 + even level-shifted values roundtrip
+    * bit-exactly), so the oracle derives the decoded pixel statistics
+    * arithmetically from doc_id. Retires the last declared codec stub:
+    * Huffman tables, DPCM DC coding, EOB/byte-stuffing, dequantization
+    * and IDCT scaling are all on the hash path. */
+  def q182JpegDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.jpegDecodeStats(s, dir)
+
+  val oracleQ182: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CAST(8 * (1 + doc_id % 4) AS INT) AS w,
+      |    CAST(8 * (1 + doc_id % 3) AS INT) AS h
+      |  FROM documents
+      |), blocks AS (
+      |  SELECT doc_id, w, h, unnest(range(0, (w // 8) * (h // 8))) AS b
+      |  FROM dims
+      |)
+      |SELECT doc_id, w AS width, h AS height,
+      |  CAST((w // 8) * (h // 8) AS INT) AS n_blocks,
+      |  CAST(SUM(64 * (2 * ((doc_id * 37 + b * 53) % 128))) AS BIGINT)
+      |    AS content_sum,
+      |  CAST(2 * ((doc_id * 37) % 128) AS INT) AS corner_px
+      |FROM blocks GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   /** Core threshold and unroll bound for q153. K = 80 sits just below the
     * co-purchase graph's collapse threshold (empirically: 5 peel rounds

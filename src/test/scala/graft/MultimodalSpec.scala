@@ -174,4 +174,31 @@ class MultimodalSpec extends AnyFunSuite {
       "UTF-8")
     assert(back == uni)
   }
+
+  test("decodeFeatures dispatches on magic bytes: JPEG, MJPEG frame count, WAV, junk") {
+    import graft.operators.{Jpeg, Multimodal}
+    // single JPEG image -> 1 frame, dims from the stream, decoded pixel sum
+    val px = Array.tabulate(16 * 8)(i => ((i * 2) % 256).toByte)
+    val img = Multimodal.MediaRow(1L, "image", Jpeg.encodeGray(16, 8, px))
+    val fi = Multimodal.decodeFeatures(img)
+    assert(fi.width == 16 && fi.height == 8 && fi.n_frames == 1)
+    assert(fi.n_samples == 16 * 8)
+    // MJPEG: three concatenated frames -> n_frames counted by DECODE
+    val frames = (0 until 3).map(f => Jpeg.encodeGray(8, 8,
+      Array.fill(64)((2 * (f * 20 + 10)).toByte))).reduce(_ ++ _)
+    val fv = Multimodal.decodeFeatures(Multimodal.MediaRow(2L, "video", frames))
+    assert(fv.n_frames == 3 && fv.n_samples == 3 * 64)
+    assert(fv.checksum == (0 until 3).map(f => 64L * 2 * (f * 20 + 10)).sum)
+    // WAV -> sample count + signed sum
+    val ss = Array.tabulate(40)(i => (i * 3 - 50).toShort)
+    val wav = Multimodal.encodeWavPcm16(8000, ss, junkChunk = true)
+    val fa = Multimodal.decodeFeatures(Multimodal.MediaRow(3L, "audio", wav))
+    assert(fa.n_samples == 40 && fa.checksum == ss.map(_.toLong).sum)
+    assert(fa.width == 0 && fa.height == 0)
+    // unrecognized payloads fail loudly, not silently zero
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeFeatures(
+        Multimodal.MediaRow(4L, "image", Array.fill(20)(7.toByte)))
+    }
+  }
 }
