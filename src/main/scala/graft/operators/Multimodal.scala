@@ -207,6 +207,7 @@ object Multimodal {
     * row, so a decoder that ignores the bottom-up layout gets it
     * wrong). */
   def decodeBmp(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    require(bytes.length >= 54, s"not a BMP: ${bytes.length}B < 54B header")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
     val dataOffset = bb.getInt(10)
@@ -216,7 +217,17 @@ object Multimodal {
     val compression = bb.getInt(30)
     require(bpp == 24 && compression == 0,
       s"only uncompressed 24-bit BMP supported (bpp=$bpp, comp=$compression)")
+    // hostile headers: negative/zero dims, an offset outside the file, or
+    // a declared pixel area past EOF must fail loudly, never index wild
+    // the upper bound also keeps width*3 inside int range so a hostile
+    // width can't overflow rowSize negative and skip the pixel loop
+    require(width > 0 && width <= (1 << 26) && height > 0 && height <= (1 << 26),
+      s"bad dimensions ${width}x$height")
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"bad pixel data offset $dataOffset (file ${bytes.length}B)")
     val rowSize = ((width * 3 + 3) / 4) * 4
+    require(dataOffset + height.toLong * rowSize <= bytes.length,
+      s"declared ${width}x$height pixels overrun the file (${bytes.length}B)")
     var sum = 0L
     var r = 0
     while (r < height) {
@@ -261,6 +272,7 @@ object Multimodal {
   def decodeWav(bytes: Array[Byte]): (Int, Long, Long) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def fourCC(off: Int) = new String(bytes, off, 4, "ASCII")
+    require(bytes.length >= 12, s"not a WAVE file: ${bytes.length}B < 12B header")
     require(fourCC(0) == "RIFF" && fourCC(8) == "WAVE", "not a WAVE file")
     var pos = 12
     var sampleRate = -1
@@ -304,6 +316,7 @@ object Multimodal {
   def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def fourCC(off: Int) = new String(bytes, off, 4, "ASCII")
+    require(bytes.length >= 12, s"not a WAVE file: ${bytes.length}B < 12B header")
     require(fourCC(0) == "RIFF" && fourCC(8) == "WAVE", "not a WAVE file")
     var pos = 12
     var sampleRate = -1
@@ -732,6 +745,8 @@ object Multimodal {
     val palette = pos
     require(pos + 3 * gctSize <= bytes.length, "truncated palette")
     pos += 3 * gctSize
+    // image descriptor (10B) + min-code byte must fit before any field read
+    require(pos + 11 <= bytes.length, "truncated image descriptor")
     require(u8(pos) == 0x2c, "expected image descriptor")
     val iw = le16(pos + 5); val ih = le16(pos + 7)
     require(iw == sw && ih == sh, "sub-image decode not supported")
@@ -739,12 +754,15 @@ object Multimodal {
     pos += 10
     val minCode = u8(pos); pos += 1
     require(minCode == 8, s"expected 8-bit min code, got $minCode")
-    // reassemble sub-blocks
+    // reassemble sub-blocks; every length byte is bounds-checked before
+    // the read so a truncated stream can't index past EOF
     val data = new java.io.ByteArrayOutputStream()
+    require(pos < bytes.length, "truncated before first sub-block")
     var bl = u8(pos); pos += 1
     while (bl != 0) {
       require(pos + bl <= bytes.length, "truncated sub-block")
       data.write(bytes, pos, bl); pos += bl
+      require(pos < bytes.length, "truncated between sub-blocks")
       bl = u8(pos); pos += 1
     }
     require(pos < bytes.length && u8(pos) == 0x3b, "missing trailer")

@@ -175,6 +175,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back == uni)
   }
 
+  test("hostile bytes: PNG/GIF/BMP/WAV walkers fail loudly on every truncation and mutation") {
+    import graft.operators.Multimodal
+    // decoders that will ever touch crawled bytes must throw a classified
+    // IllegalArgumentException (or still decode, for mutations that land
+    // in content) - never hang, overread (ArrayIndexOutOfBounds), or
+    // return garbage silently
+    val png = Multimodal.encodePng(9, 7,
+      Array.tabulate(9 * 7 * 3)(i => ((i * 13 + 1) % 256).toByte))
+    val gifIdx = Array.tabulate(40 * 30)(i => ((i * 7) % 256).toByte)
+    val gif = Multimodal.encodeGif(40, 30, gifIdx)
+    val bmp = Multimodal.encodeBmp24(5, 4,
+      Array.tabulate(5 * 4 * 3)(i => (i % 256).toByte))
+    val wav = Multimodal.encodeWavPcm16(8000,
+      Array.tabulate(30)(i => (i * 5 - 60).toShort), junkChunk = true)
+    val codecs: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("png", png, Multimodal.decodePng(_)),
+      ("gif", gif, Multimodal.decodeGif(_)),
+      ("bmp", bmp, Multimodal.decodeBmp(_)),
+      ("wav", wav, Multimodal.decodeWav(_)))
+    for ((name, good, decode) <- codecs) {
+      // sanity: the intact fixture decodes
+      decode(good)
+      // EVERY strict prefix must throw (IllegalArgument, nothing else)
+      for (cut <- 0 until good.length) {
+        try {
+          decode(java.util.Arrays.copyOf(good, cut))
+          fail(s"$name decoded a ${cut}B truncation of ${good.length}B")
+        } catch { case _: IllegalArgumentException => () }
+      }
+      // single-byte mutations at every offset: decode or classified throw
+      for (i <- good.indices) {
+        val bad = good.clone()
+        bad(i) = (bad(i) ^ 0xff).toByte
+        try { decode(bad); () }
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"$name threw ${e.getClass.getSimpleName} on a byte flip at $i")
+        }
+      }
+    }
+    // BMP-specific: hostile header fields that header-trusting decoders
+    // mis-handle - huge width (rowSize int overflow), negative height,
+    // data offset past EOF
+    def patched(off: Int, v: Array[Byte]): Array[Byte] = {
+      val b = bmp.clone(); v.copyToArray(b, off); b
+    }
+    for (hostile <- Seq(
+      patched(18, Array(0xff, 0xff, 0xff, 0x3f).map(_.toByte)), // width 2^30-ish
+      patched(22, Array(0xfc, 0xff, 0xff, 0xff).map(_.toByte)), // height -4
+      patched(10, Array(0x00, 0x00, 0x00, 0x7f).map(_.toByte))  // offset 2^30
+    )) intercept[IllegalArgumentException] { Multimodal.decodeBmp(hostile) }
+  }
+
   test("decodeFeatures dispatches on magic bytes: JPEG, MJPEG frame count, WAV, junk") {
     import graft.operators.{Jpeg, Multimodal}
     // single JPEG image -> 1 frame, dims from the stream, decoded pixel sum
