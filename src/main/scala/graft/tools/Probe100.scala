@@ -12,15 +12,20 @@ import org.apache.spark.sql.functions._
   *     runMain graft.Bench                              # measure
   *
   * Synthesis contract — the blow-up must be ORGANIC, not degenerate:
-  *  - `documents`: 10 copies, doc_id shifted by 10M per copy, and every
-  *    token suffixed with a copy tag (`$1xk`). The suffix rewrites every
-  *    shingle, so cross-copy texts are NOT near-duplicates: the corpus
-  *    is 10 disjoint sf0.1-shaped corpora — total dup rate, cluster
-  *    structure and per-doc cost match sf0.1, pair volume scales ~10×.
-  *    A naive 10× union of IDENTICAL texts would instead make every doc
-  *    a 10-way cross-copy near-dup and blow candidate pairs up
-  *    quadratically — measuring a corpus no real crawl resembles.
-  *    n_chars is recomputed from the suffixed text.
+  *  - `documents`: 10 copies, doc_id shifted by 10M per copy, text
+  *    passed through a PER-COPY Caesar cipher (letters AND digits
+  *    rotated by k; whitespace/punctuation fixed). The cipher rewrites
+  *    essentially every CHARACTER k-gram — the dedup pipeline shingles
+  *    characters (Dedup.shingleHashCol), so this is the transform that
+  *    actually makes cross-copy texts non-similar — while preserving
+  *    document lengths, word boundaries and the within-copy duplicate
+  *    structure exactly. Result: 10 disjoint sf0.1-shaped corpora —
+  *    dup rate, cluster structure and per-doc cost match sf0.1, pair
+  *    volume scales ~10×. (First attempt suffixed each TOKEN with a
+  *    copy tag; char k-grams interior to words survived, leaving
+  *    cross-copy jaccard high enough to flood the LSH candidate stage
+  *    with pairs no organic crawl would have — measured q15 34× over
+  *    sf0.1 on that corpus. A lesson the probe exists to teach.)
   *  - `lineitem`: 10 copies with l_orderkey shifted by 100M (orders are
   *    the fact grain); supplier/part keys unchanged — dims stay
   *    dim-sized, per-key fan-in grows 10×, which is the conservative
@@ -39,11 +44,16 @@ object Probe100 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    def rot(s: String, k: Int): String = s.drop(k % s.length) + s.take(k % s.length)
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until 10).map { k =>
+      val from = lower + lower.toUpperCase + digits
+      val to = rot(lower, k) + rot(lower, k).toUpperCase + rot(digits, k)
       docs.select(
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", "$1x" + k).as("text"),
+        translate(col("text"), from, to).as("text"),
         col("lang"), col("source"))
     }.reduce(_ unionAll _)
       .withColumn("n_chars", length(col("text")).cast("long"))
