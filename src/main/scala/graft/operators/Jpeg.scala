@@ -222,10 +222,16 @@ object Jpeg {
     * w·h sample stream. A real general-purpose encoder: the full FDCT +
     * quantization + run-length AC path runs for every block (non-flat
     * content produces genuine AC coefficients, gated by the ImageIO
-    * cross-decode spec). */
-  def encodeGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    * cross-decode spec). `restartInterval` > 0 emits a DRI segment and
+    * byte-aligned RSTn markers every that-many MCUs with DC-predictor
+    * resets — the error-resilience structure real encoders emit, and the
+    * stream shape that exercises the decoder's restart path. */
+  def encodeGray(width: Int, height: Int, pixels: Array[Byte],
+                 restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "empty image")
     require(pixels.length == width * height, "pixel buffer size mismatch")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"bad restart interval $restartInterval")
     val out = new java.io.ByteArrayOutputStream()
     marker(out, 0xd8) // SOI
     // JFIF APP0: version 1.1, no density, no thumbnail
@@ -241,6 +247,9 @@ object Jpeg {
     segment(out, 0xc4,
       (Array(0x00.toByte) ++ DcBits.map(_.toByte) ++ DcVals) ++
         (Array(0x10.toByte) ++ AcBits.map(_.toByte) ++ AcVals))
+    if (restartInterval > 0)
+      segment(out, 0xdd,
+        Array((restartInterval >> 8) & 0xff, restartInterval & 0xff).map(_.toByte))
     // SOS: 1 component, DC/AC table 0, full spectral range
     segment(out, 0xda, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte))
 
@@ -248,11 +257,20 @@ object Jpeg {
     val mcusX = (width + 7) / 8
     val mcusY = (height + 7) / 8
     var prevDc = 0
+    var mcu = 0
+    var rstIdx = 0
     val block = new Array[Double](64)
     var by = 0
     while (by < mcusY) {
       var bx = 0
       while (bx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()           // byte-align (1-bit pad), per the spec
+          marker(out, 0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          prevDc = 0           // restart resets the DPCM predictor
+        }
+        mcu += 1
         // load + level shift, edge blocks padded by clamping to the image
         // (the spec leaves padding to the encoder; clamp-replication keeps
         // edge-block AC energy low)

@@ -122,6 +122,38 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("restart intervals (DRI/RSTn): roundtrip exact, predictor resets, ImageIO agrees") {
+    val w = 48; val h = 16 // 12 MCUs: interval 5 -> RST0, RST1 mid-stream
+    def v(bx: Int, by: Int): Int = 2 * ((41 * bx + 67 * by + 13) % 128)
+    val px = flatBlocks(w, h, v)
+    for (ri <- Seq(1, 2, 5, 7)) {
+      val bytes = Jpeg.encodeGray(w, h, px, restartInterval = ri)
+      val dec = Jpeg.decodePixels(bytes)
+      assert(dec.samples.sameElements(px), s"restart interval $ri broke decode")
+      // the independent JDK codec must also accept our RST stream
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"ImageIO rejected our DRI=$ri stream")
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxDiff = math.max(maxDiff, math.abs(
+          img.getRaster.getSample(x, y, 0) - (dec.samples(y * w + x) & 0xff)))
+      assert(maxDiff <= 3)
+    }
+    // a CORRUPTED restart marker index must fail loudly
+    val bytes = Jpeg.encodeGray(w, h, px, restartInterval = 2)
+    var p = 2
+    var found = -1
+    while (found < 0 && p < bytes.length - 1) {
+      if ((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) == 0xd0) found = p
+      p += 1
+    }
+    assert(found > 0, "expected an RST0 marker in the stream")
+    val bad = bytes.clone()
+    bad(found + 1) = 0xd5.toByte // wrong restart index
+    intercept[IllegalArgumentException] { Jpeg.decodePixels(bad) }
+  }
+
   test("MJPEG concatenation: decode consumes exactly one frame and reports end") {
     val w = 16; val h = 8
     def frame(seed: Int): Array[Byte] =
