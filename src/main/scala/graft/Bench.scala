@@ -72,38 +72,57 @@ object Bench {
     mark("stop")
   }
 
-  /** Queries that get a CHILD JVM TO THEMSELVES: everything whose median
-    * could plausibly exceed ~1.5s at sf0.1 (r06 in-session medians ≥ 2s,
-    * which overstates fresh cost 2-3×, plus the streaming gates whose
-    * state-store machinery is timing-sensitive). Everything else is
-    * sub-second and shares a child in groups of [[GroupSize]]. */
+  /** Child-JVM tiering, recalibrated each round from the committed
+    * bench_results.json (this edition: round 8, 182 queries, total 262s).
+    * Wall-time accounting: 182 queries × 3 fresh reps ≈ 790s of measured
+    * work is the honest floor; everything else is per-child overhead
+    * (~5-8s: JVM+CDS load, session, warmup), so wall time is governed by
+    * CHILD COUNT. r7 isolated everything ≥1.5s (78 children, ~23 min);
+    * the r8 medians show queries under ~2.5s carry negligible shared-
+    * child tax, so only the genuinely heavy tier keeps a private JVM.
+    *
+    * - [[isolated]]: measured median ≥ 2.5s at sf0.1, plus EVERY
+    *   streaming gate (state-store timing is sensitive to neighbors)
+    *   — these medians must stay strictly fresh-JVM.
+    * - [[midTier]]: 1.2s ≤ median < 2.5s, non-streaming — grouped
+    *   [[MidGroup]] per child; residual tax at this weight measured
+    *   within rep noise (r6 data, re-confirmed by the r8 medians of the
+    *   queries r7 moved INTO isolation: shared vs isolated shifted them
+    *   < 10%).
+    * - everything else (sub-1.2s): groups of [[GroupSize]].
+    * The containment invariants below police this choice every run: if
+    * shared-child tax ever inflates a subset above its superset, the
+    * JSON says so. */
   private val isolated: Set[String] = Set(
-    "q14_minhash_candidates", "q15_neardup_pairs", "q19_breadth",
-    "q25_factor_vectors", "q31_technical_snapshot", "q36_product_agg",
-    "q43_per_bands", "q44_tracking_error", "q45_screen_published",
-    "q47_ann_multiprobe", "q53_bucketed_join", "q54_winnow_fingerprint",
-    "q55_basket_valuation", "q56_factor_vector_search",
-    "q61_neardup_clusters", "q62_containment_pairs", "q66_simhash_pairs",
-    "q67_repetition_stats", "q68_decontamination", "q69_dedup_corpus",
-    "q71_bm25", "q74_ivf_kmeans", "q76_training_manifest",
+    // streaming gates — always isolated regardless of weight
+    "q92_stream_screen", "q93_stream_windowed_agg", "q94_stream_dedup",
+    "q95_stream_cardinality", "q96_stream_breadth", "q105_stream_stream_join",
+    "q116_stream_maintain", "q143_stream_cms", "q157_stream_sessions",
+    // measured >= 2.5s fresh at sf0.1 (bench_results.json, round 8)
+    "q15_neardup_pairs", "q55_basket_valuation", "q56_factor_vector_search",
+    "q61_neardup_clusters", "q69_dedup_corpus", "q76_training_manifest",
     "q77_incremental_dedup", "q79_neardup_clusters_stars",
-    "q81_dsir_importance", "q83_boilerplate_ngrams", "q84_source_drift",
-    "q86_semdedup", "q88_dup_spans", "q89_knn_graph", "q92_stream_screen",
-    "q93_stream_windowed_agg", "q94_stream_dedup",
-    "q95_stream_cardinality", "q96_stream_breadth",
-    "q98_sq8_recall", "q99_pq_adc_recall",
-    "q105_stream_stream_join", "q112_lev_pairs", "q113_pagerank",
-    "q115_source_overlap", "q116_stream_maintain",
-    // round-7 additions whose shared-child medians exceeded ~1.5s
-    "q117_linear_interp", "q123_allpairs_join", "q124_span_dedup",
-    "q125_bpe_merges", "q126_cms_estimate", "q127_bpe_encode",
-    "q135_dataset_card", "q136_quality_keeper", "q139_pmi_pairs",
-    "q141_skip_grams", "q143_stream_cms", "q145_novelty_curve",
+    "q81_dsir_importance", "q86_semdedup", "q89_knn_graph",
+    "q99_pq_adc_recall", "q112_lev_pairs", "q113_pagerank",
+    "q123_allpairs_join", "q135_dataset_card", "q136_quality_keeper",
     "q146_triangles", "q150_dbscan", "q151_cluster_labels",
-    "q152_lsh_calibration", "q153_kcore", "q157_stream_sessions",
-    "q161_kmv_sketch", "q162_kmv_overlap", "q164_kmeans_elbow",
-    "q168_personalized_pr", "q70_corpus_clean")
+    "q152_lsh_calibration", "q153_kcore", "q164_kmeans_elbow",
+    "q168_personalized_pr")
 
+  /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
+  private val midTier: Set[String] = Set(
+    "q14_minhash_candidates", "q25_factor_vectors", "q36_product_agg",
+    "q43_per_bands", "q45_screen_published", "q53_bucketed_join",
+    "q62_containment_pairs", "q66_simhash_pairs", "q67_repetition_stats",
+    "q68_decontamination", "q70_corpus_clean", "q71_bm25",
+    "q74_ivf_kmeans", "q84_source_drift", "q88_dup_spans",
+    "q98_sq8_recall", "q115_source_overlap", "q117_linear_interp",
+    "q124_span_dedup", "q125_bpe_merges", "q126_cms_estimate",
+    "q127_bpe_encode", "q139_pmi_pairs", "q141_skip_grams",
+    "q145_novelty_curve", "q161_kmv_sketch", "q162_kmv_overlap",
+    "q171_good_turing", "q173_heaps_fit", "q175_ks_test")
+
+  private val MidGroup = 6
   private val GroupSize = 16
 
   /** Containment pairs: the first query's pipeline is a strict subset of
@@ -148,7 +167,8 @@ object Bench {
     // driver-side bench budget for no measurement benefit on 0.2s queries
     val groups: Seq[Seq[String]] =
       names.filter(isolated).map(Seq(_)) ++
-        names.filterNot(isolated).grouped(GroupSize).toSeq
+        names.filter(midTier).grouped(MidGroup).toSeq ++
+        names.filterNot(n => isolated(n) || midTier(n)).grouped(GroupSize).toSeq
     val results: Seq[(String, (Double, Double))] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_INPROC")) {
         isoMode = "session"; runInProcess(names)

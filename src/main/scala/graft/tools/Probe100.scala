@@ -26,10 +26,20 @@ import org.apache.spark.sql.functions._
   *    cross-copy jaccard high enough to flood the LSH candidate stage
   *    with pairs no organic crawl would have — measured q15 34× over
   *    sf0.1 on that corpus. A lesson the probe exists to teach.)
-  *  - `lineitem`: 10 copies with l_orderkey shifted by 100M (orders are
-  *    the fact grain); supplier/part keys unchanged — dims stay
-  *    dim-sized, per-key fan-in grows 10×, which is the conservative
+  *  - `lineitem`: 10 copies with l_orderkey AND l_partkey shifted by
+  *    100M per copy. The graph pipelines (q113/q146/q153) build edges
+  *    from lineitem keys alone, so disjoint orderkeys+partkeys give 10
+  *    disjoint co-purchase graphs — an organic ×10 (same degree
+  *    distribution per copy), not a densified single graph. l_suppkey is
+  *    left unshifted because q55 joins `supplier`: suppliers stay
+  *    dim-sized with per-key fan-in ×10, the conservative
   *    (skew-stressing) direction for the basket program.
+  *  - `embeddings`: 10 copies, vec_id shifted by 10M, and each vector
+  *    CYCLICALLY ROTATED by 6·k coordinates. Rotation preserves norms
+  *    and all WITHIN-copy pairwise dot products exactly (the copy is
+  *    geometrically identical to sf0.1) while decorrelating cross-copy
+  *    vectors — a verbatim union would duplicate every vector 10× and
+  *    hand the ANN/SemDeDup pipelines a degenerate 10-way-dup corpus.
   *  - every other table: byte-for-byte copy of the sf0.1 file.
   */
 object Probe100 {
@@ -64,17 +74,32 @@ object Probe100 {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     (0 until 10).map { k =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * 100000000L))
     }.reduce(_ unionAll _)
       .repartition(16)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until 10).map { k =>
+      val r = 6 * k // rotate coordinates: norm- and within-copy-geometry-preserving
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
+      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    for (t <- graft.Tables.names if t != "documents" && t != "lineitem")
+    for (t <- graft.Tables.names
+         if t != "documents" && t != "lineitem" && t != "embeddings")
       Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$out/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
 
-    println(s"PROBE100 built $out: documents x10 (token-suffixed), " +
-      s"lineitem x10 (order-shifted), rest copied from $src")
+    println(s"PROBE100 built $out: documents x10 (ciphered), lineitem x10 " +
+      s"(order+part-shifted), embeddings x10 (rotated), rest copied from $src")
     spark.stop()
   }
 }
