@@ -203,6 +203,7 @@ object SparkEntry {
     "q180_changepoint" -> (AnalyticsQueries.q180Changepoint _),
     "q181_dow_profile" -> (AnalyticsQueries.q181DowProfile _),
     "q182_jpeg_decode" -> (Advanced.q182JpegDecode _),
+    "q183_pca_power" -> (Advanced.q183PcaPower _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -496,6 +497,7 @@ object SparkEntry {
     "q180_changepoint" -> AnalyticsQueries.oracleQ180,
     "q181_dow_profile" -> AnalyticsQueries.oracleQ181,
     "q182_jpeg_decode" -> Advanced.oracleQ182,
+    "q183_pca_power" -> Advanced.oracleQ183,
   )
 
   private val asofOracle: String =

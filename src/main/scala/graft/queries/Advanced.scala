@@ -1321,6 +1321,70 @@ object Advanced {
       |  CAST(2 * ((doc_id * 37) % 128) AS INT) AS corner_px
       |FROM blocks GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  /** Iteration count for q183 — enough to pin the direction; the gate
+    * checks the exact quantized state after each engine runs the SAME
+    * three iterations, not convergence. */
+  val PcaIters = 3
+
+  /** q183 — PCA TOP COMPONENT of the embedding corpus by distributed
+    * power iteration ([[graft.operators.Pca]]): center, then iterate
+    * v ← normalize(Xᵀ(Xv)) with exact-integer matvec carriers so both
+    * engines walk bit-identical states. The spectral member of the
+    * embedding-analysis family (q18 blocked near-dup, q86 SemDeDup,
+    * q131 JL projection): principal direction + per-component scaled
+    * accumulator. */
+  def q183PcaPower(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.topComponent(
+      s, Tables.embeddings(s, dir), dim = 64, iters = PcaIters)
+
+  val oracleQ183: String = {
+    // unrolled power iterations; every CTE MATERIALIZED (the q153/q61
+    // lesson: DuckDB re-inlines plain CTEs exponentially)
+    def iter(t: Int, prev: String): String =
+      s"""s$t AS MATERIALIZED (
+         |  SELECT xc.vec_id, CAST(SUM(xc.v * p.vq) AS BIGINT) AS s
+         |  FROM xc JOIN $prev p USING (i) GROUP BY xc.vec_id
+         |), w$t AS MATERIALIZED (
+         |  SELECT xc.i, CAST(SUM(xc.v * s$t.s) AS BIGINT) AS w
+         |  FROM xc JOIN s$t USING (vec_id) GROUP BY xc.i
+         |), ws$t AS MATERIALIZED (
+         |  SELECT i, CAST(floor(CAST(w AS DOUBLE) / 16777216.0) AS BIGINT)
+         |    AS ws
+         |  FROM w$t
+         |), nm$t AS MATERIALIZED (
+         |  SELECT sqrt(CAST(CAST(SUM(ws * ws) AS BIGINT) AS DOUBLE)) AS nm
+         |  FROM ws$t
+         |), v$t AS MATERIALIZED (
+         |  SELECT i, CAST(floor(CAST(ws AS DOUBLE) / (SELECT nm FROM nm$t)
+         |    * 1000 + 0.5) AS BIGINT) AS vq
+         |  FROM ws$t
+         |)""".stripMargin
+    val iters = (1 to PcaIters)
+      .map(t => iter(t, if (t == 1) "v0" else s"v${t - 1}"))
+      .mkString(", ")
+    s"""WITH xq AS MATERIALIZED (
+       |  SELECT vec_id, CAST(j - 1 AS INT) AS i,
+       |    CAST(floor(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 1000
+       |      + 0.5) AS BIGINT) AS v
+       |  FROM embeddings, range(1, 65) r(j)
+       |), cnt AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+       |), mu AS MATERIALIZED (
+       |  SELECT i, CAST(floor(CAST(SUM(v) AS DOUBLE)
+       |    / (SELECT n FROM cnt)) AS BIGINT) AS mu
+       |  FROM xq GROUP BY i
+       |), xc AS MATERIALIZED (
+       |  SELECT x.vec_id, x.i, x.v - m.mu AS v
+       |  FROM xq x JOIN mu m USING (i)
+       |), v0 AS MATERIALIZED (
+       |  SELECT CAST(i AS INT) AS i, CAST(1000 AS BIGINT) AS vq
+       |  FROM range(0, 64) r(i)
+       |), $iters
+       |SELECT v.i, CAST(v.vq AS DOUBLE) / 1000.0 AS loading, w.ws AS w_scaled
+       |FROM v$PcaIters v JOIN ws$PcaIters w USING (i)
+       |ORDER BY v.i""".stripMargin
+  }
+
   /** Core threshold and unroll bound for q153. K = 80 sits just below the
     * co-purchase graph's collapse threshold (empirically: 5 peel rounds
     * and a surviving ~93% core at both sf0.01 and sf0.1; K = 90 empties

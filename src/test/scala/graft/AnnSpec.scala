@@ -229,4 +229,30 @@ class AnnSpec extends AnyFunSuite {
     val mean = r.sum / r.length
     assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean")
   }
+
+  test("Pca.topComponent recovers the direction of rank-1 data") {
+    import spark.implicits._
+    import graft.operators.Pca
+    // points t*d along one fixed direction: after centering the data is
+    // exactly rank-1, so the top component is +/- d/||d|| and power
+    // iteration pins it in one step; sign follows dot(v0, d)
+    val d = Array.tabulate(64)(i => ((i % 7) - 3) * 0.1)
+    val rows = (1 to 40).map(t =>
+      (t.toLong, d.map(x => (x * t).toFloat).toSeq))
+    val out = Pca.topComponent(spark, rows.toDF("vec_id", "embedding"),
+      dim = 64, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val norm = math.sqrt(d.map(x => x * x).sum)
+    val sign = if (d.sum >= 0) 1.0 else -1.0
+    (0 until 64).foreach { i =>
+      val expect = sign * d(i) / norm
+      assert(math.abs(out(i) - expect) <= 2e-3,
+        s"component $i: got ${out(i)}, expected ~$expect")
+    }
+    // determinism: a second run is bit-identical (integer carriers)
+    val again = Pca.topComponent(spark, rows.toDF("vec_id", "embedding"),
+      dim = 64, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(again == out)
+  }
 }
