@@ -204,6 +204,7 @@ object SparkEntry {
     "q181_dow_profile" -> (AnalyticsQueries.q181DowProfile _),
     "q182_jpeg_decode" -> (Advanced.q182JpegDecode _),
     "q183_pca_power" -> (Advanced.q183PcaPower _),
+    "q184_record_linkage" -> (Advanced.q184RecordLinkage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -498,6 +499,7 @@ object SparkEntry {
     "q181_dow_profile" -> AnalyticsQueries.oracleQ181,
     "q182_jpeg_decode" -> Advanced.oracleQ182,
     "q183_pca_power" -> Advanced.oracleQ183,
+    "q184_record_linkage" -> Advanced.oracleQ184,
   )
 
   private val asofOracle: String =

@@ -1321,6 +1321,100 @@ object Advanced {
       |  CAST(2 * ((doc_id * 37) % 128) AS INT) AS corner_px
       |FROM blocks GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  /** Fellegi–Sunter parameters for q184, quantized ONCE here and shared
+    * verbatim by the Spark plan and the oracle SQL (driver-side
+    * constants, so both engines classify with identical integers). */
+  private val WNameA = graft.operators.RecordLinkage.weight(0.95, 0.001)
+  private val WNameD = graft.operators.RecordLinkage.weight(0.05, 0.999)
+  private val WNatA = graft.operators.RecordLinkage.weight(0.95, 0.04)
+  private val WNatD = graft.operators.RecordLinkage.weight(0.05, 0.96)
+  private val WBalA = graft.operators.RecordLinkage.weight(0.99, 0.001)
+  private val WBalD = graft.operators.RecordLinkage.weight(0.01, 0.999)
+  private val WSegA = graft.operators.RecordLinkage.weight(0.9, 0.2)
+  private val WSegD = graft.operators.RecordLinkage.weight(0.1, 0.8)
+  private val MatchT = 15000000L
+
+  /** q184 — Fellegi–Sunter RECORD LINKAGE ([[graft.operators
+    * .RecordLinkage]]): link the customer master against a synthesized
+    * second system whose records carry deterministic data-entry damage
+    * (leading-char typo for key%7, nation recode for %11, cents dropped
+    * for %5, segment lost for %13). Blocking on the name's last three
+    * digits bounds candidates (~no cross join ever exists); the typo is
+    * injected at the FIRST character so typo'd true pairs stay in-block
+    * and land in the clerical-review ("possible") zone, while
+    * nation-recoded pairs still clear the match threshold — the FS
+    * decision structure, not just a similarity cutoff. Chance in-block
+    * pairs score deeply negative and are filtered as non-matches.
+    *
+    * Scale shape: one map-side blocking key each side, one equi-join
+    * whose fan-in is the block size, pure per-pair projection after —
+    * the standard production linkage shape (salt skewed blocks like any
+    * skewed join key). */
+  def q184RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RecordLinkage
+    import graft.operators.RecordLinkage.Field
+    val cust = Tables.customer(s, dir)
+    val a = cust.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+      col("c_nationkey").as("a_nation"), col("c_acctbal").as("a_bal"),
+      col("c_mktsegment").as("a_seg"))
+    val b = cust.select(
+      (col("c_custkey") + lit(1000000L)).as("b_id"),
+      when(col("c_custkey") % 7 === 0,
+        concat(lit("K"), expr("substring(c_name, 2)")))
+        .otherwise(col("c_name")).as("b_name"),
+      when(col("c_custkey") % 11 === 0, (col("c_nationkey") + 1) % 25)
+        .otherwise(col("c_nationkey")).as("b_nation"),
+      when(col("c_custkey") % 5 === 0, floor(col("c_acctbal")).cast("double"))
+        .otherwise(col("c_acctbal")).as("b_bal"),
+      when(col("c_custkey") % 13 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("b_seg"))
+    val cand = a.withColumn("blk", expr("right(a_name, 3)"))
+      .join(b.withColumn("blk", expr("right(b_name, 3)")), Seq("blk"))
+      .withColumn("f_name", col("a_name") === col("b_name"))
+      .withColumn("f_nation", col("a_nation") === col("b_nation"))
+      .withColumn("f_bal", abs(col("a_bal") - col("b_bal")) <= 1.0)
+      .withColumn("f_seg", col("a_seg") === col("b_seg"))
+    RecordLinkage.score(cand, Seq(
+        Field("f_name", WNameA, WNameD), Field("f_nation", WNatA, WNatD),
+        Field("f_bal", WBalA, WBalD), Field("f_seg", WSegA, WSegD)),
+        matchT = MatchT, possibleT = 0L)
+      .filter(col("decision") =!= "non_match")
+      .select(col("a_id"), col("b_id"), col("score_q"), col("decision"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val oracleQ184: String =
+    s"""WITH a AS (
+       |  SELECT c_custkey AS a_id, c_name AS a_name, c_nationkey AS a_nation,
+       |    c_acctbal AS a_bal, c_mktsegment AS a_seg
+       |  FROM customer
+       |), b AS (
+       |  SELECT c_custkey + 1000000 AS b_id,
+       |    CASE WHEN c_custkey % 7 = 0 THEN 'K' || substr(c_name, 2)
+       |      ELSE c_name END AS b_name,
+       |    CASE WHEN c_custkey % 11 = 0
+       |      THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+       |      ELSE c_nationkey END AS b_nation,
+       |    CASE WHEN c_custkey % 5 = 0 THEN floor(c_acctbal)
+       |      ELSE c_acctbal END AS b_bal,
+       |    CASE WHEN c_custkey % 13 = 0 THEN 'UNKNOWN'
+       |      ELSE c_mktsegment END AS b_seg
+       |  FROM customer
+       |), scored AS (
+       |  SELECT a_id, b_id,
+       |    CAST(CASE WHEN a_name = b_name THEN $WNameA ELSE $WNameD END
+       |       + CASE WHEN a_nation = b_nation THEN $WNatA ELSE $WNatD END
+       |       + CASE WHEN abs(a_bal - b_bal) <= 1.0 THEN $WBalA ELSE $WBalD END
+       |       + CASE WHEN a_seg = b_seg THEN $WSegA ELSE $WSegD END
+       |      AS BIGINT) AS score_q
+       |  FROM a JOIN b ON right(a_name, 3) = right(b_name, 3)
+       |)
+       |SELECT a_id, b_id, score_q,
+       |  CASE WHEN score_q >= $MatchT THEN 'match'
+       |       ELSE 'possible' END AS decision
+       |FROM scored WHERE score_q >= 0
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Iteration count for q183 — enough to pin the direction; the gate
     * checks the exact quantized state after each engine runs the SAME
     * three iterations, not convergence. */

@@ -361,6 +361,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) == ((Some(2L), None)), "center must peel in round 2, not vanish")
   }
 
+  test("RecordLinkage: FS weights and decision thresholds classify agreement patterns") {
+    import spark.implicits._
+    import graft.operators.RecordLinkage
+    import graft.operators.RecordLinkage.Field
+    // weight() is log2(m/u) in micro-units, exact floor(x*1e6+0.5)
+    assert(RecordLinkage.weight(0.5, 0.5) == 0L)
+    assert(RecordLinkage.weight(0.8, 0.2) == 2000000L)
+    assert(RecordLinkage.weight(0.2, 0.8) == -2000000L)
+    val pairs = Seq(
+      (1L, true, true),   // both agree  -> +4M -> match
+      (2L, true, false),  // one agrees  -> +1M -> possible
+      (3L, false, false)  // none agree  -> -4M -> non_match
+    ).toDF("id", "fa", "fb")
+    val got = RecordLinkage.score(pairs,
+      Seq(Field("fa", 2000000L, -1000000L), Field("fb", 2000000L, -1000000L)),
+      matchT = 3000000L, possibleT = 0L)
+      .select(col("id"), col("score_q"), col("decision"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((4000000L, "match")))
+    assert(got(2L) == ((1000000L, "possible")))
+    assert(got(3L) == ((-2000000L, "non_match")))
+  }
+
   test("Personalized PageRank: mass stays seed-reachable, proximity ordering, seeds dominate") {
     import spark.implicits._
     import graft.operators.PageRank
