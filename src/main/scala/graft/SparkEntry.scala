@@ -205,6 +205,7 @@ object SparkEntry {
     "q182_jpeg_decode" -> (Advanced.q182JpegDecode _),
     "q183_pca_power" -> (Advanced.q183PcaPower _),
     "q184_record_linkage" -> (Advanced.q184RecordLinkage _),
+    "q185_leak_safe_split" -> (Advanced.q185LeakSafeSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -500,6 +501,7 @@ object SparkEntry {
     "q182_jpeg_decode" -> Advanced.oracleQ182,
     "q183_pca_power" -> Advanced.oracleQ183,
     "q184_record_linkage" -> Advanced.oracleQ184,
+    "q185_leak_safe_split" -> Advanced.oracleQ185,
   )
 
   private val asofOracle: String =

@@ -1415,6 +1415,93 @@ object Advanced {
        |FROM scored WHERE score_q >= 0
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q185 — LEAKAGE-SAFE train/val/test split: assign documents to
+    * splits by hashing the content FINGERPRINT (md5 of normalized text)
+    * instead of the document id, so exact duplicates can never straddle
+    * train and eval — the split-level guarantee decontamination (q68)
+    * assumes. The gate also computes `leaked_naive`: how many duplicate
+    * groups the id-hashed split would have scattered across splits —
+    * the number this operator exists to drive to zero (the fingerprint
+    * split is leak-free BY CONSTRUCTION since split is a function of
+    * fp). The synthetic corpus's duplicates are NEAR-dups (distinct
+    * fingerprints), so the gate INJECTS exact duplicates
+    * deterministically in both engines (doc_id ≡ 0 mod 4 → a verbatim
+    * copy at doc_id + 1M, the q159 injection technique): with
+    * ~10%-sized splits, ~a third of those 2-doc groups straddle splits
+    * under the naive id-hash, so leaked_naive lands well above zero
+    * while the fingerprint split holds it at zero.
+    *
+    * Scale shape: two map-side hash projections, one groupBy(fp) for
+    * the leak audit, one groupBy(split) rollup (3 groups), the audit
+    * scalar broadcast back — no shuffle carries document text. */
+  def q185LeakSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val base = Tables.documents(s, dir)
+    val injected = base.unionByName(
+      base.filter(col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val d = injected
+      .select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.tokenCount(col("text")).cast("long").as("nt"))
+      .withColumn("hs", pmod(Text.hash60(col("fp")), lit(10L)))
+      .withColumn("hn", pmod(Text.hash60(col("doc_id").cast("string")), lit(10L)))
+      .withColumn("split", when(col("hs") < 8, lit("train"))
+        .when(col("hs") === 8, lit("val")).otherwise(lit("test")))
+      .withColumn("naive_split", when(col("hn") < 8, lit("train"))
+        .when(col("hn") === 8, lit("val")).otherwise(lit("test")))
+    graft.operators.Materialize.withMaterialized(d) { dd =>
+      val leaked = dd.groupBy(col("fp"))
+        .agg(count_distinct(col("naive_split")).as("k"))
+        .agg(sum(when(col("k") > 1, 1L).otherwise(0L)).as("leaked_naive"))
+      dd.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("fp")).as("n_groups"),
+          sum(col("nt")).as("n_tokens"))
+        .crossJoin(broadcast(leaked))
+        .withColumn("dup_docs", col("n_docs") - col("n_groups"))
+        .select(col("split"), col("n_docs"), col("n_groups"),
+          col("dup_docs"), col("n_tokens"), col("leaked_naive"))
+        .orderBy(col("split"))
+    }
+  }
+
+  val oracleQ185: String =
+    """WITH inj AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+      |), d AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS nt
+      |  FROM inj
+      |), sp AS (
+      |  SELECT doc_id, fp, nt,
+      |    CAST('0x' || substr(md5(fp), 1, 15) AS BIGINT) % 10 AS hs,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      % 10 AS hn
+      |  FROM d
+      |), lab AS (
+      |  SELECT fp, nt,
+      |    CASE WHEN hs < 8 THEN 'train' WHEN hs = 8 THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    CASE WHEN hn < 8 THEN 'train' WHEN hn = 8 THEN 'val'
+      |      ELSE 'test' END AS naive_split
+      |  FROM sp
+      |), leak AS (
+      |  SELECT CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS leaked_naive
+      |  FROM (SELECT fp, COUNT(DISTINCT naive_split) AS k
+      |        FROM lab GROUP BY fp)
+      |)
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups,
+      |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  (SELECT leaked_naive FROM leak) AS leaked_naive
+      |FROM lab GROUP BY split ORDER BY split""".stripMargin
+
   /** Iteration count for q183 — enough to pin the direction; the gate
     * checks the exact quantized state after each engine runs the SAME
     * three iterations, not convergence. */
