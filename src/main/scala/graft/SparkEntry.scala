@@ -206,6 +206,7 @@ object SparkEntry {
     "q183_pca_power" -> (Advanced.q183PcaPower _),
     "q184_record_linkage" -> (Advanced.q184RecordLinkage _),
     "q185_leak_safe_split" -> (Advanced.q185LeakSafeSplit _),
+    "q186_bootstrap_ci" -> (Advanced.q186BootstrapCi _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -502,6 +503,7 @@ object SparkEntry {
     "q183_pca_power" -> Advanced.oracleQ183,
     "q184_record_linkage" -> Advanced.oracleQ184,
     "q185_leak_safe_split" -> Advanced.oracleQ185,
+    "q186_bootstrap_ci" -> Advanced.oracleQ186,
   )
 
   private val asofOracle: String =

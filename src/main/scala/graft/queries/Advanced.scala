@@ -1502,6 +1502,114 @@ object Advanced {
       |  (SELECT leaked_naive FROM leak) AS leaked_naive
       |FROM lab GROUP BY split ORDER BY split""".stripMargin
 
+  /** q186 Poisson-bootstrap parameters: B replicates; per-(doc, rep)
+    * weight k ~ Poisson(1) drawn by inverse-CDF on the 60-bit hash of
+    * "doc_id:rep" — cumulative thresholds floor(cdf·2⁶⁰) computed ONCE
+    * here and shared verbatim with the oracle, so the "random" draws
+    * are identical integers on both engines. */
+  val BootReps = 50
+  private val PoisCdf: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val pmf = Seq(1.0, 1.0, 0.5, 1.0 / 6, 1.0 / 24).map(_ * e1)
+    pmf.scanLeft(0.0)(_ + _).tail // cdf for k = 0..4; k = 5 is the cap
+      .map(c => math.floor(c * 1152921504606846976.0).toLong)
+  }
+
+  /** q186 — POISSON BOOTSTRAP confidence intervals for per-source mean
+    * document length: the distributed bootstrap (Chamandy et al.,
+    * Google 2012) — instead of resampling n-out-of-n (which needs
+    * global coordination), each row draws an independent Poisson(1)
+    * replication weight per replicate, so the whole resample is one
+    * map-side projection and the replicate statistics are ordinary
+    * map-side-combined aggregates. Report the exact-integer point
+    * estimate and the order-statistic 90% CI over [[BootReps]]
+    * replicate means.
+    *
+    * Determinism: weights come from inverse-CDF lookup of hash60 against
+    * [[PoisCdf]] (exact integer thresholds), replicate means are
+    * (Σk·nt)·10⁶ DIV Σk in BIGINT (operands positive, so Spark's
+    * truncating div ≡ DuckDB's flooring //), and the CI bounds are exact
+    * order statistics (ranks 3 and 48 of 50) — no floating accumulation
+    * anywhere.
+    *
+    * Scale shape: explode(B) is map-side row multiplication; per
+    * (source, rep) partials combine map-side; the rank window fans in
+    * B rows per source. At 100 TB this is THE bootstrap that works:
+    * no global resample, no per-replicate pass. */
+  def q186BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir).select(col("source"),
+      col("doc_id"), Text.tokenCount(col("text")).cast("long").as("nt"))
+    val k = {
+      val u = col("u")
+      PoisCdf.zipWithIndex.foldLeft(when(u < PoisCdf.head, 0L)) {
+        case (acc, (t, i)) => if (i == 0) acc else acc.when(u < t, i.toLong)
+      }.otherwise(lit(5L))
+    }
+    val repMeans = base
+      .withColumn("r", explode(sequence(lit(0), lit(BootReps - 1))))
+      .withColumn("u", Text.hash60(
+        concat(col("doc_id").cast("string"), lit(":"), col("r").cast("string"))))
+      .withColumn("k", k)
+      .groupBy(col("source"), col("r"))
+      .agg(sum(col("k") * col("nt")).as("skn"), sum(col("k")).as("sk"))
+      .filter(col("sk") > 0)
+      .withColumn("m", expr("skn * 1000000 DIV sk"))
+    val w = Window.partitionBy(col("source")).orderBy(col("m"), col("r"))
+    val ci = repMeans.withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(max(when(col("rk") === 3, col("m"))).as("lo_micro"),
+        max(when(col("rk") === 48, col("m"))).as("hi_micro"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(nt) * 1000000 DIV count(1)").as("mean_micro"))
+      .join(ci, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  val oracleQ186: String = {
+    val caseK = PoisCdf.zipWithIndex
+      .map { case (t, i) => s"WHEN u < $t THEN $i" }
+      .mkString(" ")
+    s"""WITH base AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS nt
+       |  FROM documents
+       |), drawn AS (
+       |  SELECT source, r,
+       |    CAST(CASE $caseK ELSE 5 END AS BIGINT) AS k, nt
+       |  FROM (
+       |    SELECT b.source, b.nt, r.r,
+       |      CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR) || ':'
+       |        || CAST(r.r AS VARCHAR)), 1, 15) AS BIGINT) AS u
+       |    FROM base b, range(0, $BootReps) r(r)
+       |  )
+       |), rm AS (
+       |  SELECT source, r,
+       |    CAST(SUM(k * nt) AS BIGINT) * 1000000
+       |      // CAST(SUM(k) AS BIGINT) AS m
+       |  FROM drawn GROUP BY source, r
+       |  HAVING SUM(k) > 0
+       |), rk AS (
+       |  SELECT source, m,
+       |    row_number() OVER (PARTITION BY source ORDER BY m, r) AS rk
+       |  FROM rm
+       |), ci AS (
+       |  SELECT source,
+       |    MAX(CASE WHEN rk = 3 THEN m END) AS lo_micro,
+       |    MAX(CASE WHEN rk = 48 THEN m END) AS hi_micro
+       |  FROM rk GROUP BY source
+       |)
+       |SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(b.nt) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
+       |    AS mean_micro,
+       |  ci.lo_micro, ci.hi_micro
+       |FROM base b JOIN ci ON ci.source = b.source
+       |GROUP BY b.source, ci.lo_micro, ci.hi_micro
+       |ORDER BY b.source""".stripMargin
+  }
+
   /** Iteration count for q183 — enough to pin the direction; the gate
     * checks the exact quantized state after each engine runs the SAME
     * three iterations, not convergence. */
