@@ -207,6 +207,7 @@ object SparkEntry {
     "q184_record_linkage" -> (Advanced.q184RecordLinkage _),
     "q185_leak_safe_split" -> (Advanced.q185LeakSafeSplit _),
     "q186_bootstrap_ci" -> (Advanced.q186BootstrapCi _),
+    "q187_stream_outer_join" -> (Advanced.q187StreamOuterJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -504,6 +505,7 @@ object SparkEntry {
     "q184_record_linkage" -> Advanced.oracleQ184,
     "q185_leak_safe_split" -> Advanced.oracleQ185,
     "q186_bootstrap_ci" -> Advanced.oracleQ186,
+    "q187_stream_outer_join" -> Advanced.oracleQ187,
   )
 
   private val asofOracle: String =

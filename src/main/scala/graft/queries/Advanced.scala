@@ -821,6 +821,82 @@ object Advanced {
     out
   }
 
+  /** q187 — stream-stream LEFT OUTER interval join run to completion
+    * (the eleventh streaming shape): q105's attribution with outer
+    * semantics, where a click with no same-user view in the window must
+    * surface as a NULL-attributed row — and in streaming that row can
+    * only be emitted when the WATERMARK passes clickTs + window (until
+    * then a matching view could still arrive). The flush protocol is
+    * therefore the interesting part: two far-future sentinel batches on
+    * BOTH streams (the global watermark is the minimum across inputs)
+    * advance the watermark past every real click — the first makes the
+    * watermark jump, the second triggers the micro-batch whose state
+    * eviction emits the null rows. The sentinels' own rows never emit
+    * (nothing ever advances past them), mirroring q93's sentinel
+    * convention. Emitted set ≡ the batch LEFT JOIN, hash-matched. */
+  def q187StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamStreamJoin
+    import graft.streaming.StreamStreamJoin.{Click, View}
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+      .filter(col("event_type").isin("click", "view"))
+      .as[(java.sql.Timestamp, Long, Long, String)].collect()
+      .sortBy(_._1.getTime)
+    val clicks = ev.collect { case (ts, u, id, "click") => Click(ts, u, id) }
+    val views = ev.collect { case (ts, u, id, "view") => View(ts, u, id) }
+    val maxTs = ev.last._1.getTime
+    def sentinel(k: Int) =
+      new java.sql.Timestamp(maxTs + 86400000L * 1000 * k)
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val memC = MemoryStream[Click]
+    val memV = MemoryStream[View]
+    val sink = s"q187_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamStreamJoin.attributedLeft(memC.toDS(), memV.toDS(),
+          AttributionWindowSec, "6 hours")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try {
+        val (tc, tv) = (clicks.length / 3, views.length / 3)
+        for (i <- 0 until 3) {
+          val (c0, c1) = (i * tc, if (i == 2) clicks.length else (i + 1) * tc)
+          val (v0, v1) = (i * tv, if (i == 2) views.length else (i + 1) * tv)
+          memV.addData(views.slice(v0, v1).toIndexedSeq: _*)
+          memC.addData(clicks.slice(c0, c1).toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        // watermark flush: two sentinel batches (jump, then evict+emit)
+        for (k <- 1 to 2) {
+          memC.addData(Click(sentinel(k), -1L, -1L))
+          memV.addData(View(sentinel(k), -1L, -1L))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    val out = s.table(sink)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("click_id"), col("view_id"), col("lag_sec"))
+      .orderBy(col("click_id"), col("view_id"))
+      .localCheckpoint()
+    s.catalog.dropTempView(sink)
+    out
+  }
+
+  val oracleQ187: String =
+    s"""SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       |  (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS lag_sec
+       |FROM events c LEFT JOIN events v
+       |  ON c.user_id = v.user_id
+       |  AND v.event_type = 'view'
+       |  AND v.ts <= c.ts
+       |  AND v.ts >= c.ts - to_seconds(${AttributionWindowSec})
+       |WHERE c.event_type = 'click'
+       |ORDER BY click_id, view_id""".stripMargin
+
   val oracleQ105: String =
     s"""SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
        |  (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS lag_sec

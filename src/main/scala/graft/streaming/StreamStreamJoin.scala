@@ -42,4 +42,26 @@ object StreamStreamJoin {
         expr("(unix_micros(clickTs) - unix_micros(viewTs)) DIV 1000000")
           .as("lag_sec"))
   }
+
+  /** LEFT OUTER variant: every click appears — attributed to its views,
+    * or once with NULL view/lag when no same-user view fell in the
+    * window. The outer semantics are WATERMARK-DRIVEN: an unmatched
+    * click's null row can only be emitted once the watermark passes
+    * `clickTs + window` (before that a matching view could still
+    * arrive), so the state store evicts-and-emits instead of
+    * evicts-and-drops. Same state bound as the inner form. */
+  def attributedLeft(clicks: Dataset[Click], views: Dataset[View],
+                     windowSec: Long, lateness: String): DataFrame = {
+    val c = clicks.toDF().withWatermark("clickTs", lateness)
+    val v = views.toDF().withWatermark("viewTs", lateness)
+    c.join(v, expr(
+      s"""clickUser = viewUser
+         |AND viewTs <= clickTs
+         |AND viewTs >= clickTs - INTERVAL $windowSec SECONDS""".stripMargin),
+      "left_outer")
+      .select(col("clickUser").as("user_id"),
+        col("clickId").as("click_id"), col("viewId").as("view_id"),
+        expr("(unix_micros(clickTs) - unix_micros(viewTs)) DIV 1000000")
+          .as("lag_sec"))
+  }
 }
