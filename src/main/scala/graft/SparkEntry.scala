@@ -208,6 +208,7 @@ object SparkEntry {
     "q185_leak_safe_split" -> (Advanced.q185LeakSafeSplit _),
     "q186_bootstrap_ci" -> (Advanced.q186BootstrapCi _),
     "q187_stream_outer_join" -> (Advanced.q187StreamOuterJoin _),
+    "q188_conformal_ci" -> (Advanced.q188ConformalCi _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -506,6 +507,7 @@ object SparkEntry {
     "q185_leak_safe_split" -> Advanced.oracleQ185,
     "q186_bootstrap_ci" -> Advanced.oracleQ186,
     "q187_stream_outer_join" -> Advanced.oracleQ187,
+    "q188_conformal_ci" -> Advanced.oracleQ188,
   )
 
   private val asofOracle: String =

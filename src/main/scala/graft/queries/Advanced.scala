@@ -1686,6 +1686,90 @@ object Advanced {
        |ORDER BY b.source""".stripMargin
   }
 
+  /** q188 — SPLIT-CONFORMAL prediction intervals + coverage audit: the
+    * distribution-free way to turn ANY point predictor into calibrated
+    * intervals (Vovk; Lei et al.) — here a fixed chars/5 token-count
+    * predictor per source. Calibration docs (hash-split) yield the
+    * nonconformity scores |y − ŷ|; the threshold q̂ is the EXACT
+    * ⌈(n_cal+1)(1−α)⌉-th smallest score (α = 0.1), and the held-out
+    * docs audit empirical coverage against the 90% guarantee. Everything
+    * is integer arithmetic: integer predictor, integer nonconformity,
+    * order-statistic threshold by rank, coverage as micro-units DIV.
+    *
+    * Scale shape: one map-side split+score projection, one per-source
+    * rank window over calibration rows (fan-in = calibration count per
+    * source), one broadcast-back of the 1-row-per-source thresholds. */
+  def q188ConformalCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("nt"),
+        col("n_chars"))
+      .withColumn("pred", expr("n_chars DIV 5"))
+      .withColumn("score", abs(col("nt") - col("pred")))
+      .withColumn("is_cal",
+        pmod(Text.hash60(col("doc_id").cast("string")), lit(2L)) === 0)
+    graft.operators.Materialize.withMaterialized(d) { dd =>
+      val cal = dd.filter(col("is_cal"))
+      val nCal = cal.groupBy(col("source")).agg(count(lit(1)).as("n_cal"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))
+      val qhat = cal.withColumn("rk", row_number().over(w))
+        .join(nCal, Seq("source"))
+        // rank = ceil(0.9 * (n_cal + 1)), pure integer
+        .filter(col("rk") === expr("(9 * (n_cal + 1) + 9) DIV 10"))
+        .select(col("source"), col("n_cal"), col("score").as("qhat"))
+      dd.filter(!col("is_cal"))
+        .join(broadcast(qhat), Seq("source"))
+        .groupBy(col("source"), col("n_cal"), col("qhat"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("score") <= col("qhat"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .withColumn("coverage_micro",
+          expr("n_covered * 1000000 DIV n_test"))
+        .select(col("source"), col("n_cal"), col("qhat"), col("n_test"),
+          col("n_covered"), col("coverage_micro"))
+        .orderBy(col("source"))
+    }
+  }
+
+  val oracleQ188: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS nt,
+      |    n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 2 = 0 AS is_cal
+      |  FROM documents
+      |), sc AS (
+      |  SELECT source, doc_id, is_cal,
+      |    abs(nt - n_chars // 5) AS score
+      |  FROM d
+      |), ncal AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cal
+      |  FROM sc WHERE is_cal GROUP BY source
+      |), ranked AS (
+      |  SELECT source, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id)
+      |      AS rk
+      |  FROM sc WHERE is_cal
+      |), qhat AS (
+      |  SELECT r.source, n.n_cal, CAST(r.score AS BIGINT) AS qhat
+      |  FROM ranked r JOIN ncal n USING (source)
+      |  WHERE r.rk = (9 * (n.n_cal + 1) + 9) // 10
+      |)
+      |SELECT t.source, q.n_cal, q.qhat,
+      |  CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  CAST(SUM(CASE WHEN t.score <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  CAST(SUM(CASE WHEN t.score <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // CAST(COUNT(*) AS BIGINT) AS coverage_micro
+      |FROM sc t JOIN qhat q ON q.source = t.source
+      |WHERE NOT t.is_cal
+      |GROUP BY t.source, q.n_cal, q.qhat
+      |ORDER BY t.source""".stripMargin
+
   /** Iteration count for q183 — enough to pin the direction; the gate
     * checks the exact quantized state after each engine runs the SAME
     * three iterations, not convergence. */
