@@ -209,6 +209,7 @@ object SparkEntry {
     "q186_bootstrap_ci" -> (Advanced.q186BootstrapCi _),
     "q187_stream_outer_join" -> (Advanced.q187StreamOuterJoin _),
     "q188_conformal_ci" -> (Advanced.q188ConformalCi _),
+    "q189_target_encode" -> (Advanced.q189TargetEncode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -508,6 +509,7 @@ object SparkEntry {
     "q186_bootstrap_ci" -> Advanced.oracleQ186,
     "q187_stream_outer_join" -> Advanced.oracleQ187,
     "q188_conformal_ci" -> Advanced.oracleQ188,
+    "q189_target_encode" -> Advanced.oracleQ189,
   )
 
   private val asofOracle: String =

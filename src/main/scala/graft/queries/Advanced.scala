@@ -1770,6 +1770,62 @@ object Advanced {
       |GROUP BY t.source, q.n_cal, q.qhat
       |ORDER BY t.source""".stripMargin
 
+  /** q189 — OUT-OF-FOLD TARGET ENCODING of a categorical key: replace
+    * supplier with the mean order value its OTHER folds observed — the
+    * leakage-free form of mean encoding (an in-fold mean leaks the
+    * row's own target into its feature; the K-fold exclusion is the
+    * entire point, same leakage discipline as q185's split). Emits the
+    * encoding TABLE (cat × fold → n_in, n_out, enc_milli) — the
+    * broadcast artifact a trainer applies — not the encoded fact rows.
+    *
+    * Exactness: targets quantize to integer cents (the parquet doubles
+    * carry 2-decimal values exactly), fold membership is hash-derived,
+    * and the out-of-fold mean is (Σall − Σfold)·1000 DIV (n_all −
+    * n_fold) in BIGINT — one two-level aggregation, no per-fold passes.
+    *
+    * Scale shape: one (cat, fold) map-side-combined aggregation, one
+    * cat rollup, one join back on cat — K never multiplies the scan. */
+  def q189TargetEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val li = Tables.lineitem(s, dir).select(
+      col("l_suppkey").as("cat"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"),
+      pmod(Text.hash60(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))), lit(5L)).as("fold"))
+    val per = li.groupBy(col("cat"), col("fold"))
+      .agg(count(lit(1)).as("n_f"), sum(col("cents")).as("s_f"))
+    val all = per.groupBy(col("cat"))
+      .agg(sum(col("n_f")).as("n_all"), sum(col("s_f")).as("s_all"))
+    per.join(all, Seq("cat"))
+      .select(col("cat"), col("fold"), col("n_f").as("n_in"),
+        (col("n_all") - col("n_f")).as("n_out"),
+        expr("(s_all - s_f) * 1000 DIV (n_all - n_f)").as("enc_milli"))
+      .orderBy(col("cat"), col("fold"))
+  }
+
+  val oracleQ189: String =
+    """WITH li AS (
+      |  SELECT l_suppkey AS cat,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+      |      || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 5
+      |      AS fold
+      |  FROM lineitem
+      |), per AS (
+      |  SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+      |    CAST(SUM(cents) AS BIGINT) AS s_f
+      |  FROM li GROUP BY cat, fold
+      |), allc AS (
+      |  SELECT cat, CAST(SUM(n_f) AS BIGINT) AS n_all,
+      |    CAST(SUM(s_f) AS BIGINT) AS s_all
+      |  FROM per GROUP BY cat
+      |)
+      |SELECT p.cat, p.fold, p.n_f AS n_in,
+      |  a.n_all - p.n_f AS n_out,
+      |  (a.s_all - p.s_f) * 1000 // (a.n_all - p.n_f) AS enc_milli
+      |FROM per p JOIN allc a USING (cat)
+      |ORDER BY p.cat, p.fold""".stripMargin
+
   /** Iteration count for q183 — enough to pin the direction; the gate
     * checks the exact quantized state after each engine runs the SAME
     * three iterations, not convergence. */
