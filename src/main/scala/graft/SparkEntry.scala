@@ -210,6 +210,7 @@ object SparkEntry {
     "q187_stream_outer_join" -> (Advanced.q187StreamOuterJoin _),
     "q188_conformal_ci" -> (Advanced.q188ConformalCi _),
     "q189_target_encode" -> (Advanced.q189TargetEncode _),
+    "q190_isotonic_fit" -> (Advanced.q190IsotonicFit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -510,6 +511,7 @@ object SparkEntry {
     "q187_stream_outer_join" -> Advanced.oracleQ187,
     "q188_conformal_ci" -> Advanced.oracleQ188,
     "q189_target_encode" -> Advanced.oracleQ189,
+    "q190_isotonic_fit" -> Advanced.oracleQ190,
   )
 
   private val asofOracle: String =

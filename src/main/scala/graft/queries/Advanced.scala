@@ -1826,6 +1826,96 @@ object Advanced {
       |FROM per p JOIN allc a USING (cat)
       |ORDER BY p.cat, p.fold""".stripMargin
 
+  /** q190 — ISOTONIC CALIBRATION (monotone regression) of a score→label
+    * curve via the exact MINIMAX representation of the PAV solution:
+    * fit(i) = max_{j≤i} min_{k≥i} mean(y[j..k]). Computing the closed
+    * form instead of the sequential pool-adjacent-violators loop turns
+    * calibration into three set-oriented steps — prefix sums over the
+    * (bounded) bucket table, all-interval means, a two-level min/max —
+    * with NO iteration, which is exactly the reformulation that
+    * distributes (B buckets → B³/2 tiny rows, B≤50 here; the fact scan
+    * contributes only the per-bucket partials).
+    *
+    * Labels are synthesized deterministically in both engines (hash
+    * threshold increasing with the score bucket → a monotone trend with
+    * hash noise), interval means live on the 10⁻⁶ DIV grid, and the
+    * min/max runs over those quantized integers — so the fit is exact
+    * and the monotonicity of the output is a theorem, not a tolerance.
+    * Output per bucket: n, raw label rate, isotonic rate. */
+  def q190IsotonicFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(least(floor(Text.tokenCount(col("text")) / 20).cast("long"),
+        lit(49L)).as("b"),
+        when(pmod(Text.hash60(col("doc_id").cast("string")), lit(1000L)) <
+          lit(100L) + least(floor(Text.tokenCount(col("text")) / 20)
+            .cast("long"), lit(49L)) * 15L, 1L).otherwise(0L).as("y"))
+    val buckets = d.groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    graft.operators.Materialize.withMaterialized(buckets) { bk =>
+      val w = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pref = bk.select(col("b"), col("n"), col("sy"),
+        sum(col("n")).over(w).as("pn"), sum(col("sy")).over(w).as("py"))
+      // all intervals [j..k]: mean on the micro grid
+      val pj = pref.select(col("b").as("j"),
+        (col("pn") - col("n")).as("pnj"), (col("py") - col("sy")).as("pyj"))
+      val pk = pref.select(col("b").as("k"), col("pn").as("pnk"),
+        col("py").as("pyk"))
+      val intervals = pj.join(pk, col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          expr("(pyk - pyj) * 1000000 DIV (pnk - pnj)").as("avg_micro"))
+      // fit(i) = max over j<=i of (min over k>=i of avg(j,k))
+      val fit = intervals
+        .join(bk.select(col("b").as("i")),
+          col("j") <= col("i") && col("i") <= col("k"))
+        .groupBy(col("i"), col("j"))
+        .agg(min(col("avg_micro")).as("mn"))
+        .groupBy(col("i")).agg(max(col("mn")).as("iso_micro"))
+      bk.join(fit, col("b") === col("i"))
+        .select(col("b").as("bucket"), col("n"),
+          expr("sy * 1000000 DIV n").as("rate_micro"), col("iso_micro"))
+        .orderBy(col("bucket"))
+    }
+  }
+
+  val oracleQ190: String =
+    """WITH d AS (
+      |  SELECT least(len(regexp_extract_all(text, '\w+')) // 20, 49) AS b,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |        AS BIGINT) % 1000
+      |      < 100 + least(len(regexp_extract_all(text, '\w+')) // 20, 49)
+      |        * 15
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |), bk AS (
+      |  SELECT CAST(b AS BIGINT) AS b, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS sy
+      |  FROM d GROUP BY b
+      |), pref AS (
+      |  SELECT b, n, sy,
+      |    CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS pn,
+      |    CAST(SUM(sy) OVER (ORDER BY b) AS BIGINT) AS py
+      |  FROM bk
+      |), iv AS (
+      |  SELECT pj.b AS j, pk.b AS k,
+      |    (pk.py - (pj.py - pj.sy)) * 1000000
+      |      // (pk.pn - (pj.pn - pj.n)) AS avg_micro
+      |  FROM pref pj JOIN pref pk ON pj.b <= pk.b
+      |), fit AS (
+      |  SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_micro
+      |  FROM (
+      |    SELECT bi.b AS i, iv.j, MIN(iv.avg_micro) AS mn
+      |    FROM iv JOIN bk bi ON iv.j <= bi.b AND bi.b <= iv.k
+      |    GROUP BY bi.b, iv.j
+      |  ) GROUP BY i
+      |)
+      |SELECT bk.b AS bucket, bk.n, bk.sy * 1000000 // bk.n AS rate_micro,
+      |  f.iso_micro
+      |FROM bk JOIN fit f ON f.i = bk.b
+      |ORDER BY bucket""".stripMargin
+
   /** Iteration count for q183 — enough to pin the direction; the gate
     * checks the exact quantized state after each engine runs the SAME
     * three iterations, not convergence. */
