@@ -98,6 +98,7 @@ object Bench {
     "q92_stream_screen", "q93_stream_windowed_agg", "q94_stream_dedup",
     "q95_stream_cardinality", "q96_stream_breadth", "q105_stream_stream_join",
     "q116_stream_maintain", "q143_stream_cms", "q157_stream_sessions",
+    "q187_stream_outer_join",
     // measured >= 2.5s fresh at sf0.1 (bench_results.json, round 8)
     "q15_neardup_pairs", "q55_basket_valuation", "q56_factor_vector_search",
     "q61_neardup_clusters", "q69_dedup_corpus", "q76_training_manifest",
@@ -120,7 +121,9 @@ object Bench {
     "q124_span_dedup", "q125_bpe_merges", "q126_cms_estimate",
     "q127_bpe_encode", "q139_pmi_pairs", "q141_skip_grams",
     "q145_novelty_curve", "q161_kmv_sketch", "q162_kmv_overlap",
-    "q171_good_turing", "q173_heaps_fit", "q175_ks_test")
+    "q171_good_turing", "q173_heaps_fit", "q175_ks_test",
+    // round-8 additions, provisional until next recalibration
+    "q183_pca_power", "q184_record_linkage")
 
   private val MidGroup = 6
   private val GroupSize = 16
