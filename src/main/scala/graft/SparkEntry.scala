@@ -211,6 +211,7 @@ object SparkEntry {
     "q188_conformal_ci" -> (Advanced.q188ConformalCi _),
     "q189_target_encode" -> (Advanced.q189TargetEncode _),
     "q190_isotonic_fit" -> (Advanced.q190IsotonicFit _),
+    "q191_textrank" -> (Advanced.q191TextRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -512,6 +513,7 @@ object SparkEntry {
     "q188_conformal_ci" -> Advanced.oracleQ188,
     "q189_target_encode" -> Advanced.oracleQ189,
     "q190_isotonic_fit" -> Advanced.oracleQ190,
+    "q191_textrank" -> Advanced.oracleQ191,
   )
 
   private val asofOracle: String =

@@ -1221,6 +1221,80 @@ object Advanced {
        |ORDER BY rank DESC, node LIMIT 100""".stripMargin
   }
 
+  /** q191 — TEXTRANK keyword extraction (Mihalcea & Tarau 2004): run
+    * [[graft.operators.PageRank]] over the corpus-level word
+    * CO-OCCURRENCE graph (adjacent-token pairs, undirected) and report
+    * the top-100 words by rank — the classic unsupervised keyword /
+    * keyphrase primitive, here as a COMPOSED program: the tokenization
+    * is q11's, the graph build is one distinct over bigrams, and the
+    * ranking reuses the exact-integer PageRank kernel (and therefore
+    * q113's oracle-replay discipline verbatim).
+    *
+    * Guard worth keeping: Spark's `sequence(1, n)` DESCENDS when n < 1,
+    * so single-token docs must be filtered before the bigram transform
+    * or they explode into a reversed range. */
+  def q191TextRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PageRank
+    import graft.functions.Text
+    val toks = Tables.documents(s, dir)
+      .select(filter(split(Text.normalize(col("text")), " "),
+        t => length(t) > 0).as("ta"))
+      .filter(size(col("ta")) >= 2)
+    val bg = toks.select(explode(expr(
+        "transform(sequence(1, size(ta) - 1), " +
+          "i -> struct(ta[i - 1] AS a, ta[i] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = bg.select(col("a").as("src"), col("b").as("dst"))
+      .union(bg.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    PageRank.run(edges, PageRankIters)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(100)
+  }
+
+  val oracleQ191: String = {
+    val s = graft.operators.PageRank.DefaultScale
+    val base = s * 15L / 100L
+    def iter(prev: String, cur: String): String =
+      s"""c$cur AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    CAST(SUM((r.rank * 85 // 100) // d.deg) AS BIGINT) AS inr
+         |  FROM edges e
+         |  JOIN r$prev r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst
+         |), r$cur AS MATERIALIZED (
+         |  SELECT n.node, $base + COALESCE(c.inr, 0) AS rank
+         |  FROM nodes n LEFT JOIN c$cur c ON n.node = c.node
+         |)""".stripMargin
+    s"""WITH ta AS MATERIALIZED (
+       |  SELECT list_filter(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |    t -> len(t) > 0) AS ts
+       |  FROM documents
+       |), bg AS MATERIALIZED (
+       |  SELECT p.a AS a, p.b AS b FROM (
+       |    SELECT unnest(list_transform(range(1, len(ts)),
+       |      i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+       |    FROM ta WHERE len(ts) >= 2
+       |  ) WHERE p.a != p.b
+       |), edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM bg
+       |  UNION
+       |  SELECT b, a FROM bg
+       |), deg AS MATERIALIZED (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM edges
+       |  UNION SELECT DISTINCT dst FROM edges
+       |), r0 AS MATERIALIZED (
+       |  SELECT node, CAST($s AS BIGINT) AS rank FROM nodes
+       |), ${iter("0", "1")}, ${iter("1", "2")}, ${iter("2", "3")}
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+       |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+  }
+
   /** Seed selector modulus for q168 (parts with partkey ≡ 0 mod 97). */
   val PprSeedMod = 97L
 
