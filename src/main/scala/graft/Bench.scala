@@ -122,8 +122,9 @@ object Bench {
     "q127_bpe_encode", "q139_pmi_pairs", "q141_skip_grams",
     "q145_novelty_curve", "q161_kmv_sketch", "q162_kmv_overlap",
     "q171_good_turing", "q173_heaps_fit", "q175_ks_test",
-    // round-8 additions, provisional until next recalibration
-    "q183_pca_power", "q184_record_linkage")
+    // round-8 additions (measured sf0.1 fresh: q183 2.1s, q191 1.9s;
+    // q184 0.5s stays here for the non-equi join's plan variance)
+    "q183_pca_power", "q184_record_linkage", "q191_textrank")
 
   private val MidGroup = 6
   private val GroupSize = 16
