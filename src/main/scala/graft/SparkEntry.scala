@@ -212,6 +212,7 @@ object SparkEntry {
     "q189_target_encode" -> (Advanced.q189TargetEncode _),
     "q190_isotonic_fit" -> (Advanced.q190IsotonicFit _),
     "q191_textrank" -> (Advanced.q191TextRank _),
+    "q192_kneser_ney" -> (Advanced.q192KneserNey _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -514,6 +515,7 @@ object SparkEntry {
     "q189_target_encode" -> Advanced.oracleQ189,
     "q190_isotonic_fit" -> Advanced.oracleQ190,
     "q191_textrank" -> Advanced.oracleQ191,
+    "q192_kneser_ney" -> Advanced.oracleQ192,
   )
 
   private val asofOracle: String =

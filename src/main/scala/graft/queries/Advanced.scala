@@ -1295,6 +1295,82 @@ object Advanced {
        |ORDER BY rank DESC, node LIMIT 100""".stripMargin
   }
 
+  /** q192 — KNESER-NEY smoothed bigram LM table (absolute discounting,
+    * integer d = 1): the upgrade over q100's count interpolation —
+    * probability mass freed by discounting observed bigrams is
+    * redistributed by the CONTINUATION distribution (in how many
+    * distinct contexts does w2 appear), the insight that makes KN the
+    * strong classical n-gram smoother. P(w2|w1) = max(c12−d,0)/c1 +
+    * d·N1+(w1·)/c1 · N1+(·w2)/N1+(··). With integer d both terms are
+    * exact integer ratios, emitted on the 10⁻⁶ DIV grid — no logs, no
+    * floats, both engines agree bit-exactly. Output: the top-200 LM
+    * entries among bigrams seen ≥ 3 times (the table a scorer would
+    * broadcast).
+    *
+    * Scale shape: two map-side-combined count aggregations over the
+    * bigram stream, two group rollups, one broadcast scalar — the
+    * n-gram-LM shape that holds at any corpus size. */
+  def q192KneserNey(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val toks = Tables.documents(s, dir)
+      .select(filter(split(Text.normalize(col("text")), " "),
+        t => length(t) > 0).as("ta"))
+      .filter(size(col("ta")) >= 2)
+    val bg = toks.select(explode(expr(
+        "transform(sequence(1, size(ta) - 1), " +
+          "i -> struct(ta[i - 1] AS w1, ta[i] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    graft.operators.Materialize.withMaterialized(
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))) { c =>
+      val left = c.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+      val cont = c.groupBy(col("w2")).agg(count(lit(1)).as("ncw2"))
+      val ntot = c.agg(count(lit(1)).as("ntot"))
+      c.join(left, Seq("w1")).join(cont, Seq("w2"))
+        .crossJoin(broadcast(ntot))
+        .filter(col("c12") >= 3)
+        .withColumn("prob_micro",
+          expr("(c12 - 1) * 1000000 DIV c1 " +
+            "+ (n1p * 1000000 * ncw2) DIV (c1 * ntot)"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("n1p"), col("ncw2"), col("prob_micro"))
+        .orderBy(col("prob_micro").desc, col("w1"), col("w2"))
+        .limit(200)
+    }
+  }
+
+  val oracleQ192: String =
+    """WITH ta AS MATERIALIZED (
+      |  SELECT list_filter(string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+      |    t -> len(t) > 0) AS ts
+      |  FROM documents
+      |), bg AS MATERIALIZED (
+      |  SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ts)),
+      |      i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS p
+      |    FROM ta WHERE len(ts) >= 2
+      |  )
+      |), c AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM bg GROUP BY w1, w2
+      |), lft AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS n1p
+      |  FROM c GROUP BY w1
+      |), cont AS (
+      |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncw2 FROM c GROUP BY w2
+      |), ntot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM c
+      |)
+      |SELECT c.w1, c.w2, c.c12, l.c1, l.n1p, ct.ncw2,
+      |  (c.c12 - 1) * 1000000 // l.c1
+      |    + (l.n1p * 1000000 * ct.ncw2) // (l.c1 * n.ntot) AS prob_micro
+      |FROM c JOIN lft l USING (w1) JOIN cont ct USING (w2)
+      |CROSS JOIN ntot n
+      |WHERE c.c12 >= 3
+      |ORDER BY prob_micro DESC, c.w1, c.w2 LIMIT 200""".stripMargin
+
   /** Seed selector modulus for q168 (parts with partkey ≡ 0 mod 97). */
   val PprSeedMod = 97L
 
