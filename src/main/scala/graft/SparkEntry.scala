@@ -213,6 +213,7 @@ object SparkEntry {
     "q190_isotonic_fit" -> (Advanced.q190IsotonicFit _),
     "q191_textrank" -> (Advanced.q191TextRank _),
     "q192_kneser_ney" -> (Advanced.q192KneserNey _),
+    "q193_assoc_rules" -> (Advanced.q193AssociationRules _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -516,6 +517,7 @@ object SparkEntry {
     "q190_isotonic_fit" -> Advanced.oracleQ190,
     "q191_textrank" -> Advanced.oracleQ191,
     "q192_kneser_ney" -> Advanced.oracleQ192,
+    "q193_assoc_rules" -> Advanced.oracleQ193,
   )
 
   private val asofOracle: String =

@@ -1371,6 +1371,77 @@ object Advanced {
       |WHERE c.c12 >= 3
       |ORDER BY prob_micro DESC, c.w1, c.w2 LIMIT 200""".stripMargin
 
+  /** Minimum pair support for q193 (orders containing both items).
+    * 2 fits the synthetic basket density: repeat co-purchases get RARER
+    * as SF grows (more parts dilute pairs — max support is 3 at sf0.1),
+    * so a higher floor would empty the gate at scale. */
+  val RuleMinSup = 2L
+
+  /** q193 — ASSOCIATION RULES (frequent-itemset mining, the
+    * market-basket family): co-occurrence counts over order baskets →
+    * directed rules a→b with SUPPORT (orders with both), CONFIDENCE
+    * (support / orders with a) and LIFT (confidence / baseline rate of
+    * b) — the classical a-priori output, here for frequent PAIRS (the
+    * level the q146 degree-bounded pair join already handles at scale).
+    * Top-200 rules by lift among pairs with support ≥ [[RuleMinSup]].
+    * All ratios are exact integers on the 10⁻⁶ DIV grid.
+    *
+    * Scale shape: identical to q146's co-purchase build (distinct
+    * (order, item), per-order pair join bounded by basket size), plus
+    * two dim-sized rollups and a broadcast scalar. */
+  def q193AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    graft.operators.Materialize.withMaterialized(li) { l =>
+      val pairs = l.select(col("ok"), col("p").as("pa"))
+        .join(l.select(col("ok"), col("p").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= RuleMinSup)
+      val items = l.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val n = l.select(col("ok")).distinct().agg(count(lit(1)).as("n"))
+      // both rule directions from each unordered pair
+      val directed = pairs.select(col("pa").as("a"), col("pb").as("b"), col("c12"))
+        .unionByName(pairs.select(col("pb").as("a"), col("pa").as("b"), col("c12")))
+      directed
+        .join(items.select(col("p").as("a"), col("c").as("ca")), Seq("a"))
+        .join(items.select(col("p").as("b"), col("c").as("cb")), Seq("b"))
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("c12").as("support"),
+          expr("c12 * 1000000 DIV ca").as("conf_micro"),
+          expr("(c12 * n * 1000000) DIV (ca * cb)").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("a"), col("b"))
+        .limit(200)
+    }
+  }
+
+  val oracleQ193: String =
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+       |  GROUP BY a.p, b.p
+       |  HAVING COUNT(*) >= $RuleMinSup
+       |), items AS (
+       |  SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY p
+       |), n AS (
+       |  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM li
+       |), directed AS (
+       |  SELECT pa AS a, pb AS b, c12 FROM pairs
+       |  UNION ALL
+       |  SELECT pb, pa, c12 FROM pairs
+       |)
+       |SELECT d.a, d.b, d.c12 AS support,
+       |  d.c12 * 1000000 // ia.c AS conf_micro,
+       |  (d.c12 * n.n * 1000000) // (ia.c * ib.c) AS lift_micro
+       |FROM directed d
+       |JOIN items ia ON ia.p = d.a
+       |JOIN items ib ON ib.p = d.b
+       |CROSS JOIN n
+       |ORDER BY lift_micro DESC, d.a, d.b LIMIT 200""".stripMargin
+
   /** Seed selector modulus for q168 (parts with partkey ≡ 0 mod 97). */
   val PprSeedMod = 97L
 
