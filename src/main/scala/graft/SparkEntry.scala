@@ -214,6 +214,7 @@ object SparkEntry {
     "q191_textrank" -> (Advanced.q191TextRank _),
     "q192_kneser_ney" -> (Advanced.q192KneserNey _),
     "q193_assoc_rules" -> (Advanced.q193AssociationRules _),
+    "q196_stream_scd2" -> (Scd2Replay.q196StreamScd2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -518,6 +519,9 @@ object SparkEntry {
     "q191_textrank" -> Advanced.oracleQ191,
     "q192_kneser_ney" -> Advanced.oracleQ192,
     "q193_assoc_rules" -> Advanced.oracleQ193,
+    // stream ≡ batch: the CDC-maintained history must hash-equal q58's
+    // batch replay, so the two gates share one oracle
+    "q196_stream_scd2" -> Scd2Replay.oracleQ58,
   )
 
   private val asofOracle: String =

@@ -229,7 +229,12 @@ object Jpeg {
   def encodeGray(width: Int, height: Int, pixels: Array[Byte],
                  restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "empty image")
-    require(pixels.length == width * height, "pixel buffer size mismatch")
+    // SOF0 stores 16-bit dims — larger inputs would silently truncate into
+    // a corrupt stream; reject loudly like every other malformed input
+    require(width <= 0xffff && height <= 0xffff,
+      s"dims $width x $height exceed SOF0's 16-bit fields")
+    require(pixels.length.toLong == width.toLong * height,
+      "pixel buffer size mismatch")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"bad restart interval $restartInterval")
     val out = new java.io.ByteArrayOutputStream()
@@ -599,8 +604,12 @@ object Jpeg {
               val run = sym >> 4
               val size = sym & 15
               if (size == 0) {
-                if (run == 15) k += 16 // ZRL
-                else { require(run == 0, f"bad AC symbol 0x$sym%02X"); done = true }
+                if (run == 15) {
+                  k += 16 // ZRL — must still leave room for the following
+                  // nonzero coefficient (a conforming encoder only emits
+                  // ZRL before one); past-the-end fails like any overrun
+                  require(k < 64, "AC coefficient index overrun (ZRL)")
+                } else { require(run == 0, f"bad AC symbol 0x$sym%02X"); done = true }
               } else {
                 k += run
                 require(k < 64, "AC coefficient index overrun")

@@ -705,11 +705,17 @@ object Multimodal {
       if (dict.containsKey(key)) cur = dict.get(key)
       else {
         emit(cur)
-        require(next < 4096, "dict full — mid-stream clear not implemented " +
-          "(encode inputs are sized below 4096 additions)")
-        dict.put(key, next); next += 1
-        // lag-by-one pairing with the decoder's bump-at-2^cs rule
-        if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        if (next < 4096) {
+          dict.put(key, next); next += 1
+          // lag-by-one pairing with the decoder's bump-at-2^cs rule
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        } else {
+          // dictionary full: emit a CLEAR code and restart the dictionary
+          // (GIF87a spec behavior — what every real encoder does on large
+          // images; the decoder mirrors the reset on seeing the code)
+          emit(clear)
+          dict.clear(); next = eoi + 1; codeSize = minCode + 1
+        }
         cur = sym
       }
       i += 1
@@ -733,6 +739,16 @@ object Multimodal {
     * palette entry). Fail-loud on structure: header, sub-block bounds,
     * pixel-count mismatch, and out-of-range codes all throw. */
   def decodeGif(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val (iw, ih, pix, rgb) = decodeGifPixels(bytes)
+    var s = 0L; var fi = 0
+    while (fi < pix.length) { s += pix(fi) & 0xff; fi += 1 }
+    (iw, ih, s, rgb)
+  }
+
+  /** Full-pixel variant of [[decodeGif]] — returns the decoded palette
+    * indices so specs can assert exact roundtrip equality (the index-sum
+    * gate would accept compensating errors; the array cannot). */
+  def decodeGifPixels(bytes: Array[Byte]): (Int, Int, Array[Byte], Long) = {
     require(bytes.length > 13 &&
       new String(bytes, 0, 6, "ASCII") == "GIF87a", "not a GIF87a")
     def u8(p: Int): Int = bytes(p) & 0xff
@@ -807,8 +823,11 @@ object Multimodal {
             tmp.writeTo(px)
             f
           }
-        if (prev >= 0) {
-          require(next < 4096, "dict overflow")
+        if (prev >= 0 && next < 4096) {
+          // when the dictionary is full the encoder stopped adding too —
+          // skip additions until a CLEAR code resets both sides (spec
+          // behavior; the old `require(next < 4096)` rejected any stream
+          // whose encoder kept coding from a full dictionary)
           prefixOf(next) = prev; symOf(next) = first; next += 1
           if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
         }
@@ -818,12 +837,10 @@ object Multimodal {
     val pix = px.toByteArray
     require(pix.length == iw * ih,
       s"decoded ${pix.length} pixels, expected ${iw * ih}")
-    var s = 0L; var fi = 0
-    while (fi < pix.length) { s += pix(fi) & 0xff; fi += 1 }
     val p0 = pix(0) & 0xff
     val rgb = (u8(palette + 3 * p0) + u8(palette + 3 * p0 + 1) +
       u8(palette + 3 * p0 + 2)).toLong
-    (iw, ih, s, rgb)
+    (iw, ih, pix, rgb)
   }
 
   final case class GifDecodeRow(doc_id: Long, width: Int, height: Int,

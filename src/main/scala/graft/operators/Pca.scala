@@ -28,8 +28,13 @@ import org.apache.spark.sql.functions._
   *    making `sqrt` inputs (and hence the norm) bit-identical;
   *  - the next v quantizes back to the 10⁻³ grid with the repo's
   *    floor(x·1000 + 0.5) convention.
-  * All bounds documented in-line; at 100 TB the same carriers hold
-  * because the per-row terms are bounded by the grid, not the corpus.
+  * All bounds documented in-line. Scale bound, stated honestly: the
+  * per-row terms are bounded by the grid (|x·s| ≤ dim·1000·dim·10⁶ ≈
+  * 7.7·10¹⁰ worst case at dim=64), so the BIGINT accumulator w is exact
+  * up to ~10⁸ rows — beyond that the distributed sum must pre-scale the
+  * per-row product (divide s by a power of two before the multiply) or
+  * widen to DECIMAL(38,0); the 100-TB deployment note is that bound, not
+  * a claim the unmodified carrier survives arbitrary row counts.
   *
   * Reference scope: the reference's screener computes factor loadings
   * server-side (`00116_per_bands`-era SQL); a spectral summary of the

@@ -67,27 +67,36 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** A wrong argument COUNT must surface as a proper analysis-time error
+    * naming the expected signature, not an IndexOutOfBoundsException from
+    * `e(1)` inside the builder. */
+  private def arity(e: Seq[Expression], n: Int, sig: String): Seq[Expression] = {
+    if (e.length != n) throw new IllegalArgumentException(
+      s"wrong argument count: expected $sig, got ${e.length} argument(s)")
+    e
+  }
+
   /** name → builder for every native Expression with a SQL-expressible
     * signature. Names that would shadow a Spark builtin get a `_graft`
     * suffix (nfc_normalize exists in neither, but bloom_might_contain
     * does as `might_contain`; keep ours clearly ours). */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "js_round" ->
-      (e => JsRoundExpr(e.head, e(1))),
+      (e => { val a = arity(e, 2, "js_round(x, digits)"); JsRoundExpr(a.head, a(1)) }),
     "dot_product" ->
-      (e => VectorExprs.DotProductExpr(e.head, e(1))),
+      (e => { val a = arity(e, 2, "dot_product(xs, ys)"); VectorExprs.DotProductExpr(a.head, a(1)) }),
     "sum_squares" ->
-      (e => VectorExprs.SumSquaresExpr(e.head)),
+      (e => { val a = arity(e, 1, "sum_squares(xs)"); VectorExprs.SumSquaresExpr(a.head) }),
     "sorted_intersect" ->
-      (e => SortedIntersectExpr.SortedIntersect(e.head, e(1))),
+      (e => { val a = arity(e, 2, "sorted_intersect(xs, ys)"); SortedIntersectExpr.SortedIntersect(a.head, a(1)) }),
     "sorted_intersect_count" ->
-      (e => SortedIntersectExpr.SortedIntersectCount(e.head, e(1))),
+      (e => { val a = arity(e, 2, "sorted_intersect_count(xs, ys)"); SortedIntersectExpr.SortedIntersectCount(a.head, a(1)) }),
     "nfc_normalize_graft" ->
-      (e => NfcExpr.Nfc(e.head)),
+      (e => { val a = arity(e, 1, "nfc_normalize_graft(s)"); NfcExpr.Nfc(a.head) }),
     "sliding_min" ->
-      (e => SlidingMinExpr(e.head, lit(e(1), "sliding_min window"))),
+      (e => { val a = arity(e, 2, "sliding_min(xs, window)"); SlidingMinExpr(a.head, lit(a(1), "sliding_min window")) }),
     "bloom_might_contain_graft" ->
-      (e => BloomExpr.BloomMightContain(e.head, e(1))),
+      (e => { val a = arity(e, 2, "bloom_might_contain_graft(filter, x)"); BloomExpr.BloomMightContain(a.head, a(1)) }),
   )
 }
 

@@ -53,6 +53,53 @@ object Scd2Replay {
       .orderBy(col("code"), col("valid_from"))
   }
 
+  /** q196 — streaming CDC→SCD2 apply ([[graft.streaming.StreamScd2]]):
+    * the SAME three snapshots as q58 arrive as a change stream tagged
+    * with effective dates, deliberately mis-aligned with micro-batch
+    * boundaries (snapshot 2 is split across two batches; one batch spans
+    * the snapshot-2/snapshot-3 boundary), and `foreachBatch` maintains
+    * the history through [[Scd2.merge]]. The gate's oracle IS q58's —
+    * stream ≡ batch replay, row for row, which is precisely the CDC
+    * contract: micro-batching must be unobservable in the history table.
+    */
+  def q196StreamScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamScd2
+    import graft.streaming.StreamScd2.Chg
+    // the per-snapshot collect is the MemoryStream test transport (the
+    // documented bounded slice that FEEDS the stream, not the operator)
+    def rows(i: Int): Seq[Chg] = {
+      val c = Tables.customer(s, dir)
+      c.filter(col("c_custkey") % 10 =!= i)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, lit(s"v$i")).otherwise(lit("base")),
+          col("c_nationkey"))
+        .as[(Long, String, Long)].collect().toSeq
+        .map { case (code, seg, nat) => Chg(Days(i - 1), code, seg, nat) }
+    }
+    val (r1, r2, r3) = (rows(1), rows(2), rows(3))
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[Chg]
+    val m = new StreamScd2.Maintainer(s)
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamScd2.applied(mem.toDS(), m).start()
+      try {
+        // batch 1: snapshot 1 + the FIRST HALF of snapshot 2 (boundary
+        // spans snapshots); batch 2: rest of 2; batch 3: snapshot 3
+        val (r2a, r2b) = r2.splitAt(r2.length / 2)
+        Seq(r1 ++ r2a, r2b, r3).foreach { b =>
+          mem.addData(b: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      m.flush() // snapshot 3 has no successor — explicit end-of-stream
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    m.current.orderBy(col("code"), col("valid_from"))
+  }
+
   /** One unrolled merge step as a DuckDB CTE (the five branches of
     * [[Scd2.merge]] verbatim). */
   private def sqlMerge(h: String, sn: String, out: String, asOf: String): String =

@@ -146,6 +146,31 @@ class MultimodalSpec extends AnyFunSuite {
     roundtrip(2, 1, Array(5.toByte, 5.toByte))
   }
 
+  test("GIF/LZW mid-stream CLEAR: dict-full streams roundtrip pixel-exact") {
+    // images large/noisy enough to fill all 4096-258 dictionary slots force
+    // the encoder's dict-full path: emit CLEAR, reset, keep coding (GIF87a
+    // spec behavior; previously a hard require). The decoder must mirror
+    // the reset AND stop adding entries while full. Pixel-array equality
+    // (not the index sum) so a desync after the reset cannot cancel out.
+    def exact(w: Int, h: Int, idx: Array[Byte]): Unit = {
+      val bytes = Multimodal.encodeGif(w, h, idx)
+      val (dw, dh, pix, _) = Multimodal.decodeGifPixels(bytes)
+      assert(dw == w && dh == h)
+      assert(java.util.Arrays.equals(pix, idx))
+    }
+    // random 256-symbol pixels add a dict entry nearly every step: 8192
+    // pixels blow through 3838 additions and cross dict-full mid-stream
+    val rng = new scala.util.Random(97)
+    exact(64, 128, Array.fill(64 * 128)(rng.nextInt(256).toByte))
+    // constant tail AFTER the reset: immediate KwKwK (code == next) in the
+    // rebuilt dictionary — the classic post-clear desync trap
+    val mixed = Array.tabulate(64 * 128)(i =>
+      if (i < 6000) rng.nextInt(256).toByte else 9.toByte)
+    exact(64, 128, mixed)
+    // several resets in one stream
+    exact(128, 200, Array.fill(128 * 200)(rng.nextInt(256).toByte))
+  }
+
   test("GIF decoder fails loudly on structure violations") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeGif("GIF89a not really".getBytes("ASCII"))
@@ -185,6 +210,11 @@ class MultimodalSpec extends AnyFunSuite {
       Array.tabulate(9 * 7 * 3)(i => ((i * 13 + 1) % 256).toByte))
     val gifIdx = Array.tabulate(40 * 30)(i => ((i * 7) % 256).toByte)
     val gif = Multimodal.encodeGif(40, 30, gifIdx)
+    // a stream that crosses dict-full (mid-stream CLEAR emitted): the
+    // reset path must be as truncation/mutation-hardened as the plain one
+    val fuzzRng = new scala.util.Random(31)
+    val gifReset = Multimodal.encodeGif(64, 80,
+      Array.fill(64 * 80)(fuzzRng.nextInt(256).toByte))
     val bmp = Multimodal.encodeBmp24(5, 4,
       Array.tabulate(5 * 4 * 3)(i => (i % 256).toByte))
     val wav = Multimodal.encodeWavPcm16(8000,
@@ -192,6 +222,7 @@ class MultimodalSpec extends AnyFunSuite {
     val codecs: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
       ("png", png, Multimodal.decodePng(_)),
       ("gif", gif, Multimodal.decodeGif(_)),
+      ("gif-reset", gifReset, Multimodal.decodeGif(_)),
       ("bmp", bmp, Multimodal.decodeBmp(_)),
       ("wav", wav, Multimodal.decodeWav(_)))
     for ((name, good, decode) <- codecs) {
