@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, Core, Curation, FactorVectorProgram, PerBands, Scd2Replay, Screen, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, Core, Curation, FactorVectorProgram, Partitioned, PerBands, Scd2Replay, Screen, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -214,6 +214,7 @@ object SparkEntry {
     "q191_textrank" -> (Advanced.q191TextRank _),
     "q192_kneser_ney" -> (Advanced.q192KneserNey _),
     "q193_assoc_rules" -> (Advanced.q193AssociationRules _),
+    "q194_dpp_prune" -> (Partitioned.q194DppPrune _),
     "q196_stream_scd2" -> (Scd2Replay.q196StreamScd2 _),
   )
 
@@ -519,6 +520,7 @@ object SparkEntry {
     "q191_textrank" -> Advanced.oracleQ191,
     "q192_kneser_ney" -> Advanced.oracleQ192,
     "q193_assoc_rules" -> Advanced.oracleQ193,
+    "q194_dpp_prune" -> Partitioned.oracleQ194,
     // stream ≡ batch: the CDC-maintained history must hash-equal q58's
     // batch replay, so the two gates share one oracle
     "q196_stream_scd2" -> Scd2Replay.oracleQ58,

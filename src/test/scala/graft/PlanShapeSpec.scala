@@ -134,6 +134,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("date-partitioned layout: static partition pruning and DPP both reach the scan") {
+    // the q194 layout: lineitem partitioned by ship month on disk
+    val root = s"${System.getProperty("user.dir")}/target/graft_dpp_planspec"
+    graft.queries.Partitioned.writePartitioned(spark, dir, root)
+    try {
+      // STATIC pruning: a literal month filter must land in the scan's
+      // PartitionFilters (and select exactly one of ~84 directories)
+      val static = spark.read.parquet(root)
+        .filter(org.apache.spark.sql.functions.col("ship_month") === "1995-03")
+      val sp = static.queryExecution.executedPlan.toString
+      assert(sp.contains("PartitionFilters") && sp.contains("1995-03"),
+        "literal month filter must prune partitions:\n" +
+          sp.linesIterator.take(12).mkString("\n"))
+      val scanned = static.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+      assert(scanned.nonEmpty && scanned.head == 1,
+        s"expected exactly 1 partition dir scanned, got $scanned")
+      // DYNAMIC pruning: joining to a runtime-derived month dim must put
+      // a DynamicPruningExpression into the fact scan's PartitionFilters
+      val dyn = graft.queries.Partitioned.prunedAgg(spark, root,
+        graft.queries.Partitioned.urgentMonths(spark, dir))
+      val dp = dyn.queryExecution.executedPlan.toString
+      assert(dp.toLowerCase.contains("dynamicpruning"),
+        "fact scan must carry a DynamicPruningExpression:\n" +
+          dp.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("new round-7 gates avoid cartesian degeneration") {
     for (name <- Seq("q123_allpairs_join", "q124_span_dedup",
         "q126_cms_estimate", "q129_inverted_index", "q135_dataset_card",
