@@ -68,22 +68,31 @@ object Bench {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val load = loadAvg1()
-      val times = (1 to reps).map { _ =>
+      val raw = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         if (ok) dt else -1.0
-      }.sorted
+      }
+      val times = raw.sorted
       val med = times(times.length / 2)
-      // rep spread (max-min)/median over successful reps: >~20% on an
-      // isolated query marks the median load-suspect (reps are identical
-      // fresh-cache work, so genuine variance should be small)
-      val good = times.filter(_ >= 0)
+      // WARM rep spread (max-min)/median over successful reps 2..n: rep 1
+      // pays the parquet footer reads BY DESIGN (the median discards it),
+      // so including it inflated spread everywhere (round-9 postmortem:
+      // median spread ~0.8, q09 showed 3.4 on a 0.59s query) and blunted
+      // the load-suspect trigger. Warm reps are identical fresh-cache
+      // work, so genuine warm variance should be small.
+      val warm = raw.drop(1).filter(_ >= 0)
       val spread =
-        if (good.isEmpty || med <= 0) -1.0 else (good.max - good.min) / med
-      println(f"BENCHQ $name $med%.3f ${times.head}%.3f $load%.2f $spread%.3f")
+        if (warm.isEmpty || med <= 0) -1.0
+        else (warm.max - warm.min) / med
+      // Locale.ROOT like emit(): under a comma-decimal default locale the
+      // f interpolator would print "1,234" and the parent's toDouble would
+      // throw, silently degrading the whole group to NoRes
+      println("BENCHQ %s %.3f %.3f %.2f %.3f".formatLocal(
+        java.util.Locale.ROOT, name, med, times.head, load, spread))
     }
     mark("reps")
     spark.stop()
@@ -126,7 +135,9 @@ object Bench {
     "q123_allpairs_join", "q135_dataset_card", "q136_quality_keeper",
     "q146_triangles", "q150_dbscan", "q151_cluster_labels",
     "q152_lsh_calibration", "q153_kcore", "q164_kmeans_elbow",
-    "q168_personalized_pr")
+    "q168_personalized_pr",
+    // q195 contains the q89 graph build plus the beam rounds
+    "q195_beam_search")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(
@@ -163,6 +174,8 @@ object Bench {
     ("q15_neardup_pairs", "q151_cluster_labels"),
     // q152 = q14's candidate pipeline + match-count and exact-verify joins
     ("q14_minhash_candidates", "q152_lsh_calibration"),
+    // q195 = q89's kNN-graph pipeline (wider rk cut) + beam-search rounds
+    ("q89_knn_graph", "q195_beam_search"),
   )
 
   /** One query's measurement: median, min, ambient 1-min load at query
@@ -171,16 +184,25 @@ object Bench {
   final case class QRes(med: Double, min: Double, load: Double, spread: Double)
   private val NoRes = QRes(-1.0, -1.0, -1.0, -1.0)
 
-  /** Isolated-tier medians whose spread exceeds this (or whose ambient
-    * load exceeds [[LoadThreshold]]) are re-measured once in a fresh
-    * child; the run with the LOWER MEDIAN wins. Lower-median is the right
-    * estimator here because contention noise is one-sided — ambient load
-    * can only slow a fixed-work rep down, never speed it up — so of two
-    * fresh-JVM medians of identical work, the smaller is strictly closer
-    * to the uncontended cost. Both runs' loads stay attributable via the
-    * `remeasured` list in the artifact. */
+  /** Isolated-tier medians whose WARM spread exceeds this (or whose
+    * ambient load exceeds [[LoadThreshold]]) are re-measured once in a
+    * fresh child; the run with the LOWER MEDIAN wins. Lower-median is the
+    * right estimator here because contention noise is one-sided — ambient
+    * load can only slow a fixed-work rep down, never speed it up — so of
+    * two fresh-JVM medians of identical work, the smaller is strictly
+    * closer to the uncontended cost. BOTH runs' full measurements (median,
+    * load, spread, which won) are recorded in the artifact's `retries`
+    * map so the selection is auditable after the fact. */
   private val SpreadThreshold = 0.20
   private val LoadThreshold = 2.0
+
+  /** Round-9 postmortem: mid-tier medians inherited ambient load up to 16
+    * because the remeasure pass covered only the isolated tier. Any query
+    * ≥1s — whatever its tier — re-measures when its recorded load or warm
+    * spread exceeds these looser bounds (looser because shared-child
+    * queries see some cross-query variance by construction). */
+  private val WideSpreadThreshold = 0.25
+  private val HighLoadThreshold = 6.0
 
   private def coordinate(): Unit = {
     // SPARK_GRAFT_BENCH_ONLY=q15_neardup_pairs,q61_neardup_clusters — local
@@ -209,6 +231,9 @@ object Bench {
         names.filter(midTier).grouped(MidGroup).toSeq ++
         names.filterNot(n => isolated(n) || midTier(n)).grouped(GroupSize).toSeq
     var remeasured: Seq[String] = Seq.empty
+    // (name, first measurement, retry measurement, which was kept: 1|2) —
+    // the lower-median-wins selection stays auditable in the artifact
+    var retriesLog: Seq[(String, QRes, QRes, Int)] = Seq.empty
     val results: Seq[(String, QRes)] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_INPROC")) {
         isoMode = "session"; runInProcess(names)
@@ -225,26 +250,40 @@ object Bench {
           val pass1 = first ++ groups.tail.flatMap { g =>
             runForked(g, childCp, cds).getOrElse(g.map(_ -> NoRes))
           }
-          // STABILITY PASS: isolated-tier medians measured under load or
-          // with wide rep spread are untrustworthy (round-8 postmortem:
-          // same-code heavy-graph medians swung 1.6x with ambient load).
-          // Re-fork each suspect once and keep the lower median.
+          // STABILITY PASS: medians measured under load or with wide warm
+          // rep spread are untrustworthy (round-8 postmortem: same-code
+          // heavy-graph medians swung 1.6x with ambient load; round 9:
+          // mid-tier medians inherited load up to 16 because only the
+          // isolated tier re-measured). Re-fork each suspect once — ALONE,
+          // whatever its original tier — and keep the lower median.
           // cap the pass at 12 children (~2 min of overhead) so a fully
           // loaded box cannot double the bench's wall time; heaviest
           // suspects first — they carry the most total-seconds error
           val suspects = pass1.filter { case (n, r) =>
-            isolated(n) && r.med >= 0 &&
-              (r.spread > SpreadThreshold || r.load > LoadThreshold)
+            r.med >= 0 && (
+              (isolated(n) &&
+                (r.spread > SpreadThreshold || r.load > LoadThreshold)) ||
+              (r.med >= 1.0 &&
+                (r.spread > WideSpreadThreshold || r.load > HighLoadThreshold)))
           }.sortBy(-_._2.med).take(12).map(_._1)
-          remeasured = suspects
           if (suspects.isEmpty) pass1
           else {
             System.err.println(
-              s"BENCH: re-measuring ${suspects.size} load-suspect isolated queries: " +
+              s"BENCH: re-measuring ${suspects.size} load-suspect queries: " +
                 suspects.map(_.takeWhile(_ != '_')).mkString(","))
             val retry: Map[String, QRes] = suspects.flatMap { n =>
               runForked(Seq(n), childCp, cds).map(_.toMap).getOrElse(Map.empty)
             }.toMap
+            // only queries whose re-fork actually produced a measurement
+            // count as remeasured (a failed fork used to be reported as
+            // remeasured with no second measurement behind it)
+            remeasured = suspects.filter(retry.contains)
+            retriesLog = pass1.collect {
+              case (n, r1) if retry.contains(n) =>
+                val r2 = retry(n)
+                val kept = if (r2.med >= 0 && (r1.med < 0 || r2.med < r1.med)) 2 else 1
+                (n, r1, r2, kept)
+            }
             pass1.map { case (n, r1) =>
               retry.get(n) match {
                 case Some(r2) if r2.med >= 0 && (r1.med < 0 || r2.med < r1.med) => n -> r2
@@ -258,7 +297,7 @@ object Bench {
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
     } catch { case _: Throwable => }
-    emit(results.toMap, results, isoMode, remeasured)
+    emit(results.toMap, results, isoMode, remeasured, retriesLog)
   }
 
   /** The parent's classpath with every directory entry replaced by a jar of
@@ -353,7 +392,8 @@ object Bench {
   private def emit(byName: Map[String, QRes],
                    ordered: Seq[(String, QRes)],
                    isoMode: String,
-                   remeasured: Seq[String]): Unit = {
+                   remeasured: Seq[String],
+                   retriesLog: Seq[(String, QRes, QRes, Int)]): Unit = {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     def short(k: String): String = k.takeWhile(_ != '_')
@@ -398,7 +438,16 @@ object Bench {
       "\"" + short(k) + "\":" + f2(r.load) }.mkString("{", ",", "}")
     val spreadQs = ordered.map { case (k, r) =>
       "\"" + short(k) + "\":" + f3(r.spread) }.mkString("{", ",", "}")
-    val full = line(fullQs, s""""load":$loadQs,"spread":$spreadQs,""")
+    // both measurements of every remeasured query, plus which one the
+    // lower-median-wins rule adopted — file artifact only
+    val retriesJson = retriesLog.map { case (n, r1, r2, kept) =>
+      "\"" + short(n) + "\":{\"m1\":" + f3(r1.med) + ",\"l1\":" + f2(r1.load) +
+        ",\"s1\":" + f3(r1.spread) + ",\"m2\":" + f3(r2.med) +
+        ",\"l2\":" + f2(r2.load) + ",\"s2\":" + f3(r2.spread) +
+        ",\"kept\":" + kept + "}"
+    }.mkString("{", ",", "}")
+    val full = line(fullQs,
+      s""""load":$loadQs,"spread":$spreadQs,"retries":$retriesJson,""")
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
     try java.nio.file.Files.write(outPath,

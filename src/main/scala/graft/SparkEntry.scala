@@ -215,6 +215,7 @@ object SparkEntry {
     "q192_kneser_ney" -> (Advanced.q192KneserNey _),
     "q193_assoc_rules" -> (Advanced.q193AssociationRules _),
     "q194_dpp_prune" -> (Partitioned.q194DppPrune _),
+    "q195_beam_search" -> (TextQueries.q195BeamSearch _),
     "q196_stream_scd2" -> (Scd2Replay.q196StreamScd2 _),
   )
 
@@ -521,6 +522,7 @@ object SparkEntry {
     "q192_kneser_ney" -> Advanced.oracleQ192,
     "q193_assoc_rules" -> Advanced.oracleQ193,
     "q194_dpp_prune" -> Partitioned.oracleQ194,
+    "q195_beam_search" -> TextQueries.oracleQ195,
     // stream ≡ batch: the CDC-maintained history must hash-equal q58's
     // batch replay, so the two gates share one oracle
     "q196_stream_scd2" -> Scd2Replay.oracleQ58,

@@ -407,6 +407,65 @@ object Similarity {
       .select(col(blockCol), col("id1"), col("id2"), col("cosine_sim"))
   }
 
+  /** Graph-ANN beam search — the navigating-small-world search loop
+    * (Malkov & Yashunin, "Efficient and robust approximate nearest
+    * neighbor search using HNSW", TPAMI 2020 — the single-layer NSW
+    * walk), run BATCHED over a precomputed kNN graph: every query starts
+    * from the shared entry points, and each round expands the `beamWidth`
+    * best visited nodes through their graph out-edges, scores the unseen
+    * neighbors against the query, and folds them into the visited set.
+    * After `rounds` rounds the visited set's top-k is the answer — the
+    * third ANN tier (after hashing: LSH q47, and partitioning: IVF
+    * q57/q74), and the structure real vector stores reach for first at
+    * scale because search cost is O(rounds · beam · degree) regardless of
+    * corpus size.
+    *
+    * Inputs: `edges` (id1, id2) — the directed kNN graph (e.g. the q89
+    * relation); `vecs` (vec_id, v, n) — corpus vectors with hoisted norms
+    * (PLANS.md rule 9); `queries` (qid, qv, qn) and `entries` (vec_id) —
+    * broadcast-sized. Returns the visited relation (qid, vec_id, sim).
+    *
+    * Scale shape: per-query state is bounded at |entries| + rounds ·
+    * beamWidth · degree rows, so the visited/beam relations are
+    * broadcast-sized BY CONSTRUCTION — each round is two broadcast joins
+    * (frontier onto the edge relation, then candidates onto the corpus
+    * for scoring); the big sides (edges, vecs) never shuffle. Rounds
+    * localCheckpoint (the iterative-lineage rule). Zero-norm candidates
+    * score null and are dropped — the q18/q86 null-sim contract.
+    * Determinism: sims are the ascending-index fold (bit-identical to
+    * the oracle's `list_dot_product`), ranking ties break on vec_id. */
+  def beamSearch(edges: DataFrame, vecs: DataFrame, queries: DataFrame,
+                 entries: DataFrame, beamWidth: Int, rounds: Int): DataFrame = {
+    def score(cands: DataFrame): DataFrame =
+      vecs.join(broadcast(cands), Seq("vec_id"))
+        .join(broadcast(queries), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          when(col("n") > 0 && col("qn") > 0,
+            dotProduct(col("v"), col("qv")) / (col("n") * col("qn")))
+            .as("sim"))
+        .filter(col("sim").isNotNull)
+    var visited = score(
+        queries.select(col("qid")).crossJoin(broadcast(entries))
+          .filter(col("vec_id") =!= col("qid")))
+      .localCheckpoint()
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    for (_ <- 1 to rounds) {
+      val beam = visited.withColumn("__rn", row_number().over(wBeam))
+        .filter(col("__rn") <= beamWidth)
+        .select(col("qid"), col("vec_id"))
+      val expanded = edges.join(broadcast(beam),
+          edges("id1") === beam("vec_id"))
+        .select(col("qid"), col("id2").as("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .distinct()
+      val fresh = expanded.join(visited.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_anti")
+      visited = visited.unionByName(score(fresh)).localCheckpoint()
+    }
+    visited
+  }
+
   /** ANN top-k: exact cosine ranking restricted to the query's bucket. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], dims: Int, nPlanes: Int, k: Int): DataFrame = {

