@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Scd2
@@ -16,13 +16,23 @@ import graft.operators.Scd2
   * is INVARIANT to micro-batch boundaries. A micro-batch may contain a
   * fraction of one snapshot or spill across several; the maintainer
   * groups arrived rows by effective date and only merges a snapshot when
-  * its successor's date shows up (or on an explicit flush), because
-  * [[Scd2.merge]] consumes FULL snapshots — merging half a snapshot
-  * would close the missing keys as delisted. This holds under the same
-  * ordered-arrival assumption the reference's daily sync makes
-  * (equity-master.ts runs once per day, strictly forward): snapshot
-  * dates arrive non-decreasing, which a per-source watermark would
-  * enforce in a production deployment.
+  * its completeness is PROVEN — because [[Scd2.merge]] consumes FULL
+  * snapshots, merging half a snapshot would close the missing keys as
+  * delisted. Two proofs are offered:
+  *
+  *  - [[Maintainer]] (the q196 gate's): ordered delivery — snapshot dates
+  *    arrive non-decreasing (the reference's daily sync shape,
+  *    equity-master.ts runs once per day strictly forward), so a date is
+  *    complete as soon as a LATER date shows up. The precondition is a
+  *    RUNTIME CHECK, not an assumption: a row at or below the newest
+  *    merged date throws (fail-loud convention) — silently buffering it
+  *    as a "new snapshot" would close its missing keys as delists.
+  *  - [[WatermarkedMaintainer]]: out-of-order delivery within a bounded
+  *    lateness — rows for several dates may interleave arbitrarily; a
+  *    date merges only once the per-source watermark (max seen effective
+  *    date − `latenessDays`) passes it, exactly Structured Streaming's
+  *    event-time watermark contract applied to snapshot completeness.
+  *    Rows later than the bound still fail loud.
   *
   * Scale shape: state is the history table (key-cardinality × history
   * depth, not stream-sized), each merge is the q58 full-outer diff keyed
@@ -40,41 +50,48 @@ object StreamScd2 {
   final case class Chg(effDate: java.sql.Date, code: Long, seg: String,
                        nat: Long)
 
-  /** Standing SCD2 history maintained across micro-batches. Rows buffer
-    * per effective date; a date's snapshot merges once a LATER date
-    * arrives (all-arrived proof under ordered delivery) or on `flush()`.
-    */
-  final class Maintainer(spark: org.apache.spark.sql.SparkSession) {
+  /** Shared buffering/merge core of both maintainers: pending rows per
+    * effective date, the standing history, and the strictly-forward merge
+    * cursor. Subclasses decide WHEN a pending date is complete. */
+  sealed abstract class MaintainerBase(spark: SparkSession) {
     private val keys = Seq("code")
     private val attrs = Seq("seg", "nat")
     // arrival buffer: effective date -> rows seen so far (bounded: one
-    // snapshot's keys per date, at most two dates in flight under
-    // ordered delivery)
-    private val pending =
+    // snapshot's keys per in-flight date; the completeness policy bounds
+    // how many dates stay in flight)
+    protected val pending =
       scala.collection.mutable.SortedMap.empty[java.sql.Date,
         scala.collection.mutable.ArrayBuffer[Chg]](
         Ordering.by[java.sql.Date, Long](_.getTime))
     @volatile private var history: Option[DataFrame] = None
+    /** Newest effective date already folded into the history. Merging is
+      * strictly forward; a row at or below this can never be applied. */
+    protected var lastMerged: Option[java.sql.Date] = None
 
-    def absorb(batch: Dataset[Chg]): Unit = synchronized {
-      // the per-batch collect is the MemoryStream test transport's
-      // bounded slice (one dimension snapshot), not a fact-table scan —
-      // a production sink would stage each batch to a keyed table
-      batch.collect().foreach { c =>
-        pending.getOrElseUpdate(c.effDate,
-          scala.collection.mutable.ArrayBuffer.empty[Chg]) += c
+    def absorb(batch: Dataset[Chg]): Unit
+
+    /** Buffer one row, failing LOUD on a row that arrived too late to
+      * ever merge — silently treating it as a fresh snapshot would close
+      * that snapshot's missing keys as delists. */
+    protected def buffer(c: Chg): Unit = {
+      lastMerged.foreach { lm =>
+        if (!c.effDate.after(lm))
+          throw new IllegalStateException(
+            s"late CDC row for ${c.effDate}: snapshots through $lm are " +
+              "already merged (ordered-delivery/lateness bound violated)")
       }
-      // every date strictly before the newest in-flight date is complete
-      while (pending.size > 1) mergeOldest()
+      pending.getOrElseUpdate(c.effDate,
+        scala.collection.mutable.ArrayBuffer.empty[Chg]) += c
     }
 
     def flush(): Unit = synchronized {
       while (pending.nonEmpty) mergeOldest()
     }
 
-    private def mergeOldest(): Unit = {
+    protected def mergeOldest(): Unit = {
       val (day, rows) = pending.head
       pending.remove(day)
+      lastMerged = Some(day)
       import spark.implicits._
       val snap = rows.toSeq.toDF()
         .select(col("code"), col("seg"), col("nat"))
@@ -95,8 +112,48 @@ object StreamScd2 {
     }
   }
 
+  /** Ordered-delivery maintainer (the q196 gate's): a date's snapshot
+    * merges once a LATER date arrives — the all-arrived proof under
+    * non-decreasing delivery, which [[MaintainerBase.buffer]] enforces as
+    * a runtime check rather than trusting it. */
+  final class Maintainer(spark: SparkSession) extends MaintainerBase(spark) {
+    override def absorb(batch: Dataset[Chg]): Unit = synchronized {
+      // the per-batch collect is the MemoryStream test transport's
+      // bounded slice (one dimension snapshot), not a fact-table scan —
+      // a production sink would stage each batch to a keyed table
+      batch.collect().foreach(buffer)
+      // every date strictly before the newest in-flight date is complete
+      while (pending.size > 1) mergeOldest()
+    }
+  }
+
+  /** Out-of-order-tolerant maintainer: rows for different effective dates
+    * may interleave arbitrarily as long as no row is later than
+    * `latenessDays` behind the newest date seen — the standard per-source
+    * watermark contract. A date merges only once the watermark
+    * (max seen − lateness) passes it strictly, proving no more rows for
+    * it can arrive within the bound; rows beyond the bound fail loud in
+    * [[MaintainerBase.buffer]]. In-flight state grows to at most the
+    * dates inside one lateness window — bounded, like a streaming state
+    * store's watermarked buffer. */
+  final class WatermarkedMaintainer(spark: SparkSession, latenessDays: Int)
+      extends MaintainerBase(spark) {
+    private var maxSeen: Option[java.sql.Date] = None
+
+    override def absorb(batch: Dataset[Chg]): Unit = synchronized {
+      batch.collect().foreach { c =>
+        buffer(c)
+        if (maxSeen.forall(m => c.effDate.after(m))) maxSeen = Some(c.effDate)
+      }
+      val wm = maxSeen.map(m =>
+        java.sql.Date.valueOf(m.toLocalDate.minusDays(latenessDays.toLong)))
+      while (pending.nonEmpty && wm.exists(w => pending.head._1.before(w)))
+        mergeOldest()
+    }
+  }
+
   /** Wire a maintainer onto a change stream; caller starts/stops. */
-  def applied(changes: Dataset[Chg], m: Maintainer) =
+  def applied(changes: Dataset[Chg], m: MaintainerBase) =
     changes.writeStream
       .foreachBatch { (batch: Dataset[Chg], _: Long) => m.absorb(batch) }
 }

@@ -54,17 +54,24 @@ class StreamScd2Spec extends AnyFunSuite {
         r.getString(3), Option(r.getString(4)).getOrElse(""), r.getBoolean(5)))
       .sortBy(t => (t._1, t._4)).toSeq
 
-  private def streamReplay(batches: Seq[Seq[Chg]]): Seq[(Long, String, Long, String, String, Boolean)] = {
+  private def streamReplay(batches: Seq[Seq[Chg]],
+                           m: StreamScd2.MaintainerBase): Seq[(Long, String, Long, String, String, Boolean)] = {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Chg]
-    val m = new StreamScd2.Maintainer(spark)
     val q = StreamScd2.applied(mem.toDS(), m).start()
-    try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
-    finally q.stop()
-    m.flush()
-    canon(m.current)
+    // flush/canon stay INSIDE the try: if a batch feed throws, the
+    // original exception must propagate, not a confusing secondary
+    // failure from flushing a partially-fed maintainer
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      m.flush()
+      canon(m.current)
+    } finally q.stop()
   }
+
+  private def streamReplay(batches: Seq[Seq[Chg]]): Seq[(Long, String, Long, String, String, Boolean)] =
+    streamReplay(batches, new StreamScd2.Maintainer(spark))
 
   test("stream == batch replay under every batch split, incl. one row per batch") {
     val expected = canon(batchReplay())
@@ -81,6 +88,50 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(expected.count(_._1 == 3L) == 2)
     assert(expected.exists(t => t._1 == 3L && !t._6 && t._5 == "2024-02-01"))
     assert(expected.exists(t => t._1 == 3L && t._6 && t._4 == "2024-03-01"))
+  }
+
+  test("late row for an already-merged date fails loud, not silently wrong") {
+    import spark.implicits._
+    val m = new StreamScd2.Maintainer(spark)
+    m.absorb(snapRows(1).toDS())
+    m.absorb(snapRows(2).toDS()) // snapshot 1 merges (later date arrived)
+    // a straggler for snapshot 1 can no longer be applied; buffering it as
+    // a fresh "snapshot" would delist every other key — must throw instead
+    val e = intercept[IllegalStateException](
+      m.absorb(Seq(Chg(days(0), 9, "z", 99)).toDS()))
+    assert(e.getMessage.contains("late CDC row"))
+  }
+
+  test("watermarked maintainer: disordered arrival within lateness == batch replay") {
+    val expected = canon(batchReplay())
+    // snap-1 rows straggle in AFTER snap-2 rows (out of order), and snap-2
+    // after snap-3 — all within the 45-day lateness bound, so nothing
+    // merges until the watermark (max seen - 45d) proves completeness
+    val disordered: Seq[Seq[Chg]] = Seq(
+      snapRows(1).take(2),
+      snapRows(2) ++ snapRows(1).drop(2),
+      snapRows(3).take(1),
+      snapRows(3).drop(1))
+    val got = streamReplay(disordered,
+      new StreamScd2.WatermarkedMaintainer(spark, latenessDays = 45))
+    assert(got == expected)
+    // and ordered arrival through the watermarked path agrees too
+    assert(streamReplay(Seq(snapRows(1), snapRows(2), snapRows(3)),
+      new StreamScd2.WatermarkedMaintainer(spark, latenessDays = 45)) == expected)
+  }
+
+  test("watermarked maintainer merges below the watermark before any flush") {
+    import spark.implicits._
+    val m = new StreamScd2.WatermarkedMaintainer(spark, latenessDays = 20)
+    m.absorb((snapRows(1) ++ snapRows(2)).toDS())
+    // max seen = 2024-02-01, watermark = 2024-01-12: snapshot 1 (01-01) is
+    // proven complete and merged; snapshot 2 still buffers
+    val h = canon(m.current)
+    assert(h.size == 3 && h.forall(_._6), s"snapshot 1 alone, all current: $h")
+    // a row older than the lateness bound fails loud
+    val e = intercept[IllegalStateException](
+      m.absorb(Seq(Chg(days(0), 9, "z", 99)).toDS()))
+    assert(e.getMessage.contains("late CDC row"))
   }
 
   test("half-arrived snapshot is buffered, not merged as delists") {
