@@ -217,6 +217,7 @@ object SparkEntry {
     "q194_dpp_prune" -> (Partitioned.q194DppPrune _),
     "q195_beam_search" -> (TextQueries.q195BeamSearch _),
     "q196_stream_scd2" -> (Scd2Replay.q196StreamScd2 _),
+    "q197_wav_mfcc" -> (Advanced.q197WavMfcc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -526,6 +527,7 @@ object SparkEntry {
     // stream ≡ batch: the CDC-maintained history must hash-equal q58's
     // batch replay, so the two gates share one oracle
     "q196_stream_scd2" -> Scd2Replay.oracleQ58,
+    "q197_wav_mfcc" -> Advanced.oracleQ197,
   )
 
   private val asofOracle: String =

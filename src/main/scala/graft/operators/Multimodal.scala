@@ -387,6 +387,134 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // ------------------------------------------------------------------
+  // MFCC over the q119 frames (the q197 gate) — mel filterbank + DCT-II
+  // per Davis & Mermelstein, "Comparison of parametric representations
+  // for monosyllabic word recognition" (IEEE TASSP 1980), with every
+  // transform table integer-quantized on the driver (the q184/q182
+  // shared-constant discipline) so the whole decode→DFT→mel→log→DCT
+  // pipeline replays bit-exactly in SQL.
+  // ------------------------------------------------------------------
+
+  /** rfft bins of a [[FrameLen]]-point DFT: 0..FrameLen/2. */
+  val MelBins: Int = FrameLen / 2 + 1
+  /** Triangular mel filters spanning the nominal band. */
+  val MelFilters = 6
+  /** Leading DCT-II coefficients kept (c0 = frame log-energy proxy). */
+  val MfccCoeffs = 4
+  /** Twiddle/DCT table scale (2^20): |Σ v·c| ≤ 2^15·2^20·16 = 2^39 —
+    * every DFT accumulation is exact BIGINT on both engines. */
+  val TwiddleScale: Long = 1L << 20
+  /** Mel filter weight scale (2^16): Σ_b W·power ≤ 2^16·9·2^39 < 2^59. */
+  val MelWeightScale: Long = 1L << 16
+  /** Nominal Nyquist for the filter-edge layout. The synthesized WAVs
+    * carry per-doc sample rates (8-12 kHz); production MFCC lays filters
+    * per-rate, but a GATEABLE shared constant table needs one layout, so
+    * filters live on normalized bin frequency (bin b ↔ b·500 Hz nominal)
+    * — the standard fixed-bank simplification for mixed-rate corpora. */
+  val MelNyquistHz = 4000.0
+
+  /** cos table: floor(cos(2π·b·i/N)·2^20 + 0.5), b ∈ [0, MelBins). */
+  lazy val dftCos: Array[Array[Long]] = Array.tabulate(MelBins, FrameLen) {
+    (b, i) => math.floor(math.cos(2.0 * math.Pi * b * i / FrameLen)
+      * TwiddleScale + 0.5).toLong
+  }
+  /** −sin table (imaginary part; sign cancels in the power). */
+  lazy val dftSin: Array[Array[Long]] = Array.tabulate(MelBins, FrameLen) {
+    (b, i) => math.floor(-math.sin(2.0 * math.Pi * b * i / FrameLen)
+      * TwiddleScale + 0.5).toLong
+  }
+
+  /** Triangular mel filterbank over the [[MelBins]] bin centers,
+    * quantized to [[MelWeightScale]] integers. */
+  lazy val melWeights: Array[Array[Long]] = {
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def unmel(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val pts = (0 to MelFilters + 1)
+      .map(i => unmel(mel(MelNyquistHz) * i / (MelFilters + 1)))
+    Array.tabulate(MelFilters, MelBins) { (m, b) =>
+      val f = b * MelNyquistHz / (MelBins - 1)
+      val (lo, mid, hi) = (pts(m), pts(m + 1), pts(m + 2))
+      val w =
+        if (f > lo && f <= mid) (f - lo) / (mid - lo)
+        else if (f > mid && f < hi) (hi - f) / (hi - mid)
+        else 0.0
+      math.floor(w * MelWeightScale + 0.5).toLong
+    }
+  }
+
+  /** DCT-II table: floor(cos(π·c·(2m+1)/(2·M))·2^20 + 0.5). */
+  lazy val dctTable: Array[Array[Long]] = Array.tabulate(MfccCoeffs, MelFilters) {
+    (c, m) => math.floor(math.cos(math.Pi * c * (2 * m + 1)
+      / (2.0 * MelFilters)) * TwiddleScale + 0.5).toLong
+  }
+
+  final case class MfccRow(doc_id: Long, frame_idx: Int, c0: Long,
+                           c1: Long, c2: Long, c3: Long)
+
+  /** q197: MFCC-style cepstral coefficients per [[FrameLen]]-sample frame
+    * over REAL decoded WAV payloads — the audio-curation featurizer one
+    * tier above q119's energies (speech/music/noise discrimination,
+    * audio near-dup fingerprints). Per frame: integer-twiddle DFT bin
+    * powers (re/im quantized back to sample scale before squaring, so
+    * powers stay exact BIGINTs), integer mel filterbank, ln(1 + E)
+    * quantized at 1e6 immediately after the transcendental (the q56/q72
+    * ln discipline), then an exact-integer DCT-II. Encode+decode+
+    * featurize is ONE map-side pass per document; only the 4-coefficient
+    * integer rows move.
+    *
+    * Signal: a quadratic-phase integer chirp, s_i = (id·31 + i²·17) mod
+    * 2^16 − 2^15, round-tripped through the REAL WAV encoder/decoder.
+    * The q78 synthesizer's linear ramp is deliberately NOT reused here:
+    * its within-frame slope is constant (17/sample, wrapping never at
+    * small corpora), so every AC bin — hence every mel band and cepstral
+    * coefficient — is frame-invariant and the gate would pin a constant.
+    * The chirp's instantaneous frequency grows with i, so bin powers,
+    * mel energies, and MFCCs all vary per frame and per doc. */
+  def wavMfcc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .filter(_ % 2 == 1)
+      .flatMap { id =>
+        val n = (50 + id % 100).toInt
+        val sr = (8000 + (id % 5) * 1000).toInt
+        val chirp = Array.tabulate(n)(i =>
+          ((id * 31 + i.toLong * i * 17) % 65536 - 32768).toShort)
+        val payload = encodeWavPcm16(sr, chirp, junkChunk = id % 4 == 1)
+        val (_, samples) = decodeWavSamples(payload)
+        (0 until samples.length / FrameLen).map { j =>
+          val power = Array.tabulate(MelBins) { b =>
+            var re = 0L; var im = 0L
+            var k = 0
+            while (k < FrameLen) {
+              val v = samples(j * FrameLen + k).toLong
+              re += v * dftCos(b)(k)
+              im += v * dftSin(b)(k)
+              k += 1
+            }
+            val reQ = math.floor(re / TwiddleScale.toDouble).toLong
+            val imQ = math.floor(im / TwiddleScale.toDouble).toLong
+            reQ * reQ + imQ * imQ
+          }
+          val lq = Array.tabulate(MelFilters) { mi =>
+            var e = 0L
+            var b = 0
+            while (b < MelBins) { e += melWeights(mi)(b) * power(b); b += 1 }
+            math.floor(math.log(1.0 + e.toDouble / MelWeightScale)
+              * 1e6 + 0.5).toLong
+          }
+          val cs = Array.tabulate(MfccCoeffs) { c =>
+            var acc = 0L
+            var mi = 0
+            while (mi < MelFilters) { acc += dctTable(c)(mi) * lq(mi); mi += 1 }
+            acc
+          }
+          MfccRow(id, j, cs(0), cs(1), cs(2), cs(3))
+        }
+      }.toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Deterministic media synthesis for the q78 gate: even doc_ids get a
     * real BMP (w = 4 + id%13, h = 3 + id%7, pixel byte i = (id·7+i)%256),
     * odd ones a real WAV (rate = 8000 + (id%5)·1000, n = 50 + id%100,

@@ -1112,6 +1112,73 @@ object Advanced {
        |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** q197 — MFCC-style cepstral coefficients over the q119 frames
+    * ([[graft.operators.Multimodal.wavMfcc]]). The oracle derives the
+    * samples from the synthesis formula (as q119 does) and replays the
+    * whole DFT→mel→log→DCT pipeline with the SAME driver-computed integer
+    * tables embedded as list literals, so a wrong twiddle, filter edge, or
+    * quantization boundary breaks the hash. */
+  def q197WavMfcc(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavMfcc(s, dir)
+
+  lazy val oracleQ197: String = {
+    val fl = Multimodal.FrameLen
+    def ll(a: Array[Array[Long]]) =
+      a.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, 50 + doc_id % 100 AS ns FROM documents
+       |  WHERE doc_id % 2 = 1
+       |), fr AS (
+       |  SELECT doc_id, ns, CAST(f AS INT) AS f
+       |  FROM d, range(0, 16) t(f) WHERE f < ns // $fl
+       |), smp AS (
+       |  SELECT doc_id, f, CAST(k AS INT) AS k,
+       |    (doc_id*31 + (f*$fl + k)*(f*$fl + k)*17) % 65536 - 32768 AS v
+       |  FROM fr, range(0, $fl) t2(k)
+       |), tw AS (
+       |  SELECT ${ll(Multimodal.dftCos)} AS cl,
+       |         ${ll(Multimodal.dftSin)} AS sl,
+       |         ${ll(Multimodal.melWeights)} AS wl,
+       |         ${ll(Multimodal.dctTable)} AS dl
+       |), reim AS (
+       |  SELECT doc_id, f, b,
+       |    CAST(SUM(v * cl[b+1][k+1]) AS BIGINT) AS re,
+       |    CAST(SUM(v * sl[b+1][k+1]) AS BIGINT) AS im
+       |  FROM smp, (SELECT CAST(bb AS INT) AS b
+       |             FROM range(0, ${Multimodal.MelBins}) tb(bb)) bins, tw
+       |  GROUP BY doc_id, f, b
+       |), pw AS (
+       |  SELECT doc_id, f, b,
+       |    CAST(floor(re / ${Multimodal.TwiddleScale}.0) AS BIGINT)
+       |      * CAST(floor(re / ${Multimodal.TwiddleScale}.0) AS BIGINT)
+       |    + CAST(floor(im / ${Multimodal.TwiddleScale}.0) AS BIGINT)
+       |      * CAST(floor(im / ${Multimodal.TwiddleScale}.0) AS BIGINT) AS p
+       |  FROM reim
+       |), mel AS (
+       |  SELECT doc_id, f, m, CAST(SUM(p * wl[m+1][b+1]) AS BIGINT) AS me
+       |  FROM pw, (SELECT CAST(mm AS INT) AS m
+       |            FROM range(0, ${Multimodal.MelFilters}) tm(mm)) ms, tw
+       |  GROUP BY doc_id, f, m
+       |), lg AS (
+       |  SELECT doc_id, f, m,
+       |    CAST(floor(ln(1.0 + CAST(me AS DOUBLE)
+       |      / ${Multimodal.MelWeightScale}.0) * 1e6 + 0.5) AS BIGINT) AS lq
+       |  FROM mel
+       |), dct AS (
+       |  SELECT doc_id, f, c, CAST(SUM(lq * dl[c+1][m+1]) AS BIGINT) AS coef
+       |  FROM lg, (SELECT CAST(cc AS INT) AS c
+       |            FROM range(0, ${Multimodal.MfccCoeffs}) tc(cc)) cs, tw
+       |  GROUP BY doc_id, f, c
+       |)
+       |SELECT doc_id, f AS frame_idx,
+       |  MAX(CASE WHEN c = 0 THEN coef END) AS c0,
+       |  MAX(CASE WHEN c = 1 THEN coef END) AS c1,
+       |  MAX(CASE WHEN c = 2 THEN coef END) AS c2,
+       |  MAX(CASE WHEN c = 3 THEN coef END) AS c3
+       |FROM dct GROUP BY doc_id, f
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   /** q116 — STREAMING materialized-view maintenance run to completion
     * in-process (seventh streaming shape): the events stream arrives on a
     * MemoryStream in three micro-batches; `foreachBatch` merges each

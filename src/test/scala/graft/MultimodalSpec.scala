@@ -260,6 +260,28 @@ class MultimodalSpec extends AnyFunSuite {
     )) intercept[IllegalArgumentException] { Multimodal.decodeBmp(hostile) }
   }
 
+  test("MFCC pipeline: tables well-formed, c0 is the nonneg log-energy row, frames vary") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    // table invariants: DC twiddle row is the pure scale (cos 0 = 1);
+    // every mel filter has mass; bin 0 (DC) is excluded from every filter
+    assert(Multimodal.dftCos(0).forall(_ == Multimodal.TwiddleScale))
+    assert(Multimodal.dftSin(0).forall(_ == 0L))
+    assert(Multimodal.melWeights.forall(_.sum > 0))
+    assert(Multimodal.melWeights.forall(_.head == 0L))
+    assert(Multimodal.dctTable(0).forall(_ == Multimodal.TwiddleScale))
+    val rows = Multimodal.wavMfcc(spark, "/root/testdata/sf0.001")
+    // same framing as q119: one row per full 16-sample frame per odd doc
+    val q119n = Multimodal.wavFrameFeatures(spark, "/root/testdata/sf0.001").count()
+    assert(rows.count() == q119n)
+    // c0 = 2^20 * sum of log-mel energies: nonnegative (ln(1+E) >= 0),
+    // and the chirp signal must produce real per-frame spectral variation
+    val stats = rows.agg(min(col("c0")), countDistinct(col("c1")),
+      max(abs(col("frame_idx")))).collect()(0)
+    assert(stats.getLong(0) >= 0L)
+    assert(stats.getLong(1) > 1L, "MFCCs must vary across frames")
+  }
+
   test("decodeFeatures dispatches on magic bytes: JPEG, MJPEG frame count, WAV, junk") {
     import graft.operators.{Jpeg, Multimodal}
     // single JPEG image -> 1 frame, dims from the stream, decoded pixel sum
