@@ -218,6 +218,8 @@ object SparkEntry {
     "q195_beam_search" -> (TextQueries.q195BeamSearch _),
     "q196_stream_scd2" -> (Scd2Replay.q196StreamScd2 _),
     "q197_wav_mfcc" -> (Advanced.q197WavMfcc _),
+    "q198_incr_partitioned" -> (Partitioned.q198IncrementalPartitioned _),
+    "q199_phash_pairs" -> (Advanced.q199PhashPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -528,6 +530,8 @@ object SparkEntry {
     // batch replay, so the two gates share one oracle
     "q196_stream_scd2" -> Scd2Replay.oracleQ58,
     "q197_wav_mfcc" -> Advanced.oracleQ197,
+    "q198_incr_partitioned" -> Partitioned.oracleQ198,
+    "q199_phash_pairs" -> Advanced.oracleQ199,
   )
 
   private val asofOracle: String =

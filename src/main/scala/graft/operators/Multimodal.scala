@@ -1091,4 +1091,135 @@ object Multimodal {
       }.toDF()
       .orderBy(col("doc_id"), col("patch_y"), col("patch_x"))
   }
+
+  // --------------------------------------------------------------------
+  // Perceptual image hash (pHash, q199) — the image analog of SimHash:
+  // a 63-bit DCT fingerprint over DECODED pixels, closing the loop
+  // between the codec tier (q78/q91/q182 decode real bytes) and the
+  // dedup tier (q66 band-bucket Hamming search): near-identical IMAGES
+  // — not near-identical byte streams — collide.
+
+  /** pHash geometry: nearest-neighbor resample to [[PhGrid]]×[[PhGrid]],
+    * integer 2-D DCT-II, top-left [[PhFreq]]×[[PhFreq]] block, DC
+    * excluded → 63 coefficients thresholded on their median. 63 bits (not
+    * 64) so the hash is a non-negative BIGINT both engines shift and XOR
+    * identically. */
+  val PhGrid = 16
+  val PhFreq = 8
+  /** Cosine quantization scale; coefficient magnitude stays < 2^57
+    * (255 · PhScale² · PhGrid²), exact in BIGINT on both engines. */
+  val PhScale: Long = 1L << 20
+  /** phCos(u)(x) = floor(cos(π(2x+1)u / 2·[[PhGrid]]) · [[PhScale]] + ½) —
+    * driver-computed once, embedded verbatim in the q199 oracle (the
+    * q197 shared-table discipline). */
+  lazy val phCos: Array[Array[Long]] =
+    Array.tabulate(PhFreq, PhGrid)((u, x) =>
+      math.floor(math.cos(math.Pi * (2 * x + 1) * u / (2.0 * PhGrid))
+        * PhScale + 0.5).toLong)
+
+  /** Decode an uncompressed 24-bit BMP to grayscale pixels in LOGICAL
+    * top-down row-major order (first channel per pixel — the q199 twins
+    * write R=G=B, so any channel is the luma). Same hostile-header
+    * validation as [[decodeBmp]]; like [[decodeBmpPatches]] this is
+    * strictly stronger than a content sum — a decoder that ignores the
+    * bottom-up file row order returns vertically mirrored pixels and a
+    * different DCT. */
+  def decodeBmpGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length >= 54, s"not a BMP: ${bytes.length}B < 54B header")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOffset = bb.getInt(10)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22)
+    require(bb.getShort(28) == 24 && bb.getInt(30) == 0,
+      "only uncompressed 24-bit BMP supported")
+    require(width > 0 && width <= (1 << 26) && height > 0 && height <= (1 << 26),
+      s"bad dimensions ${width}x$height")
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"bad pixel data offset $dataOffset (file ${bytes.length}B)")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    require(dataOffset + height.toLong * rowSize <= bytes.length,
+      s"declared ${width}x$height pixels overrun the file (${bytes.length}B)")
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val rowStart = dataOffset + (height - 1 - y) * rowSize // top-down
+      var x = 0
+      while (x < width) {
+        px(y * width + x) = bytes(rowStart + x * 3) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, px)
+  }
+
+  /** 63-bit DCT perceptual hash over a grayscale image: resample to
+    * [[PhGrid]]² by nearest neighbor (exact integer index math — no
+    * interpolation rounding to disagree on), separable integer DCT-II via
+    * [[phCos]], keep the [[PhFreq]]×[[PhFreq]] low-frequency block, set
+    * bit u·8+v−1 when coefficient (u,v) exceeds the median of the 63
+    * non-DC coefficients. Every step is exact BIGINT arithmetic, so the
+    * oracle replays it bit-for-bit in SQL. */
+  def pHash64(w: Int, h: Int, gray: Array[Int]): Long = {
+    val g = Array.tabulate(PhGrid, PhGrid)((j, i) =>
+      gray((j * h / PhGrid) * w + (i * w / PhGrid)).toLong)
+    // R(u)(y) = Σ_x phCos(u)(x) · g(y)(x); H(u)(v) = Σ_y phCos(v)(y) · R(u)(y)
+    val r = Array.tabulate(PhFreq, PhGrid) { (u, y) =>
+      var acc = 0L; var x = 0
+      while (x < PhGrid) { acc += phCos(u)(x) * g(y)(x); x += 1 }
+      acc
+    }
+    val coefs = new Array[Long](PhFreq * PhFreq)
+    var u = 0
+    while (u < PhFreq) {
+      var v = 0
+      while (v < PhFreq) {
+        var acc = 0L; var y = 0
+        while (y < PhGrid) { acc += phCos(v)(y) * r(u)(y); y += 1 }
+        coefs(u * PhFreq + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = coefs.drop(1) // (u,v) row-major; index 0 is the DC term
+    val med = nonDc.sorted.apply(31)
+    var hash = 0L
+    var b = 0
+    while (b < 63) {
+      if (nonDc(b) > med) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  final case class PHashRow(doc_id: Long, phash: Long)
+
+  /** Planted near-dup image corpus → per-doc perceptual hash, one
+    * map-side pass (synthesize REAL BMP bytes → REAL decode → hash; only
+    * the 16-byte hash rows ever move). Twin docs (2g, 2g+1) render the
+    * same base image — dims from [[mediaDims]](g), gray(i) = 30 +
+    * (g·37 + i·53 + (g·i) mod 251) mod 180 (the g·i cross term keeps
+    * distinct g's images distinct — a separable g-term + i-term form
+    * would collapse the corpus to ~2,160 distinct images) — and the odd
+    * twin brightens pixels i ≡ 0 (mod 101) by 6/255: a perceptually
+    * negligible change the hash must survive (measured: 99.4% of twins
+    * within Hamming 3; unrelated pairs ~31). */
+  def phashes(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val g = id / 2
+      val (w, h) = mediaDims(g)
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        var v = (30 + (g * 37 + i.toLong * 53 + (g * i) % 251) % 180).toInt
+        if (id % 2 == 1 && i % 101 == 0) v += 6
+        px(3 * i) = v.toByte; px(3 * i + 1) = v.toByte; px(3 * i + 2) = v.toByte
+        i += 1
+      }
+      val (dw, dh, gr) = decodeBmpGray(encodeBmp24(w, h, px))
+      PHashRow(id, pHash64(dw, dh, gr))
+    }.toDF()
+  }
 }

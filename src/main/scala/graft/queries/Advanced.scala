@@ -1179,6 +1179,97 @@ object Advanced {
        |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** q199 — perceptual image near-dup (pHash): the image-dedup loop the
+    * multimodal tier was missing. Per doc: synthesize a REAL 24-bit BMP
+    * (twin docs 2g/2g+1 render the same image, the odd twin brightened
+    * by 6/255 on a sparse pixel lattice), decode it with the real
+    * header-walking parser, and fingerprint the DECODED pixels with a
+    * 63-bit integer DCT hash ([[graft.operators.Multimodal.pHash64]]).
+    * Near-dup pairs come from the q66 SimHash discipline: 4 pigeonhole
+    * bands (16/16/16/15 bits) bucket the hashes — Hamming ≤ 3 pairs MUST
+    * share an exact band — then candidates verify by exact popcount.
+    *
+    * Scale shape: one map-side pass synthesizes/decodes/hashes (payload
+    * bytes never shuffle; only 16-byte hash rows move); the band
+    * self-join is keyed on (band, value) — never all-pairs — and bucket
+    * sizes are content-bounded (measured max 8 at sf0.1). The oracle
+    * replays resample → DCT → median-threshold → band join in exact
+    * BIGINT SQL with the [[graft.operators.Multimodal.phCos]] table
+    * embedded (the q197 shared-constant discipline). */
+  def q199PhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.phashes(s, dir).localCheckpoint()
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L))): _*)))
+      .toDF("doc_id", "phash", "b", "bv")
+    val cand = bands.select(col("b"), col("bv"),
+        col("doc_id").as("doc1"), col("phash").as("h1"))
+      .join(bands.select(col("b"), col("bv"),
+        col("doc_id").as("doc2"), col("phash").as("h2")), Seq("b", "bv"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), col("h1"), col("h2"))
+      .distinct()
+    cand.withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= 3)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  lazy val oracleQ199: String = {
+    val phc = Multimodal.phCos.flatten.mkString("[", ", ", "]")
+    s"""WITH tbl AS (SELECT $phc AS phc),
+       |d AS (
+       |  SELECT doc_id, doc_id // 2 AS g,
+       |    8 * (1 + (doc_id // 2) % 4) AS w,
+       |    8 * (1 + (doc_id // 2) % 3) AS h
+       |  FROM documents
+       |), p16 AS MATERIALIZED (
+       |  SELECT doc_id, j, i,
+       |    30 + (g*37 + idx*53 + (g*idx) % 251) % 180
+       |      + CASE WHEN doc_id % 2 = 1 AND idx % 101 = 0 THEN 6 ELSE 0 END
+       |      AS v
+       |  FROM (
+       |    SELECT doc_id, g, j, i, ((j*h) // 16) * w + ((i*w) // 16) AS idx
+       |    FROM d, range(0,16) tj(j), range(0,16) ti(i))
+       |), r AS MATERIALIZED (
+       |  SELECT doc_id, u, j AS y,
+       |    SUM(phc[CAST(u*16 + i AS INT) + 1] * v) AS rv
+       |  FROM p16, range(0,8) tu(u), tbl
+       |  GROUP BY doc_id, u, j
+       |), hh AS (
+       |  SELECT doc_id, u, v,
+       |    CAST(SUM(phc[CAST(v*16 + y AS INT) + 1] * rv) AS BIGINT) AS coef
+       |  FROM r, range(0,8) tv(v), tbl
+       |  GROUP BY doc_id, u, v
+       |), coefs AS MATERIALIZED (
+       |  SELECT doc_id, CAST(u*8 + v - 1 AS INT) AS b, coef
+       |  FROM hh WHERE NOT (u = 0 AND v = 0)
+       |), med AS (
+       |  SELECT doc_id, coef AS m FROM (
+       |    SELECT doc_id, coef,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+       |    FROM coefs) WHERE rn = 32
+       |), hash AS MATERIALIZED (
+       |  SELECT c.doc_id,
+       |    CAST(SUM(CASE WHEN c.coef > med.m
+       |      THEN CAST(1 AS BIGINT) << c.b ELSE 0 END) AS BIGINT) AS hv
+       |  FROM coefs c JOIN med ON c.doc_id = med.doc_id
+       |  GROUP BY c.doc_id
+       |), bands AS MATERIALIZED (
+       |  SELECT doc_id, b, (hv >> CAST(16*b AS INT)) & 65535 AS bv, hv
+       |  FROM hash, range(0,4) tb(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc1, c2.doc_id AS doc2,
+       |    a.hv AS h1, c2.hv AS h2
+       |  FROM bands a JOIN bands c2
+       |    ON a.b = c2.b AND a.bv = c2.bv AND a.doc_id < c2.doc_id
+       |)
+       |SELECT doc1, doc2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+       |ORDER BY doc1, doc2""".stripMargin
+  }
+
   /** q116 — STREAMING materialized-view maintenance run to completion
     * in-process (seventh streaming shape): the events stream arrives on a
     * MemoryStream in three micro-batches; `foreachBatch` merges each

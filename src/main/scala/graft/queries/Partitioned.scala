@@ -83,6 +83,91 @@ object Partitioned {
     f.delete()
   }
 
+  /** Monthly per-flag partials — exact decimal sums so state ∪ delta
+    * re-aggregation commutes ([[graft.operators.Incremental.mergePartials]]
+    * rule). */
+  private def monthlyAgg(fact: DataFrame): DataFrame =
+    fact.groupBy(col("ship_month"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+
+  /** The incremental refresh read: everything at or after the watermark
+    * month — a LITERAL predicate on the partition column, so pruning is
+    * static (PlanShapeSpec pins PartitionFilters + an exact scanned-
+    * directory count on this function's plan). */
+  def refreshRead(s: SparkSession, root: String, wmMonth: String): DataFrame =
+    s.read.parquet(root).filter(col("ship_month") >= lit(wmMonth))
+
+  /** q198: watermark/overlap-by-1 incremental refresh COMPOSED WITH the
+    * q194 date-partitioned layout — the reference's actual nightly read
+    * shape (forward-fill.ts:100-133 recomputes [max(date) − overlap,
+    * today] over date-keyed tables). q194 proved the layout prunes; the
+    * Incremental spec proved the watermark algebra; this program proves
+    * them TOGETHER: the refresh read's plan touches only the
+    * [watermark, newest] partition directories, and the healed output is
+    * bit-identical to the full recompute.
+    *
+    * The program replays one nightly run: the standing state (last
+    * night's output) fully covers every month strictly before the
+    * watermark month and PARTIALLY covers the watermark month itself
+    * (the partially-written latest day forward-fill self-heals by
+    * re-reading it); the newest month arrived since last run and is
+    * absent entirely. The watermark is then derived the reference's way —
+    * `max(date)` of the standing target (a 1-row metadata read) — the
+    * refresh re-reads `[wm, ∞)` FROM THE PARTITIONED LAYOUT (2 of ~84
+    * directories; no task is scheduled for the rest), and the healed
+    * state is `state[< wm] ∪ agg(refresh)`: the partial watermark-month
+    * partials are REPLACED, not merged (overlap-by-1's idempotent
+    * re-read), so a half-written day can never double-count.
+    *
+    * At 100 TB the arithmetic is the whole point: state is
+    * key-cardinality-sized, the nightly scan is bounded by the overlap
+    * window — ~2/84ths of the fact — and the only full-table pass is the
+    * one-off layout write. The oracle is the full recompute over the raw
+    * table: healed ≡ full is exactly the self-healing contract. */
+  def q198IncrementalPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9_]", "_")
+    val root = s"${System.getProperty("user.dir")}/target/" +
+      s"graft_incr_${safe}_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      writePartitioned(s, dir, root)
+      val base = Tables.lineitem(s, dir)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      // newest + watermark month, derived from data (bounded: ~84 rows)
+      val top2 = base.select(col("ship_month")).distinct()
+        .orderBy(col("ship_month").desc).limit(2)
+        .collect().map(_.getString(0))
+      val wmMonth = top2.min
+      // last night's standing state: full partials < wm, HALF the wm
+      // month (even order keys — the partially-written day), newest
+      // month absent. Checkpointed: it stands in for a materialized
+      // target table, not a live lineage.
+      val state = monthlyAgg(
+          base.filter(col("ship_month") < lit(wmMonth)).unionByName(
+            base.filter(col("ship_month") === lit(wmMonth) &&
+              col("l_orderkey") % 2 === 0)))
+        .localCheckpoint(true)
+      // the reference's watermark read: max(date) of the target
+      val wm = state.agg(max(col("ship_month"))).collect()(0).getString(0)
+      val healed = state.filter(col("ship_month") < lit(wm))
+        .unionByName(monthlyAgg(refreshRead(s, root, wm)))
+      healed.select(col("ship_month"), col("l_returnflag"),
+          col("n_items"), col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("ship_month"), col("l_returnflag"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(new java.io.File(root))
+  }
+
+  /** Full recompute over the raw table — healed incremental state must be
+    * indistinguishable from it (the self-healing contract). */
+  val oracleQ198: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Same semantics over the raw (un-partitioned) table: the layout must
     * never change results — partitioning is physical, not logical. */
   val oracleQ194: String =

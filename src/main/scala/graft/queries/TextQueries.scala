@@ -1797,11 +1797,12 @@ GROUP BY d.source ORDER BY d.source"""
        |SELECT id1, id2, cell, cosine_sim, CAST(rk AS INT) AS rk
        |FROM ranked WHERE rk <= $KnnK ORDER BY id1, rk""".stripMargin
 
-  /** q195 beam-search geometry: 4 probe queries navigate from the
-    * [[IvfCells]] Lloyd seeds (they double as the shared entry points —
-    * one per initial cell region, so the walk can cross cells even though
-    * the q89 graph's edges are within-cell) with beam width 4 for 2
-    * rounds; recall@[[BeamK]] is scored against the exact top-k. */
+  /** q195 beam-search geometry: [[BeamQueries]] probe queries navigate
+    * from the [[IvfCells]] Lloyd seeds (they double as the shared entry
+    * points — one per initial cell region, so the walk can cross cells
+    * even though the q89 graph's edges are within-cell) with beam width
+    * [[BeamWidth]] for [[BeamRounds]] rounds; recall@[[BeamK]] is scored
+    * against the exact top-k. */
   val BeamQueries = 4
   val BeamWidth = 8
   val BeamRounds = 3

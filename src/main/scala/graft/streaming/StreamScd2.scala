@@ -132,17 +132,33 @@ object StreamScd2 {
     * `latenessDays` behind the newest date seen — the standard per-source
     * watermark contract. A date merges only once the watermark
     * (max seen − lateness) passes it strictly, proving no more rows for
-    * it can arrive within the bound; rows beyond the bound fail loud in
-    * [[MaintainerBase.buffer]]. In-flight state grows to at most the
-    * dates inside one lateness window — bounded, like a streaming state
-    * store's watermarked buffer. */
+    * it can arrive within the bound. The bound is enforced fail-loud at
+    * BOTH layers, on Structured Streaming's own batch contract (the
+    * watermark that gates batch N is the one ESTABLISHED through batch
+    * N−1, so a straggler in the same batch as the row that advances the
+    * max is legal): a row below the previous batch's watermark throws
+    * here even if its date has not merged yet, and a row at or below the
+    * merge cursor throws in [[MaintainerBase.buffer]] — silently
+    * accepting either would let a straggler resurrect a snapshot whose
+    * absence semantics (delists) were already decided. In-flight state
+    * grows to at most the dates inside one lateness window — bounded,
+    * like a streaming state store's watermarked buffer. */
   final class WatermarkedMaintainer(spark: SparkSession, latenessDays: Int)
       extends MaintainerBase(spark) {
     private var maxSeen: Option[java.sql.Date] = None
 
     override def absorb(batch: Dataset[Chg]): Unit = synchronized {
+      // watermark as of the END of the previous batch gates this one
+      val wmPrev = maxSeen.map(m =>
+        java.sql.Date.valueOf(m.toLocalDate.minusDays(latenessDays.toLong)))
       batch.collect().foreach { c =>
-        buffer(c)
+        buffer(c) // throws "late CDC row" at/below the merge cursor
+        wmPrev.foreach { w =>
+          if (c.effDate.before(w))
+            throw new IllegalStateException(
+              s"CDC row for ${c.effDate} violates the $latenessDays-day " +
+                s"lateness bound: watermark is already $w")
+        }
         if (maxSeen.forall(m => c.effDate.after(m))) maxSeen = Some(c.effDate)
       }
       val wm = maxSeen.map(m =>

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
@@ -277,9 +278,11 @@ class MultimodalSpec extends AnyFunSuite {
     // c0 = 2^20 * sum of log-mel energies: nonnegative (ln(1+E) >= 0),
     // and the chirp signal must produce real per-frame spectral variation
     val stats = rows.agg(min(col("c0")), countDistinct(col("c1")),
-      max(abs(col("frame_idx")))).collect()(0)
+      max(col("frame_idx"))).collect()(0)
     assert(stats.getLong(0) >= 0L)
     assert(stats.getLong(1) > 1L, "MFCCs must vary across frames")
+    // multi-frame docs exist (frame numbering really advances past 0)
+    assert(stats.getInt(2) >= 1, "expected docs with more than one frame")
   }
 
   test("decodeFeatures dispatches on magic bytes: JPEG, MJPEG frame count, WAV, junk") {
@@ -307,5 +310,51 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodeFeatures(
         Multimodal.MediaRow(4L, "image", Array.fill(20)(7.toByte)))
     }
+  }
+
+  test("pHash: invariances, twin recall through the real codec, band boundedness") {
+    import graft.operators.Multimodal
+    import graft.queries.Advanced
+    val spark = SparkTestSession.spark
+    // cos table invariants: DC row is the pure scale; row u sums to ~0
+    // for u odd (cosine symmetry over the half-period sample points)
+    assert(Multimodal.phCos(0).forall(_ == Multimodal.PhScale))
+    assert(Multimodal.phCos(1).sum == 0L)
+    // a constant image has NO non-DC energy: every coefficient 0, median
+    // 0, strict > threshold -> hash 0
+    val flat = Array.fill(16 * 16)(128)
+    assert(Multimodal.pHash64(16, 16, flat) == 0L)
+    // hash is invariant under brightness-preserving decode roundtrip:
+    // encode real BMP bytes, decode, hash == hash of the raw pixels
+    val px = Array.tabulate(24 * 16)(i => 30 + (i * 53 + i % 251) % 180)
+    val bmp = Multimodal.encodeBmp24(24, 16,
+      px.flatMap(v => Array(v.toByte, v.toByte, v.toByte)))
+    val (dw, dh, gr) = Multimodal.decodeBmpGray(bmp)
+    assert(dw == 24 && dh == 16 && gr.sameElements(px))
+    // decodeBmpGray returns LOGICAL top-down order (row 0 first): the
+    // top-left source pixel must come back at index 0
+    assert(gr(0) == px(0))
+    // gate shape at sf0.001: planted twins (2g, 2g+1) are found through
+    // the full synth -> real-encode -> real-decode -> hash -> band-join
+    // pipeline with high recall, and every reported pair is <= 3 bits
+    val pairs = Advanced.q199PhashPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.forall(_._3 <= 3))
+    val twinHits = pairs.count { case (a, b, _) => a / 2 == b / 2 }
+    val nTwins = Multimodal.phashes(spark, "/root/testdata/sf0.001")
+      .count() / 2
+    assert(twinHits >= (nTwins * 0.95).toInt,
+      s"twin recall $twinHits/$nTwins below 95%")
+    // band buckets stay content-bounded (the no-skew guarantee the
+    // banded self-join relies on): no bucket collapses the join to
+    // quadratic work
+    val maxBucket = Multimodal.phashes(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L))): _*)))
+      .toDF("doc_id", "phash", "b", "bv")
+      .groupBy(col("b"), col("bv")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxBucket <= 32, s"pHash band bucket skew: $maxBucket")
   }
 }

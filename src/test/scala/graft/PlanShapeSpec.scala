@@ -170,6 +170,40 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental refresh over the partitioned layout touches only [wm, newest] dirs") {
+    // the q198 composition: watermark/overlap-by-1 refresh READING the
+    // date-partitioned layout must schedule scans for exactly the
+    // watermark month and everything after — never the full history
+    import org.apache.spark.sql.functions.{col, date_format}
+    val root = s"${System.getProperty("user.dir")}/target/graft_incr_planspec"
+    graft.queries.Partitioned.writePartitioned(spark, dir, root)
+    try {
+      val months = graft.Tables.lineitem(spark, dir)
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+        .distinct().collect().map(_.getString(0)).sorted
+      val wm = months(months.length - 2) // second-newest = watermark month
+      val refresh = graft.queries.Partitioned.refreshRead(spark, root, wm)
+      val rp = refresh.queryExecution.executedPlan.toString
+      assert(rp.contains("PartitionFilters") && rp.contains(wm),
+        "watermark literal must land in the scan's PartitionFilters:\n" +
+          rp.linesIterator.take(12).mkString("\n"))
+      val scanned = refresh.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+      val expect = months.count(_ >= wm) // = 2: watermark month + newest
+      assert(scanned.nonEmpty && scanned.head == expect,
+        s"refresh read must scan exactly $expect of ${months.length} " +
+          s"partition dirs, got $scanned")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("new round-7 gates avoid cartesian degeneration") {
     for (name <- Seq("q123_allpairs_join", "q124_span_dedup",
         "q126_cms_estimate", "q129_inverted_index", "q135_dataset_card",

@@ -134,6 +134,20 @@ class StreamScd2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("late CDC row"))
   }
 
+  test("watermarked maintainer rejects bound violators even before any merge") {
+    import spark.implicits._
+    // batch 1 establishes the watermark at 2024-02-09 (max 2024-03-01 −
+    // 20d) but merges NOTHING (2024-03-01 is not behind it); batch 2's
+    // 2024-01-01 straggler is behind that established watermark with its
+    // date never merged — the merge-cursor check can't see it, so the
+    // per-batch watermark check must fail loud
+    val m = new StreamScd2.WatermarkedMaintainer(spark, latenessDays = 20)
+    m.absorb(snapRows(3).toDS())
+    val e = intercept[IllegalStateException](
+      m.absorb(Seq(Chg(days(0), 9, "z", 99)).toDS()))
+    assert(e.getMessage.contains("lateness bound"))
+  }
+
   test("half-arrived snapshot is buffered, not merged as delists") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
