@@ -137,7 +137,10 @@ object Bench {
     "q152_lsh_calibration", "q153_kcore", "q164_kmeans_elbow",
     "q168_personalized_pr",
     // q195 contains the q89 graph build plus the beam rounds
-    "q195_beam_search")
+    "q195_beam_search",
+    // q198 rewrites the partitioned layout before refreshing (Time1
+    // fresh-steady 3.8s at sf0.1)
+    "q198_incr_partitioned")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, Core, Curation, FactorVectorProgram, Partitioned, PerBands, Scd2Replay, Screen, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, FactorVectorProgram, Partitioned, PerBands, Scd2Replay, Screen, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -220,6 +220,7 @@ object SparkEntry {
     "q197_wav_mfcc" -> (Advanced.q197WavMfcc _),
     "q198_incr_partitioned" -> (Partitioned.q198IncrementalPartitioned _),
     "q199_phash_pairs" -> (Advanced.q199PhashPairs _),
+    "q200_config_score" -> (ConfigScore.q200ConfigScore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -532,6 +533,7 @@ object SparkEntry {
     "q197_wav_mfcc" -> Advanced.oracleQ197,
     "q198_incr_partitioned" -> Partitioned.oracleQ198,
     "q199_phash_pairs" -> Advanced.oracleQ199,
+    "q200_config_score" -> ConfigScore.oracleQ200,
   )
 
   private val asofOracle: String =

