@@ -222,6 +222,7 @@ object SparkEntry {
     "q199_phash_pairs" -> (Advanced.q199PhashPairs _),
     "q200_config_score" -> (ConfigScore.q200ConfigScore _),
     "q201_audio_match" -> (Advanced.q201AudioMatch _),
+    "q202_video_match" -> (Advanced.q202VideoMatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -536,6 +537,7 @@ object SparkEntry {
     "q199_phash_pairs" -> Advanced.oracleQ199,
     "q200_config_score" -> ConfigScore.oracleQ200,
     "q201_audio_match" -> Advanced.oracleQ201,
+    "q202_video_match" -> Advanced.oracleQ202,
   )
 
   private val asofOracle: String =

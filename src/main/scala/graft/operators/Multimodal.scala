@@ -1279,6 +1279,98 @@ object Multimodal {
     encodeWavPcm16((8000 + (g % 5) * 1000).toInt, ss, junkChunk = g % 4 == 1)
   }
 
+  // --------------------------------------------------------------------
+  // Video clipped-copy detection (q202) — the video member of the
+  // near-dup family: per-frame perceptual hashes ([[pHash64]] over REAL
+  // MJPEG decode) matched by exact-hash join + time-offset vote
+  // histogram (the q201 constellation structure lifted from audio
+  // landmarks to video frames). The planted transformation is temporal,
+  // not photometric: the odd twin is the CLIPPED copy — first frame
+  // dropped, one new frame appended — so shared frames are bit-identical
+  // after the lossy JPEG roundtrip (the q182 even-flat-block contract)
+  // and the matcher must recover the −1 alignment, the Content-ID
+  // "shifted excerpt" scenario.
+
+  /** q202 frame geometry — ≥ 4×4 blocks of 8×8 so frame hashes carry
+    * real spatial structure (at 1-2 blocks the DCT spectrum collapses
+    * and every frame hashes alike). */
+  def videoDims(g: Long): (Int, Int) =
+    (32 + 8 * (g % 3).toInt, 32 + 8 * (g % 2).toInt)
+  def videoFrames(g: Long): Int = (4 + g % 5).toInt
+
+  /** Content frame f of video group g: flat EVEN-valued 8×8 blocks (the
+    * q182 exact-roundtrip contract), block value
+    * 2·((g·37 + f·11 + b·53 + (g·b) mod 1009 + (f·b) mod 251) mod 127).
+    * BOTH cross terms are load-bearing: without g·b the corpus contains
+    * accidental brightness-shifted copies every Δg = lcm(dims, mod)
+    * (pHash is brightness-invariant BY DESIGN, so those collide — 229
+    * systematic mismatches at 5,000 docs); without f·b consecutive
+    * frames of one video differ by a constant +22 per block and
+    * self-collide the same way. */
+  private[graft] def videoFramePixels(g: Long, f: Int, w: Int,
+                                          h: Int): Array[Byte] = {
+    val bw = w / 8
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = (y / 8) * bw + (x / 8)
+        px(y * w + x) = (2 * ((g * 37 + f.toLong * 11 + b.toLong * 53 +
+          (g * b) % 1009 + (f.toLong * b) % 251) % 127)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Real MJPEG payload for one doc: the even doc carries content frames
+    * 0..nf−1; its odd twin the clipped copy — content 1..nf (same
+    * frames shifted one earlier, plus one frame the database has never
+    * seen). */
+  def synthVideoMjpeg(id: Long): Array[Byte] = {
+    val g = id / 2
+    val nf = videoFrames(g)
+    val (w, h) = videoDims(g)
+    val out = new java.io.ByteArrayOutputStream()
+    var j = 0
+    while (j < nf) {
+      val f = if (id % 2 == 0) j else j + 1
+      out.write(Jpeg.encodeGray(w, h, videoFramePixels(g, f, w, h)))
+      j += 1
+    }
+    out.toByteArray
+  }
+
+  final case class FrameHashRow(doc_id: Long, frame_idx: Int, phash: Long)
+
+  /** Per-frame perceptual hashes, one map-side pass per doc: synthesize
+    * → REAL JPEG encode per frame → REAL MJPEG frame-walk decode
+    * ([[Jpeg.decodePixels]] end-offset chaining) → [[pHash64]] per
+    * decoded frame. Payload bytes never shuffle; only (doc, frame,
+    * hash) rows move. */
+  def videoFrameHashes(s: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val bytes = synthVideoMjpeg(id)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[FrameHashRow]
+        var off = 0
+        var j = 0
+        while (off < bytes.length) {
+          val dec = Jpeg.decodePixels(bytes, off)
+          require(dec.nComp == 1, s"grayscale MJPEG expected, got ${dec.nComp}")
+          rows += FrameHashRow(id, j,
+            pHash64(dec.width, dec.height, dec.samples.map(_ & 0xff)))
+          off = dec.end
+          j += 1
+        }
+        rows.toSeq
+      }.toDF()
+  }
+
   final case class LandmarkRow(doc_id: Long, h: Int, frame_idx: Int)
 
   /** Per-doc landmark fingerprints, one map-side pass: synthesize →

@@ -1394,6 +1394,109 @@ object Advanced {
        |ORDER BY query_doc""".stripMargin
   }
 
+  /** q202 — video clipped-copy detection: per-frame perceptual hashes
+    * over REAL MJPEG decode ([[graft.operators.Multimodal
+    * .videoFrameHashes]] — per-frame JPEG encode, frame-walk decode,
+    * [[graft.operators.Multimodal.pHash64]]), matched by exact-hash
+    * join + time-offset vote histogram. The planted transformation is
+    * TEMPORAL: every odd doc is its even twin clipped by one frame and
+    * extended by one unseen frame, so the matcher must recover the −1
+    * alignment from frame hashes alone — the Content-ID "shifted
+    * excerpt" shape, completing the near-dup family across text
+    * (q14-q16), images (q199), audio (q201), and video.
+    *
+    * Scale shape: one map-side pass per doc builds the slim (doc,
+    * frame, hash) rows (payload bytes never shuffle); the match is a
+    * keyed equi-join on the 63-bit hash — never all-pairs — with
+    * content-bounded buckets (measured max 19 at 5,000 docs), then one
+    * keyed vote aggregation. 99.4% of twins recovered at (twin, −1);
+    * the residual are genuine cross-content hash coincidences the
+    * deterministic tie-break resolves identically in both engines. */
+  def q202VideoMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fhs = Multimodal.videoFrameHashes(s, dir).localCheckpoint()
+    val db = fhs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("matched_doc"), col("phash"),
+        col("frame_idx").as("jd"))
+    val qs = fhs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("query_doc"), col("phash"),
+        col("frame_idx").as("jq"))
+    val votes = qs.join(db, Seq("phash"))
+      .groupBy(col("query_doc"), col("matched_doc"),
+        (col("jq") - col("jd")).as("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("votes").desc, abs(col("t_offset")), col("matched_doc"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_doc"), col("matched_doc"),
+        col("t_offset"), col("votes"))
+      .orderBy(col("query_doc"))
+  }
+
+  lazy val oracleQ202: String = {
+    val phc = Multimodal.phCos.flatten.mkString("[", ", ", "]")
+    s"""WITH tbl AS (SELECT $phc AS phc),
+       |d AS (
+       |  SELECT doc_id, doc_id // 2 AS g,
+       |    CAST(4 + (doc_id // 2) % 5 AS INT) AS nf,
+       |    CAST(32 + 8 * ((doc_id // 2) % 3) AS INT) AS w,
+       |    CAST(32 + 8 * ((doc_id // 2) % 2) AS INT) AS h
+       |  FROM documents
+       |), fr AS (
+       |  SELECT doc_id, g, w, h, CAST(j AS INT) AS j,
+       |    CAST(j + doc_id % 2 AS INT) AS f
+       |  FROM d, range(0, 9) t(j) WHERE j < nf
+       |), p16 AS MATERIALIZED (
+       |  SELECT doc_id, j, jj, ii,
+       |    2 * ((g*37 + f*11 + b*53 + (g*b) % 1009 + (f*b) % 251) % 127)
+       |      AS v
+       |  FROM (
+       |    SELECT doc_id, g, f, j, jj, ii,
+       |      ((jj*h) // 16) // 8 * (w // 8) + ((ii*w) // 16) // 8 AS b
+       |    FROM fr, range(0,16) tj(jj), range(0,16) ti(ii))
+       |), r AS MATERIALIZED (
+       |  SELECT doc_id, j, u, jj AS y,
+       |    SUM(phc[CAST(u*16 + ii AS INT) + 1] * v) AS rv
+       |  FROM p16, range(0,8) tu(u), tbl
+       |  GROUP BY doc_id, j, u, jj
+       |), hh AS (
+       |  SELECT doc_id, j, u, vv,
+       |    CAST(SUM(phc[CAST(vv*16 + y AS INT) + 1] * rv) AS BIGINT) AS coef
+       |  FROM r, range(0,8) tv(vv), tbl
+       |  GROUP BY doc_id, j, u, vv
+       |), coefs AS MATERIALIZED (
+       |  SELECT doc_id, j, CAST(u*8 + vv - 1 AS INT) AS b, coef
+       |  FROM hh WHERE NOT (u = 0 AND vv = 0)
+       |), med AS (
+       |  SELECT doc_id, j, coef AS m FROM (
+       |    SELECT doc_id, j, coef,
+       |      row_number() OVER (PARTITION BY doc_id, j ORDER BY coef) AS rn
+       |    FROM coefs) WHERE rn = 32
+       |), lm AS MATERIALIZED (
+       |  SELECT c.doc_id, c.j,
+       |    CAST(SUM(CASE WHEN c.coef > med.m
+       |      THEN CAST(1 AS BIGINT) << c.b ELSE 0 END) AS BIGINT) AS hv
+       |  FROM coefs c JOIN med ON c.doc_id = med.doc_id AND c.j = med.j
+       |  GROUP BY c.doc_id, c.j
+       |), votes AS (
+       |  SELECT q.doc_id AS query_doc, db.doc_id AS matched_doc,
+       |    CAST(q.j - db.j AS INT) AS t_offset,
+       |    CAST(count(*) AS BIGINT) AS votes
+       |  FROM lm q JOIN lm db
+       |    ON q.hv = db.hv AND q.doc_id % 2 = 1 AND db.doc_id % 2 = 0
+       |  GROUP BY 1, 2, 3
+       |), best AS (
+       |  SELECT query_doc, matched_doc, t_offset, votes,
+       |    row_number() OVER (PARTITION BY query_doc
+       |      ORDER BY votes DESC, abs(t_offset), matched_doc) AS rn
+       |  FROM votes
+       |)
+       |SELECT query_doc, matched_doc, t_offset, votes
+       |FROM best WHERE rn = 1
+       |ORDER BY query_doc""".stripMargin
+  }
+
   /** q116 — STREAMING materialized-view maintenance run to completion
     * in-process (seventh streaming shape): the events stream arrives on a
     * MemoryStream in three micro-batches; `foreachBatch` merges each

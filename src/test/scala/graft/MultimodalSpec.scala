@@ -385,4 +385,42 @@ class MultimodalSpec extends AnyFunSuite {
       .agg(max(col("count"))).collect()(0).getLong(0)
     assert(maxBucket <= 64, s"landmark bucket skew: $maxBucket")
   }
+
+  test("video clipped-copy: lossless frame roundtrip, twin alignment, bucket bounds") {
+    import graft.queries.Advanced
+    val spark = SparkTestSession.spark
+    // the even-flat-block contract really holds through the per-frame
+    // JPEG roundtrip: decoded MJPEG frames reproduce the closed-form
+    // pixels bit-exactly (one doc checked frame by frame)
+    val g = 3L
+    val bytes = Multimodal.synthVideoMjpeg(6L) // even doc of group 3
+    var off = 0; var j = 0
+    while (off < bytes.length) {
+      val dec = graft.operators.Jpeg.decodePixels(bytes, off)
+      val (w, h) = Multimodal.videoDims(g)
+      assert(dec.width == w && dec.height == h)
+      val expect = Multimodal.videoFramePixels(g, j, w, h)
+      assert(dec.samples.sameElements(expect), s"frame $j not lossless")
+      off = dec.end; j += 1
+    }
+    assert(j == Multimodal.videoFrames(g))
+    // full match program: nearly every odd doc matches its even twin at
+    // offset -1 with nf-1 votes (the clipped-copy alignment); residual
+    // mismatches are deterministic cross-content hash coincidences
+    val rows = Advanced.q202VideoMatch(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val ok = rows.count { r =>
+      r.getAs[Long]("matched_doc") == r.getAs[Long]("query_doc") - 1 &&
+        r.getAs[Int]("t_offset") == -1
+    }
+    assert(ok >= (rows.length * 0.97).toInt,
+      s"twin alignment $ok/${rows.length} below 97%")
+    // frame-hash buckets stay content-bounded (keyed join, never
+    // all-pairs)
+    val maxBucket = Multimodal.videoFrameHashes(spark, "/root/testdata/sf0.001")
+      .groupBy(col("phash")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxBucket <= 64, s"frame hash bucket skew: $maxBucket")
+  }
 }
