@@ -223,6 +223,9 @@ object SparkEntry {
     "q200_config_score" -> (ConfigScore.q200ConfigScore _),
     "q201_audio_match" -> (Advanced.q201AudioMatch _),
     "q202_video_match" -> (Advanced.q202VideoMatch _),
+    "q203_maxsim" -> (Advanced.q203Maxsim _),
+    "q204_label_prop" -> (TextQueries.q204LabelProp _),
+    "q205_kcenter" -> (Advanced.q205Kcenter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -538,6 +541,9 @@ object SparkEntry {
     "q200_config_score" -> ConfigScore.oracleQ200,
     "q201_audio_match" -> Advanced.oracleQ201,
     "q202_video_match" -> Advanced.oracleQ202,
+    "q203_maxsim" -> Advanced.oracleQ203,
+    "q204_label_prop" -> TextQueries.oracleQ204,
+    "q205_kcenter" -> Advanced.oracleQ205,
   )
 
   private val asofOracle: String =

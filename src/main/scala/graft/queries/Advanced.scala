@@ -2703,4 +2703,212 @@ object Advanced {
       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
       |FROM corners GROUP BY node
       |ORDER BY n_tri DESC, node LIMIT 100""".stripMargin
+
+  /** q203 multi-vector geometry: consecutive embeddings are grouped into
+    * token bags of [[MaxSimTokens]] vectors per document (doc =
+    * vec_id div tokens, the deterministic carving the corpus supports);
+    * the first [[MaxSimQueries]] docs are the query batch. */
+  val MaxSimTokens = 8
+  val MaxSimQueries = 4
+  val MaxSimK = 10
+
+  /** q203 — late-interaction (ColBERT MaxSim) retrieval scoring
+    * (Khattab & Zaharia, SIGIR'20): score(q, d) = Σ_{t∈q} max_{s∈d}
+    * cos(t, s) over multi-vector documents, top-[[MaxSimK]] docs per
+    * query. Complements the single-vector retrieval family (q17 exact
+    * cosine, q47/q57/q98/q99/q195 ANN, q71 BM25, q134 RRF): MaxSim is
+    * the scoring shape every late-interaction index (ColBERT, PLAID)
+    * ultimately evaluates.
+    *
+    * Numeric parity: per-token cosines are quantized to
+    * floor(cos·1e6 + 0.5) BIGNTs BEFORE max/sum — max is order-free and
+    * the per-query sum is exact integer addition in both engines (the
+    * q72 scaled-integer-carrier rule). The dot/norm folds are the
+    * codegen'd [[graft.functions.dotProduct]]/[[graft.functions.l2Norm]]
+    * whose bit-parity with DuckDB `list_dot_product` carries q17/q18.
+    *
+    * Scale shape: the query batch is bounded by construction
+    * ([[MaxSimQueries]]·[[MaxSimTokens]] token vectors) and BROADCAST;
+    * corpus token vectors never shuffle — the only exchanges are the
+    * two keyed aggregations on (query, doc[, token]), both map-side
+    * combinable. At 1000 executors this is one broadcast + two partial
+    * aggs over the token shards, exactly how a PLAID-style scorer
+    * distributes. */
+  def q203Maxsim(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.embeddings(s, dir)
+      .select(expr(s"vec_id div $MaxSimTokens").as("td"),
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", graft.functions.l2Norm(col("v")))
+      .filter(col("n") > 0)
+    val d = toks.filter(col("td") >= MaxSimQueries)
+      .select(col("td").as("doc"), col("v").as("dv"), col("n").as("dn"))
+    val qtoks = toks.filter(col("td") < MaxSimQueries)
+      .select(col("td").as("query_doc"), col("vec_id").as("qtok"),
+        col("v").as("qv"), col("n").as("qn"))
+    val pair = d.crossJoin(broadcast(qtoks))
+      .withColumn("qcos",
+        floor(graft.functions.dotProduct(col("qv"), col("dv"))
+          / (col("qn") * col("dn")) * lit(1e6) + lit(0.5)))
+    val mx = pair.groupBy(col("query_doc"), col("doc"), col("qtok"))
+      .agg(max(col("qcos")).as("m"))
+    val sc = mx.groupBy(col("query_doc"), col("doc"))
+      .agg(sum(col("m")).as("score"))
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("score").desc, col("doc"))
+    sc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MaxSimK)
+      .select(col("query_doc"), col("doc"), col("score"), col("rk"))
+      .orderBy(col("query_doc"), col("rk"))
+  }
+
+  lazy val oracleQ203: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT vec_id // $MaxSimTokens AS td, vec_id,
+       |    CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS n
+       |  FROM embeddings
+       |), ft AS (SELECT * FROM toks WHERE n > 0),
+       |pair AS (
+       |  SELECT q.td AS query_doc, d.td AS doc, q.vec_id AS qtok,
+       |    CAST(floor(list_dot_product(q.v, d.v) / (q.n * d.n) * 1e6
+       |      + 0.5) AS BIGINT) AS qcos
+       |  FROM ft q JOIN ft d
+       |    ON q.td < $MaxSimQueries AND d.td >= $MaxSimQueries
+       |), mx AS (
+       |  SELECT query_doc, doc, qtok, max(qcos) AS m
+       |  FROM pair GROUP BY 1, 2, 3
+       |), sc AS (
+       |  SELECT query_doc, doc, CAST(SUM(m) AS BIGINT) AS score
+       |  FROM mx GROUP BY 1, 2
+       |)
+       |SELECT query_doc, doc, score, CAST(rk AS INT) AS rk FROM (
+       |  SELECT query_doc, doc, score, row_number() OVER (
+       |    PARTITION BY query_doc ORDER BY score DESC, doc) AS rk
+       |  FROM sc
+       |) WHERE rk <= $MaxSimK
+       |ORDER BY query_doc, rk""".stripMargin
+
+  /** q205 geometry: [[KcentK]] greedy rounds; coordinates quantized to
+    * floor(x·2^20) so every pairwise squared distance is an exact
+    * sub-2^53 integer in both engines (power-of-two scaling is
+    * float→double-exact; Σ(a−b)² = Σa² + Σb² − 2Σab with each term an
+    * integer-valued double < 2^50). */
+  val KcentK = 8
+  private val KcentScale = "1048576.0"
+
+  /** q205 — k-center coreset selection (Gonzalez' greedy 2-approximation,
+    * TCS'85): pick [[KcentK]] centers, each round taking the point
+    * farthest from the chosen set (ties → lowest id), then assign every
+    * point to its nearest center. This is the facility-location shape of
+    * training-data SELECTION (coresets, active-learning seeds,
+    * diversity-maximizing subset) the sampling family (q63/q85/q133)
+    * doesn't cover: those control *rates*, k-center controls *coverage*.
+    *
+    * Scale shape: each round is one map-side distance update against a
+    * BROADCAST center (a literal column) followed by one bounded argmax
+    * (`limit(1)` — the only driver traffic is k single-row collects,
+    * bounded metadata by round count, the documented q74 Lloyd
+    * discipline); the point set is localCheckpoint'ed once and never
+    * shuffles. Final assignment is one broadcast join against the
+    * k-row center table. At 100 TB the same program holds: k bounded
+    * rounds of scan+reduce, no pairwise materialization. */
+  def q205Kcenter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr(s"transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          s"x -> CAST(floor(x * $KcentScale) AS DOUBLE))").as("qv"))
+      .withColumn("sq", graft.functions.dotProduct(col("qv"), col("qv")))
+      .localCheckpoint() // reused KcentK+1 times below
+    def d2To(cqv: Seq[Double], csq: Double) =
+      (col("sq") + lit(csq)
+        - lit(2.0) * graft.functions.dotProduct(col("qv"), typedlit(cqv)))
+        .cast("long")
+    val c0 = pts.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("qv"), col("sq")).collect()(0)
+    var centers = Vector[(Int, Long, Seq[Double], Double, Long)](
+      (0, c0.getLong(0),
+        c0.getAs[scala.collection.Seq[Double]](1).toSeq, c0.getDouble(2), 0L))
+    var cur = pts.withColumn("mind", d2To(centers(0)._3, centers(0)._4))
+      .localCheckpoint()
+    var r = 1
+    while (r < KcentK) {
+      val far = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("qv"), col("sq"), col("mind"))
+        .collect()(0)
+      centers = centers :+ ((r, far.getLong(0),
+        far.getAs[scala.collection.Seq[Double]](1).toSeq, far.getDouble(2),
+        far.getLong(3)))
+      cur = cur.withColumn("mind",
+          least(col("mind"), d2To(centers(r)._3, centers(r)._4)))
+        .localCheckpoint()
+      r += 1
+    }
+    import s.implicits._
+    val ctr = centers
+      .map { case (rd, id, cqv, csq, rad) => (rd, id, cqv, csq, rad) }
+      .toDF("round", "center_id", "cqv", "csq", "radius")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("round"))
+    val asg = pts.crossJoin(broadcast(ctr))
+      .withColumn("d2", (col("sq") + col("csq")
+        - lit(2.0) * graft.functions.dotProduct(col("qv"), col("cqv")))
+        .cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    asg.groupBy(col("round"), col("center_id"), col("radius"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("round"), col("center_id"), col("radius"),
+        col("cluster_size"))
+      .orderBy(col("round"))
+  }
+
+  lazy val oracleQ205: String = {
+    val rounds = (1 until KcentK).map { r =>
+      val prev = if (r == 1) "m1" else s"m$r"
+      // selection CTE c$r reads m$r; the NEXT distance CTE m${r+1}
+      // folds c$r in with least()
+      s"""c$r AS (SELECT vec_id, qv, sq, mind FROM m$r
+         |  ORDER BY mind DESC, vec_id LIMIT 1),
+         |m${r + 1} AS MATERIALIZED (
+         |  SELECT p.vec_id, p.qv, p.sq,
+         |    least(p.mind, CAST(p.sq + c.sq
+         |      - 2 * list_dot_product(p.qv, c.qv) AS BIGINT)) AS mind
+         |  FROM m$r p, c$r c)""".stripMargin
+    }.mkString(",\n")
+    val ctrUnion = (1 until KcentK).map { r =>
+      s"UNION ALL SELECT $r, vec_id, qv, sq, mind FROM c$r"
+    }.mkString("\n")
+    s"""WITH qe AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> floor(x * $KcentScale)) AS qv
+       |  FROM embeddings
+       |), sqs AS MATERIALIZED (
+       |  SELECT vec_id, qv, list_dot_product(qv, qv) AS sq FROM qe
+       |), c0 AS (SELECT vec_id, qv, sq FROM sqs ORDER BY vec_id LIMIT 1),
+       |m1 AS MATERIALIZED (
+       |  SELECT p.vec_id, p.qv, p.sq,
+       |    CAST(p.sq + c.sq - 2 * list_dot_product(p.qv, c.qv) AS BIGINT)
+       |      AS mind
+       |  FROM sqs p, c0 c),
+       |$rounds,
+       |ctr AS (
+       |  SELECT 0 AS r, vec_id, qv, sq, CAST(0 AS BIGINT) AS mind FROM c0
+       |  $ctrUnion
+       |), asg AS (
+       |  SELECT p.vec_id, c.r, row_number() OVER (PARTITION BY p.vec_id
+       |    ORDER BY CAST(p.sq + c.sq
+       |      - 2 * list_dot_product(p.qv, c.qv) AS BIGINT), c.r) AS rn
+       |  FROM sqs p, ctr c
+       |)
+       |SELECT CAST(c.r AS INT) AS round, c.vec_id AS center_id,
+       |  c.mind AS radius, CAST(a.cnt AS BIGINT) AS cluster_size
+       |FROM ctr c JOIN (
+       |  SELECT r, count(*) AS cnt FROM asg WHERE rn = 1 GROUP BY r) a
+       |  ON a.r = c.r
+       |ORDER BY round""".stripMargin
+  }
 }

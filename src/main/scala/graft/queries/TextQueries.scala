@@ -1956,6 +1956,86 @@ GROUP BY d.source ORDER BY d.source"""
        |ORDER BY query_id""".stripMargin
   }
 
+  /** q204 synchronous label-propagation rounds — enough for labels to
+    * traverse the within-cell kNN components at gate scale; fixed so the
+    * oracle unrolls. */
+  val LpaRounds = 4
+
+  /** q204 — label-propagation community detection (Raghavan et al.,
+    * PRE'07) over the symmetrized q89 kNN graph: every node starts with
+    * its own label; each synchronous round it adopts the most frequent
+    * label among its neighbors (ties → lowest label; isolated nodes keep
+    * their own). Completes the graph family (CC q61/q79 = reachability,
+    * PageRank q113 = centrality, k-core q153 = density) with the
+    * COMMUNITY notion semantic curation pipelines use for topic-balanced
+    * sampling and near-dup cluster splitting.
+    *
+    * Determinism: plain LPA is notoriously order-dependent; the
+    * synchronous min-label tie-break makes every round a pure function
+    * of the previous labeling, so Spark and the unrolled-round oracle
+    * agree exactly.
+    *
+    * Scale shape: each round is one keyed join (edges ⋈ labels on the
+    * neighbor id) + one map-side-combinable count + one per-node argmax
+    * window — all shuffles keyed on node ids, never pairwise;
+    * `localCheckpoint` per round caps lineage (the q61 rule). Rounds are
+    * O(1), so the whole program is O(rounds · |E|) shuffled bytes — the
+    * GraphX/Pregel LPA plan expressed as DataFrames. */
+  def q204LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val e0 = knnGraphRanked(s, dir, KnnK).select(col("id1"), col("id2"))
+    val sym = e0.union(e0.select(col("id2").as("id1"), col("id1").as("id2")))
+      .distinct().localCheckpoint()
+    var labels = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("node"), col("vec_id").as("lbl"))
+      .localCheckpoint()
+    var r = 0
+    while (r < LpaRounds) {
+      val neigh = sym.join(labels, sym("id2") === labels("node"))
+        .select(sym("id1"), labels("lbl"))
+      val counts = neigh.groupBy(col("id1"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("id1"))
+        .orderBy(col("c").desc, col("lbl"))
+      val pick = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id1").as("node"), col("lbl").as("newl"))
+      labels = labels.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+      .orderBy(col("node"))
+  }
+
+  lazy val oracleQ204: String = {
+    val roundCtes = (1 to LpaRounds).map { t =>
+      s"""lpc$t AS (
+         |  SELECT s.id1 AS node, l.lbl, count(*) AS c
+         |  FROM sym s JOIN lpl${t - 1} l ON s.id2 = l.node
+         |  GROUP BY 1, 2
+         |), lpp$t AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl) AS rn FROM lpc$t)
+         |  WHERE rn = 1
+         |), lpl$t AS MATERIALIZED (
+         |  SELECT a.node, coalesce(p.lbl, a.lbl) AS lbl
+         |  FROM lpl${t - 1} a LEFT JOIN lpp$t p ON p.node = a.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $knnEdgeCtes, e0 AS (
+       |  SELECT id1, id2 FROM ranked WHERE rk <= $KnnK
+       |), sym AS MATERIALIZED (
+       |  SELECT DISTINCT id1, id2 FROM (
+       |    SELECT id1, id2 FROM e0
+       |    UNION ALL SELECT id2, id1 FROM e0)
+       |), lpl0 AS MATERIALIZED (
+       |  SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+       |), $roundCtes
+       |SELECT node, lbl AS label FROM lpl$LpaRounds ORDER BY node""".stripMargin
+  }
+
   val HnQueries = 8
   val HnK = 5
 

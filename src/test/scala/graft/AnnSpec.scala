@@ -378,4 +378,85 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(again == out)
   }
+
+  test("MaxSim late-interaction scores equal an exact local recompute") {
+    import graft.queries.Advanced
+    val dir = "/root/testdata/sf0.001"
+    val got = Advanced.q203Maxsim(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    // local oracle: same ascending-index fold the codegen exprs use
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val toks = vecs.toSeq.map { case (id, v) =>
+      (id / Advanced.MaxSimTokens, id, v, math.sqrt(dot(v, v)))
+    }.filter(_._4 > 0)
+    val qs = toks.filter(_._1 < Advanced.MaxSimQueries)
+    val ds = toks.filter(_._1 >= Advanced.MaxSimQueries)
+    val scores = // (query_doc, doc) -> Σ_qtok max_dtok quantized cos
+      ds.groupBy(_._1).flatMap { case (dd, dtoks) =>
+        qs.groupBy(_._1).map { case (qd, qtoks2) =>
+          val s = qtoks2.map { case (_, _, qv, qn) =>
+            dtoks.map { case (_, _, dv, dn) =>
+              math.floor(dot(qv, dv) / (qn * dn) * 1e6 + 0.5).toLong
+            }.max
+          }.sum
+          (qd, dd) -> s
+        }
+      }
+    // expected top-k with the (score desc, doc asc) tie-break
+    val expect = scores.groupBy(_._1._1).flatMap { case (qd, m) =>
+      m.toSeq.sortBy { case ((_, dd), s) => (-s, dd) }
+        .take(Advanced.MaxSimK).zipWithIndex
+        .map { case (((_, dd), s), i) => (qd, dd) -> ((s, i + 1)) }
+    }
+    assert(got == expect)
+  }
+
+  test("k-center: Gonzalez greedy matches local recompute; radii non-increasing") {
+    import graft.queries.Advanced
+    val dir = "/root/testdata/sf0.001"
+    val rows = Advanced.q205Kcenter(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == Advanced.KcentK)
+    // radii non-increasing after round 1 (min-dists only shrink)
+    val radii = rows.sortBy(_._1).map(_._3)
+    assert(radii.tail.zip(radii.tail.tail).forall { case (a, b) => b <= a },
+      s"radius sequence not non-increasing: ${radii.mkString(",")}")
+    assert(rows.map(_._2).distinct.length == Advanced.KcentK)
+    // exact local recompute (all-integer math, order-free)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]](1)
+        .toArray.map(x => math.floor(x * 1048576.0)))
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Long = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s.toLong
+    }
+    var centers = Vector((0, vecs.head._1, 0L))
+    val mind = scala.collection.mutable.Map(
+      vecs.map { case (id, v) => id -> d2(v, vecs.head._2) }: _*)
+    val byId = vecs.toMap
+    (1 until Advanced.KcentK).foreach { r =>
+      val (fid, fd) = mind.toSeq.sortBy { case (id, d) => (-d, id) }.head
+      centers = centers :+ ((r, fid, fd))
+      vecs.foreach { case (id, v) =>
+        mind(id) = math.min(mind(id), d2(v, byId(fid)))
+      }
+    }
+    assert(rows.sortBy(_._1).map(t => (t._1, t._2, t._3)).toVector == centers)
+    // cluster sizes cover every point exactly once
+    assert(rows.map(_._4).sum == vecs.length)
+  }
 }

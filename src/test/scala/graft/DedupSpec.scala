@@ -356,4 +356,48 @@ class DedupSpec extends AnyFunSuite {
         s"tau=$tau pair $k: jaccard $v != brute ${brute(k)}") }
     }
   }
+
+  test("label propagation: labels are component-local node ids, isolated keep own, deterministic") {
+    import graft.queries.TextQueries
+    val dir = "/root/testdata/sf0.001"
+    val out = TextQueries.q204LabelProp(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = Tables.embeddings(spark, dir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(out.keySet == nodes)
+    // every label is itself a node id
+    assert(out.values.toSet.subsetOf(nodes))
+    // propagation actually happened (the kNN graph is non-trivial)
+    assert(out.count { case (n, l) => n != l } > 0)
+    // labels never cross connected components of the symmetrized graph:
+    // recompute components locally and check label(n) ~ n
+    val edges = TextQueries.q89KnnGraph(spark, dir)
+      .select(col("id1"), col("id2")).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    nodes.toSeq.sorted.foreach { n =>
+      if (!comp.contains(n)) {
+        var frontier = List(n)
+        while (frontier.nonEmpty) {
+          val x = frontier.head; frontier = frontier.tail
+          if (!comp.contains(x)) {
+            comp(x) = n
+            frontier = adj.getOrElse(x, Array.empty[Long]).toList ::: frontier
+          }
+        }
+      }
+    }
+    out.foreach { case (n, l) =>
+      assert(comp(n) == comp(l), s"label $l of node $n crosses components")
+    }
+    // isolated nodes keep their own label
+    val connected = adj.keySet
+    nodes.diff(connected).foreach(n => assert(out(n) == n))
+    // deterministic: a second run is identical
+    val again = TextQueries.q204LabelProp(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
 }
