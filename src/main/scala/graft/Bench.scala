@@ -140,7 +140,13 @@ object Bench {
     "q195_beam_search",
     // q198 rewrites the partitioned layout before refreshing (Time1
     // fresh-steady 3.8s at sf0.1)
-    "q198_incr_partitioned")
+    "q198_incr_partitioned",
+    // q204 contains the full q89 graph build plus 4 LPA rounds (Time1
+    // fresh-steady 5.7s at sf0.1)
+    "q204_label_prop",
+    // suffix-array family: 1.5M-suffix doubling rounds (q206 3.7s
+    // fresh-steady) + the typed LCP group fold on top (q207 8.8s)
+    "q206_suffix_array", "q207_longest_repeat")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(
@@ -156,7 +162,11 @@ object Bench {
     "q171_good_turing", "q173_heaps_fit", "q175_ks_test",
     // round-8 additions (measured sf0.1 fresh: q183 2.1s, q191 1.9s;
     // q184 0.5s stays here for the non-equi join's plan variance)
-    "q183_pca_power", "q184_record_linkage", "q191_textrank")
+    "q183_pca_power", "q184_record_linkage", "q191_textrank",
+    // round-10/11 additions (Time1 fresh-steady sf0.1: q199 1.4s, q201
+    // 1.7s, q202 1.3s — real codec decodes; q205 1.5s k greedy rounds)
+    "q199_phash_pairs", "q201_audio_match",
+    "q202_video_match", "q205_kcenter")
 
   private val MidGroup = 6
   /** Cheap tier (sub-1.2s, median ~0.5s; 50 of them sub-0.4s): grouped 24
@@ -184,6 +194,10 @@ object Bench {
     ("q14_minhash_candidates", "q152_lsh_calibration"),
     // q195 = q89's kNN-graph pipeline (wider rk cut) + beam-search rounds
     ("q89_knn_graph", "q195_beam_search"),
+    // q204 = q89's exact graph (same degree) + symmetrize + LPA rounds
+    ("q89_knn_graph", "q204_label_prop"),
+    // q207 = q206's doubling rounds (wide carrier) + the LCP group fold
+    ("q206_suffix_array", "q207_longest_repeat"),
   )
 
   /** One query's measurement: median, min, ambient 1-min load at query

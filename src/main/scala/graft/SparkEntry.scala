@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, FactorVectorProgram, Partitioned, PerBands, Scd2Replay, Screen, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, FactorVectorProgram, Partitioned, PerBands, Scd2Replay, Screen, SuffixArray, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -226,6 +226,8 @@ object SparkEntry {
     "q203_maxsim" -> (Advanced.q203Maxsim _),
     "q204_label_prop" -> (TextQueries.q204LabelProp _),
     "q205_kcenter" -> (Advanced.q205Kcenter _),
+    "q206_suffix_array" -> (SuffixArray.q206SuffixArray _),
+    "q207_longest_repeat" -> (SuffixArray.q207LongestRepeat _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -544,6 +546,8 @@ object SparkEntry {
     "q203_maxsim" -> Advanced.oracleQ203,
     "q204_label_prop" -> TextQueries.oracleQ204,
     "q205_kcenter" -> Advanced.oracleQ205,
+    "q206_suffix_array" -> SuffixArray.oracleQ206,
+    "q207_longest_repeat" -> SuffixArray.oracleQ207,
   )
 
   private val asofOracle: String =

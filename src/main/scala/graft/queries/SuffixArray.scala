@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Suffix-array construction by prefix doubling (Manber & Myers,
+  * SODA'90; distributed formulation after Flick & Aluru, SC'15) and the
+  * LCP-based repetition analysis built on it. This is the index
+  * structure under exact-substring dedup at scale (Lee et al. 2022 build
+  * a corpus-level suffix array for ExactSubstr): q88 approximates that
+  * with positional k-gram hashes; q206/q207 build the real thing per
+  * document and read repetition structure off it exactly.
+  *
+  * Reference anchor: the reference's text-cleaning stage flags
+  * boilerplate/repetition heuristically (SURVEY §2.8 text family); the
+  * suffix array is the exact-arithmetic upgrade of that analysis.
+  */
+object SuffixArray {
+
+  /** Doubling rounds: ranks after round k order suffixes by their
+    * 2^k-prefixes, so 2^[[SaRounds]] must reach the longest document
+    * for the final ranks to be total (driver corpus max 577 chars;
+    * 2^10 = 1024 headroom). [[rankLevels]] fail-louds if the corpus
+    * ever outgrows the bound — silent non-total ranks would corrupt
+    * every downstream read. Fixed so the oracle unrolls. */
+  val SaRounds = 10
+
+  /** Rank levels by prefix doubling: one row per suffix (doc_id, pos);
+    * r0 is the code point of the character at pos; r{k+1} is the dense
+    * rank of the pair (r{k}(pos), r{k}(pos + 2^k), −1 beyond the end)
+    * within the doc. After round k, equal ranks mean equal 2^k-grams,
+    * so r[[SaRounds]] is the suffix rank (the inverse suffix array) and
+    * the intermediate levels support O(log n) LCP folds (q207).
+    * `keepLevels = false` carries only the current rank (q206's slim
+    * path — the intermediate levels are dead weight there).
+    *
+    * Scale shape: the text column is dropped AT THE EXPLODE (only
+    * (doc, pos, rank) longs ever move — the rule-7 carrier
+    * discipline); every round is two windows keyed on doc_id — the
+    * same exchange reused — with a `localCheckpoint` every third
+    * round to cap lineage without paying 10 materializations.
+    * Documents bound the window width, so a 1000-executor run
+    * distributes by doc hash with no skew beyond the longest document.
+    * A corpus-level (cross-document) suffix array replaces the per-doc
+    * window with a range-partitioned global pair sort — same round
+    * structure, named here because ExactSubstr needs it; the per-doc
+    * form is what the repetition gates consume. */
+  def rankLevels(s: SparkSession, dir: String,
+                 keepLevels: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // fail-loud bound check: one scalar collect (bounded metadata)
+    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
+    require(maxLen <= (1 << SaRounds),
+      s"document of $maxLen chars exceeds 2^$SaRounds — raise SaRounds")
+    var r = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), length(col("text")).cast("long") - 1L))
+          .as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        ascii(expr("substring(text, CAST(pos + 1 AS INT), 1)")).cast("long")
+          .as("r0"))
+      .localCheckpoint()
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var k = 0
+    var total = false
+    while (k < SaRounds && !total) {
+      val o = 1 << k
+      val wRank = Window.partitionBy(col("doc_id"))
+        .orderBy(col(s"r$k"), col("__r2"))
+      r = r.withColumn("__r2",
+          coalesce(lead(col(s"r$k"), o).over(wLead), lit(-1L)))
+        .withColumn(s"r${k + 1}",
+          dense_rank().over(wRank).cast("long"))
+        .drop("__r2")
+      if (!keepLevels) r = r.drop(s"r$k")
+      if (k % 3 == 2 || k == SaRounds - 1) {
+        r = r.localCheckpoint()
+        // EARLY EXIT, exact by construction: once every doc's ranks are
+        // total (max dense rank == suffix count), every further doubling
+        // round is the identity map in BOTH engines — the oracle's fixed
+        // unroll computes those identity rounds explicitly, Spark skips
+        // them. The LCP fold stays exact too: totality at round k means
+        // all 2^k-grams are distinct, so no LCP can reach 2^k and the
+        // skipped higher levels could never contribute a match.
+        total = r.groupBy(col("doc_id"))
+          .agg((max(col(s"r${k + 1}")) === count(lit(1))).as("t"))
+          .agg(min(col("t"))).collect()(0).getBoolean(0)
+      }
+      k += 1
+    }
+    r
+  }
+
+  /** Index of the last computed rank level in a [[rankLevels]] output
+    * (early exit makes it data-dependent). */
+  private def lastLevel(df: DataFrame): Int =
+    df.columns.filter(c => c.startsWith("r") && c.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt).max
+
+  /** q206 — the per-document suffix array: for every suffix its
+    * lexicographic rank within the document (the inverse suffix array;
+    * rank→pos is a projection away). Gate output is the full relation —
+    * every rank at every position must match the oracle's replay of the
+    * same doubling rounds exactly. */
+  def q206SuffixArray(s: SparkSession, dir: String): DataFrame = {
+    val r = rankLevels(s, dir, keepLevels = false)
+    r.select(col("doc_id"), col("pos"), col(s"r${lastLevel(r)}").as("rk"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Shared oracle CTE chain s0..s[[SaRounds]] replaying the doubling
+    * rounds (s_k ranks compare 2^k-grams). */
+  private lazy val saCtes: String = {
+    val rounds = (0 until SaRounds).map { k =>
+      s"""s${k + 1} AS MATERIALIZED (
+         |  SELECT doc_id, pos,
+         |    CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY r, r2)
+         |      AS BIGINT) AS r
+         |  FROM (
+         |    SELECT doc_id, pos, r,
+         |      coalesce(lead(r, ${1 << k}) OVER (
+         |        PARTITION BY doc_id ORDER BY pos), -1) AS r2
+         |    FROM s$k))""".stripMargin
+    }.mkString(",\n")
+    s"""d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |s0 AS MATERIALIZED (
+       |  SELECT doc_id, CAST(j AS BIGINT) AS pos,
+       |    CAST(ascii(substr(text, CAST(j + 1 AS INT), 1)) AS BIGINT) AS r
+       |  FROM d, range(0, ${1 << SaRounds}) t(j) WHERE j < n
+       |),
+       |$rounds""".stripMargin
+  }
+
+  lazy val oracleQ206: String =
+    s"""WITH $saCtes
+       |SELECT doc_id, pos, r AS rk FROM s$SaRounds
+       |ORDER BY doc_id, pos""".stripMargin
+
+  final case class SuffixRow(doc_id: Long, pos: Long,
+                                     levels: Array[Long])
+  final case class LrsRow(doc_id: Long, lrs_len: Long,
+                                  lrs_pos: Long)
+
+  /** q207 — longest repeated substring per document, read exactly off
+    * the suffix array: the LRS is the maximum LCP over suffix pairs
+    * ADJACENT in suffix-array order (any longer repeat would make some
+    * adjacent pair share it), and each LCP is the standard O(log n)
+    * binary fold over the doubling levels — descend k =
+    * [[SaRounds]]−1..0, and whenever the level-k ranks at (p+acc, q+acc)
+    * agree (equal rank at level k ⟺ the 2^k-grams agree; distinct
+    * same-doc suffixes have distinct lengths, so padding never aliases),
+    * add 2^k to the matched prefix. Exact integer arithmetic end to
+    * end — no hashing, no probabilistic bound: this is the precise
+    * within-doc repetition signal q67's heuristics approximate, the
+    * quality dimension (Gopher's repetition filters) computed exactly.
+    *
+    * Scale shape: the level table shuffles ONCE, keyed by doc (the
+    * q31 typed-group discipline for per-group sequential kernels); the
+    * fold then runs in-memory per document (≤ maxlen rows), emitting
+    * one row per doc. The oracle replays the identical fold as
+    * [[SaRounds]] chained joins — both sides are pure integer
+    * arithmetic, so the group-local evaluation and the join-chain
+    * evaluation agree bit-for-bit. A pure-join formulation measured
+    * 20 s at sf0.1 against ~2 s for this plan — 20 keyed shuffles
+    * replaced by one. */
+  def q207LongestRepeat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = rankLevels(s, dir, keepLevels = true)
+    val last = lastLevel(wide)
+    val lvlCols = array((0 to last).map(k => col(s"r$k")): _*)
+    val rows = wide
+      .select(col("doc_id"), col("pos"), lvlCols.as("levels"))
+      .as[SuffixRow]
+    val out = rows.groupByKey(_.doc_id).flatMapGroups { (doc, it) =>
+      val sufs = it.toArray
+      // rank→pos order: final ranks are total within the doc
+      val saOrder = sufs.sortBy(_.levels(last))
+      val byPos = new Array[Array[Long]](sufs.length)
+      sufs.foreach(r => byPos(r.pos.toInt) = r.levels)
+      val n = sufs.length
+      var bestLen = 0L
+      var bestPos = Long.MaxValue
+      var i = 0
+      while (i + 1 < n) {
+        val p = saOrder(i).pos
+        val q = saOrder(i + 1).pos
+        var acc = 0L
+        var k = last - 1
+        while (k >= 0) {
+          val a = p + acc; val b = q + acc
+          if (a < n && b < n && byPos(a.toInt)(k) == byPos(b.toInt)(k))
+            acc += (1L << k)
+          k -= 1
+        }
+        val lp = math.min(p, q)
+        if (acc > bestLen || (acc == bestLen && lp < bestPos)) {
+          bestLen = acc; bestPos = lp
+        }
+        i += 1
+      }
+      if (n < 2) Iterator.empty
+      else Iterator(LrsRow(doc, bestLen, bestPos))
+    }
+    out.toDF().orderBy(col("doc_id"))
+  }
+
+  lazy val oracleQ207: String = {
+    val folds = (SaRounds - 1 to 0 by -1).map { k =>
+      val prev = if (k == SaRounds - 1) "adj" else s"f${k + 1}"
+      s"""f$k AS MATERIALIZED (
+         |  SELECT a.doc_id, a.p, a.q,
+         |    a.acc + CASE WHEN x.r IS NOT NULL AND y.r IS NOT NULL
+         |      AND x.r = y.r THEN ${1L << k} ELSE 0 END AS acc
+         |  FROM $prev a
+         |  LEFT JOIN s$k x ON x.doc_id = a.doc_id AND x.pos = a.p + a.acc
+         |  LEFT JOIN s$k y ON y.doc_id = a.doc_id AND y.pos = a.q + a.acc)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $saCtes,
+       |adj0 AS (
+       |  SELECT doc_id, pos AS p,
+       |    lead(pos, 1) OVER (PARTITION BY doc_id ORDER BY r) AS q
+       |  FROM s$SaRounds
+       |), adj AS MATERIALIZED (
+       |  SELECT doc_id, p, q, CAST(0 AS BIGINT) AS acc
+       |  FROM adj0 WHERE q IS NOT NULL
+       |),
+       |$folds
+       |SELECT doc_id, acc AS lrs_len, lp AS lrs_pos FROM (
+       |  SELECT doc_id, acc, least(p, q) AS lp,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY acc DESC, least(p, q)) AS rn
+       |  FROM f0)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -400,4 +400,58 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == out)
   }
+
+  test("suffix array: distributed prefix doubling equals local suffix sort") {
+    import graft.queries.SuffixArray
+    val dir = "/root/testdata/sf0.001"
+    val got = SuffixArray.q206SuffixArray(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      // rank of each suffix by plain lexicographic sort of the strings
+      val order = (0 until text.length).sortBy(p => text.substring(p))
+      order.zipWithIndex.foreach { case (pos, i) =>
+        assert(got((id, pos.toLong)) == i + 1L,
+          s"doc $id pos $pos: rank ${got((id, pos.toLong))} != ${i + 1}")
+      }
+    }
+  }
+
+  test("longest repeated substring matches brute force; repeat really occurs twice") {
+    import graft.queries.SuffixArray
+    val dir = "/root/testdata/sf0.001"
+    val got = SuffixArray.q207LongestRepeat(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def lcp(t: String, a: Int, b: Int): Int = {
+      var l = 0
+      while (a + l < t.length && b + l < t.length && t(a + l) == t(b + l)) l += 1
+      l
+    }
+    docs.foreach { case (id, text) =>
+      // brute force: max adjacent-suffix LCP after a local suffix sort,
+      // same (len desc, min pos) tie-break
+      val sa = (0 until text.length).sortBy(p => text.substring(p))
+      var best = 0L; var bestPos = Long.MaxValue
+      sa.sliding(2).foreach { w =>
+        val l = lcp(text, w(0), w(1)).toLong
+        val lp = math.min(w(0), w(1)).toLong
+        if (l > best || (l == best && lp < bestPos)) { best = l; bestPos = lp }
+      }
+      val (gl, gp) = got(id)
+      assert(gl == best, s"doc $id: lrs_len $gl != $best")
+      assert(gp == bestPos, s"doc $id: lrs_pos $gp != $bestPos")
+      // the reported repeat really occurs at least twice
+      if (gl > 0) {
+        val sub = text.substring(gp.toInt, gp.toInt + gl.toInt)
+        assert(text.indexOf(sub) != text.lastIndexOf(sub) ||
+          text.indexOf(sub, text.indexOf(sub) + 1) >= 0,
+          s"doc $id: LRS of len $gl at $gp does not repeat")
+      }
+    }
+  }
 }
