@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, FactorVectorProgram, Partitioned, PerBands, Scd2Replay, Screen, SuffixArray, TextQueries}
+import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, FactorVectorProgram, Partitioned, PerBands, Scd2Replay, Screen, SuffixArray, TextQueries, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -228,6 +228,7 @@ object SparkEntry {
     "q205_kcenter" -> (Advanced.q205Kcenter _),
     "q206_suffix_array" -> (SuffixArray.q206SuffixArray _),
     "q207_longest_repeat" -> (SuffixArray.q207LongestRepeat _),
+    "q208_unigram_segment" -> (Unigram.q208UnigramSegment _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -548,6 +549,7 @@ object SparkEntry {
     "q205_kcenter" -> Advanced.oracleQ205,
     "q206_suffix_array" -> SuffixArray.oracleQ206,
     "q207_longest_repeat" -> SuffixArray.oracleQ207,
+    "q208_unigram_segment" -> Unigram.oracleQ208,
   )
 
   private val asofOracle: String =

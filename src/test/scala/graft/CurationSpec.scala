@@ -427,4 +427,53 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(again == kept.map(_.getLong(0)).toSet)
   }
+
+  test("unigram Viterbi equals exhaustive segmentation search on planted vocabularies") {
+    import graft.queries.Unigram
+    // exhaustive ground truth: enumerate EVERY segmentation into vocab
+    // pieces, take max score then fewest pieces
+    def exhaustive(t: String, vocab: Map[String, Long]): (Long, Long) = {
+      def go(i: Int): Seq[(Long, Long)] =
+        if (i == t.length) Seq((0L, 0L))
+        else (1 to math.min(Unigram.UgMaxLen, t.length - i)).flatMap { l =>
+          vocab.get(t.substring(i, i + l)).toSeq.flatMap { sc =>
+            go(i + l).map { case (s2, n2) => (sc + s2, n2 + 1L) }
+          }
+        }
+      val all = go(0)
+      val best = all.map(_._1).max
+      (all.filter(_._1 == best).map(_._2).min, best)
+    }
+    val vocabs = Seq(
+      // favors long pieces: "abab" beats a+b+a+b
+      Map("a" -> -5000L, "b" -> -5100L, "ab" -> -3000L, "abab" -> -4000L,
+        "ba" -> -3100L),
+      // tie-inducing: "aa"+"a" == "a"+"aa" — fewest-pieces break matters
+      Map("a" -> -1000L, "aa" -> -2000L, "aaa" -> -3000L),
+      // single chars only fallback
+      Map("a" -> -700L, "b" -> -900L, "c" -> -1100L))
+    val texts = Seq("ababab", "aaaaa", "abcabcba", "aabbaabb", "cab")
+    for (v <- vocabs; t <- texts
+         if t.forall(c => v.contains(c.toString))) {
+      val got = Unigram.viterbi(7L, t, v)
+      val (en, es) = exhaustive(t, v)
+      assert(got.total_score == es, s"$t score ${got.total_score} != $es")
+      assert(got.n_pieces == en, s"$t pieces ${got.n_pieces} != $en")
+    }
+    // full program smoke over real data: scores negative, pieces within
+    // [ceil(n/4), n], deterministic across runs
+    val spark = SparkTestSession.spark
+    val out = Unigram.q208UnigramSegment(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val lens = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, np, sc) =>
+      val n = lens(id)
+      assert(sc < 0L)
+      assert(np >= (n + Unigram.UgMaxLen - 1) / Unigram.UgMaxLen && np <= n,
+        s"doc $id: $np pieces for $n chars")
+    }
+  }
 }
