@@ -145,8 +145,10 @@ object Bench {
     // fresh-steady 5.7s at sf0.1)
     "q204_label_prop",
     // suffix-array family: 1.5M-suffix doubling rounds (q206 3.7s
-    // fresh-steady) + the typed LCP group fold on top (q207 8.8s)
-    "q206_suffix_array", "q207_longest_repeat")
+    // fresh-steady) + the typed LCP group fold on top (q207 8.8s);
+    // q209 is the corpus-level build — all 10 global sort-rank rounds
+    // run because cross-doc dup suffixes keep splitting (~14s steady)
+    "q206_suffix_array", "q207_longest_repeat", "q209_corpus_suffix_rank")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(

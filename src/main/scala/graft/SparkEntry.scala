@@ -229,6 +229,7 @@ object SparkEntry {
     "q206_suffix_array" -> (SuffixArray.q206SuffixArray _),
     "q207_longest_repeat" -> (SuffixArray.q207LongestRepeat _),
     "q208_unigram_segment" -> (Unigram.q208UnigramSegment _),
+    "q209_corpus_suffix_rank" -> (SuffixArray.q209CorpusSuffixRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -550,6 +551,7 @@ object SparkEntry {
     "q206_suffix_array" -> SuffixArray.oracleQ206,
     "q207_longest_repeat" -> SuffixArray.oracleQ207,
     "q208_unigram_segment" -> Unigram.oracleQ208,
+    "q209_corpus_suffix_rank" -> SuffixArray.oracleQ209,
   )
 
   private val asofOracle: String =

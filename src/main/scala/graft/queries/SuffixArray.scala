@@ -140,6 +140,137 @@ object SuffixArray {
        |SELECT doc_id, pos, r AS rk FROM s$SaRounds
        |ORDER BY doc_id, pos""".stripMargin
 
+  final case class SfxG(pid: Int, doc_id: Long, pos: Long, r: Long,
+                        r2: Long)
+
+  /** Distributed GLOBAL dense rank of the (r, r2) pair — the piece the
+    * corpus-level suffix array needs and a per-doc window cannot give:
+    * `repartitionByRange` on the pair (equal keys land in one partition
+    * by construction), sort within partitions, then a bounded
+    * per-partition distinct count (32 rows to the driver) turns into
+    * offsets and a single ordered map pass assigns offset + local dense
+    * index. No global single-partition window anywhere — this is how a
+    * 1000-executor sort-rank runs. The assigned ranks are independent
+    * of where the sampled range boundaries fall, so the result is
+    * deterministic even though the partitioner samples. */
+  /** Returns (ranked relation, total distinct pair count) — the count
+    * rides along free from the offsets pass, so the caller's
+    * fixed-point check costs no extra job. */
+  private def globalDenseRank(s: SparkSession,
+                              df: DataFrame): (DataFrame, Long) = {
+    import s.implicits._
+    val n = s.sparkContext.defaultParallelism
+    // repartitionByRange runs a SAMPLING job before the shuffle — without
+    // this barrier the upstream window-lead computes twice per round
+    val dfM = df.localCheckpoint()
+    val sorted = dfM.repartitionByRange(n, col("r"), col("__r2"))
+      .sortWithinPartitions(col("r"), col("__r2"))
+      .select(spark_partition_id().as("pid"), col("doc_id"), col("pos"),
+        col("r"), col("__r2").as("r2"))
+      .as[SfxG]
+      .localCheckpoint()
+    // per-partition distinct-pair counts: one sequential scan of the
+    // sorted checkpoint — no distinct shuffle
+    val counts = sorted.mapPartitions { it =>
+      var pid = -1
+      var c = 0L
+      var pr = 0L; var pr2 = 0L
+      it.foreach { x =>
+        if (pid < 0) pid = x.pid
+        if (c == 0L || x.r != pr || x.r2 != pr2) { c += 1; pr = x.r; pr2 = x.r2 }
+      }
+      if (pid < 0) Iterator.empty else Iterator((pid, c))
+    }.collect().toMap // bounded: one row per partition
+    val offsets: Map[Int, Long] = counts.keys.map { p =>
+      p -> counts.filter(_._1 < p).values.sum
+    }.toMap
+    val ranked = sorted.mapPartitions { it =>
+      var local = 0L
+      var off = 0L
+      var pr = 0L; var pr2 = 0L; var first = true
+      it.map { x =>
+        if (first) { off = offsets.getOrElse(x.pid, 0L); first = false }
+        if (local == 0L || x.r != pr || x.r2 != pr2) {
+          local += 1; pr = x.r; pr2 = x.r2
+        }
+        (x.doc_id, x.pos, off + local)
+      }
+    }
+    (ranked.toDF("doc_id", "pos", "nr"), counts.values.sum)
+  }
+
+  /** q209 — CORPUS-LEVEL suffix ranks: the same doubling rounds as
+    * q206 but ranked across the whole corpus (the index shape
+    * ExactSubstr dedup actually builds — cross-document repeats sort
+    * adjacent). Identical string suffixes from different documents keep
+    * equal ranks forever (dense rank, semantically correct); rounds
+    * stop at the exact fixed point — when a round splits no rank group,
+    * every later round is the identity in both engines, so the fixed
+    * [[SaRounds]]-round oracle agrees.
+    *
+    * Scale shape: per round, one doc-keyed window (the 2^k neighbor
+    * rank) + one range-partitioned global sort-rank
+    * ([[globalDenseRank]] — bounded driver traffic, no single-partition
+    * window). This is the 100-TB path the per-doc q206 scaladoc names:
+    * a corpus-level SA over N documents is log(maxlen) range sorts. */
+  def q209CorpusSuffixRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
+    require(maxLen <= (1 << SaRounds),
+      s"document of $maxLen chars exceeds 2^$SaRounds — raise SaRounds")
+    var r = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), length(col("text")).cast("long") - 1L))
+          .as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        ascii(expr("substring(text, CAST(pos + 1 AS INT), 1)")).cast("long")
+          .as("r"))
+      .localCheckpoint()
+    val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var k = 0
+    var prevDistinct = -1L
+    var fixed = false
+    while (k < SaRounds && !fixed) {
+      val o = 1 << k
+      val stepped = r.withColumn("__r2",
+        coalesce(lead(col("r"), o).over(wLead), lit(-1L)))
+      val (ranked, d) = globalDenseRank(s, stepped)
+      // no checkpoint here: ranked is one narrow map over the
+      // checkpointed sorted relation — lineage stays shallow
+      r = ranked.withColumnRenamed("nr", "r")
+      // fixed point: a round that splits no group leaves every later
+      // round the identity map (dense-rank refinement only ever splits)
+      if (d == prevDistinct) fixed = true
+      prevDistinct = d
+      k += 1
+    }
+    r.select(col("doc_id"), col("pos"), col("r").as("rk"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  lazy val oracleQ209: String = {
+    val rounds = (0 until SaRounds).map { k =>
+      s"""g${k + 1} AS MATERIALIZED (
+         |  SELECT doc_id, pos,
+         |    CAST(dense_rank() OVER (ORDER BY r, r2) AS BIGINT) AS r
+         |  FROM (
+         |    SELECT doc_id, pos, r,
+         |      coalesce(lead(r, ${1 << k}) OVER (
+         |        PARTITION BY doc_id ORDER BY pos), -1) AS r2
+         |    FROM g$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |g0 AS MATERIALIZED (
+       |  SELECT doc_id, CAST(j AS BIGINT) AS pos,
+       |    CAST(ascii(substr(text, CAST(j + 1 AS INT), 1)) AS BIGINT) AS r
+       |  FROM d, range(0, ${1 << SaRounds}) t(j) WHERE j < n
+       |),
+       |$rounds
+       |SELECT doc_id, pos, r AS rk FROM g$SaRounds
+       |ORDER BY doc_id, pos""".stripMargin
+  }
+
   final case class SuffixRow(doc_id: Long, pos: Long,
                                      levels: Array[Long])
   final case class LrsRow(doc_id: Long, lrs_len: Long,

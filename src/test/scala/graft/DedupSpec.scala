@@ -419,6 +419,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus suffix ranks: rank order IS lexicographic order, equal rank IS equal string") {
+    import graft.queries.SuffixArray
+    val dir = "/root/testdata/sf0.001"
+    val got = SuffixArray.q209CorpusSuffixRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // complete semantic characterization: sorting by (rank, doc, pos)
+    // must list suffix strings in non-decreasing lexicographic order,
+    // with ties in rank exactly at equal strings
+    val byRank = got.sortBy { case (d, p, rk) => (rk, d, p) }
+    var i = 1
+    var tieCount = 0
+    while (i < byRank.length) {
+      val (d0, p0, rk0) = byRank(i - 1)
+      val (d1, p1, rk1) = byRank(i)
+      val s0 = texts(d0).substring(p0.toInt)
+      val s1 = texts(d1).substring(p1.toInt)
+      val cmp = s0.compareTo(s1)
+      if (rk0 == rk1) { assert(cmp == 0, s"tied ranks, unequal suffixes"); tieCount += 1 }
+      else assert(cmp < 0,
+        s"rank order violates lexicographic order at ($d0,$p0)/($d1,$p1)")
+      i += 1
+    }
+    // the corpus plants exact-dup docs, so cross-doc ties must exist
+    assert(tieCount > 0, "expected cross-document suffix ties")
+  }
+
   test("longest repeated substring matches brute force; repeat really occurs twice") {
     import graft.queries.SuffixArray
     val dir = "/root/testdata/sf0.001"
