@@ -214,6 +214,8 @@ object SuffixArray {
     * window). This is the 100-TB path the per-doc q206 scaladoc names:
     * a corpus-level SA over N documents is log(maxlen) range sorts. */
   def q209CorpusSuffixRank(s: SparkSession, dir: String): DataFrame = {
+    // blocks alive before this query started are NOT ours to retire
+    val foreign = s.sparkContext.getPersistentRDDs.keySet.toSet
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
     require(maxLen <= (1 << SaRounds),
@@ -233,9 +235,18 @@ object SuffixArray {
     var fixed = false
     while (k < SaRounds && !fixed) {
       val o = 1 << k
+      // block-manager discipline: by the time globalDenseRank has
+      // eagerly materialized THIS round's checkpoints, every block
+      // persisted before the round is dead lineage — retire it, or 10
+      // rounds × 2 checkpoints of the full suffix relation pile up and
+      // evict (measured 14× instead of ~10× at the sf1 probe)
+      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
       val stepped = r.withColumn("__r2",
         coalesce(lead(col("r"), o).over(wLead), lit(-1L)))
       val (ranked, d) = globalDenseRank(s, stepped)
+      s.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => before.contains(id) && !foreign.contains(id) }
+        .values.foreach(_.unpersist(false))
       // no checkpoint here: ranked is one narrow map over the
       // checkpointed sorted relation — lineage stays shallow
       r = ranked.withColumnRenamed("nr", "r")
