@@ -211,4 +211,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan(name).contains("CartesianProduct"), name)
     }
   }
+
+  test("MaxSim: the bounded query batch broadcasts; corpus tokens never hash-shuffle before scoring") {
+    val p = plan("q203_maxsim")
+    // the only join is the broadcast nested loop against the bounded
+    // query-token batch — scoring happens map-side on the corpus shards
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"), "corpus tokens must not sort-merge")
+  }
+
+  test("k-center assignment joins against the broadcast center table; no cartesian blowup past it") {
+    val p = plan("q205_kcenter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
