@@ -228,7 +228,28 @@ object Bench {
   private val WideSpreadThreshold = 0.25
   private val HighLoadThreshold = 6.0
 
+  /** Round-11 postmortem: on a genuinely quiet box the load columns are
+    * SELF-INFLICTED — each 32-thread child leaves a 1-min loadavg tail
+    * of 5–12 that the next query inherits, and the load trigger then
+    * remeasured 20 queries (~10 min of wall) on a box with zero foreign
+    * work. When the loadavg at bench START is below this, the run is in
+    * the quiet-box regime: load columns stay recorded (attribution),
+    * but only warm SPREAD triggers the stability pass — self-load slows
+    * every rep of a child equally, which is exactly what the spread
+    * columns would expose if it mattered. */
+  private val QuietStartLoad = 2.0
+  private lazy val quietBoxRegime: Boolean = {
+    val l0 = loadAvg1()
+    if (l0 >= 0 && l0 < QuietStartLoad)
+      System.err.println(f"BENCH: quiet-box regime (start load $l0%.2f) — " +
+        "spread-only remeasure triggers")
+    l0 >= 0 && l0 < QuietStartLoad
+  }
+
   private def coordinate(): Unit = {
+    // sample the regime BEFORE any child inflates loadavg (lazy val —
+    // forced here so the reading is the true pre-bench ambient load)
+    quietBoxRegime
     // SPARK_GRAFT_BENCH_ONLY=q15_neardup_pairs,q61_neardup_clusters — local
     // iteration aid; the driver never sets it
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
@@ -281,11 +302,12 @@ object Bench {
           // isolated tier re-measured). Re-fork each suspect once — ALONE,
           // whatever its original tier — and keep the lower median.
           val sus0 = pass1.filter { case (n, r) =>
-            r.med >= 0 && (
-              (isolated(n) &&
-                (r.spread > SpreadThreshold || r.load > LoadThreshold)) ||
-              (r.med >= 1.0 &&
-                (r.spread > WideSpreadThreshold || r.load > HighLoadThreshold)))
+            val loadSuspect = !quietBoxRegime && (
+              (isolated(n) && r.load > LoadThreshold) ||
+                (r.med >= 1.0 && r.load > HighLoadThreshold))
+            r.med >= 0 && (loadSuspect ||
+              (isolated(n) && r.spread > SpreadThreshold) ||
+              (r.med >= 1.0 && r.spread > WideSpreadThreshold))
           }
           // Slots go to the suspects carrying the most SECONDS OF
           // SUSPECTED ERROR, not the largest absolute medians: round 10
@@ -468,7 +490,7 @@ object Bench {
       case (n, r) if isolated(n) && r.spread >= 0 => r.spread }
     val spreadMax = if (isoSpreads.isEmpty) -1.0 else isoSpreads.max
     val loadSummary =
-      s""""loadmax":${f2(loadMax)},"iso_spreadmax":${f3(spreadMax)},"remeasured":${remeasured.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")},"""
+      s""""loadmax":${f2(loadMax)},"iso_spreadmax":${f3(spreadMax)},"quiet":$quietBoxRegime,"remeasured":${remeasured.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")},"""
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$extra$loadSummary"reps":$reps,"iso":"$isoMode","inv":"$inv","sf":"$sfDir"}"""
     // FULL artifact — every median + total + inv — goes to a FILE the
