@@ -168,7 +168,8 @@ object Bench {
     // round-10/11 additions (Time1 fresh-steady sf0.1: q199 1.4s, q201
     // 1.7s, q202 1.3s — real codec decodes; q205 1.5s k greedy rounds)
     "q199_phash_pairs", "q201_audio_match",
-    "q202_video_match", "q205_kcenter", "q208_unigram_segment")
+    "q202_video_match", "q205_kcenter", "q208_unigram_segment",
+    "q210_markov_attribution")
 
   private val MidGroup = 6
   /** Cheap tier (sub-1.2s, median ~0.5s; 50 of them sub-0.4s): grouped 24

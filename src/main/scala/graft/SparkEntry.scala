@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, FactorVectorProgram, Partitioned, PerBands, Scd2Replay, Screen, SuffixArray, TextQueries, Unigram}
+import graft.queries.{Advanced, Attribution, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, FactorVectorProgram, Partitioned, PerBands, Scd2Replay, Screen, SuffixArray, TextQueries, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -230,6 +230,7 @@ object SparkEntry {
     "q207_longest_repeat" -> (SuffixArray.q207LongestRepeat _),
     "q208_unigram_segment" -> (Unigram.q208UnigramSegment _),
     "q209_corpus_suffix_rank" -> (SuffixArray.q209CorpusSuffixRank _),
+    "q210_markov_attribution" -> (Attribution.q210MarkovAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -552,6 +553,7 @@ object SparkEntry {
     "q207_longest_repeat" -> SuffixArray.oracleQ207,
     "q208_unigram_segment" -> Unigram.oracleQ208,
     "q209_corpus_suffix_rank" -> SuffixArray.oracleQ209,
+    "q210_markov_attribution" -> Attribution.oracleQ210,
   )
 
   private val asofOracle: String =

@@ -428,6 +428,39 @@ class CurationSpec extends AnyFunSuite {
     assert(again == kept.map(_.getLong(0)).toSet)
   }
 
+  test("Markov attribution: planted chains solve to the analytic absorption values") {
+    import graft.queries.Attribution
+    val S = Attribution.AttrScale
+    // acyclic chain: START -> A always; A -> CONV 3 of 4, A -> DROP 1 of 4
+    // exact after two rounds: v(A) = 3S div 4, v(START) = v(A)
+    val c1 = Map(("START", "A") -> 10L, ("A", "CONV") -> 3L, ("A", "DROP") -> 1L)
+    assert(Attribution.solveChain(c1, None) == 3L * S / 4L)
+    assert(Attribution.solveChain(c1, Some("A")) == 0L)
+    // two channels: START -> A (1) / B (1); A -> CONV; B -> DROP
+    // base = S/2; removing A kills everything; removing B changes nothing
+    val c2 = Map(("START", "A") -> 5L, ("START", "B") -> 5L,
+      ("A", "CONV") -> 5L, ("B", "DROP") -> 5L)
+    assert(Attribution.solveChain(c2, None) == S / 2L)
+    assert(Attribution.solveChain(c2, Some("A")) == 0L)
+    assert(Attribution.solveChain(c2, Some("B")) == S / 2L)
+    // cycle A <-> B with leak to CONV: geometric convergence within
+    // 2^-20 of the analytic fixed point p = (1/2)/(1 - 1/4) = 2/3
+    val c3 = Map(("START", "A") -> 1L, ("A", "CONV") -> 1L, ("A", "B") -> 1L,
+      ("B", "A") -> 1L, ("B", "DROP") -> 1L)
+    val p = Attribution.solveChain(c3, None).toDouble / S
+    assert(math.abs(p - 2.0 / 3.0) < 1e-6, s"cyclic fixed point: $p")
+    // full program: effects in [0, base], one row per non-START channel
+    val spark = SparkTestSession.spark
+    val out = Attribution
+      .q210MarkovAttribution(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (base, rem, eff) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(eff == base - rem)
+      assert(rem >= 0L && rem <= base, s"${r.getString(0)}: $rem vs $base")
+    }
+  }
+
   test("unigram Viterbi equals exhaustive segmentation search on planted vocabularies") {
     import graft.queries.Unigram
     // exhaustive ground truth: enumerate EVERY segmentation into vocab
