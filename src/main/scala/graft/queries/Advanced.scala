@@ -2847,9 +2847,7 @@ object Advanced {
       r += 1
     }
     import s.implicits._
-    val ctr = centers
-      .map { case (rd, id, cqv, csq, rad) => (rd, id, cqv, csq, rad) }
-      .toDF("round", "center_id", "cqv", "csq", "radius")
+    val ctr = centers.toDF("round", "center_id", "cqv", "csq", "radius")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("round"))
     val asg = pts.crossJoin(broadcast(ctr))
