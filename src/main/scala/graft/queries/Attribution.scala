@@ -113,7 +113,10 @@ object Attribution {
               else v.getOrElse(j, 0L)
             c * vj
         }.sum
-        i -> num / outDeg(i)
+        i -> num / outDeg.getOrElse(i,
+          throw new IllegalStateException(
+            s"solveChain: state '$i' has no outgoing transitions — " +
+              "degenerate/empty journey input"))
       }.toMap
       t += 1
     }

@@ -50,7 +50,11 @@ object SuffixArray {
     * form is what the repetition gates consume. */
   def rankLevels(s: SparkSession, dir: String,
                  keepLevels: Boolean): DataFrame = {
+    // empty docs would explode sequence(0, -1) = [0, -1] (Spark picks
+    // step -1 when start > stop) — two bogus suffix rows the oracle's
+    // `WHERE j < n` never emits; filter them out before the explode
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
     // fail-loud bound check: one scalar collect (bounded metadata)
     val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
     require(maxLen <= (1 << SaRounds),
@@ -140,22 +144,41 @@ object SuffixArray {
        |SELECT doc_id, pos, r AS rk FROM s$SaRounds
        |ORDER BY doc_id, pos""".stripMargin
 
-  final case class SfxG(pid: Int, doc_id: Long, pos: Long, r: Long,
-                        r2: Long)
+  final case class SfxG(pid: Int, doc_id: Long, pos: Long, pk: Long)
 
-  /** Distributed GLOBAL dense rank of the (r, r2) pair — the piece the
-    * corpus-level suffix array needs and a per-doc window cannot give:
-    * `repartitionByRange` on the pair (equal keys land in one partition
-    * by construction), sort within partitions, then a bounded
+  /** Chars packed per radix-seed value: the seed rank of a suffix is its
+    * [[SeedChars]]-char prefix packed base-128 (0 beyond the end). For an
+    * ASCII corpus (guarded fail-loud in [[corpusRanks]]) this orders and
+    * groups EXACTLY like [[SeedLevel]] dense-rank doubling rounds would:
+    * equal packed value ⟺ equal 2^[[SeedLevel]]-prefix (including the
+    * end-padding pattern — 0-padding is distinct from every real char),
+    * and the packed order is lexicographic with end-of-string sorting
+    * below every char, the same order the −1 sentinel gives the oracle's
+    * chain. Dense-ranking is deferred to the first doubling round —
+    * [[globalDenseRank]] only needs equality + order, not density. */
+  private val SeedChars = 4
+  private val SeedLevel = 2 // 2^SeedLevel == SeedChars
+
+  /** Packed-pair base: ranks r are either the 4-char seed (< 128^4 =
+    * 2^28) or dense ranks (< corpus suffix count, guarded < 2^31), and
+    * r2+1 ∈ [0, 2^31], so pk = r·2^32 + (r2+1) is collision-free and
+    * orders identically to (r, r2) — ONE long through the sort and the
+    * checkpoints instead of two. */
+  private val PairBase = 1L << 32
+
+  /** Distributed GLOBAL dense rank of the packed pair column `pk` — the
+    * piece the corpus-level suffix array needs and a per-doc window
+    * cannot give: `repartitionByRange` on pk (equal keys land in one
+    * partition by construction), sort within partitions, then a bounded
     * per-partition distinct count (32 rows to the driver) turns into
     * offsets and a single ordered map pass assigns offset + local dense
     * index. No global single-partition window anywhere — this is how a
     * 1000-executor sort-rank runs. The assigned ranks are independent
     * of where the sampled range boundaries fall, so the result is
-    * deterministic even though the partitioner samples. */
-  /** Returns (ranked relation, total distinct pair count) — the count
-    * rides along free from the offsets pass, so the caller's
-    * fixed-point check costs no extra job. */
+    * deterministic even though the partitioner samples. Returns (ranked
+    * relation, total distinct pair count) — the count rides along free
+    * from the offsets pass, so the caller's fixed-point check costs no
+    * extra job. */
   private def globalDenseRank(s: SparkSession,
                               df: DataFrame): (DataFrame, Long) = {
     import s.implicits._
@@ -163,21 +186,21 @@ object SuffixArray {
     // repartitionByRange runs a SAMPLING job before the shuffle — without
     // this barrier the upstream window-lead computes twice per round
     val dfM = df.localCheckpoint()
-    val sorted = dfM.repartitionByRange(n, col("r"), col("__r2"))
-      .sortWithinPartitions(col("r"), col("__r2"))
+    val sorted = dfM.repartitionByRange(n, col("pk"))
+      .sortWithinPartitions(col("pk"))
       .select(spark_partition_id().as("pid"), col("doc_id"), col("pos"),
-        col("r"), col("__r2").as("r2"))
+        col("pk"))
       .as[SfxG]
       .localCheckpoint()
-    // per-partition distinct-pair counts: one sequential scan of the
+    // per-partition distinct-key counts: one sequential scan of the
     // sorted checkpoint — no distinct shuffle
     val counts = sorted.mapPartitions { it =>
       var pid = -1
       var c = 0L
-      var pr = 0L; var pr2 = 0L
+      var pr = 0L
       it.foreach { x =>
         if (pid < 0) pid = x.pid
-        if (c == 0L || x.r != pr || x.r2 != pr2) { c += 1; pr = x.r; pr2 = x.r2 }
+        if (c == 0L || x.pk != pr) { c += 1; pr = x.pk }
       }
       if (pid < 0) Iterator.empty else Iterator((pid, c))
     }.collect().toMap // bounded: one row per partition
@@ -187,62 +210,84 @@ object SuffixArray {
     val ranked = sorted.mapPartitions { it =>
       var local = 0L
       var off = 0L
-      var pr = 0L; var pr2 = 0L; var first = true
+      var pr = 0L; var first = true
       it.map { x =>
         if (first) { off = offsets.getOrElse(x.pid, 0L); first = false }
-        if (local == 0L || x.r != pr || x.r2 != pr2) {
-          local += 1; pr = x.r; pr2 = x.r2
-        }
+        if (local == 0L || x.pk != pr) { local += 1; pr = x.pk }
         (x.doc_id, x.pos, off + local)
       }
     }
     (ranked.toDF("doc_id", "pos", "nr"), counts.values.sum)
   }
 
-  /** q209 — CORPUS-LEVEL suffix ranks: the same doubling rounds as
-    * q206 but ranked across the whole corpus (the index shape
-    * ExactSubstr dedup actually builds — cross-document repeats sort
-    * adjacent). Identical string suffixes from different documents keep
-    * equal ranks forever (dense rank, semantically correct); rounds
-    * stop at the exact fixed point — when a round splits no rank group,
-    * every later round is the identity in both engines, so the fixed
-    * [[SaRounds]]-round oracle agrees.
-    *
-    * Scale shape: per round, one doc-keyed window (the 2^k neighbor
-    * rank) + one range-partitioned global sort-rank
+  /** Corpus-level rank levels by radix-seeded prefix doubling over an
+    * arbitrary (doc_id, text) relation: returns (doc_id, pos, r) where
+    * equal r ⟺ equal 2^`uptoLevel`-prefix (corpus-wide, end-padding
+    * distinct) and r is the global dense rank in lexicographic order.
+    * Runs the [[SeedChars]]-char packed radix seed (a pure map — levels
+    * 0..[[SeedLevel]] cost ZERO shuffles and ZERO checkpoints), then
+    * doubling rounds at o = 2^[[SeedLevel]], 2^([[SeedLevel]]+1), …
+    * until `uptoLevel` or the corpus fixed point, whichever first.
+    * Each round: one doc-keyed window (the 2^k neighbor rank) packed
+    * into one long + one range-partitioned global sort-rank
     * ([[globalDenseRank]] — bounded driver traffic, no single-partition
-    * window). This is the 100-TB path the per-doc q206 scaladoc names:
-    * a corpus-level SA over N documents is log(maxlen) range sorts. */
-  def q209CorpusSuffixRank(s: SparkSession, dir: String): DataFrame = {
+    * window). The radix seed and the packed carrier are the round-11
+    * storage-term fix: 2 fewer rounds and (doc,pos,pk) 3-long rows
+    * instead of (doc,pos,r,r2) 4-long ones through every checkpoint. */
+  private[graft] def corpusRanks(s: SparkSession, docs0: DataFrame,
+                                 uptoLevel: Int): DataFrame = {
     // blocks alive before this query started are NOT ours to retire
     val foreign = s.sparkContext.getPersistentRDDs.keySet.toSet
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
+    // empty docs would explode sequence(0, -1) = [0, -1]; drop pre-explode
+    val docs = docs0.select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+    // ONE bounded-metadata scan for all three fail-loud guards
+    val st = docs.agg(
+      max(length(col("text"))),
+      max(expr("aggregate(transform(split(text, ''), c -> ascii(c)), " +
+        "0, (a, x) -> greatest(a, x))")),
+      min(expr("aggregate(transform(split(text, ''), c -> ascii(c)), " +
+        "128, (a, x) -> least(a, x))")),
+      sum(length(col("text"))).cast("long")).collect()(0)
+    val maxLen = st.getInt(0)
+    val maxChar = st.getInt(1)
+    val minChar = st.getInt(2)
+    val nSuffixes = st.getLong(3)
     require(maxLen <= (1 << SaRounds),
       s"document of $maxLen chars exceeds 2^$SaRounds — raise SaRounds")
+    require(maxChar < 128 && minChar >= 1,
+      s"char code outside [1, 127] (min $minChar, max $maxChar) breaks " +
+        "the base-128 radix seed (0 is the end-padding sentinel)")
+    require(nSuffixes < (1L << 31),
+      s"$nSuffixes suffixes overflow the packed-pair carrier — " +
+        "widen PairBase to a two-long key")
+    val seed = (0 until SeedChars).map { i =>
+      ascii(expr(s"substring(text, CAST(pos + ${i + 1} AS INT), 1)"))
+        .cast("long") * lit(1L << (7 * (SeedChars - 1 - i)))
+    }.reduce(_ + _)
     var r = docs
       .select(col("doc_id"),
         explode(sequence(lit(0L), length(col("text")).cast("long") - 1L))
           .as("pos"),
         col("text"))
-      .select(col("doc_id"), col("pos"),
-        ascii(expr("substring(text, CAST(pos + 1 AS INT), 1)")).cast("long")
-          .as("r"))
+      .select(col("doc_id"), col("pos"), seed.as("r"))
       .localCheckpoint()
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    var k = 0
+    var k = SeedLevel
     var prevDistinct = -1L
     var fixed = false
-    while (k < SaRounds && !fixed) {
+    while (k < uptoLevel && !fixed) {
       val o = 1 << k
       // block-manager discipline: by the time globalDenseRank has
       // eagerly materialized THIS round's checkpoints, every block
-      // persisted before the round is dead lineage — retire it, or 10
+      // persisted before the round is dead lineage — retire it, or
       // rounds × 2 checkpoints of the full suffix relation pile up and
       // evict (measured 14× instead of ~10× at the sf1 probe)
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
       val stepped = r.withColumn("__r2",
-        coalesce(lead(col("r"), o).over(wLead), lit(-1L)))
+          coalesce(lead(col("r"), o).over(wLead), lit(-1L)))
+        .select(col("doc_id"), col("pos"),
+          (col("r") * PairBase + col("__r2") + 1L).as("pk"))
       val (ranked, d) = globalDenseRank(s, stepped)
       s.sparkContext.getPersistentRDDs
         .filter { case (id, _) => before.contains(id) && !foreign.contains(id) }
@@ -256,9 +301,31 @@ object SuffixArray {
       prevDistinct = d
       k += 1
     }
-    r.select(col("doc_id"), col("pos"), col("r").as("rk"))
-      .orderBy(col("doc_id"), col("pos"))
+    r
   }
+
+  /** q209 — CORPUS-LEVEL suffix ranks: the same doubling rounds as
+    * q206 but ranked across the whole corpus (the index shape
+    * ExactSubstr dedup actually builds — cross-document repeats sort
+    * adjacent). Identical string suffixes from different documents keep
+    * equal ranks forever (dense rank, semantically correct); rounds
+    * stop at the exact fixed point — when a round splits no rank group,
+    * every later round is the identity in both engines, so the fixed
+    * [[SaRounds]]-round oracle agrees.
+    *
+    * Scale shape: per round, one doc-keyed window (the 2^k neighbor
+    * rank) packed into one long + one range-partitioned global
+    * sort-rank ([[globalDenseRank]] — bounded driver traffic, no
+    * single-partition window). The radix seed replaces the first
+    * [[SeedLevel]] rounds with a map-side packed prefix, so the round
+    * count (and with it the checkpoint-storage term the round-11 sf1
+    * probe flagged) drops from 10 to ≤ 8, each round ~25% slimmer.
+    * This is the 100-TB path the per-doc q206 scaladoc names: a
+    * corpus-level SA over N documents is log(maxlen) range sorts. */
+  def q209CorpusSuffixRank(s: SparkSession, dir: String): DataFrame =
+    corpusRanks(s, Tables.documents(s, dir), SaRounds)
+      .select(col("doc_id"), col("pos"), col("r").as("rk"))
+      .orderBy(col("doc_id"), col("pos"))
 
   lazy val oracleQ209: String = {
     val rounds = (0 until SaRounds).map { k =>

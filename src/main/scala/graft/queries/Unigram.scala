@@ -66,6 +66,13 @@ object Unigram {
     * [[UgMaxLen]]-slot window (the q156 fold idiom). */
   def q208UnigramSegment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // fail-loud bound check mirroring SuffixArray.rankLevels: the oracle's
+    // position range is hardcoded to 1024, so a longer doc would make it
+    // silently miss pieces while Spark processes them all
+    val maxLen = Tables.documents(s, dir)
+      .agg(max(length(col("text")))).collect()(0).getInt(0)
+    require(maxLen <= 1024,
+      s"document of $maxLen chars exceeds the oracle's 1024-position bound")
     val counts = pieceCounts(s, dir).localCheckpoint()
     val total = counts.agg(sum(col("cnt"))).collect()(0).getLong(0)
     val w = Window.orderBy(col("cnt").desc, col("piece"))

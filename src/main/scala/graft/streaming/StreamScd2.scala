@@ -152,13 +152,16 @@ object StreamScd2 {
       val wmPrev = maxSeen.map(m =>
         java.sql.Date.valueOf(m.toLocalDate.minusDays(latenessDays.toLong)))
       batch.collect().foreach { c =>
-        buffer(c) // throws "late CDC row" at/below the merge cursor
+        // bound check BEFORE buffering: a rejected row must never mutate
+        // maintainer state, or a caller that catches and continues would
+        // operate on state containing the violator
         wmPrev.foreach { w =>
           if (c.effDate.before(w))
             throw new IllegalStateException(
               s"CDC row for ${c.effDate} violates the $latenessDays-day " +
                 s"lateness bound: watermark is already $w")
         }
+        buffer(c) // throws "late CDC row" at/below the merge cursor
         if (maxSeen.forall(m => c.effDate.after(m))) maxSeen = Some(c.effDate)
       }
       val wm = maxSeen.map(m =>
