@@ -239,6 +239,31 @@ object Bench {
     * every rep of a child equally, which is exactly what the spread
     * columns would expose if it mattered. */
   private val QuietStartLoad = 2.0
+
+  /** Bounded wait for ambient quiet (the round-11 artifact-divergence
+    * fix): the driver's own post-processing leaves a loadavg tail, so
+    * ITS bench reruns started loaded (loadmax 14, 20 remeasures) while
+    * the builder's were quiet — poll the 1-min loadavg until it decays
+    * below [[QuietStartLoad]] (give up after [[QuietWaitMaxSec]]) so
+    * driver-initiated runs qualify for the quiet regime too. The wait
+    * is recorded in the artifact; SPARK_GRAFT_BENCH_NOWAIT=1 skips it
+    * for local iteration. */
+  private val QuietWaitMaxSec = 600
+  private var quietWaitedSec = 0L
+  private def awaitQuietBox(): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_BENCH_NOWAIT")) return
+    val t0 = System.nanoTime()
+    var l = loadAvg1()
+    while (l >= QuietStartLoad &&
+        (System.nanoTime() - t0) / 1e9 < QuietWaitMaxSec) {
+      System.err.println(f"BENCH: waiting for quiet box (load $l%.2f >= " +
+        f"$QuietStartLoad%.1f)")
+      Thread.sleep(15000)
+      l = loadAvg1()
+    }
+    quietWaitedSec = ((System.nanoTime() - t0) / 1e9).toLong
+  }
+
   private lazy val quietBoxRegime: Boolean = {
     val l0 = loadAvg1()
     if (l0 >= 0 && l0 < QuietStartLoad)
@@ -248,8 +273,10 @@ object Bench {
   }
 
   private def coordinate(): Unit = {
-    // sample the regime BEFORE any child inflates loadavg (lazy val —
-    // forced here so the reading is the true pre-bench ambient load)
+    // wait (bounded) for ambient load to decay, THEN sample the regime
+    // BEFORE any child inflates loadavg (lazy val — forced here so the
+    // reading is the true pre-bench ambient load)
+    awaitQuietBox()
     quietBoxRegime
     // SPARK_GRAFT_BENCH_ONLY=q15_neardup_pairs,q61_neardup_clusters — local
     // iteration aid; the driver never sets it
@@ -491,7 +518,7 @@ object Bench {
       case (n, r) if isolated(n) && r.spread >= 0 => r.spread }
     val spreadMax = if (isoSpreads.isEmpty) -1.0 else isoSpreads.max
     val loadSummary =
-      s""""loadmax":${f2(loadMax)},"iso_spreadmax":${f3(spreadMax)},"quiet":$quietBoxRegime,"remeasured":${remeasured.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")},"""
+      s""""loadmax":${f2(loadMax)},"iso_spreadmax":${f3(spreadMax)},"quiet":$quietBoxRegime,"quiet_waited_sec":$quietWaitedSec,"remeasured":${remeasured.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")},"""
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$extra$loadSummary"reps":$reps,"iso":"$isoMode","inv":"$inv","sf":"$sfDir"}"""
     // FULL artifact — every median + total + inv — goes to a FILE the

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, Attribution, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, FactorVectorProgram, Partitioned, PerBands, Scd2Replay, Screen, SuffixArray, TextQueries, Unigram}
+import graft.queries.{Advanced, Attribution, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, ExactSubstr, FactorVectorProgram, MultimodalDedup, Partitioned, PerBands, Scd2Replay, Screen, SuffixArray, TextQueries, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -231,6 +231,8 @@ object SparkEntry {
     "q208_unigram_segment" -> (Unigram.q208UnigramSegment _),
     "q209_corpus_suffix_rank" -> (SuffixArray.q209CorpusSuffixRank _),
     "q210_markov_attribution" -> (Attribution.q210MarkovAttribution _),
+    "q211_exact_substr" -> (ExactSubstr.q211ExactSubstrDedup _),
+    "q212_multimodal_dedup" -> (MultimodalDedup.q212MultimodalDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -554,6 +556,8 @@ object SparkEntry {
     "q208_unigram_segment" -> Unigram.oracleQ208,
     "q209_corpus_suffix_rank" -> SuffixArray.oracleQ209,
     "q210_markov_attribution" -> Attribution.oracleQ210,
+    "q211_exact_substr" -> ExactSubstr.oracleQ211,
+    "q212_multimodal_dedup" -> MultimodalDedup.oracleQ212,
   )
 
   private val asofOracle: String =

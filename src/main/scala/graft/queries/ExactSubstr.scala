@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Corpus-level EXACT-substring deduplication (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better" — the
+  * ExactSubstr pipeline): find every substring of length ≥ [[DupGramL]]
+  * that occurs more than once ANYWHERE in the corpus (cross-document or
+  * within-document), keep the globally first occurrence, and cut every
+  * other occurrence out of its document.
+  *
+  * This is the composition round 11 left on the table: q209 built the
+  * index the published pipeline uses (corpus-level suffix ranks —
+  * [[SuffixArray.corpusRanks]]), while duplicate-SPAN extraction still
+  * ran on q88's positional k-gram-hash approximation. Here the spans
+  * come off the rank structure EXACTLY: a rank group at doubling level
+  * log2([[DupGramL]]) is precisely an LCP interval of depth ≥
+  * [[DupGramL]] — suffixes adjacent in suffix-array order with LCP ≥ L
+  * share the level-log2(L) rank, and every rank group of size ≥ 2 is a
+  * set of positions whose L-grams are bit-identical (no hashing, no
+  * collisions — contrast `Dedup.exactDupSpans`, which q88 gates and
+  * whose spans a spec checks for containment against these).
+  *
+  * Reference anchor: the reference dedups at the row level (upsert keys,
+  * `src/lib/jquants/endpoints/equity-bars-daily.ts` idempotent writes);
+  * this is the corpus-scale text analog its data model never needed but
+  * a 100-TB training-data pipeline cannot ship without.
+  *
+  * Scale shape: the rank build is [[SuffixArray.corpusRanks]]' radix
+  * seed + ONE doubling round for L=16 (seed packs 4-char prefixes map-
+  * side; the single round is one doc-keyed window + one range-
+  * partitioned global sort-rank with bounded driver traffic). Dup
+  * detection is one window over the rank groups (count + min-key —
+  * group sizes are content-bounded, a hot boilerplate gram costs its
+  * occurrence count, never a pair set). Span assembly is the q88
+  * island fold (one doc-keyed window), and reassembly is one
+  * `aggregate` fold over each doc's sorted span array — document text
+  * never shuffles except once, keyed by doc, to meet its spans. */
+object ExactSubstr {
+
+  /** Duplicate-substring length threshold. MUST be a power of two: rank
+    * equality at doubling level log2(L) is exactly L-gram equality, so
+    * the threshold doubles as the level the rank build stops at.
+    * (Lee et al. use 50 BPE tokens on The Pile; 16 chars is scaled to
+    * the driver corpus' ~300-char documents.) */
+  val DupGramL = 16
+
+  /** Doubling level whose ranks group positions by their exact
+    * [[DupGramL]]-gram: 2^4 = 16. */
+  private val GramLevel = 4
+
+  /** Per-doc position bound for the (doc, pos) → scalar keeper-key
+    * encoding; [[SuffixArray.corpusRanks]] fail-louds at the same bound
+    * (2^[[SuffixArray.SaRounds]]), and the oracle's range() generator
+    * enumerates exactly this many positions. */
+  val PosCap = 1024L
+
+  private def normDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.normalize(col("text")).as("text"))
+
+  /** All FULL [[DupGramL]]-gram start positions whose gram occurs ≥ 2
+    * times in the corpus: (doc_id, pos, gid = corpus rank of the gram,
+    * is_keeper = this occurrence is the globally first by
+    * (doc_id, pos)). Exposed for the containment spec against q88's
+    * hash-approximated spans. */
+  private[graft] def dupGramPositions(s: SparkSession,
+                                      docs: DataFrame): DataFrame = {
+    val ranks = SuffixArray.corpusRanks(s, docs, GramLevel)
+    val lens = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("__n"))
+    // positions with a full L-gram: padding never enters the first L
+    // chars, so rank equality there is exact L-gram equality
+    val full = ranks.join(lens, Seq("doc_id"))
+      .filter(col("pos") + lit(DupGramL.toLong) <= col("__n"))
+      .withColumn("__k", col("doc_id") * PosCap + col("pos"))
+    val w = Window.partitionBy(col("r"))
+    full
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__kmin", min(col("__k")).over(w))
+      .filter(col("__cnt") >= 2)
+      .select(col("doc_id"), col("pos"), col("r").as("gid"),
+        (col("__k") === col("__kmin")).as("is_keeper"))
+  }
+
+  /** Merged removal spans per document — maximal islands of non-keeper
+    * duplicate-gram starts at gap ≤ [[DupGramL]] (the q88 island rule:
+    * the union of [p, p+L) intervals is contiguous within an island),
+    * as 0-based char intervals [s, e). */
+  private[graft] def removalSpans(dup: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup.filter(!col("is_keeper"))
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          col("pos") - col("__prev") > DupGramL, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(DupGramL.toLong)).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /** q211 — the full ExactSubstr program: detect → keep-first → cut →
+    * reassemble. One row per document: normalized length, removal-span
+    * count, removed char count, surviving char count, and the md5 of
+    * the reassembled (kept-chars-in-order) text — null when every char
+    * of the doc lost its keep race. */
+  def q211ExactSubstrDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = normDocs(s, dir).localCheckpoint()
+    val spans = removalSpans(dupGramPositions(s, docs))
+    val sp = spans.groupBy(col("doc_id")).agg(
+      sort_array(collect_list(struct(col("s"), col("e")))).as("sarr"),
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s")).as("dup_chars"))
+    // spans are disjoint with positive gaps (islands break at gap > L),
+    // so the fold walks them left to right, copying the text between
+    // acc.c (chars consumed) and the next span start
+    val fold = expr(
+      """aggregate(sarr,
+        |  struct(CAST('' AS STRING) AS t, CAST(0 AS BIGINT) AS c),
+        |  (acc, x) -> struct(
+        |    concat(acc.t, substring(text, CAST(acc.c + 1 AS INT),
+        |      CAST(x.s - acc.c AS INT))), x.e),
+        |  acc -> concat(acc.t, substring(text, CAST(acc.c + 1 AS INT),
+        |    CAST(length(text) - acc.c AS INT))))""".stripMargin)
+    docs.join(sp, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        when(col("sarr").isNull, col("text")).otherwise(fold))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("doc_len"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        length(col("__kept")).cast("long").as("kept_len"),
+        when(length(col("__kept")) > 0,
+          md5(col("__kept").cast("binary"))).as("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle needs no doubling replay: a corpus rank group at level
+    * log2(L) IS the set of positions sharing an exact L-gram, so DuckDB
+    * groups by the gram string directly — same partition, same keeper,
+    * same spans, same reassembled bytes. */
+  lazy val oracleQ211: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), capg AS (
+       |  SELECT CASE WHEN max(len(t)) > $PosCap THEN error(
+       |    'position cap $PosCap exceeded') ELSE 1 END AS ok
+       |  FROM norm
+       |), g AS MATERIALIZED (
+       |  SELECT doc_id, CAST(j AS BIGINT) AS pos,
+       |    substr(t, CAST(j + 1 AS INT), $DupGramL) AS gram
+       |  FROM norm, range(0, $PosCap) r(j), capg
+       |  WHERE capg.ok = 1 AND j + $DupGramL <= len(t)
+       |), grp AS (
+       |  SELECT gram, MIN(doc_id * $PosCap + pos) AS kmin, COUNT(*) AS c
+       |  FROM g GROUP BY gram
+       |), dup AS MATERIALIZED (
+       |  SELECT g.doc_id, g.pos
+       |  FROM g JOIN grp USING (gram)
+       |  WHERE grp.c >= 2 AND g.doc_id * $PosCap + g.pos <> grp.kmin
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN prev IS NULL OR pos - prev > $DupGramL
+       |      THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM dup)
+       |), spans AS MATERIALIZED (
+       |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + $DupGramL AS e
+       |  FROM isl GROUP BY doc_id, island
+       |), agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(e - s) AS BIGINT) AS dup_chars
+       |  FROM spans GROUP BY doc_id
+       |), chars AS MATERIALIZED (
+       |  SELECT norm.doc_id, CAST(j AS BIGINT) AS pos,
+       |    substr(t, CAST(j + 1 AS INT), 1) AS ch
+       |  FROM norm, range(0, $PosCap) r(j), capg
+       |  WHERE capg.ok = 1 AND j < len(t)
+       |), keptc AS (
+       |  SELECT c.doc_id, c.pos, c.ch
+       |  FROM chars c
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |    WHERE sp.doc_id = c.doc_id AND c.pos >= sp.s AND c.pos < sp.e)
+       |), kept AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_len,
+       |    md5(string_agg(ch, '' ORDER BY pos)) AS fp
+       |  FROM keptc GROUP BY doc_id
+       |)
+       |SELECT n.doc_id, CAST(len(n.t) AS BIGINT) AS doc_len,
+       |  COALESCE(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  COALESCE(a.dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
+       |  COALESCE(k.kept_len, CAST(0 AS BIGINT)) AS kept_len,
+       |  k.fp AS kept_fp
+       |FROM norm n
+       |LEFT JOIN agg a USING (doc_id)
+       |LEFT JOIN kept k USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+}

@@ -182,16 +182,25 @@ object SuffixArray {
   private def globalDenseRank(s: SparkSession,
                               df: DataFrame): (DataFrame, Long) = {
     import s.implicits._
+    val dbg = sys.env.contains("SPARK_GRAFT_SA_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      System.err.println(
+        f"SA-PROBE   gdr.$tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val n = s.sparkContext.defaultParallelism
     // repartitionByRange runs a SAMPLING job before the shuffle — without
     // this barrier the upstream window-lead computes twice per round
     val dfM = df.localCheckpoint()
+    lap("window+pack checkpoint")
     val sorted = dfM.repartitionByRange(n, col("pk"))
       .sortWithinPartitions(col("pk"))
       .select(spark_partition_id().as("pid"), col("doc_id"), col("pos"),
         col("pk"))
       .as[SfxG]
       .localCheckpoint()
+    lap("range-sort checkpoint")
     // per-partition distinct-key counts: one sequential scan of the
     // sorted checkpoint — no distinct shuffle
     val counts = sorted.mapPartitions { it =>
@@ -204,6 +213,7 @@ object SuffixArray {
       }
       if (pid < 0) Iterator.empty else Iterator((pid, c))
     }.collect().toMap // bounded: one row per partition
+    lap("counts collect")
     val offsets: Map[Int, Long] = counts.keys.map { p =>
       p -> counts.filter(_._1 < p).values.sum
     }.toMap
@@ -265,6 +275,12 @@ object SuffixArray {
       ascii(expr(s"substring(text, CAST(pos + ${i + 1} AS INT), 1)"))
         .cast("long") * lit(1L << (7 * (SeedChars - 1 - i)))
     }.reduce(_ + _)
+    val dbg = sys.env.contains("SPARK_GRAFT_SA_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      System.err.println(f"SA-PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     var r = docs
       .select(col("doc_id"),
         explode(sequence(lit(0L), length(col("text")).cast("long") - 1L))
@@ -272,6 +288,7 @@ object SuffixArray {
         col("text"))
       .select(col("doc_id"), col("pos"), seed.as("r"))
       .localCheckpoint()
+    lap("seed")
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var k = SeedLevel
     var prevDistinct = -1L
@@ -299,6 +316,7 @@ object SuffixArray {
       // round the identity map (dense-rank refinement only ever splits)
       if (d == prevDistinct) fixed = true
       prevDistinct = d
+      lap(s"round k=$k o=$o distinct=$d")
       k += 1
     }
     r

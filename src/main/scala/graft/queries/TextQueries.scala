@@ -1981,15 +1981,19 @@ GROUP BY d.source ORDER BY d.source"""
     * `localCheckpoint` per round caps lineage (the q61 rule). Rounds are
     * O(1), so the whole program is O(rounds · |E|) shuffled bytes — the
     * GraphX/Pregel LPA plan expressed as DataFrames. */
-  def q204LabelProp(s: SparkSession, dir: String): DataFrame = {
-    val e0 = knnGraphRanked(s, dir, KnnK).select(col("id1"), col("id2"))
-    val sym = e0.union(e0.select(col("id2").as("id1"), col("id1").as("id2")))
-      .distinct().localCheckpoint()
-    var labels = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("node"), col("vec_id").as("lbl"))
+  /** The synchronous LPA round loop over an arbitrary symmetrized edge
+    * relation (id1, id2) and node set (node): each node takes its
+    * neighbors' most frequent label, ties to the smallest. Exposed so
+    * the fixed-point spec can drive it on a planted-community fixture
+    * for round counts N and N+1. */
+  private[graft] def lpaRun(sym0: DataFrame, nodes: DataFrame,
+                            rounds: Int): DataFrame = {
+    val sym = sym0.localCheckpoint()
+    var labels = nodes
+      .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
     var r = 0
-    while (r < LpaRounds) {
+    while (r < rounds) {
       val neigh = sym.join(labels, sym("id2") === labels("node"))
         .select(sym("id1"), labels("lbl"))
       val counts = neigh.groupBy(col("id1"), col("lbl"))
@@ -2004,7 +2008,16 @@ GROUP BY d.source ORDER BY d.source"""
         .localCheckpoint()
       r += 1
     }
-    labels.select(col("node"), col("lbl").as("label"))
+    labels
+  }
+
+  def q204LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val e0 = knnGraphRanked(s, dir, KnnK).select(col("id1"), col("id2"))
+    val sym = e0.union(e0.select(col("id2").as("id1"), col("id1").as("id2")))
+      .distinct()
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("node"))
+    lpaRun(sym, nodes, LpaRounds)
+      .select(col("node"), col("lbl").as("label"))
       .orderBy(col("node"))
   }
 

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Curation, ExactSubstr}
+
+/** Semantic pins for the corpus-level ExactSubstr program (q211) and its
+  * relationship to q88's k-gram-hash approximation:
+  *
+  *  1. EXACTNESS — the suffix-rank dup-gram detection must equal brute-
+  *     force grouping of the literal L-gram strings, position for
+  *     position, keeper for keeper. This is what "no hashing, no
+  *     collisions" means operationally.
+  *  2. KEEP-FIRST — every duplicated gram group has exactly one keeper
+  *     and it is the globally smallest (doc, pos).
+  *  3. CONTAINMENT vs q88 — a cross-document duplicated
+  *     [[Curation.DupSpanK]]-gram contains only duplicated
+  *     [[ExactSubstr.DupGramL]]-grams (L < K), so every char q88's
+  *     spans cover must be covered by q211's dup-gram intervals
+  *     (keepers included — q88 flags all occurrences, q211's removal
+  *     exempts the first). Also q88's per-doc dup_chars must equal the
+  *     brute-force cross-doc K-gram coverage — tying the hash
+  *     approximation to the exact structure on this corpus.
+  */
+class ExactSubstrSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Normalized corpus as a local map — sf0.001, bounded test input. */
+  private lazy val norm: Map[Long, String] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Text.normalize(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+  }
+
+  private def normDocsDf = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Text.normalize(col("text")).as("text"))
+  }
+
+  /** Brute force: every position of every L-gram occurring ≥ 2 times,
+    * with the keep-first flag. */
+  private def bruteDup(l: Int): Map[(Long, Long), Boolean] = {
+    val occ = scala.collection.mutable.Map[String, List[(Long, Long)]]()
+    norm.foreach { case (d, t) =>
+      var p = 0
+      while (p + l <= t.length) {
+        val g = t.substring(p, p + l)
+        occ(g) = (d, p.toLong) :: occ.getOrElse(g, Nil)
+        p += 1
+      }
+    }
+    occ.values.filter(_.size >= 2).flatMap { os =>
+      val mn = os.minBy { case (d, p) => d * ExactSubstr.PosCap + p }
+      os.map(o => o -> (o == mn))
+    }.toMap
+  }
+
+  /** Brute force: positions of K-grams occurring in ≥ 2 DISTINCT docs
+    * (q88's cross-document criterion). */
+  private def bruteCrossDoc(k: Int): Set[(Long, Long)] = {
+    val occ = scala.collection.mutable.Map[String, List[(Long, Long)]]()
+    norm.foreach { case (d, t) =>
+      var p = 0
+      while (p + k <= t.length) {
+        val g = t.substring(p, p + k)
+        occ(g) = (d, p.toLong) :: occ.getOrElse(g, Nil)
+        p += 1
+      }
+    }
+    occ.values.filter(os => os.map(_._1).distinct.size >= 2)
+      .flatten.toSet
+  }
+
+  private def coverage(pos: Iterable[(Long, Long)], l: Int): Set[(Long, Long)] =
+    pos.flatMap { case (d, p) => (p until p + l).map(c => (d, c)) }.toSet
+
+  private lazy val got: Map[(Long, Long), Boolean] = {
+    import spark.implicits._
+    ExactSubstr.dupGramPositions(spark, normDocsDf)
+      .select(col("doc_id"), col("pos"), col("is_keeper"))
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (d, p, k) => (d, p) -> k }.toMap
+  }
+
+  test("dup-gram positions equal brute-force L-gram grouping, keeper for keeper") {
+    val want = bruteDup(ExactSubstr.DupGramL)
+    assert(got.size == want.size)
+    assert(got == want)
+    assert(got.nonEmpty, "fixture corpus has no duplicated grams — test is vacuous")
+  }
+
+  test("exactly one keeper per duplicated gram group") {
+    import spark.implicits._
+    val groups = ExactSubstr.dupGramPositions(spark, normDocsDf)
+      .groupBy(col("gid"))
+      .agg(count(when(col("is_keeper"), 1)).as("nk"),
+        min(col("doc_id") * ExactSubstr.PosCap + col("pos")).as("mn"),
+        min(when(col("is_keeper"),
+          col("doc_id") * ExactSubstr.PosCap + col("pos"))).as("kk"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(groups.forall(g => g._2 == 1L), "a gram group without exactly one keeper")
+    assert(groups.forall(g => g._3 == g._4), "a keeper that is not the min (doc,pos)")
+  }
+
+  test("q88's span coverage is contained in the exact dup-gram structure") {
+    val k = Curation.DupSpanK
+    val cross = bruteCrossDoc(k)
+    // q88's hash-based flags == the exact cross-doc structure on this
+    // corpus (no 60-bit collisions at this size): per-doc dup_chars must
+    // equal the brute-force coverage size
+    import spark.implicits._
+    val q88 = Curation.q88DupSpans(spark, dir)
+      .select(col("doc_id"), col("dup_chars"))
+      .as[(Long, Long)].collect().toMap
+    val cov40 = coverage(cross, k)
+    val cov40PerDoc = cov40.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(q88 == cov40PerDoc,
+      "q88 hash spans diverge from exact cross-doc K-gram coverage")
+    // CONTAINMENT: the K-gram coverage lies inside the L-gram dup
+    // coverage (keepers included)
+    val cov16 = coverage(got.keys, ExactSubstr.DupGramL)
+    assert(cov40.subsetOf(cov16),
+      "q88-covered chars escape the suffix-rank dup-gram coverage")
+    assert(cross.nonEmpty, "no cross-doc duplicate spans in fixture — vacuous")
+  }
+
+  test("reassembly conserves chars: kept_len + dup_chars == doc_len") {
+    import spark.implicits._
+    val rows = ExactSubstr.q211ExactSubstrDedup(spark, dir)
+      .select(col("doc_id"), col("doc_len"), col("n_spans"),
+        col("dup_chars"), col("kept_len"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, n, _, dup, kept) =>
+      assert(kept + dup == n, s"doc $d: kept $kept + removed $dup != len $n")
+    }
+    assert(rows.exists(_._4 > 0), "no doc had spans removed — vacuous")
+  }
+}

@@ -128,10 +128,15 @@ class StreamScd2Spec extends AnyFunSuite {
     // proven complete and merged; snapshot 2 still buffers
     val h = canon(m.current)
     assert(h.size == 3 && h.forall(_._6), s"snapshot 1 alone, all current: $h")
-    // a row older than the lateness bound fails loud
+    // a row older than the lateness bound fails loud — at the WATERMARK
+    // check, which now runs before buffering (a rejected row must never
+    // mutate maintainer state); the merge-cursor check remains the
+    // second line of defense
     val e = intercept[IllegalStateException](
       m.absorb(Seq(Chg(days(0), 9, "z", 99)).toDS()))
-    assert(e.getMessage.contains("late CDC row"))
+    assert(e.getMessage.contains("lateness bound"))
+    // state is untouched by the rejected row
+    assert(canon(m.current) == h)
   }
 
   test("watermarked maintainer rejects bound violators even before any merge") {
