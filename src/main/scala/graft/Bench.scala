@@ -148,7 +148,11 @@ object Bench {
     // fresh-steady) + the typed LCP group fold on top (q207 8.8s);
     // q209 is the corpus-level build — all 10 global sort-rank rounds
     // run because cross-doc dup suffixes keep splitting (~14s steady)
-    "q206_suffix_array", "q207_longest_repeat", "q209_corpus_suffix_rank")
+    "q206_suffix_array", "q207_longest_repeat", "q209_corpus_suffix_rank",
+    // q211 = radix-seeded corpus ranks to level 4 + span cut + reassembly
+    // (Time1 fresh-steady 4.1s at sf0.1); q212 contains ALL THREE modality
+    // matchers q199+q201+q202 plus CC + keeper (fresh-steady 6.4s)
+    "q211_exact_substr", "q212_multimodal_dedup")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(
@@ -201,6 +205,10 @@ object Bench {
     ("q89_knn_graph", "q204_label_prop"),
     // q207 = q206's doubling rounds (wide carrier) + the LCP group fold
     ("q206_suffix_array", "q207_longest_repeat"),
+    // q212 = the union of all three modality matchers + CC + keeper
+    ("q199_phash_pairs", "q212_multimodal_dedup"),
+    ("q201_audio_match", "q212_multimodal_dedup"),
+    ("q202_video_match", "q212_multimodal_dedup"),
   )
 
   /** One query's measurement: median, min, ambient 1-min load at query
