@@ -233,6 +233,7 @@ object SparkEntry {
     "q210_markov_attribution" -> (Attribution.q210MarkovAttribution _),
     "q211_exact_substr" -> (ExactSubstr.q211ExactSubstrDedup _),
     "q212_multimodal_dedup" -> (MultimodalDedup.q212MultimodalDedup _),
+    "q213_incr_exact_substr" -> (ExactSubstr.q213IncrementalExactSubstr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -558,6 +559,7 @@ object SparkEntry {
     "q210_markov_attribution" -> Attribution.oracleQ210,
     "q211_exact_substr" -> ExactSubstr.oracleQ211,
     "q212_multimodal_dedup" -> MultimodalDedup.oracleQ212,
+    "q213_incr_exact_substr" -> ExactSubstr.oracleQ213,
   )
 
   private val asofOracle: String =

@@ -114,7 +114,15 @@ object ExactSubstr {
     * of the doc lost its keep race. */
   def q211ExactSubstrDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = normDocs(s, dir).localCheckpoint()
-    val spans = removalSpans(dupGramPositions(s, docs))
+    applySpans(docs, dupGramPositions(s, docs))
+  }
+
+  /** Shared span-cut + reassembly tail: non-keeper dup positions →
+    * merged removal spans → per-doc sorted span arrays → one `aggregate`
+    * fold rebuilding the kept text. `docs` must carry (doc_id, text)
+    * normalized; output one row per doc in `docs`. */
+  private def applySpans(docs: DataFrame, dup: DataFrame): DataFrame = {
+    val spans = removalSpans(dup)
     val sp = spans.groupBy(col("doc_id")).agg(
       sort_array(collect_list(struct(col("s"), col("e")))).as("sarr"),
       count(lit(1)).as("n_spans"),
@@ -142,6 +150,132 @@ object ExactSubstr {
           md5(col("__kept").cast("binary"))).as("kept_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Base/delta split threshold for the incremental gate: documents
+    * with doc_id below 70% of max are the standing corpus, the rest
+    * arrive as the delta. LOWER ids form the base so global keep-first
+    * order (min (doc·[[PosCap]]+pos)) coincides with arrival order —
+    * the property that makes incremental absorb ≡ batch rebuild. */
+  private[graft] def splitId(docs: DataFrame): Long = {
+    val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    mx * 7 / 10
+  }
+
+  /** q213 — INCREMENTAL ExactSubstr absorb: the q77 discipline applied
+    * to exact dedup. The standing corpus keeps one bounded state table —
+    * gram → its globally-first (doc, pos) key — and an arriving delta
+    * dedups by ONE keyed join against that state plus one window over
+    * its own grams, never re-reading (or re-indexing) the base text.
+    * Because base ids precede delta ids, base keepers are immovable:
+    * a delta can lose chars to the base or to earlier delta positions,
+    * but the base's own output is invariant — which is exactly why the
+    * incremental result for delta docs EQUALS the batch q211 rows for
+    * those docs (spec-pinned), the stream ≡ batch contract.
+    *
+    * Scale shape: at 100 TB the base state is a bucketed table keyed by
+    * gram (16 fixed bytes; bucket-join against deltas with zero base
+    * shuffle — the q53 co-location discipline); the delta-side work is
+    * one explode + one join + one window, all delta-sized. The gram
+    * STRING travels only for delta positions; the base contributes only
+    * its (gram, kmin) state rows. */
+  def q213IncrementalExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    val docs = normDocs(s, dir).localCheckpoint()
+    // q211's path inherits this guard from corpusRanks; the incremental
+    // path builds keys directly, so it must fail loud on its own
+    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
+    require(maxLen <= PosCap,
+      s"document of $maxLen chars exceeds the $PosCap position cap")
+    val cut = splitId(docs)
+    val grams = docs
+      .filter(length(col("text")) >= DupGramL)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          length(col("text")).cast("long") - DupGramL)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, CAST(pos + 1 AS INT), $DupGramL)").as("gram"),
+        (col("doc_id") * PosCap + col("pos")).as("__k"))
+    // the standing state: one row per distinct base gram
+    val state = grams.filter(col("doc_id") < cut)
+      .groupBy(col("gram")).agg(min(col("__k")).as("base_kmin"))
+    val delta = grams.filter(col("doc_id") >= cut)
+    val w = Window.partitionBy(col("gram"))
+    val dup = delta
+      .join(state, Seq("gram"), "left")
+      .withColumn("__dcnt", count(lit(1)).over(w))
+      .withColumn("__dmin", min(col("__k")).over(w))
+      // non-keeper: the gram already lives in the base, or an earlier
+      // delta position claimed it
+      .filter(col("base_kmin").isNotNull ||
+        (col("__dcnt") >= 2 && col("__k") =!= col("__dmin")))
+      .select(col("doc_id"), col("pos"), lit(false).as("is_keeper"))
+    applySpans(docs.filter(col("doc_id") >= cut), dup)
+  }
+
+  /** Oracle: the batch q211 computation restricted to delta rows — the
+    * incremental ≡ batch contract IS the oracle relation. */
+  lazy val oracleQ213: String =
+    s"""WITH cut AS (
+       |  SELECT max(doc_id) * 7 // 10 AS c FROM documents
+       |), norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), capg AS (
+       |  SELECT CASE WHEN max(len(t)) > $PosCap THEN error(
+       |    'position cap $PosCap exceeded') ELSE 1 END AS ok
+       |  FROM norm
+       |), g AS MATERIALIZED (
+       |  SELECT doc_id, CAST(j AS BIGINT) AS pos,
+       |    substr(t, CAST(j + 1 AS INT), $DupGramL) AS gram
+       |  FROM norm, range(0, $PosCap) r(j), capg
+       |  WHERE capg.ok = 1 AND j + $DupGramL <= len(t)
+       |), grp AS (
+       |  SELECT gram, MIN(doc_id * $PosCap + pos) AS kmin, COUNT(*) AS c
+       |  FROM g GROUP BY gram
+       |), dup AS MATERIALIZED (
+       |  SELECT g.doc_id, g.pos
+       |  FROM g JOIN grp USING (gram)
+       |  WHERE grp.c >= 2 AND g.doc_id * $PosCap + g.pos <> grp.kmin
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN prev IS NULL OR pos - prev > $DupGramL
+       |      THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM dup)
+       |), spans AS MATERIALIZED (
+       |  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + $DupGramL AS e
+       |  FROM isl GROUP BY doc_id, island
+       |), agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(e - s) AS BIGINT) AS dup_chars
+       |  FROM spans GROUP BY doc_id
+       |), chars AS MATERIALIZED (
+       |  SELECT norm.doc_id, CAST(j AS BIGINT) AS pos,
+       |    substr(t, CAST(j + 1 AS INT), 1) AS ch
+       |  FROM norm, range(0, $PosCap) r(j), capg
+       |  WHERE capg.ok = 1 AND j < len(t)
+       |), keptc AS (
+       |  SELECT c.doc_id, c.pos, c.ch
+       |  FROM chars c
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |    WHERE sp.doc_id = c.doc_id AND c.pos >= sp.s AND c.pos < sp.e)
+       |), kept AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_len,
+       |    md5(string_agg(ch, '' ORDER BY pos)) AS fp
+       |  FROM keptc GROUP BY doc_id
+       |)
+       |SELECT n.doc_id, CAST(len(n.t) AS BIGINT) AS doc_len,
+       |  COALESCE(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  COALESCE(a.dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
+       |  COALESCE(k.kept_len, CAST(0 AS BIGINT)) AS kept_len,
+       |  k.fp AS kept_fp
+       |FROM norm n
+       |LEFT JOIN agg a USING (doc_id)
+       |LEFT JOIN kept k USING (doc_id), cut
+       |WHERE n.doc_id >= cut.c
+       |ORDER BY n.doc_id""".stripMargin
 
   /** The oracle needs no doubling replay: a corpus rank group at level
     * log2(L) IS the set of positions sharing an exact L-gram, so DuckDB

@@ -129,6 +129,17 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(cross.nonEmpty, "no cross-doc duplicate spans in fixture — vacuous")
   }
 
+  test("incremental absorb (q213) equals the batch rebuild (q211) on delta docs") {
+    val cut = ExactSubstr.splitId(normDocsDf)
+    val batch = ExactSubstr.q211ExactSubstrDedup(spark, dir)
+      .filter(col("doc_id") >= cut).collect().toSeq
+    val incr = ExactSubstr.q213IncrementalExactSubstr(spark, dir)
+      .collect().toSeq
+    assert(incr.nonEmpty)
+    assert(incr == batch,
+      "incremental state-join absorb diverged from the batch keep-first")
+  }
+
   test("reassembly conserves chars: kept_len + dup_chars == doc_len") {
     import spark.implicits._
     val rows = ExactSubstr.q211ExactSubstrDedup(spark, dir)
