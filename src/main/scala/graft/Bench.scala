@@ -151,9 +151,9 @@ object Bench {
     "q206_suffix_array", "q207_longest_repeat", "q209_corpus_suffix_rank",
     // q211 = radix-seeded corpus ranks to level 4 + span cut + reassembly
     // (Time1 fresh-steady 4.1s at sf0.1); q212 contains ALL THREE modality
-    // matchers q199+q201+q202 plus CC + keeper (fresh-steady 6.4s); q213
-    // groups the full base corpus' gram strings for its state table
-    "q211_exact_substr", "q212_multimodal_dedup", "q213_incr_exact_substr")
+    // matchers q199+q201+q202 plus CC + keeper (fresh-steady 6.4s).
+    // q213 (incremental absorb) is ~1.1s steady — shared tier.
+    "q211_exact_substr", "q212_multimodal_dedup")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(
