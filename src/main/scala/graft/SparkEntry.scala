@@ -234,6 +234,7 @@ object SparkEntry {
     "q211_exact_substr" -> (ExactSubstr.q211ExactSubstrDedup _),
     "q212_multimodal_dedup" -> (MultimodalDedup.q212MultimodalDedup _),
     "q213_incr_exact_substr" -> (ExactSubstr.q213IncrementalExactSubstr _),
+    "q214_stream_exact_substr" -> (ExactSubstr.q214StreamExactSubstr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -560,6 +561,7 @@ object SparkEntry {
     "q211_exact_substr" -> ExactSubstr.oracleQ211,
     "q212_multimodal_dedup" -> MultimodalDedup.oracleQ212,
     "q213_incr_exact_substr" -> ExactSubstr.oracleQ213,
+    "q214_stream_exact_substr" -> ExactSubstr.oracleQ211,
   )
 
   private val asofOracle: String =

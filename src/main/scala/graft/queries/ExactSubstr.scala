@@ -121,7 +121,7 @@ object ExactSubstr {
     * merged removal spans → per-doc sorted span arrays → one `aggregate`
     * fold rebuilding the kept text. `docs` must carry (doc_id, text)
     * normalized; output one row per doc in `docs`. */
-  private def applySpans(docs: DataFrame, dup: DataFrame): DataFrame = {
+  private[graft] def applySpans(docs: DataFrame, dup: DataFrame): DataFrame = {
     val spans = removalSpans(dup)
     val sp = spans.groupBy(col("doc_id")).agg(
       sort_array(collect_list(struct(col("s"), col("e")))).as("sarr"),
@@ -178,15 +178,11 @@ object ExactSubstr {
     * one explode + one join + one window, all delta-sized. The gram
     * STRING travels only for delta positions; the base contributes only
     * its (gram, kmin) state rows. */
-  def q213IncrementalExactSubstr(s: SparkSession, dir: String): DataFrame = {
-    val docs = normDocs(s, dir).localCheckpoint()
-    // q211's path inherits this guard from corpusRanks; the incremental
-    // path builds keys directly, so it must fail loud on its own
-    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
-    require(maxLen <= PosCap,
-      s"document of $maxLen chars exceeds the $PosCap position cap")
-    val cut = splitId(docs)
-    val grams = docs
+  /** All full L-gram positions of `docs` as (doc_id, pos, gram, __k)
+    * with the global keep-first key. Shared by the incremental (q213)
+    * and streaming (q214) absorb paths. */
+  private[graft] def gramPositions(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) >= DupGramL)
       .select(col("doc_id"),
         explode(sequence(lit(0L),
@@ -195,20 +191,41 @@ object ExactSubstr {
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, CAST(pos + 1 AS INT), $DupGramL)").as("gram"),
         (col("doc_id") * PosCap + col("pos")).as("__k"))
-    // the standing state: one row per distinct base gram
-    val state = grams.filter(col("doc_id") < cut)
-      .groupBy(col("gram")).agg(min(col("__k")).as("base_kmin"))
-    val delta = grams.filter(col("doc_id") >= cut)
+
+  /** The absorb step's dup criterion: a position is removed iff its
+    * gram already lives in the standing `state` (gram, base_kmin) OR an
+    * earlier position WITHIN the same incoming relation claimed it. */
+  private[graft] def absorbDups(incoming: DataFrame,
+                                state: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("gram"))
-    val dup = delta
+    incoming
       .join(state, Seq("gram"), "left")
       .withColumn("__dcnt", count(lit(1)).over(w))
       .withColumn("__dmin", min(col("__k")).over(w))
-      // non-keeper: the gram already lives in the base, or an earlier
-      // delta position claimed it
       .filter(col("base_kmin").isNotNull ||
         (col("__dcnt") >= 2 && col("__k") =!= col("__dmin")))
       .select(col("doc_id"), col("pos"), lit(false).as("is_keeper"))
+  }
+
+  private[graft] def normDocsChecked(s: SparkSession,
+                                     dir: String): DataFrame = {
+    val docs = normDocs(s, dir).localCheckpoint()
+    // q211's path inherits this guard from corpusRanks; the incremental
+    // paths build keys directly, so they must fail loud on their own
+    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
+    require(maxLen <= PosCap,
+      s"document of $maxLen chars exceeds the $PosCap position cap")
+    docs
+  }
+
+  def q213IncrementalExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    val docs = normDocsChecked(s, dir)
+    val cut = splitId(docs)
+    val grams = gramPositions(docs)
+    // the standing state: one row per distinct base gram
+    val state = grams.filter(col("doc_id") < cut)
+      .groupBy(col("gram")).agg(min(col("__k")).as("base_kmin"))
+    val dup = absorbDups(grams.filter(col("doc_id") >= cut), state)
     applySpans(docs.filter(col("doc_id") >= cut), dup)
   }
 
@@ -276,6 +293,41 @@ object ExactSubstr {
        |LEFT JOIN kept k USING (doc_id), cut
        |WHERE n.doc_id >= cut.c
        |ORDER BY n.doc_id""".stripMargin
+
+  /** q214 — STREAMING ExactSubstr maintenance run to completion
+    * in-process (the thirteenth streaming shape): the WHOLE corpus
+    * arrives on a MemoryStream in four doc_id-ordered micro-batches;
+    * each batch dedups against the standing gram-keeper state as of its
+    * arrival and extends it ([[graft.streaming.StreamExactSubstr]]).
+    * Keep-first ≡ arrival order, so the accumulated emissions must
+    * hash-match the batch q211 rebuild — the gate reuses q211's oracle
+    * VERBATIM, proving stream ≡ batch regardless of micro-batch
+    * boundaries (the spec additionally sweeps 1- and 3-batch splits).
+    * The driver-side collect feeds ONLY the in-process test transport. */
+  def q214StreamExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamExactSubstr
+    import graft.streaming.StreamExactSubstr.SDoc
+    val docs = normDocsChecked(s, dir)
+      .orderBy(col("doc_id")).as[SDoc].collect()
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[SDoc]
+    val a = new StreamExactSubstr.Absorber
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = StreamExactSubstr.applied(mem.toDS(), a).start()
+      try {
+        val quarter = math.max(1, docs.length / 4)
+        docs.grouped(quarter).foreach { b =>
+          mem.addData(b.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    a.results.orderBy(col("doc_id"))
+  }
 
   /** The oracle needs no doubling replay: a corpus rank group at level
     * log2(L) IS the set of positions sharing an exact L-gram, so DuckDB

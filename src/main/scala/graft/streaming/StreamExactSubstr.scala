@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.ExactSubstr
+
+/** STREAMING corpus dedup maintenance — the thirteenth streaming shape:
+  * the q213 incremental-ExactSubstr absorb run as a `foreachBatch` loop.
+  * A standing state table holds one row per distinct gram ever seen
+  * (gram → globally first doc·PosCap+pos key); each arriving micro-batch
+  * of documents dedups against the state-as-of-its-arrival (one keyed
+  * join + one window over its OWN grams — [[ExactSubstr.absorbDups]]),
+  * emits its per-doc reassembly rows, and extends the state with its own
+  * gram minima. Because micro-batches arrive in doc_id order, keep-first
+  * ≡ arrival order, so the accumulated emissions equal the batch q211
+  * rebuild on the same rows NO MATTER how the stream is micro-batched —
+  * the q214 gate reuses q213's oracle verbatim, and the spec sweeps
+  * batch splits.
+  *
+  * At 100 TB the state is gram-cardinality-sized (16-byte keys, one row
+  * per distinct gram — the dedupable mass, not the corpus), lives in a
+  * bucketed keyed table (`operators.Upsert.keyed` on `gram`), and each
+  * micro-batch's cost is delta-sized: the stream never re-reads or
+  * re-indexes absorbed text. In-process the state is an eagerly
+  * checkpointed bounded DataFrame so the gate runs without a storage
+  * dependency (same contract as [[StreamMaintain]]). */
+object StreamExactSubstr {
+
+  case class SDoc(doc_id: Long, text: String)
+
+  /** Mutable standing state + accumulated emissions for an in-process
+    * run. Each state and emission is eagerly checkpointed so lineage
+    * never chains across batches. */
+  final class Absorber {
+    @volatile private var state: Option[DataFrame] = None
+    @volatile private var emitted: List[DataFrame] = Nil
+
+    def absorb(batch: Dataset[SDoc]): Unit = synchronized {
+      val docs = batch.toDF().localCheckpoint()
+      val grams = gramsChecked(docs).localCheckpoint()
+      val st = state.getOrElse {
+        val s = docs.sparkSession
+        import s.implicits._
+        Seq.empty[(String, Long)].toDF("gram", "base_kmin")
+      }
+      val out = ExactSubstr.applySpans(docs,
+        ExactSubstr.absorbDups(grams, st))
+      emitted = out.localCheckpoint() :: emitted
+      val mins = grams.groupBy(col("gram")).agg(min(col("__k")).as("__m"))
+      state = Some(st
+        .join(mins, Seq("gram"), "full_outer")
+        .select(col("gram"),
+          least(coalesce(col("base_kmin"), col("__m")),
+            coalesce(col("__m"), col("base_kmin"))).as("base_kmin"))
+        .localCheckpoint())
+    }
+
+    private def gramsChecked(docs: DataFrame): DataFrame = {
+      val mx = docs.agg(max(length(col("text")))).collect()(0)
+      if (!mx.isNullAt(0))
+        require(mx.getInt(0) <= ExactSubstr.PosCap,
+          s"document of ${mx.getInt(0)} chars exceeds the " +
+            s"${ExactSubstr.PosCap} position cap")
+      ExactSubstr.gramPositions(docs)
+    }
+
+    def results: DataFrame = emitted match {
+      case Nil => throw new IllegalStateException("no batches absorbed")
+      case hd :: tl => tl.foldLeft(hd)(_ unionByName _)
+    }
+  }
+
+  /** Wire an absorber onto a document stream; caller starts/stops. */
+  def applied(docs: Dataset[SDoc], a: Absorber) =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[SDoc], _: Long) => a.absorb(batch)
+    }
+}
