@@ -112,6 +112,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ExactSubstr family: keyed joins only, no cartesian anywhere") {
+    // q211's dup detection is a window over rank groups + a doc-keyed
+    // lens join; q213's absorb is one gram-keyed join + one window.
+    // Neither may degenerate to a cartesian or an unkeyed NL join.
+    for (name <- Seq("q211_exact_substr", "q213_incr_exact_substr")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), name)
+    }
+  }
+
   test("classifier inference: weight dim broadcasts onto the bigram stream") {
     val p = plan("q130_quality_classifier")
     assert(p.contains("BroadcastHashJoin"))
