@@ -54,11 +54,15 @@ object ExactSubstr {
     * [[DupGramL]]-gram: 2^4 = 16. */
   private val GramLevel = 4
 
-  /** Per-doc position bound for the (doc, pos) → scalar keeper-key
-    * encoding; [[SuffixArray.corpusRanks]] fail-louds at the same bound
-    * (2^[[SuffixArray.SaRounds]]), and the oracle's range() generator
-    * enumerates exactly this many positions. */
-  val PosCap = 1024L
+  /** ORACLE position bound, derived from the oracle round bound: the
+    * DuckDB oracles enumerate positions with `range(0, PosCap)` and
+    * encode keep-first keys as the scalar `doc_id·PosCap + pos`, so each
+    * carries an `error()` guard that trips at verify time past this
+    * bound. The ENGINE is not bounded: keep-first keys are
+    * `struct(doc_id, pos)` (lexicographic struct ordering — no encode,
+    * no width limit), and [[SuffixArray.corpusRanks]] derives its round
+    * count from the data, so >PosCap-char documents dedup fine. */
+  val PosCap: Long = 1L << SuffixArray.SaRounds
 
   private def normDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -78,7 +82,7 @@ object ExactSubstr {
     // chars, so rank equality there is exact L-gram equality
     val full = ranks.join(lens, Seq("doc_id"))
       .filter(col("pos") + lit(DupGramL.toLong) <= col("__n"))
-      .withColumn("__k", col("doc_id") * PosCap + col("pos"))
+      .withColumn("__k", struct(col("doc_id"), col("pos")))
     val w = Window.partitionBy(col("r"))
     full
       .withColumn("__cnt", count(lit(1)).over(w))
@@ -157,8 +161,9 @@ object ExactSubstr {
     * order (min (doc·[[PosCap]]+pos)) coincides with arrival order —
     * the property that makes incremental absorb ≡ batch rebuild. */
   private[graft] def splitId(docs: DataFrame): Long = {
-    val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    mx * 7 / 10
+    val mx = docs.agg(max(col("doc_id"))).collect()(0)
+    require(!mx.isNullAt(0), "empty corpus: no documents to split")
+    mx.getLong(0) * 7 / 10
   }
 
   /** q213 — INCREMENTAL ExactSubstr absorb: the q77 discipline applied
@@ -190,7 +195,7 @@ object ExactSubstr {
         col("text"))
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, CAST(pos + 1 AS INT), $DupGramL)").as("gram"),
-        (col("doc_id") * PosCap + col("pos")).as("__k"))
+        struct(col("doc_id"), col("pos")).as("__k"))
 
   /** The absorb step's dup criterion: a position is removed iff its
     * gram already lives in the standing `state` (gram, base_kmin) OR an
@@ -207,19 +212,8 @@ object ExactSubstr {
       .select(col("doc_id"), col("pos"), lit(false).as("is_keeper"))
   }
 
-  private[graft] def normDocsChecked(s: SparkSession,
-                                     dir: String): DataFrame = {
-    val docs = normDocs(s, dir).localCheckpoint()
-    // q211's path inherits this guard from corpusRanks; the incremental
-    // paths build keys directly, so they must fail loud on their own
-    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
-    require(maxLen <= PosCap,
-      s"document of $maxLen chars exceeds the $PosCap position cap")
-    docs
-  }
-
   def q213IncrementalExactSubstr(s: SparkSession, dir: String): DataFrame = {
-    val docs = normDocsChecked(s, dir)
+    val docs = normDocs(s, dir).localCheckpoint()
     val cut = splitId(docs)
     val grams = gramPositions(docs)
     // the standing state: one row per distinct base gram
@@ -309,7 +303,7 @@ object ExactSubstr {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamExactSubstr
     import graft.streaming.StreamExactSubstr.SDoc
-    val docs = normDocsChecked(s, dir)
+    val docs = normDocs(s, dir)
       .orderBy(col("doc_id")).as[SDoc].collect()
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val mem = MemoryStream[SDoc]

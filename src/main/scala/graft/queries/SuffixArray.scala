@@ -20,13 +20,22 @@ import graft.Tables
   */
 object SuffixArray {
 
-  /** Doubling rounds: ranks after round k order suffixes by their
-    * 2^k-prefixes, so 2^[[SaRounds]] must reach the longest document
-    * for the final ranks to be total (driver corpus max 577 chars;
-    * 2^10 = 1024 headroom). [[rankLevels]] fail-louds if the corpus
-    * ever outgrows the bound — silent non-total ranks would corrupt
-    * every downstream read. Fixed so the oracle unrolls. */
+  /** ORACLE doubling rounds: the DuckDB replays unroll a fixed number of
+    * rounds, so 2^[[SaRounds]] bounds the document length the ORACLES
+    * can check (driver corpus max 577 chars; 2^10 = 1024 headroom) and
+    * each oracle carries an `error()` guard that trips at verify time if
+    * the corpus ever outgrows it. The ENGINE is not bounded: both
+    * [[rankLevels]] and [[corpusRanks]] derive their round count from
+    * the measured max document length (ceil-log2), so longer documents
+    * simply run more rounds. */
   val SaRounds = 10
+
+  /** Smallest k with 2^k ≥ n (rounds needed for total suffix ranks). */
+  private[graft] def ceilLog2(n: Long): Int = {
+    var k = 0
+    while ((1L << k) < n) k += 1
+    k
+  }
 
   /** Rank levels by prefix doubling: one row per suffix (doc_id, pos);
     * r0 is the code point of the character at pos; r{k+1} is the dense
@@ -55,10 +64,13 @@ object SuffixArray {
     // `WHERE j < n` never emits; filter them out before the explode
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .filter(length(col("text")) > 0)
-    // fail-loud bound check: one scalar collect (bounded metadata)
-    val maxLen = docs.agg(max(length(col("text")))).collect()(0).getInt(0)
-    require(maxLen <= (1 << SaRounds),
-      s"document of $maxLen chars exceeds 2^$SaRounds — raise SaRounds")
+    // round count derived from the data: one scalar collect (bounded
+    // metadata); an empty corpus runs the default oracle-bound rounds
+    val mx = docs.agg(max(length(col("text")))).collect()(0)
+    val maxLen = if (mx.isNullAt(0)) 0 else mx.getInt(0)
+    // ≥ 1 round so the output rank is always a dense rank (r0 is raw
+    // code points); ceilLog2(maxLen) rounds guarantee totality
+    val rounds = math.max(1, ceilLog2(maxLen.toLong))
     var r = docs
       .select(col("doc_id"),
         explode(sequence(lit(0L), length(col("text")).cast("long") - 1L))
@@ -71,7 +83,7 @@ object SuffixArray {
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var k = 0
     var total = false
-    while (k < SaRounds && !total) {
+    while (k < rounds && !total) {
       val o = 1 << k
       val wRank = Window.partitionBy(col("doc_id"))
         .orderBy(col(s"r$k"), col("__r2"))
@@ -81,7 +93,7 @@ object SuffixArray {
           dense_rank().over(wRank).cast("long"))
         .drop("__r2")
       if (!keepLevels) r = r.drop(s"r$k")
-      if (k % 3 == 2 || k == SaRounds - 1) {
+      if (k % 3 == 2 || k == rounds - 1) {
         r = r.localCheckpoint()
         // EARLY EXIT, exact by construction: once every doc's ranks are
         // total (max dense rank == suffix count), every further doubling
@@ -90,9 +102,10 @@ object SuffixArray {
         // them. The LCP fold stays exact too: totality at round k means
         // all 2^k-grams are distinct, so no LCP can reach 2^k and the
         // skipped higher levels could never contribute a match.
-        total = r.groupBy(col("doc_id"))
+        val t = r.groupBy(col("doc_id"))
           .agg((max(col(s"r${k + 1}")) === count(lit(1))).as("t"))
-          .agg(min(col("t"))).collect()(0).getBoolean(0)
+          .agg(min(col("t"))).collect()(0)
+        total = t.isNullAt(0) || t.getBoolean(0)
       }
       k += 1
     }
@@ -131,10 +144,16 @@ object SuffixArray {
          |    FROM s$k))""".stripMargin
     }.mkString(",\n")
     s"""d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |gcap AS (
+       |  SELECT CASE WHEN max(n) > ${1 << SaRounds} THEN error(
+       |    'document exceeds the oracle round bound 2^$SaRounds')
+       |    ELSE 1 END AS ok FROM d
+       |),
        |s0 AS MATERIALIZED (
        |  SELECT doc_id, CAST(j AS BIGINT) AS pos,
        |    CAST(ascii(substr(text, CAST(j + 1 AS INT), 1)) AS BIGINT) AS r
-       |  FROM d, range(0, ${1 << SaRounds}) t(j) WHERE j < n
+       |  FROM d, range(0, ${1 << SaRounds}) t(j), gcap
+       |  WHERE gcap.ok = 1 AND j < n
        |),
        |$rounds""".stripMargin
   }
@@ -160,11 +179,18 @@ object SuffixArray {
   private val SeedLevel = 2 // 2^SeedLevel == SeedChars
 
   /** Packed-pair base: ranks r are either the 4-char seed (< 128^4 =
-    * 2^28) or dense ranks (< corpus suffix count, guarded < 2^31), and
-    * r2+1 ∈ [0, 2^31], so pk = r·2^32 + (r2+1) is collision-free and
-    * orders identically to (r, r2) — ONE long through the sort and the
-    * checkpoints instead of two. */
+    * 2^28) or dense ranks (< corpus suffix count), and r2+1 ∈ [0, 2^31],
+    * so WHEN the corpus has < 2^31 suffixes pk = r·2^32 + (r2+1) is
+    * collision-free and orders identically to (r, r2) — ONE long through
+    * the sort and the checkpoints instead of two. Larger corpora take
+    * the two-long wide path ([[globalDenseRankWide]]) automatically; the
+    * packing is a fast path, not a capacity bound. */
   private val PairBase = 1L << 32
+
+  /** Suffix-count ceiling for the packed single-long pair carrier. */
+  private[graft] val PackedPairMax = 1L << 31
+
+  final case class SfxW(pid: Int, doc_id: Long, pos: Long, r: Long, r2: Long)
 
   /** Distributed GLOBAL dense rank of the packed pair column `pk` — the
     * piece the corpus-level suffix array needs and a per-doc window
@@ -230,6 +256,62 @@ object SuffixArray {
     (ranked.toDF("doc_id", "pos", "nr"), counts.values.sum)
   }
 
+  /** [[globalDenseRank]] over an UNPACKED (r, r2) pair — the wide path
+    * corpora with ≥ 2^31 suffixes take (dense ranks no longer fit the
+    * single-long carrier): identical range-sort / offset / ordered-map
+    * structure, two longs through the sort and checkpoints instead of
+    * one. `repartitionByRange` on (r, r2) keeps equal pairs in one
+    * partition, so the per-partition distinct count and the ordered rank
+    * assignment stay exact. */
+  private def globalDenseRankWide(s: SparkSession,
+                                  df: DataFrame): (DataFrame, Long) = {
+    import s.implicits._
+    val dbg = sys.env.contains("SPARK_GRAFT_SA_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      System.err.println(
+        f"SA-PROBE   gdrW.$tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
+    val n = s.sparkContext.defaultParallelism
+    val dfM = df.localCheckpoint()
+    lap("window+pair checkpoint")
+    val sorted = dfM.repartitionByRange(n, col("r"), col("r2"))
+      .sortWithinPartitions(col("r"), col("r2"))
+      .select(spark_partition_id().as("pid"), col("doc_id"), col("pos"),
+        col("r"), col("r2"))
+      .as[SfxW]
+      .localCheckpoint()
+    lap("range-sort checkpoint")
+    val counts = sorted.mapPartitions { it =>
+      var pid = -1
+      var c = 0L
+      var pr = 0L; var pr2 = 0L
+      it.foreach { x =>
+        if (pid < 0) pid = x.pid
+        if (c == 0L || x.r != pr || x.r2 != pr2) { c += 1; pr = x.r; pr2 = x.r2 }
+      }
+      if (pid < 0) Iterator.empty else Iterator((pid, c))
+    }.collect().toMap // bounded: one row per partition
+    lap("counts collect")
+    val offsets: Map[Int, Long] = counts.keys.map { p =>
+      p -> counts.filter(_._1 < p).values.sum
+    }.toMap
+    val ranked = sorted.mapPartitions { it =>
+      var local = 0L
+      var off = 0L
+      var pr = 0L; var pr2 = 0L; var first = true
+      it.map { x =>
+        if (first) { off = offsets.getOrElse(x.pid, 0L); first = false }
+        if (local == 0L || x.r != pr || x.r2 != pr2) {
+          local += 1; pr = x.r; pr2 = x.r2
+        }
+        (x.doc_id, x.pos, off + local)
+      }
+    }
+    (ranked.toDF("doc_id", "pos", "nr"), counts.values.sum)
+  }
+
   /** Corpus-level rank levels by radix-seeded prefix doubling over an
     * arbitrary (doc_id, text) relation: returns (doc_id, pos, r) where
     * equal r ⟺ equal 2^`uptoLevel`-prefix (corpus-wide, end-padding
@@ -245,13 +327,19 @@ object SuffixArray {
     * storage-term fix: 2 fewer rounds and (doc,pos,pk) 3-long rows
     * instead of (doc,pos,r,r2) 4-long ones through every checkpoint. */
   private[graft] def corpusRanks(s: SparkSession, docs0: DataFrame,
-                                 uptoLevel: Int): DataFrame = {
+                                 uptoLevel: Int,
+                                 total: Boolean = false,
+                                 forceWide: Boolean = false): DataFrame = {
     // blocks alive before this query started are NOT ours to retire
     val foreign = s.sparkContext.getPersistentRDDs.keySet.toSet
     // empty docs would explode sequence(0, -1) = [0, -1]; drop pre-explode
     val docs = docs0.select(col("doc_id"), col("text"))
       .filter(length(col("text")) > 0)
-    // ONE bounded-metadata scan for all three fail-loud guards
+    // ONE bounded-metadata scan picks the round count and the carrier:
+    // maxLen drives totality rounds, the char range decides whether the
+    // base-128 radix seed applies, and the suffix count decides packed
+    // vs wide pair carrier. Nothing here REFUSES input — every bound is
+    // a path switch, not a capacity cap.
     val st = docs.agg(
       max(length(col("text"))),
       max(expr("aggregate(transform(split(text, ''), c -> ascii(c)), " +
@@ -259,22 +347,32 @@ object SuffixArray {
       min(expr("aggregate(transform(split(text, ''), c -> ascii(c)), " +
         "128, (a, x) -> least(a, x))")),
       sum(length(col("text"))).cast("long")).collect()(0)
+    if (st.isNullAt(0)) // empty corpus: zero suffix rows, zero rounds
+      return docs.select(col("doc_id"), lit(0L).as("pos"), lit(0L).as("r"))
     val maxLen = st.getInt(0)
     val maxChar = st.getInt(1)
     val minChar = st.getInt(2)
     val nSuffixes = st.getLong(3)
-    require(maxLen <= (1 << SaRounds),
-      s"document of $maxLen chars exceeds 2^$SaRounds — raise SaRounds")
-    require(maxChar < 128 && minChar >= 1,
-      s"char code outside [1, 127] (min $minChar, max $maxChar) breaks " +
-        "the base-128 radix seed (0 is the end-padding sentinel)")
-    require(nSuffixes < (1L << 31),
-      s"$nSuffixes suffixes overflow the packed-pair carrier — " +
-        "widen PairBase to a two-long key")
-    val seed = (0 until SeedChars).map { i =>
-      ascii(expr(s"substring(text, CAST(pos + ${i + 1} AS INT), 1)"))
-        .cast("long") * lit(1L << (7 * (SeedChars - 1 - i)))
-    }.reduce(_ + _)
+    // the radix seed needs codes in [1, 127] (0 is the end-padding
+    // sentinel); anything else falls back to the plain code-point seed
+    // (level 0) — one extra doubling round, never a refusal
+    val seedOk = minChar >= 1 && maxChar < 128
+    val packed = !forceWide && nSuffixes < PackedPairMax
+    val kStart = if (seedOk) SeedLevel else 0
+    // total ⟹ run to ceil-log2(maxLen) — equal ranks then mean equal
+    // whole suffixes; ≥ kStart+1 so the output is always a DENSE rank
+    // (the raw seed is order-correct but not dense)
+    val lvl =
+      if (total) math.max(kStart + 1, ceilLog2(maxLen.toLong))
+      else uptoLevel
+    val seed =
+      if (seedOk)
+        (0 until SeedChars).map { i =>
+          ascii(expr(s"substring(text, CAST(pos + ${i + 1} AS INT), 1)"))
+            .cast("long") * lit(1L << (7 * (SeedChars - 1 - i)))
+        }.reduce(_ + _)
+      else
+        ascii(expr("substring(text, CAST(pos + 1 AS INT), 1)")).cast("long")
     val dbg = sys.env.contains("SPARK_GRAFT_SA_DEBUG")
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (dbg) {
@@ -288,12 +386,12 @@ object SuffixArray {
         col("text"))
       .select(col("doc_id"), col("pos"), seed.as("r"))
       .localCheckpoint()
-    lap("seed")
+    lap(s"seed (packed=$packed seedOk=$seedOk lvl=$lvl)")
     val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    var k = SeedLevel
+    var k = kStart
     var prevDistinct = -1L
     var fixed = false
-    while (k < uptoLevel && !fixed) {
+    while (k < lvl && !fixed) {
       val o = 1 << k
       // block-manager discipline: by the time globalDenseRank has
       // eagerly materialized THIS round's checkpoints, every block
@@ -301,11 +399,15 @@ object SuffixArray {
       // rounds × 2 checkpoints of the full suffix relation pile up and
       // evict (measured 14× instead of ~10× at the sf1 probe)
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val stepped = r.withColumn("__r2",
-          coalesce(lead(col("r"), o).over(wLead), lit(-1L)))
-        .select(col("doc_id"), col("pos"),
-          (col("r") * PairBase + col("__r2") + 1L).as("pk"))
-      val (ranked, d) = globalDenseRank(s, stepped)
+      val stepped0 = r.withColumn("__r2",
+        coalesce(lead(col("r"), o).over(wLead), lit(-1L)))
+      val (ranked, d) =
+        if (packed)
+          globalDenseRank(s, stepped0.select(col("doc_id"), col("pos"),
+            (col("r") * PairBase + col("__r2") + 1L).as("pk")))
+        else
+          globalDenseRankWide(s, stepped0.select(col("doc_id"), col("pos"),
+            col("r"), col("__r2").as("r2")))
       s.sparkContext.getPersistentRDDs
         .filter { case (id, _) => before.contains(id) && !foreign.contains(id) }
         .values.foreach(_.unpersist(false))
@@ -341,7 +443,7 @@ object SuffixArray {
     * This is the 100-TB path the per-doc q206 scaladoc names: a
     * corpus-level SA over N documents is log(maxlen) range sorts. */
   def q209CorpusSuffixRank(s: SparkSession, dir: String): DataFrame =
-    corpusRanks(s, Tables.documents(s, dir), SaRounds)
+    corpusRanks(s, Tables.documents(s, dir), SaRounds, total = true)
       .select(col("doc_id"), col("pos"), col("r").as("rk"))
       .orderBy(col("doc_id"), col("pos"))
 
@@ -357,10 +459,16 @@ object SuffixArray {
          |    FROM g$k))""".stripMargin
     }.mkString(",\n")
     s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |gcap AS (
+       |  SELECT CASE WHEN max(n) > ${1 << SaRounds} THEN error(
+       |    'document exceeds the oracle round bound 2^$SaRounds')
+       |    ELSE 1 END AS ok FROM d
+       |),
        |g0 AS MATERIALIZED (
        |  SELECT doc_id, CAST(j AS BIGINT) AS pos,
        |    CAST(ascii(substr(text, CAST(j + 1 AS INT), 1)) AS BIGINT) AS r
-       |  FROM d, range(0, ${1 << SaRounds}) t(j) WHERE j < n
+       |  FROM d, range(0, ${1 << SaRounds}) t(j), gcap
+       |  WHERE gcap.ok = 1 AND j < n
        |),
        |$rounds
        |SELECT doc_id, pos, r AS rk FROM g$SaRounds

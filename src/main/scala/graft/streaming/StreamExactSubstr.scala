@@ -8,15 +8,16 @@ import graft.queries.ExactSubstr
 /** STREAMING corpus dedup maintenance — the thirteenth streaming shape:
   * the q213 incremental-ExactSubstr absorb run as a `foreachBatch` loop.
   * A standing state table holds one row per distinct gram ever seen
-  * (gram → globally first doc·PosCap+pos key); each arriving micro-batch
-  * of documents dedups against the state-as-of-its-arrival (one keyed
-  * join + one window over its OWN grams — [[ExactSubstr.absorbDups]]),
-  * emits its per-doc reassembly rows, and extends the state with its own
-  * gram minima. Because micro-batches arrive in doc_id order, keep-first
-  * ≡ arrival order, so the accumulated emissions equal the batch q211
-  * rebuild on the same rows NO MATTER how the stream is micro-batched —
-  * the q214 gate reuses q213's oracle verbatim, and the spec sweeps
-  * batch splits.
+  * (gram → globally first struct(doc_id, pos) key); each arriving
+  * micro-batch of documents dedups against the state-as-of-its-arrival
+  * (one keyed join + one window over its OWN grams —
+  * [[ExactSubstr.absorbDups]]), emits its per-doc reassembly rows, and
+  * extends the state with its own gram minima. Because micro-batches
+  * arrive in doc_id order, keep-first ≡ arrival order, so the
+  * accumulated emissions equal the batch q211 rebuild on the same rows
+  * NO MATTER how the stream is micro-batched — the q214 gate streams the
+  * WHOLE corpus and so reuses q211's oracle verbatim, and the spec
+  * sweeps batch splits.
   *
   * At 100 TB the state is gram-cardinality-sized (16-byte keys, one row
   * per distinct gram — the dedupable mass, not the corpus), lives in a
@@ -29,6 +30,17 @@ object StreamExactSubstr {
 
   case class SDoc(doc_id: Long, text: String)
 
+  /** Zero-row standing state: gram → first struct(doc_id, pos) key. */
+  private[graft] def emptyState(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val kT = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("gram", StringType, nullable = false),
+        StructField("base_kmin", kT, nullable = true))))
+  }
+
   /** Mutable standing state + accumulated emissions for an in-process
     * run. Each state and emission is eagerly checkpointed so lineage
     * never chains across batches. */
@@ -38,12 +50,8 @@ object StreamExactSubstr {
 
     def absorb(batch: Dataset[SDoc]): Unit = synchronized {
       val docs = batch.toDF().localCheckpoint()
-      val grams = gramsChecked(docs).localCheckpoint()
-      val st = state.getOrElse {
-        val s = docs.sparkSession
-        import s.implicits._
-        Seq.empty[(String, Long)].toDF("gram", "base_kmin")
-      }
+      val grams = ExactSubstr.gramPositions(docs).localCheckpoint()
+      val st = state.getOrElse(emptyState(docs.sparkSession))
       val out = ExactSubstr.applySpans(docs,
         ExactSubstr.absorbDups(grams, st))
       emitted = out.localCheckpoint() :: emitted
@@ -54,15 +62,6 @@ object StreamExactSubstr {
           least(coalesce(col("base_kmin"), col("__m")),
             coalesce(col("__m"), col("base_kmin"))).as("base_kmin"))
         .localCheckpoint())
-    }
-
-    private def gramsChecked(docs: DataFrame): DataFrame = {
-      val mx = docs.agg(max(length(col("text")))).collect()(0)
-      if (!mx.isNullAt(0))
-        require(mx.getInt(0) <= ExactSubstr.PosCap,
-          s"document of ${mx.getInt(0)} chars exceeds the " +
-            s"${ExactSubstr.PosCap} position cap")
-      ExactSubstr.gramPositions(docs)
     }
 
     def results: DataFrame = emitted match {

@@ -168,6 +168,136 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(streamed(3) == batch, "3-batch stream diverged from q211")
   }
 
+  // ---------------------------------------------------------------------
+  // Capacity-lift pins (round 13): documents LONGER than the oracle's
+  // PosCap/2^SaRounds bound must dedup exactly — struct(doc_id, pos)
+  // keep-first keys (no scalar encode), data-derived doubling rounds,
+  // and the packed-pair fast path must agree with the wide two-long path.
+
+  /** Long-doc fixture: planted 80-char duplicate across three docs (one
+    * twice), placed so the RETIRED scalar keeper encode (doc·1024+pos)
+    * would pick doc 2 (key 2·1024+100) over the lexicographic first
+    * occurrence in doc 1 at pos 1500 — the ordering the struct key must
+    * get right. All docs exceed the 1024-char oracle bound. */
+  private lazy val longDocs: Map[Long, String] = {
+    val rnd = new scala.util.Random(42)
+    def blob(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val common = blob(80)
+    Map(
+      1L -> (blob(1500) + common + blob(900)),
+      2L -> (blob(100) + common + blob(1900)),
+      3L -> blob(1100),
+      4L -> (common + blob(1100) + common))
+  }
+
+  private def longDocsDf = {
+    import spark.implicits._
+    longDocs.toSeq.sortBy(_._1).toDF("doc_id", "text")
+  }
+
+  /** Brute-force dup grams over an arbitrary corpus map, keep-first by
+    * LEXICOGRAPHIC (doc_id, pos). */
+  private def bruteDupLex(corpus: Map[Long, String],
+                          l: Int): Map[(Long, Long), Boolean] = {
+    val occ = scala.collection.mutable.Map[String, List[(Long, Long)]]()
+    corpus.foreach { case (d, t) =>
+      var p = 0
+      while (p + l <= t.length) {
+        occ(t.substring(p, p + l)) = (d, p.toLong) :: occ.getOrElse(
+          t.substring(p, p + l), Nil)
+        p += 1
+      }
+    }
+    occ.values.filter(_.size >= 2).flatMap { os =>
+      val mn = os.min
+      os.map(o => o -> (o == mn))
+    }.toMap
+  }
+
+  test("long docs: dup grams + keepers exact past the 1024-char oracle bound") {
+    import spark.implicits._
+    assert(longDocs.values.forall(_.length > ExactSubstr.PosCap),
+      "fixture must exceed the oracle position bound")
+    val want = bruteDupLex(longDocs, ExactSubstr.DupGramL)
+    val got = ExactSubstr.dupGramPositions(spark, longDocsDf)
+      .select(col("doc_id"), col("pos"), col("is_keeper"))
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (d, p, k) => (d, p) -> k }.toMap
+    assert(got == want)
+    // the planted ordering trap: keeper of the common blob is doc 1
+    // (lexicographic first), not doc 2 (scalar-encode first)
+    assert(got((1L, 1500L)), "doc 1 @1500 must be the keeper")
+    assert(!got((2L, 100L)), "doc 2 @100 must NOT be the keeper")
+  }
+
+  test("long docs: full pipeline reassembly matches brute-force span cuts") {
+    import spark.implicits._
+    val l = ExactSubstr.DupGramL
+    val want = bruteDupLex(longDocs, l)
+    // brute spans: islands of non-keeper positions at gap <= L
+    def spans(d: Long): List[(Long, Long)] = {
+      val ps = want.collect { case ((`d`, p), false) => p }.toList.sorted
+      ps.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, p) => List((p, p + l))
+        case ((s, e) :: tl, p) =>
+          // island rule: extend while gap to the previous START <= L
+          if (p - (e - l) <= l) (s, p + l) :: tl
+          else (p, p + l) :: (s, e) :: tl
+      }.reverse
+    }
+    val wantRows = longDocs.keys.toList.sorted.map { d =>
+      val t = longDocs(d)
+      val sp = spans(d)
+      val kept = {
+        val sb = new StringBuilder
+        var c = 0L
+        sp.foreach { case (s, e) =>
+          sb.append(t.substring(c.toInt, s.toInt)); c = e
+        }
+        sb.append(t.substring(c.toInt)); sb.toString
+      }
+      (d, t.length.toLong, sp.size.toLong, sp.map(x => x._2 - x._1).sum,
+        kept.length.toLong, kept)
+    }
+    val got = ExactSubstr.applySpans(longDocsDf,
+      ExactSubstr.dupGramPositions(spark, longDocsDf))
+      .select(col("doc_id"), col("doc_len"), col("n_spans"),
+        col("dup_chars"), col("kept_len"), col("kept_fp"))
+      .as[(Long, Long, Long, Long, Long, String)].collect().toList
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      wantRows.map(r => (r._1, r._2, r._3, r._4, r._5)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(x: String) =
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.map(_._6) == wantRows.map(r => md5hex(r._6)),
+      "reassembled kept-text fingerprints diverge from brute force")
+    assert(wantRows.exists(_._4 > 0), "fixture removed nothing — vacuous")
+  }
+
+  test("long docs: total corpus ranks equal brute suffix order; packed == wide") {
+    import spark.implicits._
+    import graft.queries.SuffixArray
+    val packed = SuffixArray.corpusRanks(spark, longDocsDf,
+        SuffixArray.SaRounds, total = true)
+      .select(col("doc_id"), col("pos"), col("r"))
+      .as[(Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
+    val wide = SuffixArray.corpusRanks(spark, longDocsDf,
+        SuffixArray.SaRounds, total = true, forceWide = true)
+      .select(col("doc_id"), col("pos"), col("r"))
+      .as[(Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
+    assert(packed.sameElements(wide),
+      "packed single-long pair carrier diverges from the wide two-long path")
+    // brute: dense rank of each suffix among DISTINCT suffix strings
+    val sufs = longDocs.toSeq.flatMap { case (d, t) =>
+      (0 until t.length).map(p => ((d, p.toLong), t.substring(p)))
+    }
+    val rankOf = sufs.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1L) }.toMap
+    val want = sufs.map { case (k, s) => k -> rankOf(s) }.toMap
+    assert(packed.forall { case (d, p, r) => want((d, p)) == r },
+      "corpus suffix ranks diverge from brute-force suffix sort")
+  }
+
   test("reassembly conserves chars: kept_len + dup_chars == doc_len") {
     import spark.implicits._
     val rows = ExactSubstr.q211ExactSubstrDedup(spark, dir)
