@@ -153,7 +153,9 @@ object Bench {
     // (Time1 fresh-steady 4.1s at sf0.1); q212 contains ALL THREE modality
     // matchers q199+q201+q202 plus CC + keeper (fresh-steady 6.4s).
     // q213 (incremental absorb) is ~1.1s steady — shared tier.
-    "q211_exact_substr", "q212_multimodal_dedup")
+    // q215 = the q127 BPE train+encode loop (8 driver-argmax rounds) +
+    // token table + token-gram dedup + reassembly.
+    "q211_exact_substr", "q212_multimodal_dedup", "q215_token_exact_substr")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(
@@ -210,6 +212,8 @@ object Bench {
     ("q199_phash_pairs", "q212_multimodal_dedup"),
     ("q201_audio_match", "q212_multimodal_dedup"),
     ("q202_video_match", "q212_multimodal_dedup"),
+    // q215 = q127's full BPE train+encode plus the token-gram dedup tail
+    ("q127_bpe_encode", "q215_token_exact_substr"),
   )
 
   /** One query's measurement: median, min, ambient 1-min load at query

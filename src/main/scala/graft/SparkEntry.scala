@@ -235,6 +235,7 @@ object SparkEntry {
     "q212_multimodal_dedup" -> (MultimodalDedup.q212MultimodalDedup _),
     "q213_incr_exact_substr" -> (ExactSubstr.q213IncrementalExactSubstr _),
     "q214_stream_exact_substr" -> (ExactSubstr.q214StreamExactSubstr _),
+    "q215_token_exact_substr" -> (ExactSubstr.q215TokenExactSubstr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -562,6 +563,7 @@ object SparkEntry {
     "q212_multimodal_dedup" -> MultimodalDedup.oracleQ212,
     "q213_incr_exact_substr" -> ExactSubstr.oracleQ213,
     "q214_stream_exact_substr" -> ExactSubstr.oracleQ211,
+    "q215_token_exact_substr" -> ExactSubstr.oracleQ215,
   )
 
   private val asofOracle: String =

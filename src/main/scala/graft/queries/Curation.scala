@@ -1137,7 +1137,7 @@ object Curation {
     * [[BpeRounds]] unrolled (pair-count, argmax, merge-apply) rounds.
     * Exposes `m0..m{R-1}` (the merges) and `s$BpeRounds` (the encoded
     * vocabulary, carrying `word`). */
-  private lazy val bpeCtes: String = {
+  private[graft] lazy val bpeCtes: String = {
     def roundCtes(i: Int): String =
       s"""p$i AS (
          |  SELECT list_extract(ss, CAST(i AS INT)) AS l,

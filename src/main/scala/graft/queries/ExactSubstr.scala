@@ -125,8 +125,14 @@ object ExactSubstr {
     * merged removal spans → per-doc sorted span arrays → one `aggregate`
     * fold rebuilding the kept text. `docs` must carry (doc_id, text)
     * normalized; output one row per doc in `docs`. */
-  private[graft] def applySpans(docs: DataFrame, dup: DataFrame): DataFrame = {
-    val spans = removalSpans(dup)
+  private[graft] def applySpans(docs: DataFrame, dup: DataFrame): DataFrame =
+    applyCharSpans(docs, removalSpans(dup))
+
+  /** The reassembly fold alone, over ready-made char spans (doc_id, s, e)
+    * — spans must be disjoint with positive gaps (the island rule
+    * guarantees this for both char-gram and token-gram producers). */
+  private[graft] def applyCharSpans(docs: DataFrame,
+                                    spans: DataFrame): DataFrame = {
     val sp = spans.groupBy(col("doc_id")).agg(
       sort_array(collect_list(struct(col("s"), col("e")))).as("sarr"),
       count(lit(1)).as("n_spans"),
@@ -321,6 +327,251 @@ object ExactSubstr {
       } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
     a.results.orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q215 — TOKEN-level ExactSubstr (the unit Lee et al. 2022 actually
+  // dedup on: BPE tokens, not characters).
+
+  /** Duplicate token-gram length threshold (Lee et al. use 50 BPE tokens
+    * on The Pile; 12 is scaled to the driver corpus' ~200-token
+    * documents the same way [[DupGramL]] scales the char unit). Unlike
+    * [[DupGramL]] it need not be a power of two — token grams group by
+    * the literal joined token sequence, not by suffix-rank level. */
+  val TokGramL = 12
+
+  /** Per-doc token table from the corpus-trained BPE vocabulary
+    * ([[graft.operators.Bpe.trainAndEncode]], the q127 encoder): one row
+    * per token in document order with its global token index `ti` and
+    * its char interval [tstart, tend) in the normalized text. BPE
+    * encodes per WORD, so the same word always yields the same token
+    * run — which is what makes duplicated word sequences duplicated
+    * token sequences. `vocab` must carry (word, encoded).
+    *
+    * Scale shape: the vocabulary is vocabulary-sized (broadcast join);
+    * everything else is two narrow windows keyed by doc — the same
+    * exchange reused — and the explode emits only slim (doc, idx, sym)
+    * rows, never the document text. */
+  private[graft] def tokenTable(docs: DataFrame,
+                                vocab: DataFrame): DataFrame = {
+    val wW = Window.partitionBy(col("doc_id")).orderBy(col("widx"))
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("widx", "word")))
+      .withColumn("wstart",
+        coalesce(sum(length(col("word")).cast("long") + 1L)
+          .over(wW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val sW = Window.partitionBy(col("doc_id"), col("widx"))
+      .orderBy(col("sidx"))
+    val tW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("widx"), col("sidx"))
+    words
+      .join(broadcast(vocab.select(col("word"), col("encoded"))),
+        Seq("word"))
+      .select(col("doc_id"), col("widx"), col("wstart"),
+        posexplode(split(col("encoded"), " ")).as(Seq("sidx", "sym")))
+      .withColumn("tstart", col("wstart") +
+        coalesce(sum(length(col("sym")).cast("long"))
+          .over(sW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ti", row_number().over(tW).cast("long") - 1L)
+      .select(col("doc_id"), col("ti"), col("sym"), col("tstart"),
+        (col("tstart") + length(col("sym")).cast("long")).as("tend"))
+  }
+
+  /** All full [[TokGramL]]-token gram start positions whose gram occurs
+    * ≥ 2 times in the corpus, keep-first by struct(doc_id, ti). The gram
+    * key is the space-joined token run — unambiguous (tokens carry no
+    * spaces), so string equality is exact token-sequence equality. */
+  private[graft] def tokenDupPositions(tok: DataFrame): DataFrame = {
+    val gW = Window.partitionBy(col("doc_id")).orderBy(col("ti"))
+      .rowsBetween(Window.currentRow, TokGramL - 1)
+    val grams = tok
+      .withColumn("gcnt", count(lit(1)).over(gW))
+      .withColumn("gram", array_join(collect_list(col("sym")).over(gW), " "))
+      .filter(col("gcnt") === TokGramL)
+      .select(col("doc_id"), col("ti"), col("gram"),
+        struct(col("doc_id"), col("ti")).as("__k"))
+    val w = Window.partitionBy(col("gram"))
+    grams
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__kmin", min(col("__k")).over(w))
+      .filter(col("__cnt") >= 2)
+      .select(col("doc_id"), col("ti"),
+        (col("__k") === col("__kmin")).as("is_keeper"))
+  }
+
+  /** Merged token-space removal spans [ts, te) — the q211 island rule in
+    * token units: non-keeper gram starts at gap ≤ [[TokGramL]] union
+    * into one contiguous token interval. */
+  private[graft] def tokenSpans(dup: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ti"))
+    dup.filter(!col("is_keeper"))
+      .withColumn("__prev", lag(col("ti"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          col("ti") - col("__prev") > TokGramL, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("ti")).as("ts"),
+        (max(col("ti")) + lit(TokGramL.toLong)).as("te"))
+      .select(col("doc_id"), col("ts"), col("te"))
+  }
+
+  /** q215 — the full TOKEN-level ExactSubstr program: BPE-encode the
+    * corpus with its own trained merges (q127's encoder), find every
+    * [[TokGramL]]-token run occurring ≥ 2 times anywhere, keep the
+    * globally first occurrence, cut the rest, and reassemble the
+    * surviving CHARS (token spans map back to char intervals via the
+    * token table — the span covers from its first token's start to its
+    * last token's end, inter-token spaces included). One row per doc:
+    * char length, token count, span count, removed tokens, removed
+    * chars, kept char count, md5 of the kept text.
+    *
+    * Scale shape: token-gram detection is one window over the gram
+    * groups (occurrence-count-sized work, the q211 argument); the token
+    * table adds one broadcast vocab join + two doc-keyed windows; span
+    * char-mapping is two keyed joins against the token table; the
+    * reassembly fold is [[applyCharSpans]] — text shuffles once, keyed
+    * by doc, to meet its spans. */
+  def q215TokenExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    val docs = normDocs(s, dir).localCheckpoint()
+    val vocab = graft.operators.Bpe
+      .trainAndEncode(Tables.documents(s, dir), "text", Curation.BpeRounds)
+      ._2
+    val tok = tokenTable(docs, vocab).localCheckpoint()
+    val spansTok = tokenSpans(tokenDupPositions(tok)).localCheckpoint()
+    val spansChar = spansTok
+      .join(tok.select(col("doc_id"), col("ti").as("ts"),
+        col("tstart").as("s")), Seq("doc_id", "ts"))
+      .join(tok.select(col("doc_id"), (col("ti") + 1L).as("te"),
+        col("tend").as("e")), Seq("doc_id", "te"))
+      .select(col("doc_id"), col("s"), col("e"))
+    val nTok = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val tokAgg = spansTok.groupBy(col("doc_id"))
+      .agg(sum(col("te") - col("ts")).as("dup_tokens"))
+    applyCharSpans(docs, spansChar)
+      .join(nTok, Seq("doc_id"))
+      .join(tokAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("doc_len"), col("n_tokens"),
+        col("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("dup_chars"), col("kept_len"), col("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: replay the BPE training+encode (the q125/q127 shared CTE
+    * chain), rebuild the token table with the same (widx, sidx) order
+    * and char offsets, group the literal joined token runs, and run the
+    * q211 span/reassembly tail over the mapped char intervals. */
+  lazy val oracleQ215: String = {
+    val R = Curation.BpeRounds
+    s"""${Curation.bpeCtes},
+       |nd AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), capg AS (
+       |  SELECT CASE WHEN max(len(t)) > $PosCap THEN error(
+       |    'position cap $PosCap exceeded') ELSE 1 END AS ok
+       |  FROM nd
+       |), tokw AS MATERIALIZED (
+       |  SELECT doc_id, u.s.widx AS widx, u.s.word AS word
+       |  FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM nd), capg,
+       |       unnest(list_transform(range(1, len(ws) + 1),
+       |         i -> struct_pack(widx := i, word := ws[i]))) u(s)
+       |  WHERE capg.ok = 1
+       |), wsta AS (
+       |  SELECT doc_id, widx, word,
+       |    COALESCE(SUM(len(word) + 1) OVER (PARTITION BY doc_id
+       |      ORDER BY widx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wstart
+       |  FROM tokw
+       |), toks AS MATERIALIZED (
+       |  SELECT w2.doc_id, w2.widx, w2.wstart, u.s.sidx AS sidx, u.s.sym AS sym
+       |  FROM wsta w2
+       |  JOIN (SELECT word, string_split(sp, ' ') AS syms FROM s$R) v
+       |    USING (word),
+       |    unnest(list_transform(range(1, len(v.syms) + 1),
+       |      i -> struct_pack(sidx := i, sym := v.syms[i]))) u(s)
+       |), tk AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY widx, sidx) - 1
+       |      AS ti,
+       |    sym,
+       |    wstart + COALESCE(SUM(len(sym)) OVER (PARTITION BY doc_id, widx
+       |      ORDER BY sidx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS tstart
+       |  FROM toks
+       |), ntok AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tk
+       |  GROUP BY doc_id
+       |), tg AS MATERIALIZED (
+       |  SELECT doc_id, ti,
+       |    string_agg(sym, ' ') OVER (PARTITION BY doc_id ORDER BY ti
+       |      ROWS BETWEEN CURRENT ROW AND ${TokGramL - 1} FOLLOWING) AS gram,
+       |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY ti
+       |      ROWS BETWEEN CURRENT ROW AND ${TokGramL - 1} FOLLOWING) AS gcnt
+       |  FROM tk
+       |), tgf AS (
+       |  SELECT doc_id, ti, gram FROM tg WHERE gcnt = $TokGramL
+       |), tgrp AS (
+       |  SELECT gram, MIN(doc_id * $PosCap + ti) AS kmin, COUNT(*) AS c
+       |  FROM tgf GROUP BY gram
+       |), tdup AS MATERIALIZED (
+       |  SELECT g2.doc_id, g2.ti
+       |  FROM tgf g2 JOIN tgrp USING (gram)
+       |  WHERE tgrp.c >= 2 AND g2.doc_id * $PosCap + g2.ti <> tgrp.kmin
+       |), tisl AS (
+       |  SELECT doc_id, ti,
+       |    SUM(CASE WHEN prev IS NULL OR ti - prev > $TokGramL
+       |      THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY ti) AS island
+       |  FROM (SELECT doc_id, ti,
+       |          lag(ti) OVER (PARTITION BY doc_id ORDER BY ti) AS prev
+       |        FROM tdup)
+       |), tspan AS MATERIALIZED (
+       |  SELECT doc_id, island, MIN(ti) AS ts, MAX(ti) + $TokGramL AS te
+       |  FROM tisl GROUP BY doc_id, island
+       |), tsagg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(te - ts) AS BIGINT) AS dup_tokens
+       |  FROM tspan GROUP BY doc_id
+       |), cspan AS MATERIALIZED (
+       |  SELECT sp.doc_id, a.tstart AS s, b.tstart + len(b.sym) AS e
+       |  FROM tspan sp
+       |  JOIN tk a ON a.doc_id = sp.doc_id AND a.ti = sp.ts
+       |  JOIN tk b ON b.doc_id = sp.doc_id AND b.ti = sp.te - 1
+       |), csagg AS (
+       |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS dup_chars FROM cspan
+       |  GROUP BY doc_id
+       |), chars AS MATERIALIZED (
+       |  SELECT nd.doc_id, CAST(j AS BIGINT) AS pos,
+       |    substr(t, CAST(j + 1 AS INT), 1) AS ch
+       |  FROM nd, range(0, $PosCap) r(j), capg
+       |  WHERE capg.ok = 1 AND j < len(t)
+       |), keptc AS (
+       |  SELECT c.doc_id, c.pos, c.ch
+       |  FROM chars c
+       |  WHERE NOT EXISTS (SELECT 1 FROM cspan sp
+       |    WHERE sp.doc_id = c.doc_id AND c.pos >= sp.s AND c.pos < sp.e)
+       |), kept AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_len,
+       |    md5(string_agg(ch, '' ORDER BY pos)) AS fp
+       |  FROM keptc GROUP BY doc_id
+       |)
+       |SELECT n.doc_id, CAST(len(n.t) AS BIGINT) AS doc_len, nt.n_tokens,
+       |  COALESCE(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  COALESCE(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       |  COALESCE(cs.dup_chars, CAST(0 AS BIGINT)) AS dup_chars,
+       |  COALESCE(k.kept_len, CAST(0 AS BIGINT)) AS kept_len,
+       |  k.fp AS kept_fp
+       |FROM nd n
+       |JOIN ntok nt USING (doc_id)
+       |LEFT JOIN tsagg a USING (doc_id)
+       |LEFT JOIN csagg cs USING (doc_id)
+       |LEFT JOIN kept k USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
   }
 
   /** The oracle needs no doubling replay: a corpus rank group at level
