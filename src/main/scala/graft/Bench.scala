@@ -126,6 +126,7 @@ object Bench {
     "q95_stream_cardinality", "q96_stream_breadth", "q105_stream_stream_join",
     "q116_stream_maintain", "q143_stream_cms", "q157_stream_sessions",
     "q187_stream_outer_join", "q214_stream_exact_substr",
+    "q216_restart_exact_substr",
     // measured >= 2.5s fresh at sf0.1 (bench_results.json, round 8)
     "q15_neardup_pairs", "q55_basket_valuation", "q56_factor_vector_search",
     "q61_neardup_clusters", "q69_dedup_corpus", "q76_training_manifest",

@@ -236,6 +236,7 @@ object SparkEntry {
     "q213_incr_exact_substr" -> (ExactSubstr.q213IncrementalExactSubstr _),
     "q214_stream_exact_substr" -> (ExactSubstr.q214StreamExactSubstr _),
     "q215_token_exact_substr" -> (ExactSubstr.q215TokenExactSubstr _),
+    "q216_restart_exact_substr" -> (ExactSubstr.q216RestartExactSubstr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -564,6 +565,7 @@ object SparkEntry {
     "q213_incr_exact_substr" -> ExactSubstr.oracleQ213,
     "q214_stream_exact_substr" -> ExactSubstr.oracleQ211,
     "q215_token_exact_substr" -> ExactSubstr.oracleQ215,
+    "q216_restart_exact_substr" -> ExactSubstr.oracleQ211,
   )
 
   private val asofOracle: String =

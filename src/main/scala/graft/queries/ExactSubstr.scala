@@ -329,6 +329,66 @@ object ExactSubstr {
     a.results.orderBy(col("doc_id"))
   }
 
+  /** q216 — RESTARTABLE streaming ExactSubstr: the q214 absorb loop run
+    * through the PERSISTED state shape
+    * ([[graft.streaming.StreamExactSubstr.PersistedAbsorber]] — gram
+    * keeper minima in a bucketed external table, emissions in a parquet
+    * sink), with a genuine stop-and-resume in the middle: two
+    * micro-batches absorb, the stream STOPS and the absorber object is
+    * discarded, a FRESH absorber is constructed against the same storage
+    * and the remaining batches continue. Accumulated emissions must
+    * still hash-match the batch q211 rebuild — the gate reuses q211's
+    * oracle verbatim, proving the standing state survives a restart
+    * with nothing carried in memory.
+    *
+    * Scale shape: this IS the nightly-100-TB shape the q213/q214
+    * scaladocs name — state is gram-cardinality-sized, bucketed on its
+    * join key (the absorb join reads it pre-clustered, the q53
+    * discipline), and a crashed or rescheduled absorb job resumes from
+    * the table. The driver-side collect feeds ONLY the in-process
+    * MemoryStream test transport. */
+  def q216RestartExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamExactSubstr
+    import graft.streaming.StreamExactSubstr.SDoc
+    val docs = normDocs(s, dir)
+      .orderBy(col("doc_id")).as[SDoc].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q216")
+    val table = "graft_q216_state"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val quarter = math.max(1, docs.length / 4)
+      val batches = docs.grouped(quarter).toVector
+      // one incarnation of the absorber per phase — phase 2's instance
+      // is constructed AFTER phase 1's died, seeing only the storage
+      def phase(bs: Seq[Array[SDoc]]): Unit = if (bs.nonEmpty) {
+        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val mem = MemoryStream[SDoc]
+        val a = new StreamExactSubstr.PersistedAbsorber(table, tmp.toString)
+        val q = StreamExactSubstr.appliedPersisted(mem.toDS(), a).start()
+        try bs.foreach { b =>
+          mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      phase(batches.take(2))
+      phase(batches.drop(2))
+      val out = s.read.parquet(s"$tmp/emitted")
+        .orderBy(col("doc_id")).localCheckpoint()
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      out
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedSp)
+      // tidy the scratch storage; results are checkpointed already
+      def rm(f: java.io.File): Unit = {
+        val ch = f.listFiles(); if (ch != null) ch.foreach(rm); f.delete()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // q215 — TOKEN-level ExactSubstr (the unit Lee et al. 2022 actually
   // dedup on: BPE tokens, not characters).
