@@ -1205,22 +1205,55 @@ object Multimodal {
     * twin brightens pixels i ≡ 0 (mod 101) by 6/255: a perceptually
     * negligible change the hash must survive (measured: 99.4% of twins
     * within Hamming 3; unrelated pairs ~31). */
+  /** Synthesize, REALLY encode/decode, and hash one doc's image —
+    * factored per-doc so the single-pass [[allFingerprints]] and the
+    * q199 producer share one body. */
+  private[graft] def imagePhash(id: Long): Long = {
+    val g = id / 2
+    val (w, h) = mediaDims(g)
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      var v = (30 + (g * 37 + i.toLong * 53 + (g * i) % 251) % 180).toInt
+      if (id % 2 == 1 && i % 101 == 0) v += 6
+      px(3 * i) = v.toByte; px(3 * i + 1) = v.toByte; px(3 * i + 2) = v.toByte
+      i += 1
+    }
+    val (dw, dh, gr) = decodeBmpGray(encodeBmp24(w, h, px))
+    pHash64(dw, dh, gr)
+  }
+
   def phashes(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
-      val g = id / 2
-      val (w, h) = mediaDims(g)
-      val px = new Array[Byte](w * h * 3)
-      var i = 0
-      while (i < w * h) {
-        var v = (30 + (g * 37 + i.toLong * 53 + (g * i) % 251) % 180).toInt
-        if (id % 2 == 1 && i % 101 == 0) v += 6
-        px(3 * i) = v.toByte; px(3 * i + 1) = v.toByte; px(3 * i + 2) = v.toByte
-        i += 1
-      }
-      val (dw, dh, gr) = decodeBmpGray(encodeBmp24(w, h, px))
-      PHashRow(id, pHash64(dw, dh, gr))
-    }.toDF()
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .map(id => PHashRow(id, imagePhash(id))).toDF()
+  }
+
+  final case class FpRow(doc_id: Long, mod: String, frame_idx: Int, h: Long)
+
+  /** ONE decode pass for the whole near-dup trifecta: per document,
+    * synthesize + REALLY decode + fingerprint ALL THREE modalities
+    * (image pHash, audio constellation landmarks, video per-frame
+    * pHashes) in a single map-side stage over ONE scan of the documents
+    * table, emitting one tagged slim relation (doc, mod, frame, hash).
+    * The q212 endgame materializes this once and derives every
+    * modality's pair relation from it — versus re-running the three
+    * standalone producers (three scans, three checkpoints, three
+    * scheduling rounds) for the same decode work.
+    *
+    * At 100 TB this is the shape the q212 scaladoc names: fingerprints
+    * stream out of the decode pass once; payload bytes never move. */
+  def allFingerprints(s: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        FpRow(id, "img", 0, imagePhash(id)) +:
+          (audioLandmarkRows(id).map(l =>
+            FpRow(id, "aud", l.frame_idx, l.h.toLong)) ++
+           videoFrameHashRows(id).map(f =>
+            FpRow(id, "vid", f.frame_idx, f.phash)))
+      }.toDF()
   }
 
   // --------------------------------------------------------------------
@@ -1350,40 +1383,41 @@ object Multimodal {
     * ([[Jpeg.decodePixels]] end-offset chaining) → [[pHash64]] per
     * decoded frame. Payload bytes never shuffle; only (doc, frame,
     * hash) rows move. */
+  /** Per-doc body of [[videoFrameHashes]], shared with
+    * [[allFingerprints]]. */
+  private[graft] def videoFrameHashRows(id: Long): Seq[FrameHashRow] = {
+    val bytes = synthVideoMjpeg(id)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[FrameHashRow]
+    var off = 0
+    var j = 0
+    while (off < bytes.length) {
+      val dec = Jpeg.decodePixels(bytes, off)
+      require(dec.nComp == 1, s"grayscale MJPEG expected, got ${dec.nComp}")
+      rows += FrameHashRow(id, j,
+        pHash64(dec.width, dec.height, dec.samples.map(_ & 0xff)))
+      off = dec.end
+      j += 1
+    }
+    rows.toSeq
+  }
+
   def videoFrameHashes(s: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .flatMap { id =>
-        val bytes = synthVideoMjpeg(id)
-        val rows = scala.collection.mutable.ArrayBuffer.empty[FrameHashRow]
-        var off = 0
-        var j = 0
-        while (off < bytes.length) {
-          val dec = Jpeg.decodePixels(bytes, off)
-          require(dec.nComp == 1, s"grayscale MJPEG expected, got ${dec.nComp}")
-          rows += FrameHashRow(id, j,
-            pHash64(dec.width, dec.height, dec.samples.map(_ & 0xff)))
-          off = dec.end
-          j += 1
-        }
-        rows.toSeq
-      }.toDF()
+      .flatMap(videoFrameHashRows _).toDF()
   }
 
   final case class LandmarkRow(doc_id: Long, h: Int, frame_idx: Int)
 
-  /** Per-doc landmark fingerprints, one map-side pass: synthesize →
-    * REAL WAV encode → REAL decode → per-frame integer DFT ([[dftCos]]/
-    * [[dftSin]], the q197 tables and quantization) → peak + runner-up
-    * per frame (ties break on the lower bin) → hashed anchor/target
-    * pairs for Δt ∈ [1, [[FpMaxDt]]]. Payload bytes never shuffle; only
-    * the slim (doc, hash, frame) integer rows move. */
-  def audioLandmarks(s: org.apache.spark.sql.SparkSession,
-                     dir: String): DataFrame = {
-    import s.implicits._
-    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .flatMap { id =>
+  /** Per-doc landmark fingerprints (body of [[audioLandmarks]], shared
+    * with [[allFingerprints]]): synthesize → REAL WAV encode → REAL
+    * decode → per-frame integer DFT ([[dftCos]]/[[dftSin]], the q197
+    * tables and quantization) → peak + runner-up per frame (ties break
+    * on the lower bin) → hashed anchor/target pairs for
+    * Δt ∈ [1, [[FpMaxDt]]]. Payload bytes never shuffle; only the slim
+    * (doc, hash, frame) integer rows move. */
+  private[graft] def audioLandmarkRows(id: Long): Seq[LandmarkRow] = {
         val (_, samples) = decodeWavSamples(synthConstellationWav(id))
         val nFrames = samples.length / FrameLen
         val pk = Array.tabulate(nFrames) { j =>
@@ -1420,6 +1454,12 @@ object Multimodal {
           LandmarkRow(id,
             (((b1 * 8 + s1) * 8 + b2) * 8 + s2) * 2 + (dt - 1), j)
         }
-      }.toDF()
+  }
+
+  def audioLandmarks(s: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .flatMap(audioLandmarkRows _).toDF()
   }
 }

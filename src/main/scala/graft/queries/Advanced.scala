@@ -1196,8 +1196,13 @@ object Advanced {
     * replays resample → DCT → median-threshold → band join in exact
     * BIGINT SQL with the [[graft.operators.Multimodal.phCos]] table
     * embedded (the q197 shared-constant discipline). */
-  def q199PhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val hashes = Multimodal.phashes(s, dir).localCheckpoint()
+  def q199PhashPairs(s: SparkSession, dir: String): DataFrame =
+    phashPairsFrom(Multimodal.phashes(s, dir).localCheckpoint())
+
+  /** The q199 pair algebra over a ready fingerprint relation
+    * (doc_id, phash) — shared by the standalone gate and the q212
+    * single-decode composition. */
+  private[graft] def phashPairsFrom(hashes: DataFrame): DataFrame = {
     val bands = hashes.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L))): _*)))
@@ -1290,9 +1295,13 @@ object Advanced {
     * the 16-point DFT bounds the hash space at ~4k values, so candidate
     * volume grows ~|docs|²/4k; a production deployment uses a 1024+-bin
     * FFT (hash space ≥ 2²⁰) — same plan, finer keys. */
-  def q201AudioMatch(s: SparkSession, dir: String): DataFrame = {
+  def q201AudioMatch(s: SparkSession, dir: String): DataFrame =
+    audioMatchFrom(Multimodal.audioLandmarks(s, dir).localCheckpoint())
+
+  /** The q201 match algebra over a ready landmark relation
+    * (doc_id, h, frame_idx) — shared by the gate and q212. */
+  private[graft] def audioMatchFrom(lms: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lms = Multimodal.audioLandmarks(s, dir).localCheckpoint()
     val db = lms.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("matched_doc"), col("h"),
         col("frame_idx").as("jd"))
@@ -1412,9 +1421,13 @@ object Advanced {
     * keyed vote aggregation. 99.4% of twins recovered at (twin, −1);
     * the residual are genuine cross-content hash coincidences the
     * deterministic tie-break resolves identically in both engines. */
-  def q202VideoMatch(s: SparkSession, dir: String): DataFrame = {
+  def q202VideoMatch(s: SparkSession, dir: String): DataFrame =
+    videoMatchFrom(Multimodal.videoFrameHashes(s, dir).localCheckpoint())
+
+  /** The q202 match algebra over a ready frame-hash relation
+    * (doc_id, phash, frame_idx) — shared by the gate and q212. */
+  private[graft] def videoMatchFrom(fhs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fhs = Multimodal.videoFrameHashes(s, dir).localCheckpoint()
     val db = fhs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("matched_doc"), col("phash"),
         col("frame_idx").as("jd"))

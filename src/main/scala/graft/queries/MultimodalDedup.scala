@@ -44,15 +44,27 @@ object MultimodalDedup {
   val VideoMinVotes = 3L
 
   def q212MultimodalDedup(s: SparkSession, dir: String): DataFrame = {
-    val img = Advanced.q199PhashPairs(s, dir)
+    // ONE decode pass: every modality's fingerprints come off a single
+    // scan+synthesize+decode stage (operators.Multimodal.allFingerprints),
+    // materialized once — the standalone gates q199/q201/q202 each pay
+    // their own decode; the composition must not pay it three times over.
+    val fp = graft.operators.Multimodal.allFingerprints(s, dir)
+      .localCheckpoint()
+    val img = Advanced.phashPairsFrom(
+        fp.filter(col("mod") === "img")
+          .select(col("doc_id"), col("h").as("phash")))
       .select(col("doc1").as("id1"), col("doc2").as("id2"),
         lit("img").as("mod"))
-    val aud = Advanced.q201AudioMatch(s, dir)
+    val aud = Advanced.audioMatchFrom(
+        fp.filter(col("mod") === "aud")
+          .select(col("doc_id"), col("h"), col("frame_idx")))
       .filter(col("votes") >= AudioMinVotes)
       .select(least(col("query_doc"), col("matched_doc")).as("id1"),
         greatest(col("query_doc"), col("matched_doc")).as("id2"),
         lit("aud").as("mod"))
-    val vid = Advanced.q202VideoMatch(s, dir)
+    val vid = Advanced.videoMatchFrom(
+        fp.filter(col("mod") === "vid")
+          .select(col("doc_id"), col("h").as("phash"), col("frame_idx")))
       .filter(col("votes") >= VideoMinVotes)
       .select(least(col("query_doc"), col("matched_doc")).as("id1"),
         greatest(col("query_doc"), col("matched_doc")).as("id2"),
