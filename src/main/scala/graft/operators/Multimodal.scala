@@ -407,11 +407,11 @@ object Multimodal {
   val TwiddleScale: Long = 1L << 20
   /** Mel filter weight scale (2^16): Σ_b W·power ≤ 2^16·9·2^39 < 2^59. */
   val MelWeightScale: Long = 1L << 16
-  /** Nominal Nyquist for the filter-edge layout. The synthesized WAVs
-    * carry per-doc sample rates (8-12 kHz); production MFCC lays filters
-    * per-rate, but a GATEABLE shared constant table needs one layout, so
-    * filters live on normalized bin frequency (bin b ↔ b·500 Hz nominal)
-    * — the standard fixed-bank simplification for mixed-rate corpora. */
+  /** Nominal Nyquist for the DEFAULT filter-edge layout ([[melWeights]]).
+    * q197 itself no longer uses the fixed bank: [[wavMfcc]] lays filters
+    * from each document's DECODED sample rate ([[melWeightsForRate]] —
+    * the production per-rate layout), and the oracle embeds the same
+    * driver-computed per-rate tables indexed by the synthesis rate. */
   val MelNyquistHz = 4000.0
 
   /** cos table: floor(cos(2π·b·i/N)·2^20 + 0.5), b ∈ [0, MelBins). */
@@ -425,15 +425,19 @@ object Multimodal {
       * TwiddleScale + 0.5).toLong
   }
 
-  /** Triangular mel filterbank over the [[MelBins]] bin centers,
-    * quantized to [[MelWeightScale]] integers. */
-  lazy val melWeights: Array[Array[Long]] = {
+  /** Triangular mel filterbank laid over a band of the given Nyquist:
+    * filter edges equally spaced on the mel scale of [0, nyquistHz],
+    * bin b centered at b·nyquistHz/([[MelBins]]−1), quantized to
+    * [[MelWeightScale]] integers. The bank depends only on the Nyquist,
+    * so per-rate banks are driver-computed shared constants both
+    * engines read identically — no cross-engine float drift. */
+  def melWeightsFor(nyquistHz: Double): Array[Array[Long]] = {
     def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
     def unmel(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
     val pts = (0 to MelFilters + 1)
-      .map(i => unmel(mel(MelNyquistHz) * i / (MelFilters + 1)))
-    Array.tabulate(MelFilters, MelBins) { (m, b) =>
-      val f = b * MelNyquistHz / (MelBins - 1)
+      .map(i => unmel(mel(nyquistHz) * i / (MelFilters + 1)))
+    val bank = Array.tabulate(MelFilters, MelBins) { (m, b) =>
+      val f = b * nyquistHz / (MelBins - 1)
       val (lo, mid, hi) = (pts(m), pts(m + 1), pts(m + 2))
       val w =
         if (f > lo && f <= mid) (f - lo) / (mid - lo)
@@ -441,7 +445,38 @@ object Multimodal {
         else 0.0
       math.floor(w * MelWeightScale + 0.5).toLong
     }
+    // at a 16-point DFT the bin grid is coarse (nyq/8 apart): a narrow
+    // low filter on a wide band can trap zero bins between grid points.
+    // Snap such a filter to the bin nearest its center at full weight —
+    // the standard guarantee that every filter carries signal — so every
+    // rate's bank is well-formed (spec-pinned; the oracle embeds these
+    // exact post-snap tables, so the gate hash covers the rule).
+    var m = 0
+    while (m < MelFilters) {
+      if (bank(m).forall(_ == 0L)) {
+        // nearest bin to the filter center, DC (bin 0) excluded — the
+        // triangles never touch DC and the snap must not either
+        val center = pts(m + 1)
+        val b = math.min(MelBins - 1, math.max(1,
+          math.round(center * (MelBins - 1) / nyquistHz).toInt))
+        bank(m)(b) = MelWeightScale
+      }
+      m += 1
+    }
+    bank
   }
+
+  /** Default (nominal-band) filterbank — kept for table invariants and
+    * any fixed-bank consumer. */
+  lazy val melWeights: Array[Array[Long]] = melWeightsFor(MelNyquistHz)
+
+  /** Per-sample-rate filterbank, memoized per JVM: filters live on the
+    * document's OWN band (Nyquist = rate/2) — the production MFCC
+    * layout for mixed-rate corpora. */
+  private val melBankCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Long]]]
+  def melWeightsForRate(sampleRate: Int): Array[Array[Long]] =
+    melBankCache.getOrElseUpdate(sampleRate, melWeightsFor(sampleRate / 2.0))
 
   /** DCT-II table: floor(cos(π·c·(2m+1)/(2·M))·2^20 + 0.5). */
   lazy val dctTable: Array[Array[Long]] = Array.tabulate(MfccCoeffs, MelFilters) {
@@ -481,7 +516,10 @@ object Multimodal {
         val chirp = Array.tabulate(n)(i =>
           ((id * 31 + i.toLong * i * 17) % 65536 - 32768).toShort)
         val payload = encodeWavPcm16(sr, chirp, junkChunk = id % 4 == 1)
-        val (_, samples) = decodeWavSamples(payload)
+        val (srDec, samples) = decodeWavSamples(payload)
+        // per-doc filter bank from the DECODED rate (not the synthesis
+        // formula): a decode-path rate bug changes the bank and the hash
+        val mw = melWeightsForRate(srDec)
         (0 until samples.length / FrameLen).map { j =>
           val power = Array.tabulate(MelBins) { b =>
             var re = 0L; var im = 0L
@@ -499,7 +537,7 @@ object Multimodal {
           val lq = Array.tabulate(MelFilters) { mi =>
             var e = 0L
             var b = 0
-            while (b < MelBins) { e += melWeights(mi)(b) * power(b); b += 1 }
+            while (b < MelBins) { e += mw(mi)(b) * power(b); b += 1 }
             math.floor(math.log(1.0 + e.toDouble / MelWeightScale)
               * 1e6 + 0.5).toLong
           }

@@ -1117,7 +1117,12 @@ object Advanced {
     * samples from the synthesis formula (as q119 does) and replays the
     * whole DFT→mel→log→DCT pipeline with the SAME driver-computed integer
     * tables embedded as list literals, so a wrong twiddle, filter edge, or
-    * quantization boundary breaks the hash. */
+    * quantization boundary breaks the hash. The mel bank is PER-RATE
+    * ([[graft.operators.Multimodal.melWeightsForRate]] — filters on the
+    * doc's own Nyquist): the oracle embeds all five planted-rate banks
+    * and indexes by the synthesis rate class (doc_id mod 5), so Spark
+    * reading the WRONG decoded rate picks the wrong bank and breaks the
+    * hash. */
   def q197WavMfcc(s: SparkSession, dir: String): DataFrame =
     Multimodal.wavMfcc(s, dir)
 
@@ -1125,6 +1130,10 @@ object Advanced {
     val fl = Multimodal.FrameLen
     def ll(a: Array[Array[Long]]) =
       a.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    // the five planted sample rates: sr = 8000 + (doc_id % 5)·1000
+    val banks = (0 until 5)
+      .map(i => ll(Multimodal.melWeightsForRate(8000 + i * 1000)))
+      .mkString("[", ", ", "]")
     s"""WITH d AS (
        |  SELECT doc_id, 50 + doc_id % 100 AS ns FROM documents
        |  WHERE doc_id % 2 = 1
@@ -1138,7 +1147,7 @@ object Advanced {
        |), tw AS (
        |  SELECT ${ll(Multimodal.dftCos)} AS cl,
        |         ${ll(Multimodal.dftSin)} AS sl,
-       |         ${ll(Multimodal.melWeights)} AS wl,
+       |         $banks AS wl5,
        |         ${ll(Multimodal.dctTable)} AS dl
        |), reim AS (
        |  SELECT doc_id, f, b,
@@ -1155,7 +1164,9 @@ object Advanced {
        |      * CAST(floor(im / ${Multimodal.TwiddleScale}.0) AS BIGINT) AS p
        |  FROM reim
        |), mel AS (
-       |  SELECT doc_id, f, m, CAST(SUM(p * wl[m+1][b+1]) AS BIGINT) AS me
+       |  SELECT doc_id, f, m,
+       |    CAST(SUM(p * wl5[CAST(doc_id % 5 AS INT) + 1][m+1][b+1])
+       |      AS BIGINT) AS me
        |  FROM pw, (SELECT CAST(mm AS INT) AS m
        |            FROM range(0, ${Multimodal.MelFilters}) tm(mm)) ms, tw
        |  GROUP BY doc_id, f, m

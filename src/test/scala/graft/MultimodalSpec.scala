@@ -270,6 +270,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dftSin(0).forall(_ == 0L))
     assert(Multimodal.melWeights.forall(_.sum > 0))
     assert(Multimodal.melWeights.forall(_.head == 0L))
+    // per-rate banks (q197's production layout): every planted rate's
+    // bank is well-formed, and distinct rates lay distinct filters
+    val banks = (0 until 5).map(i => Multimodal.melWeightsForRate(8000 + i * 1000))
+    banks.foreach { bk =>
+      assert(bk.forall(_.sum > 0)); assert(bk.forall(_.head == 0L))
+    }
+    assert(banks.map(_.map(_.toVector).toVector).distinct.size == 5,
+      "per-rate mel banks must differ across rates")
     assert(Multimodal.dctTable(0).forall(_ == Multimodal.TwiddleScale))
     val rows = Multimodal.wavMfcc(spark, "/root/testdata/sf0.001")
     // same framing as q119: one row per full 16-sample frame per odd doc
