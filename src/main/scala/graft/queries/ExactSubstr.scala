@@ -414,25 +414,23 @@ object ExactSubstr {
     * rows, never the document text. */
   private[graft] def tokenTable(docs: DataFrame,
                                 vocab: DataFrame): DataFrame = {
-    val wW = Window.partitionBy(col("doc_id")).orderBy(col("widx"))
-    val words = docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("widx", "word")))
-      .withColumn("wstart",
-        coalesce(sum(length(col("word")).cast("long") + 1L)
-          .over(wW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val sW = Window.partitionBy(col("doc_id"), col("widx"))
-      .orderBy(col("sidx"))
+    // ONE doc-keyed window carries everything: because a word's symbols
+    // partition its chars (Σ len(sym) over a word = len(word)), a
+    // token's char start is widx (= one space per previous word) plus
+    // the running symbol length over the doc-ordered token stream —
+    // no per-word window, no word-start window, one Exchange total.
     val tW = Window.partitionBy(col("doc_id"))
       .orderBy(col("widx"), col("sidx"))
-    words
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("widx", "word")))
       .join(broadcast(vocab.select(col("word"), col("encoded"))),
         Seq("word"))
-      .select(col("doc_id"), col("widx"), col("wstart"),
+      .select(col("doc_id"), col("widx"),
         posexplode(split(col("encoded"), " ")).as(Seq("sidx", "sym")))
-      .withColumn("tstart", col("wstart") +
+      .withColumn("tstart", col("widx").cast("long") +
         coalesce(sum(length(col("sym")).cast("long"))
-          .over(sW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .over(tW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("ti", row_number().over(tW).cast("long") - 1L)
       .select(col("doc_id"), col("ti"), col("sym"), col("tstart"),
         (col("tstart") + length(col("sym")).cast("long")).as("tend"))

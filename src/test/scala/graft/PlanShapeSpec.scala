@@ -114,13 +114,32 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("ExactSubstr family: keyed joins only, no cartesian anywhere") {
     // q211's dup detection is a window over rank groups + a doc-keyed
-    // lens join; q213's absorb is one gram-keyed join + one window.
-    // Neither may degenerate to a cartesian or an unkeyed NL join.
-    for (name <- Seq("q211_exact_substr", "q213_incr_exact_substr")) {
+    // lens join; q213's absorb is one gram-keyed join + one window;
+    // q215's token table is a broadcast vocab join + ONE doc-keyed
+    // window, then gram-keyed grouping and token-keyed span mapping.
+    // None may degenerate to a cartesian or an unkeyed NL join.
+    for (name <- Seq("q211_exact_substr", "q213_incr_exact_substr",
+        "q215_token_exact_substr")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
       assert(!p.contains("BroadcastNestedLoopJoin"), name)
     }
+  }
+
+  test("token table: vocab joins BROADCAST and one doc-keyed Exchange carries all windows") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.Text.normalize(col("text")).as("text"))
+    val vocab = graft.operators.Bpe.trainAndEncode(
+      graft.Tables.documents(spark, dir), "text", graft.queries.Curation.BpeRounds)._2
+    val p = graft.queries.ExactSubstr.tokenTable(docs, vocab)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "vocab join must broadcast")
+    // exactly one shuffle: the doc-keyed window exchange (the broadcast
+    // side contributes BroadcastExchange, not a shuffle)
+    val shuffles = p.split("Exchange hashpartitioning").length - 1
+    assert(shuffles == 1,
+      s"token table must shuffle ONCE (doc-keyed), saw $shuffles")
   }
 
   test("classifier inference: weight dim broadcasts onto the bigram stream") {
