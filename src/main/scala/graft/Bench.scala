@@ -177,7 +177,9 @@ object Bench {
     // 1.7s, q202 1.3s — real codec decodes; q205 1.5s k greedy rounds)
     "q199_phash_pairs", "q201_audio_match",
     "q202_video_match", "q205_kcenter", "q208_unigram_segment",
-    "q210_markov_attribution")
+    "q210_markov_attribution",
+    // q217 = the q127 BPE loop + delta-sized token absorb
+    "q217_incr_token_exact_substr")
 
   private val MidGroup = 6
   /** Cheap tier (sub-1.2s, median ~0.5s; 50 of them sub-0.4s): grouped 24

@@ -237,6 +237,7 @@ object SparkEntry {
     "q214_stream_exact_substr" -> (ExactSubstr.q214StreamExactSubstr _),
     "q215_token_exact_substr" -> (ExactSubstr.q215TokenExactSubstr _),
     "q216_restart_exact_substr" -> (ExactSubstr.q216RestartExactSubstr _),
+    "q217_incr_token_exact_substr" -> (ExactSubstr.q217IncrTokenExactSubstr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -566,6 +567,7 @@ object SparkEntry {
     "q214_stream_exact_substr" -> ExactSubstr.oracleQ211,
     "q215_token_exact_substr" -> ExactSubstr.oracleQ215,
     "q216_restart_exact_substr" -> ExactSubstr.oracleQ211,
+    "q217_incr_token_exact_substr" -> ExactSubstr.oracleQ217,
   )
 
   private val asofOracle: String =

@@ -436,21 +436,27 @@ object ExactSubstr {
         (col("tstart") + length(col("sym")).cast("long")).as("tend"))
   }
 
-  /** All full [[TokGramL]]-token gram start positions whose gram occurs
-    * ≥ 2 times in the corpus, keep-first by struct(doc_id, ti). The gram
-    * key is the space-joined token run — unambiguous (tokens carry no
-    * spaces), so string equality is exact token-sequence equality. */
-  private[graft] def tokenDupPositions(tok: DataFrame): DataFrame = {
+  /** All full [[TokGramL]]-token gram starts as (doc_id, ti, gram, __k)
+    * with the global keep-first struct key. The gram key is the
+    * space-joined token run — unambiguous (tokens carry no spaces), so
+    * string equality is exact token-sequence equality. Shared by the
+    * batch (q215) and incremental (q217) paths. */
+  private[graft] def tokenGrams(tok: DataFrame): DataFrame = {
     val gW = Window.partitionBy(col("doc_id")).orderBy(col("ti"))
       .rowsBetween(Window.currentRow, TokGramL - 1)
-    val grams = tok
+    tok
       .withColumn("gcnt", count(lit(1)).over(gW))
       .withColumn("gram", array_join(collect_list(col("sym")).over(gW), " "))
       .filter(col("gcnt") === TokGramL)
       .select(col("doc_id"), col("ti"), col("gram"),
         struct(col("doc_id"), col("ti")).as("__k"))
+  }
+
+  /** Token-gram starts occurring ≥ 2 times corpus-wide, keep-first by
+    * struct(doc_id, ti). */
+  private[graft] def tokenDupPositions(tok: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("gram"))
-    grams
+    tokenGrams(tok)
       .withColumn("__cnt", count(lit(1)).over(w))
       .withColumn("__kmin", min(col("__k")).over(w))
       .filter(col("__cnt") >= 2)
@@ -494,11 +500,24 @@ object ExactSubstr {
     * by doc, to meet its spans. */
   def q215TokenExactSubstr(s: SparkSession, dir: String): DataFrame = {
     val docs = normDocs(s, dir).localCheckpoint()
-    val vocab = graft.operators.Bpe
-      .trainAndEncode(Tables.documents(s, dir), "text", Curation.BpeRounds)
-      ._2
-    val tok = tokenTable(docs, vocab).localCheckpoint()
-    val spansTok = tokenSpans(tokenDupPositions(tok)).localCheckpoint()
+    val tok = tokenTable(docs, corpusVocab(s, dir)).localCheckpoint()
+    tokenOutput(docs, tok, tokenSpans(tokenDupPositions(tok)))
+  }
+
+  /** The frozen tokenizer artifact: the corpus-trained BPE vocabulary
+    * (q127's encoder). In production this trains once and is fixed; the
+    * gates train it deterministically from the corpus so both engines
+    * derive the identical table. */
+  private def corpusVocab(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe
+      .trainAndEncode(Tables.documents(s, dir), "text", Curation.BpeRounds)._2
+
+  /** Shared q215/q217 tail: token spans → char intervals (two keyed
+    * joins against the token table) → char reassembly fold + token
+    * aggregates. Output one row per doc in `docs`. */
+  private def tokenOutput(docs: DataFrame, tok: DataFrame,
+                          spansTok0: DataFrame): DataFrame = {
+    val spansTok = spansTok0.localCheckpoint()
     val spansChar = spansTok
       .join(tok.select(col("doc_id"), col("ti").as("ts"),
         col("tstart").as("s")), Seq("doc_id", "ts"))
@@ -519,13 +538,53 @@ object ExactSubstr {
       .orderBy(col("doc_id"))
   }
 
+  /** q217 — INCREMENTAL token-level absorb: q213's standing-state
+    * discipline applied to the TOKEN unit. The base corpus keeps one
+    * bounded state table (token run → its globally-first (doc, ti)
+    * struct key); the arriving delta dedups by ONE keyed join against
+    * that state plus one window over its OWN token grams
+    * ([[absorbDups]], reused verbatim — the absorb algebra never cared
+    * that grams were chars). The tokenizer is the FROZEN shared
+    * artifact ([[corpusVocab]]), so base ids < delta ids again makes
+    * base keepers immovable and incremental ≡ batch on the delta rows —
+    * the oracle is q215's restricted to delta docs, and a spec pins
+    * DataFrame equality against q215's delta slice. */
+  def q217IncrTokenExactSubstr(s: SparkSession, dir: String): DataFrame = {
+    val docs = normDocs(s, dir).localCheckpoint()
+    val cut = splitId(docs)
+    val tok = tokenTable(docs, corpusVocab(s, dir)).localCheckpoint()
+    val grams = tokenGrams(tok)
+    val state = grams.filter(col("doc_id") < cut)
+      .groupBy(col("gram")).agg(min(col("__k")).as("base_kmin"))
+    val dup = absorbDups(
+        grams.filter(col("doc_id") >= cut)
+          .select(col("doc_id"), col("ti").as("pos"), col("gram"),
+            col("__k")),
+        state)
+      .select(col("doc_id"), col("pos").as("ti"), col("is_keeper"))
+    tokenOutput(docs.filter(col("doc_id") >= cut),
+      tok.filter(col("doc_id") >= cut), tokenSpans(dup))
+  }
+
   /** Oracle: replay the BPE training+encode (the q125/q127 shared CTE
     * chain), rebuild the token table with the same (widx, sidx) order
     * and char offsets, group the literal joined token runs, and run the
     * q211 span/reassembly tail over the mapped char intervals. */
-  lazy val oracleQ215: String = {
+  lazy val oracleQ215: String = tokenOracle(deltaOnly = false)
+
+  /** q217's oracle IS q215's restricted to the delta — the incremental
+    * ≡ batch contract as a relation (the q213/q211 pattern). */
+  lazy val oracleQ217: String = tokenOracle(deltaOnly = true)
+
+  private def tokenOracle(deltaOnly: Boolean): String = {
     val R = Curation.BpeRounds
+    val cutCte = if (deltaOnly)
+      "cutq AS (\n  SELECT max(doc_id) * 7 // 10 AS c FROM documents\n), "
+    else ""
+    val deltaFrom = if (deltaOnly) ", cutq" else ""
+    val deltaWhere = if (deltaOnly) "WHERE n.doc_id >= cutq.c\n" else ""
     s"""${Curation.bpeCtes},
+       |$cutCte
        |nd AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents
@@ -628,8 +687,8 @@ object ExactSubstr {
        |JOIN ntok nt USING (doc_id)
        |LEFT JOIN tsagg a USING (doc_id)
        |LEFT JOIN csagg cs USING (doc_id)
-       |LEFT JOIN kept k USING (doc_id)
-       |ORDER BY n.doc_id""".stripMargin
+       |LEFT JOIN kept k USING (doc_id)$deltaFrom
+       |${deltaWhere}ORDER BY n.doc_id""".stripMargin
   }
 
   /** The oracle needs no doubling replay: a corpus rank group at level

@@ -145,6 +145,21 @@ class TokenExactSubstrSpec extends AnyFunSuite {
     assert(checked > 0, "no dup token gram spanned DupGramL chars — vacuous")
   }
 
+  test("incremental token absorb (q217) equals the batch q215 on delta docs") {
+    import spark.implicits._
+    val norm = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.Text.normalize(col("text")).as("text"))
+    val cut = ExactSubstr.splitId(norm)
+    val batch = ExactSubstr.q215TokenExactSubstr(spark, dir)
+      .filter(col("doc_id") >= cut).collect().toSeq
+    val incr = ExactSubstr.q217IncrTokenExactSubstr(spark, dir)
+      .collect().toSeq
+    assert(incr.nonEmpty)
+    assert(incr == batch,
+      "incremental token-state absorb diverged from the batch keep-first")
+  }
+
   test("q215 conserves chars on the gate corpus: kept_len + dup_chars == doc_len") {
     import spark.implicits._
     val rows = ExactSubstr.q215TokenExactSubstr(spark, dir)
