@@ -154,9 +154,10 @@ object Bench {
     // (Time1 fresh-steady 4.1s at sf0.1); q212 contains ALL THREE modality
     // matchers q199+q201+q202 plus CC + keeper (fresh-steady 6.4s).
     // q213 (incremental absorb) is ~1.1s steady — shared tier.
-    // q215 = the q127 BPE train+encode loop (8 driver-argmax rounds) +
-    // token table + token-gram dedup + reassembly.
-    "q211_exact_substr", "q212_multimodal_dedup", "q215_token_exact_substr")
+    // q215/q217 = the q127 BPE train+encode loop (8 driver-argmax
+    // rounds, latency-bound) + token table + token-gram dedup/absorb.
+    "q211_exact_substr", "q212_multimodal_dedup", "q215_token_exact_substr",
+    "q217_incr_token_exact_substr")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(
@@ -177,9 +178,7 @@ object Bench {
     // 1.7s, q202 1.3s — real codec decodes; q205 1.5s k greedy rounds)
     "q199_phash_pairs", "q201_audio_match",
     "q202_video_match", "q205_kcenter", "q208_unigram_segment",
-    "q210_markov_attribution",
-    // q217 = the q127 BPE loop + delta-sized token absorb
-    "q217_incr_token_exact_substr")
+    "q210_markov_attribution")
 
   private val MidGroup = 6
   /** Cheap tier (sub-1.2s, median ~0.5s; 50 of them sub-0.4s): grouped 24
@@ -215,8 +214,9 @@ object Bench {
     ("q199_phash_pairs", "q212_multimodal_dedup"),
     ("q201_audio_match", "q212_multimodal_dedup"),
     ("q202_video_match", "q212_multimodal_dedup"),
-    // q215 = q127's full BPE train+encode plus the token-gram dedup tail
+    // q215/q217 = q127's full BPE train+encode plus token-gram tails
     ("q127_bpe_encode", "q215_token_exact_substr"),
+    ("q127_bpe_encode", "q217_incr_token_exact_substr"),
   )
 
   /** One query's measurement: median, min, ambient 1-min load at query

@@ -41,8 +41,10 @@ object SuffixArray {
     * r0 is the code point of the character at pos; r{k+1} is the dense
     * rank of the pair (r{k}(pos), r{k}(pos + 2^k), −1 beyond the end)
     * within the doc. After round k, equal ranks mean equal 2^k-grams,
-    * so r[[SaRounds]] is the suffix rank (the inverse suffix array) and
-    * the intermediate levels support O(log n) LCP folds (q207).
+    * so the last level (round count DERIVED from the measured max doc
+    * length — no capacity cap) is the suffix rank (the inverse suffix
+    * array) and the intermediate levels support O(log n) LCP folds
+    * (q207).
     * `keepLevels = false` carries only the current rank (q206's slim
     * path — the intermediate levels are dead weight there).
     *
@@ -65,7 +67,7 @@ object SuffixArray {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .filter(length(col("text")) > 0)
     // round count derived from the data: one scalar collect (bounded
-    // metadata); an empty corpus runs the default oracle-bound rounds
+    // metadata); an empty corpus degenerates to one vacuous round
     val mx = docs.agg(max(length(col("text")))).collect()(0)
     val maxLen = if (mx.isNullAt(0)) 0 else mx.getInt(0)
     // ≥ 1 round so the output rank is always a dense rank (r0 is raw
@@ -316,14 +318,20 @@ object SuffixArray {
     * arbitrary (doc_id, text) relation: returns (doc_id, pos, r) where
     * equal r ⟺ equal 2^`uptoLevel`-prefix (corpus-wide, end-padding
     * distinct) and r is the global dense rank in lexicographic order.
-    * Runs the [[SeedChars]]-char packed radix seed (a pure map — levels
-    * 0..[[SeedLevel]] cost ZERO shuffles and ZERO checkpoints), then
-    * doubling rounds at o = 2^[[SeedLevel]], 2^([[SeedLevel]]+1), …
-    * until `uptoLevel` or the corpus fixed point, whichever first.
-    * Each round: one doc-keyed window (the 2^k neighbor rank) packed
-    * into one long + one range-partitioned global sort-rank
-    * ([[globalDenseRank]] — bounded driver traffic, no single-partition
-    * window). The radix seed and the packed carrier are the round-11
+    * With `total = true` the round count is instead DERIVED from the
+    * measured max document length (ceil-log2), so equal final ranks mean
+    * equal whole suffixes at ANY document length — there is no capacity
+    * cap. Runs the [[SeedChars]]-char packed radix seed when every code
+    * point is in [1, 127] (a pure map — levels 0..[[SeedLevel]] cost
+    * ZERO shuffles and ZERO checkpoints; other corpora fall back to the
+    * code-point seed at level 0), then doubling rounds until the target
+    * level or the corpus fixed point, whichever first. Each round: one
+    * doc-keyed window (the 2^k neighbor rank) + one range-partitioned
+    * global sort-rank with bounded driver traffic — through the packed
+    * single-long pair carrier ([[globalDenseRank]]) below
+    * [[PackedPairMax]] suffixes, and the two-long wide carrier
+    * ([[globalDenseRankWide]], `forceWide` pins it for specs) above.
+    * The radix seed and the packed carrier are the round-11
     * storage-term fix: 2 fewer rounds and (doc,pos,pk) 3-long rows
     * instead of (doc,pos,r,r2) 4-long ones through every checkpoint. */
   private[graft] def corpusRanks(s: SparkSession, docs0: DataFrame,
