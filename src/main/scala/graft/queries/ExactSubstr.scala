@@ -164,7 +164,7 @@ object ExactSubstr {
   /** Base/delta split threshold for the incremental gate: documents
     * with doc_id below 70% of max are the standing corpus, the rest
     * arrive as the delta. LOWER ids form the base so global keep-first
-    * order (min (doc·[[PosCap]]+pos)) coincides with arrival order —
+    * order (min struct(doc_id, pos)) coincides with arrival order —
     * the property that makes incremental absorb ≡ batch rebuild. */
   private[graft] def splitId(docs: DataFrame): Long = {
     val mx = docs.agg(max(col("doc_id"))).collect()(0)
@@ -172,26 +172,9 @@ object ExactSubstr {
     mx.getLong(0) * 7 / 10
   }
 
-  /** q213 — INCREMENTAL ExactSubstr absorb: the q77 discipline applied
-    * to exact dedup. The standing corpus keeps one bounded state table —
-    * gram → its globally-first (doc, pos) key — and an arriving delta
-    * dedups by ONE keyed join against that state plus one window over
-    * its own grams, never re-reading (or re-indexing) the base text.
-    * Because base ids precede delta ids, base keepers are immovable:
-    * a delta can lose chars to the base or to earlier delta positions,
-    * but the base's own output is invariant — which is exactly why the
-    * incremental result for delta docs EQUALS the batch q211 rows for
-    * those docs (spec-pinned), the stream ≡ batch contract.
-    *
-    * Scale shape: at 100 TB the base state is a bucketed table keyed by
-    * gram (16 fixed bytes; bucket-join against deltas with zero base
-    * shuffle — the q53 co-location discipline); the delta-side work is
-    * one explode + one join + one window, all delta-sized. The gram
-    * STRING travels only for delta positions; the base contributes only
-    * its (gram, kmin) state rows. */
   /** All full L-gram positions of `docs` as (doc_id, pos, gram, __k)
-    * with the global keep-first key. Shared by the incremental (q213)
-    * and streaming (q214) absorb paths. */
+    * with the global keep-first struct key. Shared by the incremental
+    * (q213), streaming (q214), and persisted (q216) absorb paths. */
   private[graft] def gramPositions(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= DupGramL)
@@ -218,6 +201,24 @@ object ExactSubstr {
       .select(col("doc_id"), col("pos"), lit(false).as("is_keeper"))
   }
 
+  /** q213 — INCREMENTAL ExactSubstr absorb: the q77 discipline applied
+    * to exact dedup. The standing corpus keeps one bounded state table —
+    * gram → its globally-first struct(doc_id, pos) key — and an
+    * arriving delta dedups by ONE keyed join against that state plus
+    * one window over its own grams, never re-reading (or re-indexing)
+    * the base text. Because base ids precede delta ids, base keepers
+    * are immovable: a delta can lose chars to the base or to earlier
+    * delta positions, but the base's own output is invariant — which is
+    * exactly why the incremental result for delta docs EQUALS the batch
+    * q211 rows for those docs (spec-pinned), the stream ≡ batch
+    * contract.
+    *
+    * Scale shape: at 100 TB the base state is a bucketed table keyed by
+    * gram (16 fixed bytes; bucket-join against deltas with zero base
+    * shuffle — the q53 co-location discipline, PROVEN restartable by
+    * q216); the delta-side work is one explode + one join + one window,
+    * all delta-sized. The gram STRING travels only for delta positions;
+    * the base contributes only its (gram, kmin) state rows. */
   def q213IncrementalExactSubstr(s: SparkSession, dir: String): DataFrame = {
     val docs = normDocs(s, dir).localCheckpoint()
     val cut = splitId(docs)
