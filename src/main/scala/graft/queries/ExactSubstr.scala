@@ -345,9 +345,14 @@ object ExactSubstr {
     * Scale shape: this IS the nightly-100-TB shape the q213/q214
     * scaladocs name — state is gram-cardinality-sized, bucketed on its
     * join key (the absorb join reads it pre-clustered, the q53
-    * discipline), and a crashed or rescheduled absorb job resumes from
-    * the table. The driver-side collect feeds ONLY the in-process
-    * MemoryStream test transport. */
+    * discipline), each batch APPENDS only its own gram minima as a new
+    * generation (delta-sized writes; `compactEvery = 3` folds the
+    * generations once mid-stream, AFTER the restart, so the gate
+    * exercises append → restart → compact → append), and a crashed or
+    * rescheduled absorb job resumes from the table. The state table
+    * name derives from the per-run scratch directory so concurrent
+    * invocations in one session never share state. The driver-side
+    * collect feeds ONLY the in-process MemoryStream test transport. */
   def q216RestartExactSubstr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -356,7 +361,8 @@ object ExactSubstr {
     val docs = normDocs(s, dir)
       .orderBy(col("doc_id")).as[SDoc].collect()
     val tmp = java.nio.file.Files.createTempDirectory("graft_q216")
-    val table = "graft_q216_state"
+    val table = "graft_q216_state_" +
+      tmp.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
     s.sql(s"DROP TABLE IF EXISTS $table")
     val savedSp = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -368,7 +374,8 @@ object ExactSubstr {
       def phase(bs: Seq[Array[SDoc]]): Unit = if (bs.nonEmpty) {
         implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
         val mem = MemoryStream[SDoc]
-        val a = new StreamExactSubstr.PersistedAbsorber(table, tmp.toString)
+        val a = new StreamExactSubstr.PersistedAbsorber(table, tmp.toString,
+          compactEvery = 3)
         val q = StreamExactSubstr.appliedPersisted(mem.toDS(), a).start()
         try bs.foreach { b =>
           mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
@@ -376,7 +383,7 @@ object ExactSubstr {
       }
       phase(batches.take(2))
       phase(batches.drop(2))
-      val out = s.read.parquet(s"$tmp/emitted")
+      val out = s.read.parquet(s"$tmp/emitted").drop("gen")
         .orderBy(col("doc_id")).localCheckpoint()
       s.sql(s"DROP TABLE IF EXISTS $table")
       out

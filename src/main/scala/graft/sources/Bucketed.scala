@@ -36,6 +36,22 @@ object Bucketed {
       .format("parquet")
       .saveAsTable(table)
 
+  /** APPEND a new file group to an existing bucketed table — the
+    * generational-state write path: each append lands one more file per
+    * bucket (Spark reads every file of a bucket into the same task, so
+    * the scan still reports HashPartitioning and joins/groupBys on the
+    * key stay Exchange-free), and the write cost is the APPENDED rows,
+    * never the standing table. The bucketing spec must match the
+    * table's; Spark rejects a mismatch loudly. */
+  def appendBucketed(df: DataFrame, table: String,
+                     bucketCol: String, nBuckets: Int): Unit =
+    df.repartition(nBuckets, col(bucketCol))
+      .write.mode(SaveMode.Append)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Co-located equi-join of two tables bucketed on their join keys:
     * forced to sort-merge (`hint("merge")` — a broadcast pick would hide
     * the point at test scale) so the plan demonstrates the zero-Exchange

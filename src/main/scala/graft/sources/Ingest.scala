@@ -41,25 +41,45 @@ object Ingest {
       lastRefill = now
     }
 
-    /** Wait needed before the next request may fire, in ms. */
-    def waitTimeMs(): Long = synchronized {
+    /** Wait needed before the next request may fire, in ms: the MAX of
+      * the refill wait and the interval-floor wait — a starved bucket
+      * must still honor `minIntervalMs` (taking only the refill wait
+      * would let back-to-back acquires violate the floor whenever
+      * requestsPerMinute > 60000/minIntervalMs). */
+    def waitTimeMs(): Long = synchronized { waitLocked() }
+
+    private def waitLocked(): Long = {
       refill()
-      if (tokens >= 1.0) {
-        val since = nowMs() - lastRequest
+      val since = nowMs() - lastRequest
+      val intervalWait =
         if (since < minIntervalMs) minIntervalMs - since else 0L
-      } else {
-        val msPerToken = 60000.0 / requestsPerMinute
-        math.ceil((1.0 - tokens) * msPerToken).toLong
-      }
+      val refillWait =
+        if (tokens >= 1.0) 0L
+        else {
+          val msPerToken = 60000.0 / requestsPerMinute
+          math.ceil((1.0 - tokens) * msPerToken).toLong
+        }
+      math.max(intervalWait, refillWait)
     }
 
     /** Consume one token, sleeping first if the bucket or the interval
-      * floor requires it. */
-    def acquire(): Unit = synchronized {
-      val w = waitTimeMs()
-      if (w > 0) { sleepMs(w); refill() }
-      tokens -= 1.0
-      lastRequest = nowMs()
+      * floor requires it. Sleeps OUTSIDE the monitor (a waiter must not
+      * serialize `availableTokens`/`waitTimeMs` observers) and re-checks
+      * the wait after waking: another caller may have consumed the
+      * refilled token first. */
+    def acquire(): Unit = {
+      while (true) {
+        val w = synchronized {
+          val w0 = waitLocked()
+          if (w0 == 0L) {
+            tokens -= 1.0
+            lastRequest = nowMs()
+            return
+          }
+          w0
+        }
+        sleepMs(w)
+      }
     }
 
     def availableTokens: Int = synchronized { refill(); tokens.toInt }

@@ -29,10 +29,18 @@ final class JobLock(root: Path,
     root.resolve(s"$jobName.lock")
   }
 
+  /** A lock file's content, or None when the file is absent OR exists
+    * but is empty/unparseable (a writer that crashed between
+    * `Files.createFile` and the content write — the reference's DB row
+    * cannot exist contentless, a file can). Callers treat the
+    * corrupt-but-present case as an EXPIRED lease: acquire takes it
+    * over and the sweep deletes it, so a torn write never wedges the
+    * job forever. */
   private def parse(p: Path): Option[(String, Long)] =
     if (!Files.exists(p)) None
     else Files.readString(p).trim.split('|') match {
-      case Array(tok, until) => Some((tok, until.toLong))
+      case Array(tok, until) if until.forall(_.isDigit) && until.nonEmpty =>
+        Some((tok, until.toLong))
       case _ => None
     }
 
@@ -62,6 +70,12 @@ final class JobLock(root: Path,
               write(p, token, now + ttlSeconds * 1000L); Right(token)
             case _ => Left("failed to acquire lock (race condition)")
           }
+        case None if Files.exists(p) =>
+          // present but empty/corrupt: a crashed writer's torn lease.
+          // Treat as expired and take over (the atomic-move write
+          // replaces whatever half-written content is there).
+          write(p, token, now + ttlSeconds * 1000L)
+          Right(token)
         case None =>
           try {
             Files.createFile(p) // atomic fail-if-exists = unique violation
@@ -105,6 +119,8 @@ final class JobLock(root: Path,
       if (p.getFileName.toString.endsWith(".lock"))
         parse(p) match {
           case Some((_, until)) if until < now =>
+            Files.deleteIfExists(p); n += 1
+          case None => // torn/corrupt lease file: expired by definition
             Files.deleteIfExists(p); n += 1
           case _ =>
         }

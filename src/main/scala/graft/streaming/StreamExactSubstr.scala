@@ -78,40 +78,97 @@ object StreamExactSubstr {
 
   /** PERSISTED absorber — the restartable production shape of
     * [[Absorber]]: the standing gram-keeper state lives in a BUCKETED
-    * external table keyed on `gram` ([[graft.sources.Bucketed
-    * .writeBucketed]], the q53 zero-Exchange discipline — the state side
-    * of every absorb join arrives pre-clustered), and emissions append
-    * to a parquet sink. The instance holds NO DataFrame state: kill it
-    * after any batch, construct a fresh one on the same (table, path),
-    * and the absorb loop continues exactly where it stopped — the q216
-    * gate proves a stop-after-2/rebuild/continue run hash-matches the
-    * batch q211 oracle.
+    * external table keyed on `gram` ([[graft.sources.Bucketed]], the
+    * q53 zero-Exchange discipline — the state side of every absorb join
+    * arrives pre-clustered), and emissions go to a parquet sink. The
+    * instance holds NO DataFrame state: kill it after any batch,
+    * construct a fresh one on the same (table, path), and the absorb
+    * loop continues exactly where it stopped — the q216 gate proves a
+    * stop-after-2/rebuild/continue run hash-matches the batch q211
+    * oracle, with a compaction landing mid-stream.
     *
-    * Write discipline: the merged state is eagerly `localCheckpoint`ed
-    * BEFORE the overwrite — its lineage reads the very table being
-    * replaced (the round-4 DROP-TABLE lesson). The merge itself is the
-    * same least-of-struct full_outer the in-memory absorber uses, so
-    * out-of-order micro-batches still converge to the global minima. */
-  final class PersistedAbsorber(table: String, path: String) {
+    * GENERATIONAL (LSM-style) state maintenance — each micro-batch's
+    * WRITE volume is delta-sized, never O(|state|):
+    *
+    *  - each batch APPENDS its own gram minima as one new generation
+    *    (`gen` column, [[graft.sources.Bucketed.appendBucketed]] — one
+    *    more file group per bucket; rows appended = the batch's
+    *    distinct gram count);
+    *  - the absorb join resolves `min(base_kmin)` per gram across
+    *    generations ON THE READ SIDE — a groupBy on the bucketed key,
+    *    so resolution adds no Exchange (least-of-struct is associative:
+    *    the min over generation minima IS the global first occurrence);
+    *  - every [[compactEvery]] generations one COMPACTION folds the
+    *    table back to a single generation — the only state-sized write,
+    *    amortized over the deltas between compactions. At 100 TB this
+    *    is the difference between a nightly absorb loop that rewrites
+    *    billions of gram-keeper rows per micro-batch and one that
+    *    writes each delta once plus a periodic merge.
+    *
+    * Restart/replay contract: the generation number is derived from the
+    * COMMITTED state (max gen + 1), and emissions for generation g
+    * overwrite `emitted/gen=g`. A batch torn between its emission write
+    * and its state append therefore replays idempotently — the rerun
+    * derives the same g, overwrites the same emission partition, and
+    * appends the state generation that was missing. A batch whose state
+    * generation DID commit is complete; re-delivering it is the
+    * streaming checkpoint's job to prevent (in-process gates replay
+    * only uncommitted batches). Compaction's overwrite is the one
+    * non-idempotent window; production schedules it as its own job
+    * between batches (the merged relation is eagerly checkpointed
+    * before the overwrite — the round-4 DROP-TABLE lesson). */
+  final class PersistedAbsorber(table: String, path: String,
+                                compactEvery: Int = 4) {
+
+    private def resolved(st: DataFrame): DataFrame =
+      st.groupBy(col("gram")).agg(min(col("base_kmin")).as("base_kmin"))
+
+    /** Highest committed state generation (0 = no state yet). Bounded
+      * metadata: one max/countDistinct over the slim gen column. */
+    def currentGen(s: SparkSession): Long =
+      if (!s.catalog.tableExists(table)) 0L
+      else {
+        val r = s.table(table).agg(max(col("gen"))).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
 
     def absorb(batch: Dataset[SDoc]): Unit = synchronized {
       val s = batch.sparkSession
       val docs = batch.toDF().localCheckpoint()
       val grams = ExactSubstr.gramPositions(docs).localCheckpoint()
-      val st =
-        if (s.catalog.tableExists(table)) s.table(table)
-        else emptyState(s)
+      val exists = s.catalog.tableExists(table)
+      val (maxGen, nGens) =
+        if (!exists) (0L, 0L)
+        else {
+          val r = s.table(table)
+            .agg(max(col("gen")), countDistinct(col("gen"))).collect()(0)
+          (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+        }
+      val gen = maxGen + 1L
+      val st = if (exists) resolved(s.table(table)) else emptyState(s)
       val out = ExactSubstr.applySpans(docs,
         ExactSubstr.absorbDups(grams, st))
-      out.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$path/emitted")
-      val mins = grams.groupBy(col("gram")).agg(min(col("__k")).as("__m"))
-      val merged = st
-        .join(mins, Seq("gram"), "full_outer")
-        .select(col("gram"),
-          least(coalesce(col("base_kmin"), col("__m")),
-            coalesce(col("__m"), col("base_kmin"))).as("base_kmin"))
-        .localCheckpoint()
+      // idempotent emission: replaying a torn batch re-derives the same
+      // gen and overwrites the same partition instead of double-appending
+      out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/emitted/gen=$gen")
+      val mins = grams.groupBy(col("gram"))
+        .agg(min(col("__k")).as("base_kmin"))
+        .withColumn("gen", lit(gen))
+      if (exists)
+        graft.sources.Bucketed.appendBucketed(mins, table, "gram", 16)
+      else
+        graft.sources.Bucketed.writeBucketed(mins, table,
+          s"$path/state", "gram", 16)
+      if (nGens + 1L >= compactEvery.toLong) compact(s, gen)
+    }
+
+    /** Fold all generations back to one: the state-sized job, amortized
+      * over the [[compactEvery]] delta appends since the last fold. */
+    private def compact(s: SparkSession, gen: Long): Unit = {
+      val merged = resolved(s.table(table))
+        .withColumn("gen", lit(gen))
+        .localCheckpoint() // lineage reads the table being replaced
       graft.sources.Bucketed.writeBucketed(merged, table,
         s"$path/state", "gram", 16)
     }
@@ -119,7 +176,7 @@ object StreamExactSubstr {
     /** Accumulated emissions across every absorber incarnation that
       * shared this path — read back from storage, not from memory. */
     def results(s: SparkSession): DataFrame =
-      s.read.parquet(s"$path/emitted")
+      s.read.parquet(s"$path/emitted").drop("gen")
   }
 
   /** Wire a persisted absorber onto a document stream. */

@@ -81,6 +81,24 @@ class IngestSpec extends AnyFunSuite {
     assert(slept.toSeq == Seq(1000L))
   }
 
+  test("token bucket: starved bucket still honors the interval floor " +
+      "(deficit wait is max(refill, interval), not refill alone)") {
+    // rpm=1 → msPerToken=60000; floor 90000 > refill wait. After one
+    // acquire at t=0, an acquire at t=30000 owes 60000 more ms of floor
+    // but only 30000 ms of refill — the old refill-only deficit wait
+    // would fire at t=60000, violating the floor by 30 s.
+    var now = 0L
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val tb = new Ingest.TokenBucket(requestsPerMinute = 1,
+      minIntervalMs = 90000L, nowMs = () => now,
+      sleepMs = d => { slept += d; now += d })
+    tb.acquire()                    // t=0: consumes the only token
+    now += 30000
+    tb.acquire()
+    assert(slept.toSeq == Seq(60000L), "must wait out the FLOOR, not the refill")
+    assert(now == 90000L, "second request may not fire before the floor")
+  }
+
   test("token bucket: refill is capacity-capped and proportional") {
     var now = 0L
     val tb = new Ingest.TokenBucket(requestsPerMinute = 60,
@@ -144,6 +162,23 @@ class IngestSpec extends AnyFunSuite {
     val t2 = jl.acquire("cron_b", ttlSeconds = 600)
     assert(t2.isRight, "expired lease must be taken over")
     assert(!jl.extend("cron_b", t1), "old token cannot extend after takeover")
+  }
+
+  test("job lock: a torn (empty/corrupt) lease file is expired — acquire " +
+      "takes it over and cleanup sweeps it") {
+    var now = 0L
+    val dir = java.nio.file.Files.createTempDirectory("graft_locks4")
+    val jl = new JobLock(dir, nowMs = () => now)
+    // simulate a writer that crashed between createFile and the content
+    // write: a 0-byte .lock, and a second job with garbage content
+    java.nio.file.Files.createFile(dir.resolve("torn.lock"))
+    java.nio.file.Files.writeString(dir.resolve("garbage.lock"), "not|a|lease")
+    val t = jl.acquire("torn", ttlSeconds = 600)
+    assert(t.isRight, "torn lease must be taken over, not wedge the job")
+    assert(jl.holder("torn") == t.toOption)
+    assert(jl.release("torn", t.toOption.get))
+    assert(jl.cleanupExpired() == 1, "the garbage lease sweeps as expired")
+    assert(!java.nio.file.Files.exists(dir.resolve("garbage.lock")))
   }
 
   test("job lock: cleanup sweeps only expired leases") {
