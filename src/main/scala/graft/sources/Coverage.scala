@@ -1,0 +1,224 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Run-claim ledger + dataset-coverage manifest — the reference's
+  * ingestion bookkeeping contract
+  * (`supabase/migrations/00085_create_dataset_coverage.sql`):
+  *
+  *  - `dataset_coverage(dataset, target_date, status, row_count,
+  *    error_count, source_observed_at, run_id)` PK (dataset,
+  *    target_date), with the status-consistency CHECK: `success` ⟹
+  *    error_count = 0 ∧ source_observed_at present; `failed` ⟹
+  *    error_count > 0. "success + row_count = 0" is a REAL state: the
+  *    source was checked and the day is genuinely empty — catch-up must
+  *    NOT retry it (`00085:31-33`).
+  *  - `claim_job_run` (`00085:70-214`): one (job, target_date) row claims
+  *    the run; a fresh claim writes a FAILED placeholder coverage row
+  *    (so a crash mid-run leaves the date visibly uncovered), a retry of
+  *    a failed / stale-running / stale-success row reclaims it under a
+  *    NEW attempt_id — the fencing token that rejects the old worker's
+  *    later writes — and anything else is `already_executed`.
+  *  - `complete_job_run_attempt` (`00085:263-283`): only the CURRENT
+  *    attempt of a RUNNING row may finish it.
+  *  - `job_heartbeat`: last_seen/status per job, updated at claim and
+  *    completion.
+  *
+  * Split Spark-first: the run claim/heartbeat is driver-side control
+  * state (like [[JobLock]] — a handful of rows, never a distributed
+  * dataset) in [[RunLedger]]; the coverage manifest is a real TABLE the
+  * refresh jobs upsert ([[Coverage]]) and catch-up planning is a
+  * DataFrame program over it — business-day calendar LEFT JOIN coverage,
+  * keep absent-or-failed days ([[Coverage.catchUpTargets]]). At 100 TB
+  * both sides stay metadata-sized: the ledger has one row per (dataset,
+  * day), the calendar broadcasts, and the only fact-table touch the
+  * composed q218 program makes is one map-side-combined per-day count.
+  */
+object Coverage {
+
+  val Success = "success"
+  val Failed = "failed"
+
+  /** The 00085 status-consistency CHECK constraint, applied at write
+    * time (a manifest row that violates it is a bug in the writer, not
+    * data to store). */
+  def validate(status: String, rowCount: Long, errorCount: Int,
+               sourceObservedAtMs: Option[Long]): Unit = {
+    require(status == Success || status == Failed,
+      s"invalid coverage status: $status")
+    require(rowCount >= 0 && errorCount >= 0,
+      s"negative counts: rows=$rowCount errors=$errorCount")
+    if (status == Success)
+      require(errorCount == 0 && sourceObservedAtMs.nonEmpty,
+        "success coverage requires error_count=0 and source_observed_at")
+    else
+      require(errorCount > 0, "failed coverage requires error_count > 0")
+  }
+
+  /** One manifest row as a DataFrame, contract-checked. */
+  def row(s: SparkSession, dataset: String, targetDate: java.sql.Date,
+          status: String, rowCount: Long, errorCount: Int,
+          sourceObservedAtMs: Option[Long],
+          runId: Option[String]): DataFrame = {
+    validate(status, rowCount, errorCount, sourceObservedAtMs)
+    import s.implicits._
+    Seq((dataset, targetDate, status, rowCount, errorCount,
+      sourceObservedAtMs, runId))
+      .toDF("dataset", "target_date", "status", "row_count",
+        "error_count", "source_observed_at", "run_id")
+  }
+
+  /** The claim-time placeholder (`00085:137-152`): FAILED with one
+    * error until the attempt proves otherwise — a crash mid-run leaves
+    * the date marked uncovered, so catch-up retries it. */
+  def claimPlaceholder(s: SparkSession, dataset: String,
+                       targetDate: java.sql.Date,
+                       runId: String): DataFrame =
+    row(s, dataset, targetDate, Failed, 0L, 1, None, Some(runId))
+
+  def emptyLedger(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("dataset", StringType, nullable = false),
+        StructField("target_date", DateType, nullable = false),
+        StructField("status", StringType, nullable = false),
+        StructField("row_count", LongType, nullable = false),
+        StructField("error_count", IntegerType, nullable = false),
+        StructField("source_observed_at", LongType, nullable = true),
+        StructField("run_id", StringType, nullable = true))))
+  }
+
+  /** Upsert manifest rows into the ledger — `ON CONFLICT (dataset,
+    * target_date) DO UPDATE`, last write wins ([[Upsert.keyed]]). */
+  def upsert(ledger: DataFrame, rows: DataFrame): DataFrame =
+    graft.operators.Upsert.keyed(ledger, rows,
+      Seq("dataset", "target_date"))
+
+  /** COVERAGE-driven catch-up (the round-13 ask: catch-up must read the
+    * manifest, not output presence): business days within
+    * `lookbackDays` of `today` whose coverage row for `dataset` is
+    * ABSENT (never claimed → `reason = 'missing'`) or FAILED
+    * (`reason = 'failed'`), oldest first, capped at `maxDays`.
+    * `success` rows — INCLUDING row_count = 0, the explicitly-checked
+    * empty day — are covered and never retried. The ledger and calendar
+    * are both date-cardinality relations: the join broadcasts. */
+  def catchUpTargets(ledger: DataFrame, dataset: String,
+                     calendar: DataFrame, calDateCol: String,
+                     today: java.sql.Date, lookbackDays: Int,
+                     maxDays: Int): DataFrame = {
+    val cov = ledger.filter(col("dataset") === lit(dataset))
+      .select(col("target_date").as("target_day"), col("status"))
+    calendar
+      .filter(col("is_business_day") &&
+        col(calDateCol) <= lit(today) &&
+        col(calDateCol) >= date_sub(lit(today), lookbackDays))
+      .select(col(calDateCol).as("target_day"))
+      .join(broadcast(cov), Seq("target_day"), "left")
+      .filter(col("status").isNull || col("status") === lit(Failed))
+      .select(col("target_day"),
+        when(col("status").isNull, lit("missing"))
+          .otherwise(lit("failed")).as("reason"))
+      .orderBy(col("target_day"))
+      .limit(maxDays)
+  }
+}
+
+/** Driver-side run-claim control state — `jquants_ingest.job_runs` +
+  * `job_heartbeat` with the `claim_job_run` / `complete_job_run_attempt`
+  * transactional semantics (`00085:70-283`). Like [[JobLock]] this is a
+  * handful of control rows, never a distributed dataset; the clock and
+  * id source are injected so specs replay exact lifecycles. */
+final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
+                      newId: () => String =
+                        () => java.util.UUID.randomUUID().toString) {
+
+  final case class Run(runId: String, attemptId: String, status: String,
+                       startedAtMs: Long, finishedAtMs: Option[Long],
+                       error: Option[String])
+  final case class Heartbeat(lastSeenMs: Long, lastStatus: String,
+                             lastRunId: String,
+                             lastTargetDate: String,
+                             lastError: Option[String])
+  /** `claim_job_run`'s RETURNS row: `attemptId` is None exactly when
+    * the claim was rejected (`already_executed`). */
+  final case class Claim(runId: String, attemptId: Option[String],
+                         claimed: Boolean, reason: String)
+
+  private val runs =
+    scala.collection.mutable.Map[(String, String), Run]()
+  private val beats = scala.collection.mutable.Map[String, Heartbeat]()
+
+  private def beat(jobName: String, status: String, runId: String,
+                   targetDate: String, error: Option[String]): Unit =
+    beats(jobName) = Heartbeat(nowMs(), status, runId, targetDate, error)
+
+  /** Claim the (job, target_date) run. Fresh → insert RUNNING under a
+    * new run_id+attempt_id (`reason = inserted`). Existing FAILED, or
+    * RUNNING past `runningStaleAfterSec`, or SUCCESS past
+    * `successStaleAfterSec` → reclaim under the SAME run_id but a NEW
+    * attempt_id (the fencing token — the old worker's complete() is
+    * rejected from here on). Anything else → not claimed,
+    * `already_executed`. */
+  def claim(jobName: String, targetDate: String,
+            runningStaleAfterSec: Option[Long] = None,
+            successStaleAfterSec: Option[Long] = None): Claim =
+    synchronized {
+      runningStaleAfterSec.foreach(v =>
+        require(v > 0, "running stale threshold must be positive"))
+      successStaleAfterSec.foreach(v =>
+        require(v > 0, "success stale threshold must be positive"))
+      val key = (jobName, targetDate)
+      val now = nowMs()
+      runs.get(key) match {
+        case None =>
+          val r = Run(newId(), newId(), "running", now, None, None)
+          runs(key) = r
+          beat(jobName, "running", r.runId, targetDate, None)
+          Claim(r.runId, Some(r.attemptId), claimed = true, "inserted")
+        case Some(r) =>
+          val reason =
+            if (r.status == "failed") Some("failed")
+            else if (r.status == "running" && runningStaleAfterSec.exists(
+              s => r.startedAtMs < now - s * 1000L)) Some("stale_running")
+            else if (r.status == "success" && successStaleAfterSec.exists(
+              s => r.finishedAtMs.exists(_ < now - s * 1000L)))
+              Some("stale_success")
+            else None
+          reason match {
+            case None =>
+              Claim(r.runId, None, claimed = false, "already_executed")
+            case Some(why) =>
+              val r2 = Run(r.runId, newId(), "running", now, None, None)
+              runs(key) = r2
+              beat(jobName, "running", r.runId, targetDate, None)
+              Claim(r.runId, Some(r2.attemptId), claimed = true, why)
+          }
+      }
+    }
+
+  /** Finish the run — only the CURRENT attempt of a RUNNING row may
+    * (the fencing check, `00085:263-283`): a reclaimed-from worker gets
+    * `false` and must not publish. */
+  def complete(runId: String, attemptId: String, status: String,
+               error: Option[String] = None): Boolean = synchronized {
+    require(status == "success" || status == "failed",
+      s"invalid terminal job status: $status")
+    runs.find { case (_, r) => r.runId == runId } match {
+      case Some((key @ (jobName, targetDate), r))
+          if r.attemptId == attemptId && r.status == "running" =>
+        runs(key) = r.copy(status = status,
+          finishedAtMs = Some(nowMs()), error = error)
+        beat(jobName, status, runId, targetDate, error)
+        true
+      case _ => false
+    }
+  }
+
+  def run(jobName: String, targetDate: String): Option[Run] =
+    synchronized { runs.get((jobName, targetDate)) }
+
+  def heartbeat(jobName: String): Option[Heartbeat] =
+    synchronized { beats.get(jobName) }
+}
