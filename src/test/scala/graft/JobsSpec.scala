@@ -49,6 +49,58 @@ class JobsSpec extends AnyFunSuite {
       .resolvePublishedFresh(root + "_nope", 60000, now).isLeft)
   }
 
+  test("locked refresh: lease held through the DAG, heartbeat outlives the TTL, release on exit") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("refresh_lock").toFile.getAbsolutePath
+    var now = 0L
+    val lock = new graft.sources.JobLock(
+      Files.createTempDirectory("refresh_locks"), nowMs = () => now)
+    val ttl = 10L // seconds; each stage takes 8s — only heartbeats keep it
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def stage(name: String) = name -> { () =>
+      // the lease must be LIVE inside every stage, and a concurrent
+      // start must be rejected mid-run (the reference's 409)
+      assert(lock.holder("daily_refresh").isDefined,
+        s"lease lost before stage $name — heartbeat missing")
+      assert(lock.acquire("daily_refresh").isLeft,
+        s"double start accepted during stage $name")
+      seen += name
+      now += 8000L // stage runtime: would outlive the original TTL by s3
+      Seq((name, 1L)).toDF("k", "v")
+    }
+    val out = DailyRefreshJob.runLocked(spark, lock,
+      "/root/testdata/sf0.001", root, "v1", ttlSeconds = ttl,
+      stages = Seq(stage("s1"), stage("s2"), stage("s3"), stage("s4")))
+    // s4 starts at t=24s — the t=0 acquire's lease (until 10s) is long
+    // dead; only the per-stage extends kept the run fenced
+    assert(out.isRight && out.toOption.get.forall(_.error.isEmpty))
+    assert(seen.toSeq == Seq("s1", "s2", "s3", "s4"))
+    // released on exit: immediately acquirable
+    assert(lock.holder("daily_refresh").isEmpty)
+    assert(lock.acquire("daily_refresh").isRight)
+  }
+
+  test("locked refresh: a held lease rejects the run; release frees it even on stage failure") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("refresh_lock2").toFile.getAbsolutePath
+    val lock = new graft.sources.JobLock(
+      Files.createTempDirectory("refresh_locks2"))
+    val token = lock.acquire("daily_refresh").toOption.get
+    var ran = false
+    val out = DailyRefreshJob.runLocked(spark, lock,
+      "/root/testdata/sf0.001", root, "v1",
+      stages = Seq("s1" -> { () => ran = true; Seq(1).toDF("x") }))
+    assert(out.isLeft && !ran, "a held lease must reject before any stage")
+    lock.release("daily_refresh", token)
+    // stage failures are continue-on-error StageResults, and the lease
+    // is still released afterwards
+    val out2 = DailyRefreshJob.runLocked(spark, lock,
+      "/root/testdata/sf0.001", root, "v1",
+      stages = Seq("boom" -> { () => sys.error("stage exploded") }))
+    assert(out2.isRight && out2.toOption.get.head.error.isDefined)
+    assert(lock.holder("daily_refresh").isEmpty)
+  }
+
   test("coverage gate blocks under-covered snapshots") {
     import spark.implicits._
     val universe = (1 to 100).toDF("c_custkey")
