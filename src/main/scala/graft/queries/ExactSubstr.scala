@@ -512,13 +512,52 @@ object ExactSubstr {
     tokenOutput(docs, tok, tokenSpans(tokenDupPositions(tok)))
   }
 
-  /** The frozen tokenizer artifact: the corpus-trained BPE vocabulary
-    * (q127's encoder). In production this trains once and is fixed; the
-    * gates train it deterministically from the corpus so both engines
-    * derive the identical table. */
-  private def corpusVocab(s: SparkSession, dir: String): DataFrame =
+  /** q215 reading a PERSISTED vocabulary — the production input shape:
+    * the tokenizer is a fixed artifact written by a prior step
+    * ([[writeVocabArtifact]]), not retrained per query. */
+  def q215TokenExactSubstrFrom(s: SparkSession, dir: String,
+                               vocabPath: String): DataFrame = {
+    val docs = normDocs(s, dir).localCheckpoint()
+    val tok = tokenTable(docs, s.read.parquet(vocabPath)).localCheckpoint()
+    tokenOutput(docs, tok, tokenSpans(tokenDupPositions(tok)))
+  }
+
+  /** Write the FROZEN tokenizer artifact — the production prior step:
+    * train the corpus BPE once ([[graft.operators.Bpe.trainAndEncode]],
+    * the q125/q127 trainer, which stays for those gates) and persist
+    * the (word, encoded) table. Everything downstream reads the
+    * artifact; nothing retrains. */
+  def writeVocabArtifact(s: SparkSession, dir: String,
+                         path: String): Unit =
     graft.operators.Bpe
-      .trainAndEncode(Tables.documents(s, dir), "text", Curation.BpeRounds)._2
+      .trainAndEncode(Tables.documents(s, dir), "text", Curation.BpeRounds)
+      ._2.select(col("word"), col("encoded"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  private val vocabArtifacts =
+    scala.collection.mutable.Map[String, String]()
+
+  /** The per-corpus artifact location, trained+written on first demand
+    * (the gates' stand-in for the production train-once step) and READ
+    * thereafter — at 100 TB the vocabulary trains once per corpus
+    * release, never per query; token-level dedup's vocab cost is one
+    * broadcast-sized parquet read. */
+  private[graft] def vocabArtifactFor(s: SparkSession,
+                                      dir: String): String =
+    vocabArtifacts.synchronized {
+      vocabArtifacts.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files.createTempDirectory("graft_vocab")
+          .resolve("vocab").toString
+        writeVocabArtifact(s, dir, p)
+        p
+      })
+    }
+
+  /** The frozen tokenizer artifact, as a relation: a parquet READ of
+    * [[vocabArtifactFor]]'s table — both engines derive the identical
+    * vocabulary because the training step is deterministic. */
+  private def corpusVocab(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(vocabArtifactFor(s, dir))
 
   /** Shared q215/q217 tail: token spans → char intervals (two keyed
     * joins against the token table) → char reassembly fold + token

@@ -173,4 +173,39 @@ class TokenExactSubstrSpec extends AnyFunSuite {
     }
     assert(rows.exists(_._4 > 0), "no doc had token spans removed — vacuous")
   }
+
+  test("frozen vocab: q215 reading an artifact written by a PRIOR step equals the default path") {
+    import spark.implicits._
+    // the explicit production prior step: train once, persist the table
+    val artifact = java.nio.file.Files
+      .createTempDirectory("graft_vocab_spec").resolve("vocab").toString
+    ExactSubstr.writeVocabArtifact(spark, dir, artifact)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("kept_fp"), col("n_tokens"),
+        col("dup_tokens"))
+        .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val fromArtifact =
+      rows(ExactSubstr.q215TokenExactSubstrFrom(spark, dir, artifact))
+    val default = rows(ExactSubstr.q215TokenExactSubstr(spark, dir))
+    assert(fromArtifact.nonEmpty && fromArtifact == default,
+      "persisted-vocab q215 diverged from the trained-in-line result")
+  }
+
+  test("frozen vocab: the default path trains ONCE per corpus and reads the artifact after") {
+    // both q215 and q217 resolve the same cached artifact; a second
+    // query must not retrain (the artifact file set is untouched)
+    val p1 = ExactSubstr.vocabArtifactFor(spark, dir)
+    def snapshot(p: String) = {
+      val d = new java.io.File(p)
+      d.listFiles().map(f => (f.getName, f.lastModified(), f.length()))
+        .toSeq.sortBy(_._1)
+    }
+    val before = snapshot(p1)
+    ExactSubstr.q215TokenExactSubstr(spark, dir).count()
+    ExactSubstr.q217IncrTokenExactSubstr(spark, dir).count()
+    val p2 = ExactSubstr.vocabArtifactFor(spark, dir)
+    assert(p1 == p2, "artifact path not stable per corpus")
+    assert(snapshot(p2) == before,
+      "a query call rewrote the vocab artifact — retraining happened")
+  }
 }
