@@ -334,6 +334,13 @@ object SuffixArray {
     * The radix seed and the packed carrier are the round-11
     * storage-term fix: 2 fewer rounds and (doc,pos,pk) 3-long rows
     * instead of (doc,pos,r,r2) 4-long ones through every checkpoint. */
+  /** Which seed the LAST [[corpusRanks]] call chose: Some(true) = the
+    * 4-char base-128 radix seed (pure-ASCII corpus), Some(false) = the
+    * code-point fallback (non-ASCII input — one extra doubling round,
+    * never a refusal). Test instrumentation only: specs assert the
+    * fallback path actually ran on non-ASCII fixtures. */
+  @volatile private[graft] var lastSeedOk: Option[Boolean] = None
+
   private[graft] def corpusRanks(s: SparkSession, docs0: DataFrame,
                                  uptoLevel: Int,
                                  total: Boolean = false,
@@ -365,6 +372,7 @@ object SuffixArray {
     // sentinel); anything else falls back to the plain code-point seed
     // (level 0) — one extra doubling round, never a refusal
     val seedOk = minChar >= 1 && maxChar < 128
+    lastSeedOk = Some(seedOk) // spec probe: which seed path ran
     val packed = !forceWide && nSuffixes < PackedPairMax
     val kStart = if (seedOk) SeedLevel else 0
     // total ⟹ run to ceil-log2(maxLen) — equal ranks then mean equal
