@@ -64,7 +64,7 @@ object ExactSubstr {
     * count from the data, so >PosCap-char documents dedup fine. */
   val PosCap: Long = 1L << SuffixArray.SaRounds
 
-  private def normDocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def normDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), Text.normalize(col("text")).as("text"))
 

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.ExactSubstr
+import graft.streaming.StreamExactSubstr
+
+/** Measures the PersistedAbsorber's generational state maintenance:
+  * per-batch rows APPENDED (one generation per batch — the delta) vs
+  * the cumulative resolved state size, then the compaction fold. Backs
+  * the PLANS.md round-14 row: write volume scales with the delta, not
+  * the state. Usage: runMain graft.tools.Probe216 [sfDir] [nBatches] */
+object Probe216 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val nBatches = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = ExactSubstr.normDocs(spark, sfDir)
+      .orderBy(col("doc_id")).as[StreamExactSubstr.SDoc].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p216")
+    val table = "graft_p216_state"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // no compaction during the append passes — observe pure deltas
+    val a = new StreamExactSubstr.PersistedAbsorber(table, tmp.toString,
+      compactEvery = Int.MaxValue)
+    val per = docs.grouped(math.max(1, docs.length / nBatches)).toSeq
+    var t0 = System.nanoTime()
+    per.zipWithIndex.foreach { case (b, i) =>
+      a.absorb(spark.createDataset(b.toIndexedSeq))
+      val dt = (System.nanoTime() - t0) / 1e9; t0 = System.nanoTime()
+      println(f"batch ${i + 1}%2d: docs=${b.length}%5d  ${dt}%6.2f s")
+    }
+    val perGen = spark.table(table).groupBy(col("gen"))
+      .agg(count(lit(1)).as("rows")).orderBy(col("gen"))
+      .as[(Long, Long)].collect()
+    val total = perGen.map(_._2).sum
+    val resolved = spark.table(table).select(col("gram")).distinct().count()
+    println("per-generation APPEND volumes (rows written per batch):")
+    perGen.foreach { case (g, n) =>
+      println(f"  gen $g%2d: $n%8d rows (${100.0 * n / total}%5.1f%% of on-disk state)")
+    }
+    println(f"on-disk state rows: $total%d; resolved distinct grams: $resolved%d")
+    println(f"amplification if each batch REWROTE the state instead: " +
+      f"${perGen.map(_._2).scanLeft(0L)(_ + _).drop(1).sum}%d rows " +
+      f"(vs $total%d generational)")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.stop()
+  }
+}

@@ -103,6 +103,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("coverage catch-up: the manifest broadcasts onto the calendar; one fact agg only") {
+    val p = plan("q218_coverage_catchup")
+    // the planner join is metadata-scale: the manifest side broadcasts
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // exactly one scan of the fact table feeds the per-day count; the
+    // watermark scalar was already resolved at plan-build time
+    assert("orders\\.parquet".r.findAllIn(p).size <= 2,
+      "coverage catch-up must not rescan the fact table")
+  }
+
   test("no gate query degenerates to an unintended cartesian product") {
     // the deliberate broadcast-1-row cross joins (q17 query vector) are
     // BroadcastNestedLoopJoin, not CartesianProduct
