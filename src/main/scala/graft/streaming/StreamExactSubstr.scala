@@ -132,18 +132,27 @@ object StreamExactSubstr {
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
 
+    /** (max gen, generation count) of the COMMITTED state — read from
+      * storage once per absorber incarnation (the restart path), then
+      * maintained locally: this instance is the only writer while its
+      * job holds the lease (the [[graft.sources.JobLock]] discipline),
+      * so re-scanning the table's gen column every batch would buy
+      * nothing but a full listing + agg job per micro-batch. */
+    private var genMeta: Option[(Long, Long)] = None
+
     def absorb(batch: Dataset[SDoc]): Unit = synchronized {
       val s = batch.sparkSession
       val docs = batch.toDF().localCheckpoint()
       val grams = ExactSubstr.gramPositions(docs).localCheckpoint()
       val exists = s.catalog.tableExists(table)
-      val (maxGen, nGens) =
+      val (maxGen, nGens) = genMeta.getOrElse {
         if (!exists) (0L, 0L)
         else {
           val r = s.table(table)
             .agg(max(col("gen")), countDistinct(col("gen"))).collect()(0)
           (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
         }
+      }
       val gen = maxGen + 1L
       val st = if (exists) resolved(s.table(table)) else emptyState(s)
       val out = ExactSubstr.applySpans(docs,
@@ -160,7 +169,9 @@ object StreamExactSubstr {
       else
         graft.sources.Bucketed.writeBucketed(mins, table,
           s"$path/state", "gram", 16)
-      if (nGens + 1L >= compactEvery.toLong) compact(s, gen)
+      genMeta = Some((gen, nGens + 1L))
+      if (nGens + 1L >= compactEvery.toLong) { compact(s, gen)
+        genMeta = Some((gen, 1L)) }
     }
 
     /** Fold all generations back to one: the state-sized job, amortized
