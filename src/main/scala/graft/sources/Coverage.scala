@@ -152,7 +152,9 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
 
   private def beat(jobName: String, status: String, runId: String,
                    targetDate: String, error: Option[String]): Unit =
-    beats(jobName) = Heartbeat(nowMs(), status, runId, targetDate, error)
+    // the reference truncates last_error at 1000 chars (heartbeat.ts:58)
+    beats(jobName) = Heartbeat(nowMs(), status, runId, targetDate,
+      error.map(e => if (e.length > 1000) e.take(1000) + "..." else e))
 
   /** Claim the (job, target_date) run. Fresh → insert RUNNING under a
     * new run_id+attempt_id (`reason = inserted`). Existing FAILED, or
@@ -221,4 +223,46 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
 
   def heartbeat(jobName: String): Option[Heartbeat] =
     synchronized { beats.get(jobName) }
+
+  final case class Health(jobName: String, healthy: Boolean,
+                          reason: Option[String],
+                          lastSeenMs: Option[Long],
+                          lastStatus: Option[String])
+
+  /** The monitoring contract (`heartbeat.ts:120-153` `isJobHealthy`):
+    * a job is unhealthy when it has NO heartbeat record, when its last
+    * heartbeat is older than `staleThresholdHours` (default 25 — one
+    * daily cycle plus slack), or when its last run FAILED (with the
+    * truncated error as the reason). */
+  def isJobHealthy(jobName: String,
+                   staleThresholdHours: Double = 25.0): Health =
+    synchronized {
+      beats.get(jobName) match {
+        case None =>
+          Health(jobName, healthy = false,
+            Some("No heartbeat record found"), None, None)
+        case Some(hb) =>
+          val hours = (nowMs() - hb.lastSeenMs) / 3600000.0
+          if (hours > staleThresholdHours)
+            Health(jobName, healthy = false,
+              Some(s"Stale: last seen ${hours.toLong} hours ago"),
+              Some(hb.lastSeenMs), Some(hb.lastStatus))
+          else if (hb.lastStatus == "failed")
+            Health(jobName, healthy = false,
+              Some(s"Last run failed: ${hb.lastError.getOrElse("Unknown error")}"),
+              Some(hb.lastSeenMs), Some(hb.lastStatus))
+          else
+            Health(jobName, healthy = true, None,
+              Some(hb.lastSeenMs), Some(hb.lastStatus))
+      }
+    }
+
+  /** Fleet health (`heartbeat.ts:155-200` `checkAllJobsHealth`): every
+    * named job evaluated; `_1` is the all-healthy conjunction. */
+  def checkAllJobsHealth(jobNames: Seq[String],
+                         staleThresholdHours: Double = 25.0)
+      : (Boolean, Seq[Health]) = {
+    val hs = jobNames.map(isJobHealthy(_, staleThresholdHours))
+    (hs.forall(_.healthy), hs)
+  }
 }

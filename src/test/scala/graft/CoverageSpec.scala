@@ -112,6 +112,36 @@ class CoverageSpec extends AnyFunSuite {
     assert(!rl.complete(c.runId, c.attemptId.get, "failed"))
   }
 
+  test("health check: missing record, staleness, failed status, and error truncation") {
+    val (rl, tick) = ledgerWithClock(0L)
+    // no record at all
+    val h0 = rl.isJobHealthy("cron_a")
+    assert(!h0.healthy && h0.reason.contains("No heartbeat record found"))
+    // healthy right after a successful run
+    val c = rl.claim("cron_a", "2024-06-03")
+    rl.complete(c.runId, c.attemptId.get, "success")
+    assert(rl.isJobHealthy("cron_a").healthy)
+    // stale past the 25h default (just inside is still healthy)
+    tick(25L * 3600L * 1000L) // exactly 25h: NOT strictly greater
+    assert(rl.isJobHealthy("cron_a").healthy)
+    tick(3600L * 1000L)
+    val h1 = rl.isJobHealthy("cron_a")
+    assert(!h1.healthy && h1.reason.contains("Stale: last seen 26 hours ago"))
+    // failed run: reason carries the truncated error
+    val c2 = rl.claim("cron_b", "2024-06-03")
+    rl.complete(c2.runId, c2.attemptId.get, "failed", Some("x" * 1500))
+    val h2 = rl.isJobHealthy("cron_b")
+    assert(!h2.healthy &&
+      h2.reason.exists(r => r.startsWith("Last run failed: ") &&
+        r.contains("x" * 1000 + "...") && !r.contains("x" * 1001)))
+    // fleet conjunction
+    val (all, hs) = rl.checkAllJobsHealth(Seq("cron_a", "cron_b", "cron_c"))
+    assert(!all && hs.count(!_.healthy) == 3)
+    val c3 = rl.claim("cron_c", "2024-06-03")
+    rl.complete(c3.runId, c3.attemptId.get, "success")
+    assert(rl.checkAllJobsHealth(Seq("cron_c"))._1)
+  }
+
   test("manifest rows enforce the 00085 status-consistency CHECK") {
     // success requires error_count=0 and an observation time
     intercept[IllegalArgumentException] {
