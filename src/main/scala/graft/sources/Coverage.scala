@@ -129,10 +129,23 @@ object Coverage {
   * `job_heartbeat` with the `claim_job_run` / `complete_job_run_attempt`
   * transactional semantics (`00085:70-283`). Like [[JobLock]] this is a
   * handful of control rows, never a distributed dataset; the clock and
-  * id source are injected so specs replay exact lifecycles. */
+  * id source are injected so specs replay exact lifecycles.
+  *
+  * `persistTo` makes the ledger DURABLE (the reference's job_runs is a
+  * DB table that survives process death — which is the whole point of
+  * the `stale_running` reclaim: the crashed worker's RUNNING row must
+  * still be there for the next incarnation to see and fence out). The
+  * state loads at construction and every mutation writes through
+  * atomically (temp + ATOMIC_MOVE, the [[JobLock]] discipline), so a
+  * new incarnation on the same path resumes the exact claim state: a
+  * completed date skips as `already_executed`, a crashed-mid-run date
+  * reclaims as `stale_running` once past its threshold, and the dead
+  * incarnation's attempt_id can no longer complete anything. Fields are
+  * URL-encoded per cell — errors with tabs/newlines round-trip. */
 final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
                       newId: () => String =
-                        () => java.util.UUID.randomUUID().toString) {
+                        () => java.util.UUID.randomUUID().toString,
+                      persistTo: Option[java.nio.file.Path] = None) {
 
   final case class Run(runId: String, attemptId: String, status: String,
                        startedAtMs: Long, finishedAtMs: Option[Long],
@@ -149,6 +162,65 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
   private val runs =
     scala.collection.mutable.Map[(String, String), Run]()
   private val beats = scala.collection.mutable.Map[String, Heartbeat]()
+
+  // ------------------------------------------------------- persistence
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+  private def optCell(o: Option[String]): String =
+    o.map(enc).getOrElse("-")
+  private def cellOpt(c: String): Option[String] =
+    if (c == "-") None else Some(dec(c))
+
+  private def save(): Unit = persistTo.foreach { p =>
+    val sb = new StringBuilder
+    runs.foreach { case ((job, date), r) =>
+      sb.append(Seq("R", enc(job), enc(date), enc(r.runId),
+        enc(r.attemptId), r.status, r.startedAtMs.toString,
+        r.finishedAtMs.map(_.toString).getOrElse("-"),
+        optCell(r.error)).mkString("\t")).append('\n')
+    }
+    beats.foreach { case (job, h) =>
+      sb.append(Seq("H", enc(job), h.lastSeenMs.toString, h.lastStatus,
+        enc(h.lastRunId), enc(h.lastTargetDate),
+        optCell(h.lastError)).mkString("\t")).append('\n')
+    }
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.createDirectories(p.toAbsolutePath.getParent)
+    java.nio.file.Files.writeString(tmp, sb.toString)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Re-read the durable state — the FILE is the source of truth, so a
+    * zombie incarnation (live object, reclaimed-from on disk) sees the
+    * new attempt_id and is fenced out at its next claim/complete, the
+    * same server-side check the reference's transactional RPCs make.
+    * The read-decide-write window that remains is the same optimistic
+    * race [[JobLock]]'s expired takeover accepts. */
+  private def load(): Unit = persistTo
+    .filter(java.nio.file.Files.exists(_)).foreach { p =>
+      runs.clear(); beats.clear()
+      java.nio.file.Files.readString(p).split('\n')
+        .filter(_.nonEmpty).foreach { line =>
+          line.split('\t') match {
+            case Array("R", job, date, runId, att, st, t0, t1, err) =>
+              runs((dec(job), dec(date))) = Run(dec(runId), dec(att), st,
+                t0.toLong, if (t1 == "-") None else Some(t1.toLong),
+                cellOpt(err))
+            case Array("H", job, seen, st, runId, date, err) =>
+              beats(dec(job)) = Heartbeat(seen.toLong, st, dec(runId),
+                dec(date), cellOpt(err))
+            case other =>
+              throw new IllegalStateException(
+                s"corrupt run-ledger line in $p: ${other.mkString("|")}")
+          }
+        }
+    }
+
+  load() // resume a previous incarnation's durable state, if any
 
   private def beat(jobName: String, status: String, runId: String,
                    targetDate: String, error: Option[String]): Unit =
@@ -171,6 +243,7 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
         require(v > 0, "running stale threshold must be positive"))
       successStaleAfterSec.foreach(v =>
         require(v > 0, "success stale threshold must be positive"))
+      load() // durable ledgers decide on the FILE's state, not memory
       val key = (jobName, targetDate)
       val now = nowMs()
       runs.get(key) match {
@@ -178,6 +251,7 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
           val r = Run(newId(), newId(), "running", now, None, None)
           runs(key) = r
           beat(jobName, "running", r.runId, targetDate, None)
+          save()
           Claim(r.runId, Some(r.attemptId), claimed = true, "inserted")
         case Some(r) =>
           val reason =
@@ -195,6 +269,7 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
               val r2 = Run(r.runId, newId(), "running", now, None, None)
               runs(key) = r2
               beat(jobName, "running", r.runId, targetDate, None)
+              save()
               Claim(r.runId, Some(r2.attemptId), claimed = true, why)
           }
       }
@@ -207,12 +282,14 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
                error: Option[String] = None): Boolean = synchronized {
     require(status == "success" || status == "failed",
       s"invalid terminal job status: $status")
+    load() // the attempt-fencing check must see the durable state
     runs.find { case (_, r) => r.runId == runId } match {
       case Some((key @ (jobName, targetDate), r))
           if r.attemptId == attemptId && r.status == "running" =>
         runs(key) = r.copy(status = status,
           finishedAtMs = Some(nowMs()), error = error)
         beat(jobName, status, runId, targetDate, error)
+        save()
         true
       case _ => false
     }

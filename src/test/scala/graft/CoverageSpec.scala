@@ -112,6 +112,46 @@ class CoverageSpec extends AnyFunSuite {
     assert(!rl.complete(c.runId, c.attemptId.get, "failed"))
   }
 
+  test("durable ledger: claim state survives process death; stale-running reclaim fences the dead incarnation") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ledger")
+      .resolve("runs.tsv")
+    var now = 0L
+    var n = 0
+    def mk() = new RunLedger(() => now, () => { n += 1; s"id-$n" },
+      persistTo = Some(p))
+    val a = mk()
+    val done = a.claim("cron_a", "2024-06-03")
+    assert(a.complete(done.runId, done.attemptId.get, "success"))
+    val crashed = a.claim("cron_a", "2024-06-04") // never completes
+    val failed = a.claim("cron_a", "2024-06-05")
+    assert(a.complete(failed.runId, failed.attemptId.get, "failed",
+      Some("tab\there\nnewline"))) // encoding round-trip
+    // ---- process death: a NEW incarnation on the same path
+    now += 700L * 1000L
+    val b = mk()
+    // completed date: still already_executed
+    assert(b.claim("cron_a", "2024-06-03").reason == "already_executed")
+    // crashed-mid-run date: the RUNNING row survived, so once stale it
+    // reclaims — and the DEAD incarnation's attempt is fenced out
+    val re = b.claim("cron_a", "2024-06-04",
+      runningStaleAfterSec = Some(600L))
+    assert(re.claimed && re.reason == "stale_running" &&
+      re.runId == crashed.runId)
+    assert(!a.complete(crashed.runId, crashed.attemptId.get, "success"),
+      "the dead incarnation's attempt must not complete after reclaim")
+    assert(!b.complete(crashed.runId, crashed.attemptId.get, "success"))
+    assert(b.complete(re.runId, re.attemptId.get, "success"))
+    // failed date: reclaims immediately, error round-tripped intact
+    assert(b.run("cron_a", "2024-06-05").get.error
+      .contains("tab\there\nnewline"))
+    assert(b.claim("cron_a", "2024-06-05").reason == "failed")
+    // heartbeats survive too
+    assert(b.heartbeat("cron_a").isDefined)
+    // a THIRD incarnation sees b's completions
+    val c = mk()
+    assert(c.claim("cron_a", "2024-06-04").reason == "already_executed")
+  }
+
   test("health check: missing record, staleness, failed status, and error truncation") {
     val (rl, tick) = ledgerWithClock(0L)
     // no record at all
