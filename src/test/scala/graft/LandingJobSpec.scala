@@ -202,6 +202,30 @@ class LandingJobSpec extends AnyFunSuite {
       java.sql.Date.valueOf("2024-06-05"), 10, 10).isEmpty)
   }
 
+  test("landing job: a durable ledger makes re-runs across process death idempotent") {
+    val (cfg, bucket, lock, _, nowF, retrySleep) = mkHarness()
+    val ep = new Endpoint
+    val ledgerFile = java.nio.file.Files
+      .createTempDirectory("graft_landing_rl").resolve("runs.tsv")
+    def mkLedger() = new RunLedger(nowMs = nowF,
+      persistTo = Some(ledgerFile))
+    LandingJob.run(spark, lock, mkLedger(), cfg, dates, ep.fetch, bucket,
+      retrySleepMs = retrySleep, nowMs = nowF)
+    val before = landingRows(cfg)
+    val callsBefore = ep.calls.size
+    // the scheduler restarts with a FRESH incarnation on the same file:
+    // completed dates skip from the DURABLE state, the failed one retries
+    val out = LandingJob.run(spark, lock, mkLedger(), cfg, dates,
+      ep.fetch, bucket, retrySleepMs = retrySleep, nowMs = nowF)
+      .toOption.get
+    assert(out.map(r => (r.date, r.status)) == Seq(
+      ("2024-06-03", "skipped"), ("2024-06-04", "skipped"),
+      ("2024-06-05", "failed")))
+    assert(landingRows(cfg) == before)
+    assert(ep.calls.drop(callsBefore).forall(_._1 == "2024-06-05"),
+      "durably-completed dates must not touch the endpoint after restart")
+  }
+
   test("landing job: a held lease rejects the double start before any work") {
     val (cfg, bucket, lock, _, nowF, retrySleep) = mkHarness()
     val ep = new Endpoint
