@@ -287,4 +287,61 @@ class PropertySpec extends AnyFunSuite {
     assert(Seq[String](null).toDF("s")
       .select(NfcExpr(col("s"))).first().isNullAt(0))
   }
+
+  test("coverage catch-up == reference set algebra on random ledgers") {
+    import spark.implicits._
+    import graft.sources.Coverage
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    // random ledger over a 40-day universe: each day independently
+    // absent / success / success-empty / failed, random window + cap
+    val entryGen = Gen.chooseNum(0, 3)
+    val gen = for {
+      states <- Gen.listOfN(40, entryGen)
+      lookback <- Gen.chooseNum(1, 45)
+      maxDays <- Gen.chooseNum(1, 10)
+      todayOff <- Gen.chooseNum(20, 39)
+    } yield (states, lookback, maxDays, todayOff)
+    forSamples(gen, 12) { case (states, lookback, maxDays, todayOff) =>
+      val today = java.sql.Date.valueOf(day0.plusDays(todayOff))
+      val calendar = spark.range(1).select(explode(sequence(
+          lit(java.sql.Date.valueOf(day0)),
+          lit(java.sql.Date.valueOf(day0.plusDays(39))))).as("day"))
+        .withColumn("is_business_day", dayofweek(col("day")).between(2, 6))
+      val rows = states.zipWithIndex.flatMap { case (st, i) =>
+        val d = java.sql.Date.valueOf(day0.plusDays(i))
+        st match {
+          case 0 => None // never claimed
+          case 1 => Some(Coverage.row(spark, "ds", d, Coverage.Success,
+            10L, 0, Some(1L), None))
+          case 2 => Some(Coverage.row(spark, "ds", d, Coverage.Success,
+            0L, 0, Some(1L), None)) // checked empty
+          case _ => Some(Coverage.row(spark, "ds", d, Coverage.Failed,
+            0L, 1, None, None))
+        }
+      }
+      val ledger = rows.reduceOption(_ unionByName _)
+        .getOrElse(Coverage.emptyLedger(spark))
+      val got = Coverage.catchUpTargets(ledger, "ds", calendar, "day",
+        today, lookback, maxDays)
+        .as[(java.sql.Date, String)].collect().toSeq
+        .map { case (d, r) => (d.toString, r) }
+      // reference implementation: plain set algebra on the driver
+      val want = (0 until 40).flatMap { i =>
+        val ld = day0.plusDays(i)
+        val d = java.sql.Date.valueOf(ld)
+        val isBiz = ld.getDayOfWeek.getValue <= 5
+        // window floor mirrors date_sub(today, lookback) exactly
+        val floor = java.time.LocalDate.parse(today.toString)
+          .minusDays(lookback)
+        val inWindow = !ld.isBefore(floor) && !ld.isAfter(
+          java.time.LocalDate.parse(today.toString))
+        val st = states(i)
+        if (isBiz && inWindow && (st == 0 || st == 3))
+          Some((d.toString, if (st == 0) "missing" else "failed"))
+        else None
+      }.sorted.take(maxDays)
+      assert(got == want,
+        s"catch-up diverged: lookback=$lookback cap=$maxDays today=$today")
+    }
+  }
 }
