@@ -103,6 +103,37 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("generational bucketed state: multi-generation reads keep their clustering — no Exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bg")
+    val t = "plan_spec_bucket_gen"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      def gen(g: Long) = (1 to 500).map(i => (s"g${i % 200}", i.toLong, g))
+        .toDF("gram", "v", "gen")
+      graft.sources.Bucketed.writeBucketed(gen(1), t, s"$tmp/s", "gram", 16)
+      graft.sources.Bucketed.appendBucketed(gen(2), t, "gram", 16)
+      graft.sources.Bucketed.appendBucketed(gen(3), t, "gram", 16)
+      // the absorb read-side min-merge: groupBy on the bucket key over
+      // THREE file groups per bucket must plan with ZERO Exchange — this
+      // is what makes generational resolution free of added shuffles
+      val resolved = spark.table(t).groupBy(col("gram")).agg(min(col("v")))
+      val p = resolved.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "generational min-merge lost the bucketed clustering")
+      assert(p.contains("Bucketed: true"))
+      // and the absorb join shuffles ONLY the delta probe side
+      val probe = Seq(("g1", 9L)).toDF("gram", "x")
+      val joined = spark.table(t)
+        .join(probe.hint("shuffle_hash"), Seq("gram"))
+      val exchanges = "Exchange".r.findAllIn(
+        joined.queryExecution.executedPlan.toString).size
+      assert(exchanges == 1,
+        s"state side must arrive pre-clustered (got $exchanges Exchanges)")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("coverage catch-up: the manifest broadcasts onto the calendar; one fact agg only") {
     val p = plan("q218_coverage_catchup")
     // the planner join is metadata-scale: the manifest side broadcasts
