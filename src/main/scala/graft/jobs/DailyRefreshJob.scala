@@ -114,4 +114,42 @@ object DailyRefreshJob {
           afterStage = _ => lock.extend(jobName, token, ttlSeconds)))
         finally lock.release(jobName, token)
     }
+
+  /** The FULLY composed production entry: lease + per-(job, target_date)
+    * run claim + the DAG + terminal run state — the reference cron
+    * route's whole discipline in one call (`claim_job_run` before any
+    * work, 409 on a held lease, `already_executed` on a date already
+    * refreshed, `complete_job_run_attempt` with success iff every stage
+    * published; a failed chain leaves a FAILED run that the next
+    * scheduled invocation reclaims and retries). The lease guards
+    * CONCURRENT starts; the claim guards REPEATED ones — they are
+    * different protections and the reference runs both. */
+  def runClaimed(spark: SparkSession, lock: graft.sources.JobLock,
+                 runs: graft.sources.RunLedger, targetDate: String,
+                 sfDir: String, outRoot: String, version: String,
+                 jobName: String = "daily_refresh",
+                 ttlSeconds: Long = 600L,
+                 runningStaleAfterSec: Option[Long] = Some(3600L),
+                 stages: Seq[(String, () => DataFrame)] = Nil)
+      : Either[String, Seq[StageResult]] =
+    lock.acquire(jobName, ttlSeconds) match {
+      case Left(reason) => Left(reason)
+      case Right(token) =>
+        try {
+          val claim = runs.claim(jobName, targetDate,
+            runningStaleAfterSec = runningStaleAfterSec)
+          if (!claim.claimed) Left(claim.reason)
+          else {
+            val out = run(spark, sfDir, outRoot, version, stages,
+              afterStage = _ => lock.extend(jobName, token, ttlSeconds))
+            val failed = out.filter(_.error.isDefined)
+            runs.complete(claim.runId, claim.attemptId.get,
+              if (failed.isEmpty) "success" else "failed",
+              if (failed.isEmpty) None
+              else Some(failed.map(s => s"${s.name}: ${s.error.get}")
+                .mkString("; ")))
+            Right(out)
+          }
+        } finally lock.release(jobName, token)
+    }
 }

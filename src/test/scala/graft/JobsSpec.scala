@@ -101,6 +101,42 @@ class JobsSpec extends AnyFunSuite {
     assert(lock.holder("daily_refresh").isEmpty)
   }
 
+  test("claimed refresh: run claim + lease compose; re-runs refuse, failures reclaim") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("refresh_claim").toFile.getAbsolutePath
+    val lock = new graft.sources.JobLock(
+      Files.createTempDirectory("refresh_claim_locks"))
+    val runs = new graft.sources.RunLedger()
+    var boom = true
+    var ran = 0
+    val stages = Seq(
+      "ok" -> (() => { ran += 1; Seq(1).toDF("x") }),
+      "shaky" -> (() =>
+        if (boom) sys.error("stage exploded") else Seq(2).toDF("x")))
+    // first invocation: claimed, runs, completes FAILED (one stage died)
+    val r1 = DailyRefreshJob.runClaimed(spark, lock, runs, "2024-06-03",
+      "/root/testdata/sf0.001", root, "v1", stages = stages)
+    assert(r1.isRight && ran == 1)
+    assert(runs.run("daily_refresh", "2024-06-03").get.status == "failed")
+    assert(runs.run("daily_refresh", "2024-06-03").get.error
+      .exists(_.contains("shaky: stage exploded")))
+    // the scheduler fires again: FAILED reclaims and this time succeeds
+    boom = false
+    val r2 = DailyRefreshJob.runClaimed(spark, lock, runs, "2024-06-03",
+      "/root/testdata/sf0.001", root, "v2", stages = stages)
+    assert(r2.isRight && r2.toOption.get.forall(_.error.isEmpty) && ran == 2)
+    assert(runs.run("daily_refresh", "2024-06-03").get.status == "success")
+    // a third fire on the same date refuses WITHOUT running any stage
+    val r3 = DailyRefreshJob.runClaimed(spark, lock, runs, "2024-06-03",
+      "/root/testdata/sf0.001", root, "v3", stages = stages)
+    assert(r3 == Left("already_executed") && ran == 2)
+    // ...but a new target date proceeds
+    assert(DailyRefreshJob.runClaimed(spark, lock, runs, "2024-06-04",
+      "/root/testdata/sf0.001", root, "v4", stages = stages).isRight)
+    // and the lease is free through all of it
+    assert(lock.holder("daily_refresh").isEmpty)
+  }
+
   test("coverage gate blocks under-covered snapshots") {
     import spark.implicits._
     val universe = (1 to 100).toDF("c_custkey")
