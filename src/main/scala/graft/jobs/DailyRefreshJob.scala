@@ -66,9 +66,12 @@ object DailyRefreshJob {
     * the lease heartbeat there. */
   def run(spark: SparkSession, sfDir: String, outRoot: String,
           version: String,
-          stages: Seq[(String, () => DataFrame)] = Nil,
+          stages: Option[Seq[(String, () => DataFrame)]] = None,
           afterStage: StageResult => Unit = _ => ()): Seq[StageResult] = {
-    val chain = if (stages.isEmpty) defaultStages(spark, sfDir) else stages
+    // None = the production chain; Some(Nil) is an honest no-op run (an
+    // isEmpty sentinel would silently run all ten default stages on a
+    // caller whose dynamically-built list came out empty)
+    val chain = stages.getOrElse(defaultStages(spark, sfDir))
     val universe = graft.Tables.customer(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("c_custkey"))
     chain.map { case (name, mk) =>
@@ -87,7 +90,9 @@ object DailyRefreshJob {
         val published = Upsert.resolvePublished(s"$outRoot/$name").get
         StageResult(name, spark.read.parquet(published).count(), None)
       } catch {
-        case e: Throwable => StageResult(name, -1, Some(e.getMessage))
+        case e: Throwable =>
+          StageResult(name, -1,
+            Some(Option(e.getMessage).getOrElse(e.toString)))
       }
       afterStage(r)
       r
@@ -105,7 +110,7 @@ object DailyRefreshJob {
                 sfDir: String, outRoot: String, version: String,
                 jobName: String = "daily_refresh",
                 ttlSeconds: Long = 600L,
-                stages: Seq[(String, () => DataFrame)] = Nil)
+                stages: Option[Seq[(String, () => DataFrame)]] = None)
       : Either[String, Seq[StageResult]] =
     lock.acquire(jobName, ttlSeconds) match {
       case Left(reason) => Left(reason)
@@ -130,7 +135,7 @@ object DailyRefreshJob {
                  jobName: String = "daily_refresh",
                  ttlSeconds: Long = 600L,
                  runningStaleAfterSec: Option[Long] = Some(3600L),
-                 stages: Seq[(String, () => DataFrame)] = Nil)
+                 stages: Option[Seq[(String, () => DataFrame)]] = None)
       : Either[String, Seq[StageResult]] =
     lock.acquire(jobName, ttlSeconds) match {
       case Left(reason) => Left(reason)
@@ -143,12 +148,14 @@ object DailyRefreshJob {
             val out = run(spark, sfDir, outRoot, version, stages,
               afterStage = _ => lock.extend(jobName, token, ttlSeconds))
             val failed = out.filter(_.error.isDefined)
-            runs.complete(claim.runId, claim.attemptId.get,
+            val owned = runs.complete(claim.runId, claim.attemptId.get,
               if (failed.isEmpty) "success" else "failed",
               if (failed.isEmpty) None
               else Some(failed.map(s => s"${s.name}: ${s.error.get}")
                 .mkString("; ")))
-            Right(out)
+            // a reclaimed-from attempt must not report its chain as the
+            // run of record (the fencing contract)
+            if (owned) Right(out) else Left("attempt superseded")
           }
         } finally lock.release(jobName, token)
     }

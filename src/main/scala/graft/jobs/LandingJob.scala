@@ -115,17 +115,30 @@ object LandingJob {
         }, maxRetries = cfg.maxRetries, uniform = uniform,
           sleepMs = retrySleepMs)
       })
+      // pre-publish fence: a worker whose long fetch outlived a
+      // stale-running reclaim must stop BEFORE overwriting the new
+      // owner's landing table (parquet cannot roll back a publish the
+      // way the reference's transactional commit RPC can — the probe +
+      // the complete() check below bound the zombie window instead)
+      if (!runs.isCurrentAttempt(claim.runId, attempt))
+        return DateResult(date, "fenced", 0L, pages,
+          Some("attempt superseded before publish"))
       val landed = land(s, cfg, date, rows, attempt)
       publishCoverage(s, cfg, Coverage.row(s, cfg.dataset, day,
         Coverage.Success, landed, 0, Some(nowMs()), Some(claim.runId)))
-      runs.complete(claim.runId, attempt, "success")
-      DateResult(date, "success", landed, pages, None)
+      if (runs.complete(claim.runId, attempt, "success"))
+        DateResult(date, "success", landed, pages, None)
+      else // fenced between probe and completion: report it, never "success"
+        DateResult(date, "fenced", landed, pages,
+          Some("attempt superseded at completion"))
     } catch {
       case e: Exception =>
-        publishCoverage(s, cfg, Coverage.row(s, cfg.dataset, day,
-          Coverage.Failed, 0L, 1, None, Some(claim.runId)))
-        runs.complete(claim.runId, attempt, "failed", Some(e.getMessage))
-        DateResult(date, "failed", 0L, pages, Some(e.getMessage))
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        // only the still-current attempt may rewrite the manifest
+        if (runs.complete(claim.runId, attempt, "failed", Some(msg)))
+          publishCoverage(s, cfg, Coverage.row(s, cfg.dataset, day,
+            Coverage.Failed, 0L, 1, None, Some(claim.runId)))
+        DateResult(date, "failed", 0L, pages, Some(msg))
     }
   }
 
@@ -153,6 +166,8 @@ object LandingJob {
       .localCheckpoint() // same read-what-you-replace rule
     Upsert.publishSnapshot(merged, cfg.coverageRoot,
       java.util.UUID.randomUUID().toString)
+    // two publishes per date would otherwise grow version dirs forever
+    Upsert.pruneSnapshots(cfg.coverageRoot)
   }
 
   /** Plan the next run's dates from the published coverage ledger —

@@ -56,6 +56,30 @@ object Upsert {
     dir
   }
 
+  /** Delete every superseded `v=*` snapshot directory under `root`,
+    * keeping only the one `_PUBLISHED` points at. Callers that publish
+    * on every batch/date (the landing job's coverage manifest) invoke
+    * this after the pointer flip, or version directories accumulate
+    * without bound across scheduled runs; callers that WANT version
+    * history (the refresh DAG's auditable snapshots) simply don't.
+    * Returns the number of directories removed. */
+  def pruneSnapshots(root: String): Int = resolvePublished(root) match {
+    case None => 0
+    case Some(current) =>
+      val keep = new java.io.File(current).getName
+      val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+        .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+          f.getName != keep)
+      dirs.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+      dirs.length
+  }
+
   /** Resolve the currently published snapshot directory, if any. */
   def resolvePublished(root: String): Option[String] = {
     val marker = new java.io.File(s"$root/_PUBLISHED")

@@ -168,10 +168,12 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
+  // None is "-"; present values carry an "=" prefix so a literal "-"
+  // (which URLEncoder leaves bare) round-trips as Some("-"), not None
   private def optCell(o: Option[String]): String =
-    o.map(enc).getOrElse("-")
+    o.map("=" + enc(_)).getOrElse("-")
   private def cellOpt(c: String): Option[String] =
-    if (c == "-") None else Some(dec(c))
+    if (c == "-") None else Some(dec(c.stripPrefix("=")))
 
   private def save(): Unit = persistTo.foreach { p =>
     val sb = new StringBuilder
@@ -205,7 +207,9 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
       runs.clear(); beats.clear()
       java.nio.file.Files.readString(p).split('\n')
         .filter(_.nonEmpty).foreach { line =>
-          line.split('\t') match {
+          // limit -1: a trailing empty cell (e.g. an encoded "") must
+          // survive the split, or the line reads as corrupt
+          line.split("\t", -1) match {
             case Array("R", job, date, runId, att, st, t0, t1, err) =>
               runs((dec(job), dec(date))) = Run(dec(runId), dec(att), st,
                 t0.toLong, if (t1 == "-") None else Some(t1.toLong),
@@ -282,13 +286,16 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
                error: Option[String] = None): Boolean = synchronized {
     require(status == "success" || status == "failed",
       s"invalid terminal job status: $status")
+    // Throwable.getMessage is legally null — a Some(null) here must not
+    // NPE the ledger (or the heartbeat truncation) mid-failure-handling
+    val err = error.map(e => if (e == null) "Unknown error" else e)
     load() // the attempt-fencing check must see the durable state
     runs.find { case (_, r) => r.runId == runId } match {
       case Some((key @ (jobName, targetDate), r))
           if r.attemptId == attemptId && r.status == "running" =>
         runs(key) = r.copy(status = status,
-          finishedAtMs = Some(nowMs()), error = error)
-        beat(jobName, status, runId, targetDate, error)
+          finishedAtMs = Some(nowMs()), error = err)
+        beat(jobName, status, runId, targetDate, err)
         save()
         true
       case _ => false
@@ -296,10 +303,24 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
   }
 
   def run(jobName: String, targetDate: String): Option[Run] =
-    synchronized { runs.get((jobName, targetDate)) }
+    synchronized { load(); runs.get((jobName, targetDate)) }
 
   def heartbeat(jobName: String): Option[Heartbeat] =
-    synchronized { beats.get(jobName) }
+    synchronized { load(); beats.get(jobName) }
+
+  /** Is (runId, attemptId) still the CURRENT RUNNING attempt? The
+    * pre-publish fence probe: a worker about to publish side effects a
+    * store cannot roll back (parquet snapshots) checks this first, so
+    * a reclaimed-from zombie stops BEFORE overwriting the new owner's
+    * output. A window between probe and publish remains — the same
+    * optimistic discipline as [[JobLock]]'s takeover; the reference
+    * closes it transactionally, a filesystem cannot. */
+  def isCurrentAttempt(runId: String, attemptId: String): Boolean =
+    synchronized {
+      load()
+      runs.values.exists(r => r.runId == runId &&
+        r.attemptId == attemptId && r.status == "running")
+    }
 
   final case class Health(jobName: String, healthy: Boolean,
                           reason: Option[String],

@@ -9,13 +9,15 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * expired rows are swept). Re-expressed over a lock DIRECTORY: one
   * file per job holding `token|locked_until_ms`.
   *
-  * Atomicity mapping: the insert path uses `Files.createFile` (atomic
-  * fail-if-exists — the unique-constraint violation analog) via a
-  * temp-write + ATOMIC_MOVE(no-replace is not portable, so create-first
-  * then move); the expired-takeover path re-reads and compares the old
-  * token before replacing — the same OPTIMISTIC discipline as the
-  * reference's `UPDATE ... WHERE lock_token = old` (a racing writer in
-  * the compare-to-move window wins arbitrarily there too; the TTL
+  * Atomicity mapping: the insert path writes the full lease content to
+  * a private temp file and `Files.createLink`s it into place — link()
+  * is atomic fail-if-exists (the unique-constraint violation analog)
+  * and the lock file is born WITH its content, so no acquire window
+  * ever exposes a contentless lock for another process to steal; the
+  * expired-takeover path re-reads and compares the old token before
+  * replacing (tmp + ATOMIC_MOVE) — the same OPTIMISTIC discipline as
+  * the reference's `UPDATE ... WHERE lock_token = old` (a racing writer
+  * in the compare-to-move window wins arbitrarily there too; the TTL
   * bounds the damage either way). Clock is injected for deterministic
   * specs. */
 final class JobLock(root: Path,
@@ -39,7 +41,10 @@ final class JobLock(root: Path,
   private def parse(p: Path): Option[(String, Long)] =
     if (!Files.exists(p)) None
     else Files.readString(p).trim.split('|') match {
-      case Array(tok, until) if until.forall(_.isDigit) && until.nonEmpty =>
+      // length bound keeps toLong from throwing on all-digit overflow
+      // garbage — that corruption class must parse to None, not crash
+      case Array(tok, until) if until.nonEmpty && until.length <= 18 &&
+          until.forall(_.isDigit) =>
         Some((tok, until.toLong))
       case _ => None
     }
@@ -71,20 +76,29 @@ final class JobLock(root: Path,
             case _ => Left("failed to acquire lock (race condition)")
           }
         case None if Files.exists(p) =>
-          // present but empty/corrupt: a crashed writer's torn lease.
-          // Treat as expired and take over (the atomic-move write
-          // replaces whatever half-written content is there).
+          // present but empty/corrupt. Our own writers can never leave
+          // this state (fresh acquires LINK a fully-written file into
+          // place — no contentless window), so this is external
+          // corruption: treat as an expired lease and take over (the
+          // same optimistic window as the expired-token takeover).
           write(p, token, now + ttlSeconds * 1000L)
           Right(token)
         case None =>
+          // fresh acquire: write the full content to a private temp,
+          // then HARD-LINK it into place — link() is atomic
+          // fail-if-exists WITH content (the unique-constraint analog),
+          // so no other process can ever observe a contentless lock and
+          // steal it mid-acquire (a createFile-then-write two-step had
+          // exactly that window).
+          val tmp = p.resolveSibling(s"${p.getFileName}.$token.tmp")
+          Files.writeString(tmp, s"$token|${now + ttlSeconds * 1000L}")
           try {
-            Files.createFile(p) // atomic fail-if-exists = unique violation
-            write(p, token, now + ttlSeconds * 1000L)
+            Files.createLink(p, tmp)
             Right(token)
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               Left("lock already held by another process")
-          }
+          } finally Files.deleteIfExists(tmp)
       }
     }
 

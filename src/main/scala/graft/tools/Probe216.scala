@@ -35,10 +35,18 @@ object Probe216 {
       compactEvery = Int.MaxValue)
     val per = docs.grouped(math.max(1, docs.length / nBatches)).toSeq
     var t0 = System.nanoTime()
+    // what a rewrite-per-batch absorber would write at batch i is the
+    // RESOLVED state size after batch i (cross-generation duplicate
+    // grams collapse) — track it per batch for an honest baseline
+    var rewriteBaseline = 0L
     per.zipWithIndex.foreach { case (b, i) =>
       a.absorb(spark.createDataset(b.toIndexedSeq))
+      val resolvedNow = spark.table(table).select(col("gram"))
+        .distinct().count()
+      rewriteBaseline += resolvedNow
       val dt = (System.nanoTime() - t0) / 1e9; t0 = System.nanoTime()
-      println(f"batch ${i + 1}%2d: docs=${b.length}%5d  ${dt}%6.2f s")
+      println(f"batch ${i + 1}%2d: docs=${b.length}%5d  ${dt}%6.2f s" +
+        f"  resolved-state=$resolvedNow%8d")
     }
     val perGen = spark.table(table).groupBy(col("gen"))
       .agg(count(lit(1)).as("rows")).orderBy(col("gen"))
@@ -50,8 +58,8 @@ object Probe216 {
       println(f"  gen $g%2d: $n%8d rows (${100.0 * n / total}%5.1f%% of on-disk state)")
     }
     println(f"on-disk state rows: $total%d; resolved distinct grams: $resolved%d")
-    println(f"amplification if each batch REWROTE the state instead: " +
-      f"${perGen.map(_._2).scanLeft(0L)(_ + _).drop(1).sum}%d rows " +
+    println(f"write volume if each batch REWROTE the state instead " +
+      f"(sum of per-batch RESOLVED sizes): $rewriteBaseline%d rows " +
       f"(vs $total%d generational)")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.stop()

@@ -152,6 +152,27 @@ class CoverageSpec extends AnyFunSuite {
     assert(c.claim("cron_a", "2024-06-04").reason == "already_executed")
   }
 
+  test("durable ledger: edge-case error strings round-trip (empty, literal '-', null message)") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ledger_edge")
+      .resolve("runs.tsv")
+    var now = 0L
+    val a = new RunLedger(() => now, persistTo = Some(p))
+    val c1 = a.claim("j", "d1")
+    assert(a.complete(c1.runId, c1.attemptId.get, "failed", Some("")))
+    val c2 = a.claim("j", "d2")
+    assert(a.complete(c2.runId, c2.attemptId.get, "failed", Some("-")))
+    val c3 = a.claim("j", "d3")
+    // Throwable.getMessage is legally null — must not NPE or corrupt
+    assert(a.complete(c3.runId, c3.attemptId.get, "failed", Some(null)))
+    // a fresh incarnation loads every line (trailing-empty cells and
+    // the '-' sentinel must both survive the round-trip)
+    val b = new RunLedger(() => now, persistTo = Some(p))
+    assert(b.run("j", "d1").get.error.contains(""))
+    assert(b.run("j", "d2").get.error.contains("-"))
+    assert(b.run("j", "d3").get.error.contains("Unknown error"))
+    assert(b.claim("j", "d1").reason == "failed") // ledger not wedged
+  }
+
   test("health check: missing record, staleness, failed status, and error truncation") {
     val (rl, tick) = ledgerWithClock(0L)
     // no record at all

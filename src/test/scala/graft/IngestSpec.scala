@@ -169,16 +169,40 @@ class IngestSpec extends AnyFunSuite {
     var now = 0L
     val dir = java.nio.file.Files.createTempDirectory("graft_locks4")
     val jl = new JobLock(dir, nowMs = () => now)
-    // simulate a writer that crashed between createFile and the content
-    // write: a 0-byte .lock, and a second job with garbage content
+    // EXTERNALLY corrupted lock files (our own writers link fully-written
+    // content into place, so none of these states can be self-inflicted):
+    // a 0-byte file, garbage content, and an all-digit Long overflow
     java.nio.file.Files.createFile(dir.resolve("torn.lock"))
     java.nio.file.Files.writeString(dir.resolve("garbage.lock"), "not|a|lease")
+    java.nio.file.Files.writeString(dir.resolve("overflow.lock"),
+      "tok|99999999999999999999") // 20 digits > Long.MaxValue
     val t = jl.acquire("torn", ttlSeconds = 600)
     assert(t.isRight, "torn lease must be taken over, not wedge the job")
     assert(jl.holder("torn") == t.toOption)
+    val t2 = jl.acquire("overflow", ttlSeconds = 600)
+    assert(t2.isRight, "overflow garbage must parse as corrupt, not crash")
     assert(jl.release("torn", t.toOption.get))
+    assert(jl.release("overflow", t2.toOption.get))
     assert(jl.cleanupExpired() == 1, "the garbage lease sweeps as expired")
     assert(!java.nio.file.Files.exists(dir.resolve("garbage.lock")))
+  }
+
+  test("job lock: fresh acquires are born WITH content — no contentless steal window") {
+    var now = 0L
+    val dir = java.nio.file.Files.createTempDirectory("graft_locks5")
+    val jl = new JobLock(dir, nowMs = () => now)
+    val t = jl.acquire("j", ttlSeconds = 600)
+    assert(t.isRight)
+    // the lock file on disk is complete the instant it exists: a second
+    // locker parses a LIVE lease, never an empty file it could steal
+    val content = java.nio.file.Files.readString(dir.resolve("j.lock"))
+    assert(content == s"${t.toOption.get}|${600 * 1000}")
+    assert(jl.acquire("j").isLeft)
+    // no stray temp files left behind
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".tmp")).toList
+    assert(leftovers.isEmpty, s"temp files leaked: $leftovers")
   }
 
   test("job lock: cleanup sweeps only expired leases") {

@@ -70,7 +70,7 @@ class JobsSpec extends AnyFunSuite {
     }
     val out = DailyRefreshJob.runLocked(spark, lock,
       "/root/testdata/sf0.001", root, "v1", ttlSeconds = ttl,
-      stages = Seq(stage("s1"), stage("s2"), stage("s3"), stage("s4")))
+      stages = Some(Seq(stage("s1"), stage("s2"), stage("s3"), stage("s4"))))
     // s4 starts at t=24s — the t=0 acquire's lease (until 10s) is long
     // dead; only the per-stage extends kept the run fenced
     assert(out.isRight && out.toOption.get.forall(_.error.isEmpty))
@@ -89,14 +89,14 @@ class JobsSpec extends AnyFunSuite {
     var ran = false
     val out = DailyRefreshJob.runLocked(spark, lock,
       "/root/testdata/sf0.001", root, "v1",
-      stages = Seq("s1" -> { () => ran = true; Seq(1).toDF("x") }))
+      stages = Some(Seq("s1" -> { () => ran = true; Seq(1).toDF("x") })))
     assert(out.isLeft && !ran, "a held lease must reject before any stage")
     lock.release("daily_refresh", token)
     // stage failures are continue-on-error StageResults, and the lease
     // is still released afterwards
     val out2 = DailyRefreshJob.runLocked(spark, lock,
       "/root/testdata/sf0.001", root, "v1",
-      stages = Seq("boom" -> { () => sys.error("stage exploded") }))
+      stages = Some(Seq("boom" -> { () => sys.error("stage exploded") })))
     assert(out2.isRight && out2.toOption.get.head.error.isDefined)
     assert(lock.holder("daily_refresh").isEmpty)
   }
@@ -115,7 +115,7 @@ class JobsSpec extends AnyFunSuite {
         if (boom) sys.error("stage exploded") else Seq(2).toDF("x")))
     // first invocation: claimed, runs, completes FAILED (one stage died)
     val r1 = DailyRefreshJob.runClaimed(spark, lock, runs, "2024-06-03",
-      "/root/testdata/sf0.001", root, "v1", stages = stages)
+      "/root/testdata/sf0.001", root, "v1", stages = Some(stages))
     assert(r1.isRight && ran == 1)
     assert(runs.run("daily_refresh", "2024-06-03").get.status == "failed")
     assert(runs.run("daily_refresh", "2024-06-03").get.error
@@ -123,16 +123,16 @@ class JobsSpec extends AnyFunSuite {
     // the scheduler fires again: FAILED reclaims and this time succeeds
     boom = false
     val r2 = DailyRefreshJob.runClaimed(spark, lock, runs, "2024-06-03",
-      "/root/testdata/sf0.001", root, "v2", stages = stages)
+      "/root/testdata/sf0.001", root, "v2", stages = Some(stages))
     assert(r2.isRight && r2.toOption.get.forall(_.error.isEmpty) && ran == 2)
     assert(runs.run("daily_refresh", "2024-06-03").get.status == "success")
     // a third fire on the same date refuses WITHOUT running any stage
     val r3 = DailyRefreshJob.runClaimed(spark, lock, runs, "2024-06-03",
-      "/root/testdata/sf0.001", root, "v3", stages = stages)
+      "/root/testdata/sf0.001", root, "v3", stages = Some(stages))
     assert(r3 == Left("already_executed") && ran == 2)
     // ...but a new target date proceeds
     assert(DailyRefreshJob.runClaimed(spark, lock, runs, "2024-06-04",
-      "/root/testdata/sf0.001", root, "v4", stages = stages).isRight)
+      "/root/testdata/sf0.001", root, "v4", stages = Some(stages)).isRight)
     // and the lease is free through all of it
     assert(lock.holder("daily_refresh").isEmpty)
   }

@@ -226,6 +226,33 @@ class LandingJobSpec extends AnyFunSuite {
       "durably-completed dates must not touch the endpoint after restart")
   }
 
+  test("landing job: a mid-fetch stale-running reclaim fences the zombie before it publishes") {
+    val (cfg, bucket, lock, _, nowF, retrySleep) = mkHarness()
+    val runs = new RunLedger(nowMs = nowF)
+    var hijacked: Option[RunLedger#Claim] = None
+    // the endpoint hangs long enough for ANOTHER worker to reclaim the
+    // date (clock jumps past runningStaleAfterSec inside the fetch),
+    // then answers normally — the zombie shape
+    val fetch: LandingJob.Fetch = (date, _) => {
+      retrySleep(3601L * 1000L) // the fetch "hangs" 1h+
+      hijacked = Some(runs.claim(cfg.jobName, date,
+        runningStaleAfterSec = Some(3600L))) // worker B takes over
+      (200, Seq(ApiRow(1L, date, 1.0)), None)
+    }
+    val out = LandingJob.run(spark, lock, runs, cfg, Seq("2024-06-03"),
+      fetch, bucket, retrySleepMs = retrySleep, nowMs = nowF)
+      .toOption.get
+    assert(hijacked.exists(c => c.claimed && c.reason == "stale_running"))
+    assert(out.head.status == "fenced", s"got ${out.head}")
+    // the zombie published NOTHING: no landing table, and the manifest
+    // still shows the claim placeholder (worker B will write its own)
+    assert(landingRows(cfg).isEmpty)
+    assert(coverageRows(cfg)("2024-06-03") == (("failed", 0L, 1)))
+    // worker B (the current attempt) completes normally
+    val b = hijacked.get
+    assert(runs.complete(b.runId, b.attemptId.get, "success"))
+  }
+
   test("landing job: a held lease rejects the double start before any work") {
     val (cfg, bucket, lock, _, nowF, retrySleep) = mkHarness()
     val ep = new Endpoint
