@@ -288,6 +288,30 @@ object Bench {
     l0 >= 0 && l0 < QuietStartLoad
   }
 
+  /** PARTIAL stdout emission (the round-14 postmortem: the driver killed
+    * its bench child ~72s in and got `parsed: null` even though every
+    * completed query's median existed in memory). After every finished
+    * child group the coordinator prints a one-line JSON snapshot —
+    * same shape as the final line, `"partial":true`, heaviest medians
+    * that fit the driver's ~2000-char tail buffer — so a killed run's
+    * stdout tail always ends in a parseable line covering everything
+    * measured so far. The final (non-partial) line still prints last
+    * and wins any last-line parse. */
+  private def emitPartial(done: Seq[(String, QRes)], qn: Int): Unit = {
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val total = done.map(_._2.med).filter(_ >= 0).sum
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","partial":true,"qn_done":${done.size},"qn":$qn,"sf":"$sfDir","queries":"""
+    var budget = 1800 - head.length - 1
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    done.sortBy(-_._2.med).foreach { case (k, r) =>
+      val cell = "\"" + short(k) + "\":" + f3(r.med)
+      if (budget - cell.length - 1 >= 0) { budget -= cell.length + 1; kept += cell }
+    }
+    println(head + kept.mkString("{", ",", "}") + "}")
+  }
+
   private def coordinate(): Unit = {
     // wait (bounded) for ambient load to decay, THEN sample the regime
     // BEFORE any child inflates loadavg (lazy val — forced here so the
@@ -336,9 +360,14 @@ object Bench {
         case Some(first) =>
           val cds = if (java.nio.file.Files.exists(jsa))
             Seq(s"-XX:SharedArchiveFile=$jsa") else Seq.empty
-          val pass1 = first ++ groups.tail.flatMap { g =>
-            runForked(g, childCp, cds).getOrElse(g.map(_ -> NoRes))
+          val acc = scala.collection.mutable.ListBuffer.empty[(String, QRes)]
+          acc ++= first
+          emitPartial(acc.toSeq, names.size)
+          groups.tail.foreach { g =>
+            acc ++= runForked(g, childCp, cds).getOrElse(g.map(_ -> NoRes))
+            emitPartial(acc.toSeq, names.size)
           }
+          val pass1 = acc.toSeq
           // STABILITY PASS: medians measured under load or with wide warm
           // rep spread are untrustworthy (round-8 postmortem: same-code
           // heavy-graph medians swung 1.6x with ambient load; round 9:

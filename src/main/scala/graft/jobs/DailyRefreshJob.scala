@@ -72,7 +72,10 @@ object DailyRefreshJob {
     // isEmpty sentinel would silently run all ten default stages on a
     // caller whose dynamically-built list came out empty)
     val chain = stages.getOrElse(defaultStages(spark, sfDir))
-    val universe = graft.Tables.customer(spark, sfDir)
+    // lazy: only the entity-gated stages need the universe, and custom
+    // chains (e.g. landing-derived stages) may run against a root that
+    // has no customer table at all
+    lazy val universe = graft.Tables.customer(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("c_custkey"))
     chain.map { case (name, mk) =>
       val r = try {
@@ -120,6 +123,90 @@ object DailyRefreshJob {
         finally lock.release(jobName, token)
     }
 
+  /** Derived stages that read the LANDING table [[LandingJob]]
+    * publishes — the reference's cron-A post-steps read exactly the
+    * tables the fetch loop just wrote (`cron-a-direct.ts:115-147`
+    * chains the derived refreshes over the SAME day's landed data).
+    * Both stages prune to the one target_date partition (the landing
+    * table is date-partitioned), so a daily refresh touches O(day)
+    * input regardless of table history. */
+  def landingStages(spark: SparkSession, landingRoot: String,
+                    targetDate: String): Seq[(String, () => DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    def landed = LandingJob.readLanding(spark, landingRoot)
+      .getOrElse(sys.error(s"no landing table under $landingRoot"))
+      .filter(col("target_date") === to_date(lit(targetDate)))
+    Seq(
+      "landing_daily_stats" -> (() =>
+        landed.groupBy(col("target_date"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("value")).as("sum_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"))),
+      "landing_value_ranks" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("target_date"))
+          .orderBy(col("value").desc, col("id"))
+        landed.withColumn("rank", row_number().over(w))
+      }))
+  }
+
+  /** Is `targetDate`'s landing marked SUCCESS in the coverage manifest?
+    * The refresh trusts the MANIFEST, not output presence — a date whose
+    * landing failed (or never ran) has a partition that is stale or
+    * absent, and deriving analytics from it would publish wrong
+    * snapshots silently. */
+  private def landingCovered(spark: SparkSession,
+                             cfg: LandingJob.Config,
+                             targetDate: String): Boolean = {
+    import org.apache.spark.sql.functions._
+    Upsert.resolvePublished(cfg.coverageRoot).exists { dir =>
+      spark.read.parquet(dir)
+        .filter(col("dataset") === lit(cfg.dataset) &&
+          col("target_date") === to_date(lit(targetDate)) &&
+          col("status") === lit(graft.sources.Coverage.Success))
+        .limit(1).count() > 0
+    }
+  }
+
+  /** LANDING → REFRESH, composed end to end on one storage root (the
+    * round-14 "What's missing" #2): run the derived chain for
+    * `targetDate` READING THE LANDING TABLE [[LandingJob]] published —
+    * gated on that date's coverage manifest row. A date whose landing
+    * is FAILED or absent blocks the refresh VIA THE CLAIM: the blocked
+    * attempt is recorded as a failed run in the shared ledger (visible
+    * to monitoring, reclaimable once the landing heals via
+    * [[LandingJob.catchUpDates]] → re-land → re-refresh), and no stage
+    * runs or publishes. Both jobs write their run rows to the SAME
+    * [[graft.sources.RunLedger]], so the ledger shows the full
+    * land(D) → refresh(D) lifecycle per date. */
+  def runRefreshForLandedDate(spark: SparkSession,
+                              lock: graft.sources.JobLock,
+                              runs: graft.sources.RunLedger,
+                              landingCfg: LandingJob.Config,
+                              targetDate: String, outRoot: String,
+                              version: String,
+                              jobName: String = "daily_refresh",
+                              ttlSeconds: Long = 600L,
+                              runningStaleAfterSec: Option[Long] =
+                                Some(3600L))
+      : Either[String, Seq[StageResult]] =
+    if (landingCovered(spark, landingCfg, targetDate))
+      runClaimed(spark, lock, runs, targetDate, landingCfg.landingRoot,
+        outRoot, version, jobName, ttlSeconds, runningStaleAfterSec,
+        stages = Some(landingStages(spark, landingCfg.landingRoot,
+          targetDate)))
+    else {
+      val why = s"landing not covered for $targetDate"
+      // record the blocked attempt: a failed run row the next scheduled
+      // invocation reclaims after the landing catch-up heals the date
+      val claim = runs.claim(jobName, targetDate,
+        runningStaleAfterSec = runningStaleAfterSec)
+      claim.attemptId.foreach(a =>
+        runs.complete(claim.runId, a, "failed", Some(why)))
+      Left(why)
+    }
+
   /** The FULLY composed production entry: lease + per-(job, target_date)
     * run claim + the DAG + terminal run state — the reference cron
     * route's whole discipline in one call (`claim_job_run` before any
@@ -145,10 +232,24 @@ object DailyRefreshJob {
             runningStaleAfterSec = runningStaleAfterSec)
           if (!claim.claimed) Left(claim.reason)
           else {
-            val out = run(spark, sfDir, outRoot, version, stages,
+            // PRE-publish fence on every stage (the LandingJob.runOneDate
+            // discipline): a stale-reclaimed zombie (paused past
+            // runningStaleAfterSec) must stop BEFORE publishing a stage
+            // snapshot over the new owner's output, not merely report
+            // Left after republishing the whole chain. The probe-to-
+            // publish window that remains is the same optimistic race
+            // JobLock's takeover accepts.
+            val attempt = claim.attemptId.get
+            val fenced = stages.getOrElse(defaultStages(spark, sfDir))
+              .map { case (name, mk) => name -> (() => {
+                if (!runs.isCurrentAttempt(claim.runId, attempt))
+                  throw new IllegalStateException("attempt superseded")
+                mk()
+              }) }
+            val out = run(spark, sfDir, outRoot, version, Some(fenced),
               afterStage = _ => lock.extend(jobName, token, ttlSeconds))
             val failed = out.filter(_.error.isDefined)
-            val owned = runs.complete(claim.runId, claim.attemptId.get,
+            val owned = runs.complete(claim.runId, attempt,
               if (failed.isEmpty) "success" else "failed",
               if (failed.isEmpty) None
               else Some(failed.map(s => s"${s.name}: ${s.error.get}")

@@ -22,12 +22,21 @@ import graft.sources.Ingest.{Paginate, Retry}
   * and control state (lock, run ledger) are DRIVER-side — a fetch loop
   * is inherently sequential per endpoint and its state is a handful of
   * rows. The DATA path is relational: page rows become one DataFrame
-  * per date, land via [[Upsert.keyed]] (one shuffle on the key), and
-  * publish atomically ([[Upsert.publishSnapshot]] — a crashed writer
-  * never exposes a partial landing table). At 100 TB the landing write
-  * would switch to dynamic partition overwrite on target_date (zero
-  * read of untouched partitions — the Upsert scaladoc's rule); the
-  * manifest stays one row per (dataset, day) regardless.
+  * per date and land PARTITION-SCOPED — the landing table is
+  * partitioned by `target_date` and each date lands via dynamic
+  * partition overwrite (`partitionOverwriteMode=dynamic`) with
+  * [[Upsert.keyed]] semantics INSIDE the partition, so a landed date
+  * touches exactly its own partition: O(day) I/O per ingested date, the
+  * reference's per-day `ON CONFLICT` cost (`batch.ts:81-141`, PK
+  * (code, date) — here (target_date, id)), never O(|table|). Untouched
+  * partitions' files are not read, rewritten, or even listed by the
+  * write; a 30-day backfill writes 30 day-sized partitions. The
+  * atomicity unit is the partition (Spark's commit protocol stages then
+  * swaps the one overwritten partition); a reader racing a re-land of
+  * the SAME date can see that partition mid-commit — the window the
+  * claim-time FAILED manifest marks, and the same one the reference's
+  * non-transactional object-store writers accept. The manifest stays
+  * one row per (dataset, day) regardless.
   *
   * Failure semantics follow the reference's continue-on-error chain:
   * a date whose fetch ultimately fails records a FAILED manifest row
@@ -123,7 +132,7 @@ object LandingJob {
       if (!runs.isCurrentAttempt(claim.runId, attempt))
         return DateResult(date, "fenced", 0L, pages,
           Some("attempt superseded before publish"))
-      val landed = land(s, cfg, date, rows, attempt)
+      val landed = land(s, cfg, date, rows)
       publishCoverage(s, cfg, Coverage.row(s, cfg.dataset, day,
         Coverage.Success, landed, 0, Some(nowMs()), Some(claim.runId)))
       if (runs.complete(claim.runId, attempt, "success"))
@@ -142,21 +151,52 @@ object LandingJob {
     }
   }
 
-  /** Idempotent landing write: upsert the date's rows into the
-    * published landing table on `id` and publish the result as a new
-    * version. Re-landing identical rows yields an identical table. */
+  /** The landing table's data root: a parquet layout partitioned by
+    * `target_date`. */
+  private[graft] def landingDataPath(root: String): String = s"$root/data"
+
+  /** The published landing table (None until the first date lands). */
+  def readLanding(s: SparkSession, root: String): Option[DataFrame] = {
+    val p = new java.io.File(landingDataPath(root))
+    if (p.isDirectory && p.listFiles() != null && p.listFiles().nonEmpty)
+      Some(s.read.parquet(p.toString))
+    else None
+  }
+
+  /** PARTITION-SCOPED idempotent landing write: upsert the date's rows
+    * into that date's partition on `id` (the within-partition key — the
+    * reference's (code, date) PK) and overwrite ONLY the partitions the
+    * incoming rows touch (dynamic partition overwrite). Re-landing
+    * identical rows yields an identical partition; every other
+    * partition's files are untouched byte for byte. */
   private def land(s: SparkSession, cfg: Config, date: String,
-                   rows: Seq[ApiRow], version: String): Long = {
+                   rows: Seq[ApiRow]): Long = {
     import s.implicits._
+    if (rows.isEmpty) return 0L // checked-empty day: no partition to touch
     val incoming = rows.toDF()
       .select(col("id"), to_date(col("target_date")).as("target_date"),
         col("value"))
-    val existing = Upsert.resolvePublished(cfg.landingRoot)
-      .map(s.read.parquet(_))
+    // partition-scoped read: only the incoming dates' partitions are
+    // merged against (partition pruning — the rest of the table is
+    // never read); rows is driver-side, so the date set is free
+    val dates = rows.map(_.target_date).distinct
+    val existing = readLanding(s, cfg.landingRoot)
+      .map(_.filter(col("target_date").isin(dates: _*))
+        .select(incoming.columns.map(col): _*))
       .getOrElse(incoming.limit(0))
-    val merged = Upsert.keyed(existing, incoming, Seq("id"))
-      .localCheckpoint() // the new version reads the table it replaces
-    Upsert.publishSnapshot(merged, cfg.landingRoot, version)
+    val merged = Upsert.keyed(existing, incoming,
+        Seq("target_date", "id"))
+      .localCheckpoint() // the write replaces the partition it read
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("target_date")
+      .parquet(landingDataPath(cfg.landingRoot))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
     incoming.count()
   }
 
@@ -166,8 +206,11 @@ object LandingJob {
       .localCheckpoint() // same read-what-you-replace rule
     Upsert.publishSnapshot(merged, cfg.coverageRoot,
       java.util.UUID.randomUUID().toString)
-    // two publishes per date would otherwise grow version dirs forever
-    Upsert.pruneSnapshots(cfg.coverageRoot)
+    // two publishes per date would otherwise grow version dirs forever;
+    // graceKeep=1 leaves the immediately superseded version for readers
+    // that resolved the old pointer just before this flip (q218-style
+    // catch-up planners in other processes)
+    Upsert.pruneSnapshots(cfg.coverageRoot, graceKeep = 1)
   }
 
   /** Plan the next run's dates from the published coverage ledger —

@@ -56,29 +56,37 @@ object Upsert {
     dir
   }
 
-  /** Delete every superseded `v=*` snapshot directory under `root`,
-    * keeping only the one `_PUBLISHED` points at. Callers that publish
-    * on every batch/date (the landing job's coverage manifest) invoke
-    * this after the pointer flip, or version directories accumulate
-    * without bound across scheduled runs; callers that WANT version
-    * history (the refresh DAG's auditable snapshots) simply don't.
-    * Returns the number of directories removed. */
-  def pruneSnapshots(root: String): Int = resolvePublished(root) match {
-    case None => 0
-    case Some(current) =>
-      val keep = new java.io.File(current).getName
-      val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
-        .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-          f.getName != keep)
-      dirs.foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array()).foreach(rm)
-          f.delete()
+  /** Delete superseded `v=*` snapshot directories under `root`, keeping
+    * the one `_PUBLISHED` points at plus the `graceKeep` most recent
+    * others (by directory mtime). Callers that publish on every
+    * batch/date (the landing job's coverage manifest) invoke this after
+    * the pointer flip, or version directories accumulate without bound
+    * across scheduled runs; callers that WANT version history (the
+    * refresh DAG's auditable snapshots) simply don't. `graceKeep > 0`
+    * is the concurrent-reader grace window: a reader in another process
+    * that resolved the PREVIOUS pointer just before the flip can finish
+    * its scan of that version before a later prune reclaims it —
+    * deleting the old version at the instant of the flip would fail
+    * such a reader mid-read. Returns the number of directories removed. */
+  def pruneSnapshots(root: String, graceKeep: Int = 0): Int =
+    resolvePublished(root) match {
+      case None => 0
+      case Some(current) =>
+        val keep = new java.io.File(current).getName
+        val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+          .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+            f.getName != keep)
+          .sortBy(-_.lastModified())
+          .drop(graceKeep)
+        dirs.foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+            f.delete()
+          }
+          rm(d)
         }
-        rm(d)
-      }
-      dirs.length
-  }
+        dirs.length
+    }
 
   /** Resolve the currently published snapshot directory, if any. */
   def resolvePublished(root: String): Option[String] = {

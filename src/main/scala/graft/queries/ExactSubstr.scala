@@ -506,11 +506,12 @@ object ExactSubstr {
     * char-mapping is two keyed joins against the token table; the
     * reassembly fold is [[applyCharSpans]] — text shuffles once, keyed
     * by doc, to meet its spans. */
-  def q215TokenExactSubstr(s: SparkSession, dir: String): DataFrame = {
-    val docs = normDocs(s, dir).localCheckpoint()
-    val tok = tokenTable(docs, corpusVocab(s, dir)).localCheckpoint()
-    tokenOutput(docs, tok, tokenSpans(tokenDupPositions(tok)))
-  }
+  def q215TokenExactSubstr(s: SparkSession, dir: String): DataFrame =
+    // the gate runs the PRODUCTION two-step explicitly: resolve (train
+    // once if absent) the frozen artifact's path, then dedup READING
+    // that path — the oracle exercises the real input shape, not a
+    // process-local cache
+    q215TokenExactSubstrFrom(s, dir, vocabArtifactFor(s, dir))
 
   /** q215 reading a PERSISTED vocabulary — the production input shape:
     * the tokenizer is a fixed artifact written by a prior step
@@ -534,30 +535,63 @@ object ExactSubstr {
       ._2.select(col("word"), col("encoded"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
-  private val vocabArtifacts =
-    scala.collection.mutable.Map[String, String]()
+  /** A cheap content fingerprint of the corpus a vocab artifact was
+    * trained on: names+sizes+mtimes of the documents.parquet files. A
+    * corpus regenerated at the same path (the per-round sf1 rebuild
+    * workflow) changes it, so no consumer ever tokenizes with a stale
+    * vocabulary — the artifact's identity IS (corpus dir, fingerprint),
+    * not the dir alone. */
+  private[graft] def corpusFingerprint(dir: String): String = {
+    val d = new java.io.File(s"$dir/documents.parquet")
+    val files =
+      if (d.isDirectory) Option(d.listFiles()).getOrElse(Array(d))
+      else Array(d)
+    val sig = files.filter(_.isFile)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|") + "@" + d.getAbsolutePath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    h.take(8).map("%02x".format(_)).mkString
+  }
 
-  /** The per-corpus artifact location, trained+written on first demand
-    * (the gates' stand-in for the production train-once step) and READ
-    * thereafter — at 100 TB the vocabulary trains once per corpus
-    * release, never per query; token-level dedup's vocab cost is one
-    * broadcast-sized parquet read. */
+  /** The per-corpus FROZEN artifact location: an explicit, durable,
+    * fingerprint-keyed path under the system temp dir, trained+written
+    * on first demand (the gates' stand-in for the production
+    * train-once-per-corpus-release step) and READ thereafter — by this
+    * JVM and every other one (training is deterministic, so any writer
+    * produces the identical table; a concurrent trainer stages to a
+    * unique dir and atomically renames, first writer wins). At 100 TB
+    * the vocabulary trains once per corpus release, never per query;
+    * token-level dedup's vocab cost is one broadcast-sized parquet
+    * read of the path this returns. */
+  /** Where `dir`'s current corpus release keeps its frozen vocab. */
+  private[graft] def vocabArtifactPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_vocab_${corpusFingerprint(dir)}", "vocab")
+
   private[graft] def vocabArtifactFor(s: SparkSession,
-                                      dir: String): String =
-    vocabArtifacts.synchronized {
-      vocabArtifacts.getOrElseUpdate(dir, {
-        val p = java.nio.file.Files.createTempDirectory("graft_vocab")
-          .resolve("vocab").toString
-        writeVocabArtifact(s, dir, p)
-        p
-      })
+                                      dir: String): String = {
+    import java.nio.file._
+    val fin = vocabArtifactPath(dir)
+    if (!Files.exists(fin.resolve("_SUCCESS"))) {
+      val stage = fin.resolveSibling(
+        "stage_" + java.util.UUID.randomUUID().toString)
+      writeVocabArtifact(s, dir, stage.toString)
+      try Files.move(stage, fin, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: FileAlreadyExistsException | _: AccessDeniedException |
+             _: DirectoryNotEmptyException =>
+          // another process won the rename race; its artifact is
+          // byte-equivalent (deterministic trainer) — drop the stage
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+            f.delete()
+          }
+          rm(stage.toFile)
+      }
     }
-
-  /** The frozen tokenizer artifact, as a relation: a parquet READ of
-    * [[vocabArtifactFor]]'s table — both engines derive the identical
-    * vocabulary because the training step is deterministic. */
-  private def corpusVocab(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(vocabArtifactFor(s, dir))
+    fin.toString
+  }
 
   /** Shared q215/q217 tail: token spans → char intervals (two keyed
     * joins against the token table) → char reassembly fold + token
@@ -592,14 +626,22 @@ object ExactSubstr {
     * that state plus one window over its OWN token grams
     * ([[absorbDups]], reused verbatim — the absorb algebra never cared
     * that grams were chars). The tokenizer is the FROZEN shared
-    * artifact ([[corpusVocab]]), so base ids < delta ids again makes
+    * artifact ([[vocabArtifactFor]]), so base ids < delta ids again makes
     * base keepers immovable and incremental ≡ batch on the delta rows —
     * the oracle is q215's restricted to delta docs, and a spec pins
     * DataFrame equality against q215's delta slice. */
-  def q217IncrTokenExactSubstr(s: SparkSession, dir: String): DataFrame = {
+  def q217IncrTokenExactSubstr(s: SparkSession, dir: String): DataFrame =
+    // same production two-step as q215: explicit artifact path in, no
+    // process-local cache between the train step and the dedup
+    q217IncrTokenExactSubstrFrom(s, dir, vocabArtifactFor(s, dir))
+
+  /** q217 reading a PERSISTED vocabulary at an explicit path. */
+  def q217IncrTokenExactSubstrFrom(s: SparkSession, dir: String,
+                                   vocabPath: String): DataFrame = {
     val docs = normDocs(s, dir).localCheckpoint()
     val cut = splitId(docs)
-    val tok = tokenTable(docs, corpusVocab(s, dir)).localCheckpoint()
+    val tok = tokenTable(docs, s.read.parquet(vocabPath))
+      .localCheckpoint()
     val grams = tokenGrams(tok)
     val state = grams.filter(col("doc_id") < cut)
       .groupBy(col("gram")).agg(min(col("__k")).as("base_kmin"))

@@ -226,6 +226,34 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
 
   load() // resume a previous incarnation's durable state, if any
 
+  /** Serialize a whole load→decide→save transaction against EVERY other
+    * mutator of the same durable file — other instances in this JVM
+    * (process-wide monitor keyed by the canonical path) AND other
+    * processes (an OS file lock on `<file>.lock`). Without it the save
+    * is a whole-file rewrite from THIS instance's maps, and two
+    * processes mutating concurrently lose each other's rows even for
+    * unrelated (job, date) keys — a vanished RUNNING claim un-fences a
+    * zombie; a vanished SUCCESS re-runs a date. The reference gets this
+    * for free from Postgres row locks (`00085:70-214` runs inside one
+    * transaction); a file substrate has to take the lock explicitly.
+    * In-memory ledgers (persistTo = None) have exactly one mutator by
+    * construction and skip it. */
+  private def withLedgerLock[T](body: => T): T = persistTo match {
+    case None => body
+    case Some(p) =>
+      RunLedger.monitorFor(p).synchronized {
+        java.nio.file.Files.createDirectories(p.toAbsolutePath.getParent)
+        val lockPath = p.resolveSibling(p.getFileName.toString + ".lock")
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val fl = ch.lock()
+          try body finally fl.release()
+        } finally ch.close()
+      }
+  }
+
   private def beat(jobName: String, status: String, runId: String,
                    targetDate: String, error: Option[String]): Unit =
     // the reference truncates last_error at 1000 chars (heartbeat.ts:58)
@@ -242,7 +270,7 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
   def claim(jobName: String, targetDate: String,
             runningStaleAfterSec: Option[Long] = None,
             successStaleAfterSec: Option[Long] = None): Claim =
-    synchronized {
+    synchronized { withLedgerLock {
       runningStaleAfterSec.foreach(v =>
         require(v > 0, "running stale threshold must be positive"))
       successStaleAfterSec.foreach(v =>
@@ -277,7 +305,7 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
               Claim(r.runId, Some(r2.attemptId), claimed = true, why)
           }
       }
-    }
+    } }
 
   /** Finish the run — only the CURRENT attempt of a RUNNING row may
     * (the fencing check, `00085:263-283`): a reclaimed-from worker gets
@@ -289,16 +317,18 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
     // Throwable.getMessage is legally null — a Some(null) here must not
     // NPE the ledger (or the heartbeat truncation) mid-failure-handling
     val err = error.map(e => if (e == null) "Unknown error" else e)
-    load() // the attempt-fencing check must see the durable state
-    runs.find { case (_, r) => r.runId == runId } match {
-      case Some((key @ (jobName, targetDate), r))
-          if r.attemptId == attemptId && r.status == "running" =>
-        runs(key) = r.copy(status = status,
-          finishedAtMs = Some(nowMs()), error = err)
-        beat(jobName, status, runId, targetDate, err)
-        save()
-        true
-      case _ => false
+    withLedgerLock {
+      load() // the attempt-fencing check must see the durable state
+      runs.find { case (_, r) => r.runId == runId } match {
+        case Some((key @ (jobName, targetDate), r))
+            if r.attemptId == attemptId && r.status == "running" =>
+          runs(key) = r.copy(status = status,
+            finishedAtMs = Some(nowMs()), error = err)
+          beat(jobName, status, runId, targetDate, err)
+          save()
+          true
+        case _ => false
+      }
     }
   }
 
@@ -335,6 +365,7 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
   def isJobHealthy(jobName: String,
                    staleThresholdHours: Double = 25.0): Health =
     synchronized {
+      load() // the staleness detector must not itself read stale state
       beats.get(jobName) match {
         case None =>
           Health(jobName, healthy = false,
@@ -356,11 +387,25 @@ final class RunLedger(nowMs: () => Long = () => System.currentTimeMillis(),
     }
 
   /** Fleet health (`heartbeat.ts:155-200` `checkAllJobsHealth`): every
-    * named job evaluated; `_1` is the all-healthy conjunction. */
+    * named job evaluated; `_1` is the all-healthy conjunction (each
+    * [[isJobHealthy]] call reloads the durable state, so a long-lived
+    * monitor over a durable ledger sees current heartbeats). */
   def checkAllJobsHealth(jobNames: Seq[String],
                          staleThresholdHours: Double = 25.0)
       : (Boolean, Seq[Health]) = {
     val hs = jobNames.map(isJobHealthy(_, staleThresholdHours))
     (hs.forall(_.healthy), hs)
   }
+}
+
+object RunLedger {
+  // one monitor per canonical ledger path: OS file locks are per-JVM
+  // (a second FileChannel.lock on the same file from this JVM throws
+  // OverlappingFileLockException), so same-JVM instances serialize on
+  // the monitor FIRST and only then take the cross-process lock
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def monitorFor(p: java.nio.file.Path): Object =
+    monitors.computeIfAbsent(p.toAbsolutePath.normalize.toString,
+      _ => new Object)
 }

@@ -97,7 +97,11 @@ object StreamExactSubstr {
     *  - the absorb join resolves `min(base_kmin)` per gram across
     *    generations ON THE READ SIDE — a groupBy on the bucketed key,
     *    so resolution adds no Exchange (least-of-struct is associative:
-    *    the min over generation minima IS the global first occurrence);
+    *    the min over generation minima IS the global first occurrence)
+    *    — and that read is DELTA-PRUNED ([[resolvedFor]]): a pushed
+    *    gram-range filter plus a broadcast semi-join on the batch's
+    *    distinct grams keep the per-batch resolution work proportional
+    *    to the delta, never to the standing state;
     *  - every [[compactEvery]] generations one COMPACTION folds the
     *    table back to a single generation — the only state-sized write,
     *    amortized over the deltas between compactions. At 100 TB this
@@ -122,6 +126,56 @@ object StreamExactSubstr {
 
     private def resolved(st: DataFrame): DataFrame =
       st.groupBy(col("gram")).agg(min(col("base_kmin")).as("base_kmin"))
+
+    /** The state relation the absorb join actually needs, pruned to the
+      * DELTA — the round-14 scale flag ("the absorb join still READS
+      * the full resolved state every micro-batch") closed: only state
+      * rows whose gram occurs in THIS batch can affect [[ExactSubstr
+      * .absorbDups]] (it joins state on gram equality from the
+      * incoming side), so below the generational min-merge sit
+      *
+      *  - a pushed `gram BETWEEN min(delta) AND max(delta)` range
+      *    filter — the bucketed files are SORTED on gram, so parquet
+      *    row-group min/max stats skip whole row groups outside the
+      *    delta's range (real I/O pruning when the delta is localized);
+      *  - a broadcast LEFT SEMI join on the delta's distinct grams —
+      *    rows fed to the min-merge are delta-matched only, so the
+      *    resolution aggregation is delta-proportional, not
+      *    O(|standing state|), per micro-batch.
+      *
+      * The state side keeps its bucketed clustering through both (a
+      * filter and a broadcast join preserve partitioning), so the
+      * min-merge still plans with ZERO shuffle Exchange — plan-spec
+      * pinned. The broadcast bounds this to micro-batches whose
+      * distinct-gram set fits the driver (micro-batch sizing's job); a
+      * delta too big to broadcast would fall back to a shuffle-hash
+      * semi-join, which shuffles only the delta — never the state. */
+    private def resolvedFor(s: SparkSession, grams: DataFrame): DataFrame = {
+      val mm = grams.agg(min(col("gram")), max(col("gram"))).collect()(0)
+      if (mm.isNullAt(0)) emptyState(s)
+      else resolved(s.table(table)
+        .filter(col("gram") >= lit(mm.getString(0)) &&
+          col("gram") <= lit(mm.getString(1)))
+        .join(broadcast(grams.select(col("gram")).distinct()),
+          Seq("gram"), "left_semi"))
+    }
+
+    /** Probe hook: standing state rows a full resolve would scan vs the
+      * rows the pruned delta read feeds to the min-merge ([[tools
+      * .Probe216]]'s read-volume row). */
+    private[graft] def stateReadRows(s: SparkSession,
+                                     grams: DataFrame): (Long, Long) =
+      if (!s.catalog.tableExists(table)) (0L, 0L)
+      else {
+        val mm = grams.agg(min(col("gram")), max(col("gram"))).collect()(0)
+        val pruned = if (mm.isNullAt(0)) 0L
+          else s.table(table)
+            .filter(col("gram") >= lit(mm.getString(0)) &&
+              col("gram") <= lit(mm.getString(1)))
+            .join(broadcast(grams.select(col("gram")).distinct()),
+              Seq("gram"), "left_semi").count()
+        (s.table(table).count(), pruned)
+      }
 
     /** Highest committed state generation (0 = no state yet). Bounded
       * metadata: one max/countDistinct over the slim gen column. */
@@ -154,7 +208,7 @@ object StreamExactSubstr {
         }
       }
       val gen = maxGen + 1L
-      val st = if (exists) resolved(s.table(table)) else emptyState(s)
+      val st = if (exists) resolvedFor(s, grams) else emptyState(s)
       val out = ExactSubstr.applySpans(docs,
         ExactSubstr.absorbDups(grams, st))
       // idempotent emission: replaying a torn batch re-derives the same

@@ -39,14 +39,24 @@ object Probe216 {
     // RESOLVED state size after batch i (cross-generation duplicate
     // grams collapse) — track it per batch for an honest baseline
     var rewriteBaseline = 0L
+    // read-volume ledger (the round-15 ask): per batch, the standing
+    // state rows a FULL resolve would feed the min-merge (the r14
+    // behavior) vs the rows the delta-pruned read actually feeds it
+    var fullReadSum = 0L
+    var prunedReadSum = 0L
     per.zipWithIndex.foreach { case (b, i) =>
-      a.absorb(spark.createDataset(b.toIndexedSeq))
+      val batch = spark.createDataset(b.toIndexedSeq)
+      val grams = ExactSubstr.gramPositions(batch.toDF()).localCheckpoint()
+      val (standing, pruned) = a.stateReadRows(spark, grams)
+      fullReadSum += standing; prunedReadSum += pruned
+      a.absorb(batch)
       val resolvedNow = spark.table(table).select(col("gram"))
         .distinct().count()
       rewriteBaseline += resolvedNow
       val dt = (System.nanoTime() - t0) / 1e9; t0 = System.nanoTime()
       println(f"batch ${i + 1}%2d: docs=${b.length}%5d  ${dt}%6.2f s" +
-        f"  resolved-state=$resolvedNow%8d")
+        f"  resolved-state=$resolvedNow%8d  state-rows-into-merge:" +
+        f" full=$standing%8d pruned=$pruned%8d")
     }
     val perGen = spark.table(table).groupBy(col("gen"))
       .agg(count(lit(1)).as("rows")).orderBy(col("gen"))
@@ -61,6 +71,9 @@ object Probe216 {
     println(f"write volume if each batch REWROTE the state instead " +
       f"(sum of per-batch RESOLVED sizes): $rewriteBaseline%d rows " +
       f"(vs $total%d generational)")
+    println(f"read volume into the absorb min-merge, summed over " +
+      f"batches: full-state=$fullReadSum%d rows (r14 behavior) vs " +
+      f"delta-pruned=$prunedReadSum%d rows")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.stop()
   }

@@ -173,6 +173,53 @@ class CoverageSpec extends AnyFunSuite {
     assert(b.claim("j", "d1").reason == "failed") // ledger not wedged
   }
 
+  test("durable ledger: two live instances on one file never lose each other's rows") {
+    // the round-14 advice's lost-update scenario: save() is a
+    // whole-file rewrite from one instance's maps, so two processes
+    // (here: instances + threads) mutating CONCURRENTLY would drop each
+    // other's unrelated (job, date) rows without the ledger-file lock
+    // around each load→decide→save transaction
+    val p = java.nio.file.Files.createTempDirectory("graft_ledger_conc")
+      .resolve("runs.tsv")
+    val a = new RunLedger(persistTo = Some(p))
+    val b = new RunLedger(persistTo = Some(p))
+    val dates = (1 to 25).map(i => f"2024-06-$i%02d")
+    val ta = new Thread(() => dates.foreach { d =>
+      val c = a.claim("job_a", d)
+      assert(a.complete(c.runId, c.attemptId.get, "success"))
+    })
+    val tb = new Thread(() => dates.foreach { d =>
+      val c = b.claim("job_b", d)
+      assert(b.complete(c.runId, c.attemptId.get, "success"))
+    })
+    ta.start(); tb.start(); ta.join(); tb.join()
+    // a third incarnation sees every row both writers produced
+    val c = new RunLedger(persistTo = Some(p))
+    for (d <- dates; j <- Seq("job_a", "job_b"))
+      assert(c.run(j, d).exists(_.status == "success"),
+        s"lost row ($j, $d) — concurrent whole-file rewrite dropped it")
+  }
+
+  test("durable ledger: a long-lived health monitor sees OTHER incarnations' heartbeats") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ledger_mon")
+      .resolve("runs.tsv")
+    var now = 0L
+    // the monitor is constructed FIRST, against an empty file — without
+    // load() in isJobHealthy it would report construction-time state
+    // (no heartbeat) forever
+    val monitor = new RunLedger(() => now, persistTo = Some(p))
+    assert(!monitor.isJobHealthy("cron_a").healthy)
+    val worker = new RunLedger(() => now, persistTo = Some(p))
+    val c = worker.claim("cron_a", "2024-06-03")
+    worker.complete(c.runId, c.attemptId.get, "success")
+    assert(monitor.isJobHealthy("cron_a").healthy,
+      "monitor must reload the durable file, not serve stale beats")
+    now += 26L * 3600L * 1000L
+    assert(monitor.isJobHealthy("cron_a").reason
+      .exists(_.startsWith("Stale")))
+    assert(!monitor.checkAllJobsHealth(Seq("cron_a"))._1)
+  }
+
   test("health check: missing record, staleness, failed status, and error truncation") {
     val (rl, tick) = ledgerWithClock(0L)
     // no record at all

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.jobs.DailyRefreshJob
+import graft.sources.RunLedger
 
 class JobsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -135,6 +136,56 @@ class JobsSpec extends AnyFunSuite {
       "/root/testdata/sf0.001", root, "v4", stages = Some(stages)).isRight)
     // and the lease is free through all of it
     assert(lock.holder("daily_refresh").isEmpty)
+  }
+
+  test("claimed refresh: a stale-reclaimed zombie is fenced BEFORE publishing later stages") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("refresh_fence").toFile.getAbsolutePath
+    val lock = new graft.sources.JobLock(
+      Files.createTempDirectory("refresh_fence_locks"))
+    var now = 0L
+    val runs = new graft.sources.RunLedger(nowMs = () => now)
+    var hijack: Option[RunLedger#Claim] = None
+    val stages = Seq(
+      // stage "slow" outlives the stale-running threshold mid-run and a
+      // second worker reclaims the date while it computes
+      "slow" -> (() => {
+        now += 3601L * 1000L
+        hijack = Some(runs.claim("daily_refresh", "2024-06-03",
+          runningStaleAfterSec = Some(3600L)))
+        Seq(1).toDF("x")
+      }),
+      "late" -> (() => Seq(2).toDF("x")))
+    val out = DailyRefreshJob.runClaimed(spark, lock, runs, "2024-06-03",
+      "/root/testdata/sf0.001", root, "vz", stages = Some(stages))
+    assert(hijack.exists(c => c.claimed && c.reason == "stale_running"))
+    assert(out == Left("attempt superseded"))
+    // "slow" was already publishing when superseded (the accepted
+    // probe-to-publish window); "late" must have been fenced PRE-publish
+    assert(!new java.io.File(s"$root/late").exists(),
+      "a superseded attempt republished a later stage over the new owner")
+    // the hijacker (current attempt) completes normally
+    val b = hijack.get
+    assert(runs.complete(b.runId, b.attemptId.get, "success"))
+  }
+
+  test("pruneSnapshots graceKeep retains the N most recent superseded versions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("prune_grace").toFile.getAbsolutePath
+    for (i <- 1 to 4) {
+      graft.operators.Upsert.publishSnapshot(Seq(i).toDF("x"), root, s"v$i")
+      // distinct mtimes so recency ordering is deterministic
+      new java.io.File(s"$root/v=v$i").setLastModified(1000000L * i)
+    }
+    val removed = graft.operators.Upsert.pruneSnapshots(root, graceKeep = 1)
+    assert(removed == 2)
+    assert(new java.io.File(s"$root/v=v4").exists(), "published version kept")
+    assert(new java.io.File(s"$root/v=v3").exists(), "grace version kept")
+    assert(!new java.io.File(s"$root/v=v2").exists() &&
+      !new java.io.File(s"$root/v=v1").exists())
+    // graceKeep = 0 is the old behavior: only the published one survives
+    assert(graft.operators.Upsert.pruneSnapshots(root) == 1)
+    assert(!new java.io.File(s"$root/v=v3").exists())
   }
 
   test("coverage gate blocks under-covered snapshots") {

@@ -77,12 +77,28 @@ class LandingJobSpec extends AnyFunSuite {
 
   private def landingRows(cfg: LandingJob.Config): Seq[(Long, String, Double)] = {
     import spark.implicits._
-    Upsert.resolvePublished(cfg.landingRoot) match {
+    LandingJob.readLanding(spark, cfg.landingRoot) match {
       case None => Seq.empty
-      case Some(dir) => spark.read.parquet(dir)
+      case Some(t) => t
         .select(col("id"), col("target_date").cast("string"), col("value"))
         .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
     }
+  }
+
+  /** Every data file under one date's partition: name → (size, md5). */
+  private def partitionFiles(cfg: LandingJob.Config, date: String)
+      : Map[String, (Long, String)] = {
+    val dir = new java.io.File(
+      s"${cfg.landingRoot}/data/target_date=$date")
+    Option(dir.listFiles()).getOrElse(Array())
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+      .map { f =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+        f.getName -> ((f.length(), md5))
+      }.toMap
   }
 
   private def coverageRows(cfg: LandingJob.Config): Map[String, (String, Long, Int)] = {
@@ -253,6 +269,46 @@ class LandingJobSpec extends AnyFunSuite {
     assert(runs.complete(b.runId, b.attemptId.get, "success"))
   }
 
+  test("landing write is partition-scoped: landing a date leaves every other partition byte-identical") {
+    val (cfg, bucket, lock, _, nowF, retrySleep) = mkHarness()
+    // any-date endpoint: 3 rows per date, ids disjoint per date
+    val fetch: LandingJob.Fetch = (date, _) => {
+      val base = date.takeRight(2).toLong * 100L
+      (200, (0 until 3).map(i => ApiRow(base + i, date, base + i * 0.5)), None)
+    }
+    def landDates(ds: Seq[String]): Unit =
+      assert(LandingJob.run(spark, lock, new RunLedger(nowMs = nowF), cfg,
+        ds, fetch, bucket, retrySleepMs = retrySleep, nowMs = nowF)
+        .toOption.get.forall(_.status == "success"))
+
+    landDates(Seq("2024-06-03", "2024-06-04"))
+    val d3 = partitionFiles(cfg, "2024-06-03")
+    val d4 = partitionFiles(cfg, "2024-06-04")
+    assert(d3.nonEmpty && d4.nonEmpty)
+    val before = landingRows(cfg)
+
+    // (a) landing a NEW date touches only its own partition: every file
+    // of every existing partition survives byte for byte (same names,
+    // sizes, contents — dynamic partition overwrite never reads,
+    // rewrites, or relists them)
+    landDates(Seq("2024-06-05"))
+    assert(partitionFiles(cfg, "2024-06-03") == d3,
+      "landing 06-05 disturbed 06-03's partition files")
+    assert(partitionFiles(cfg, "2024-06-04") == d4,
+      "landing 06-05 disturbed 06-04's partition files")
+    assert(landingRows(cfg).size == before.size + 3)
+
+    // (b) re-landing ONE date is idempotent in content and still leaves
+    // the other partitions' files untouched
+    landDates(Seq("2024-06-04"))
+    assert(partitionFiles(cfg, "2024-06-03") == d3,
+      "re-landing 06-04 disturbed 06-03's partition files")
+    assert(landingRows(cfg) ==
+      (before ++ Seq((500L, "2024-06-05", 500.0),
+        (501L, "2024-06-05", 500.5), (502L, "2024-06-05", 501.0))),
+      "re-land of the same date changed table content")
+  }
+
   test("landing job: a held lease rejects the double start before any work") {
     val (cfg, bucket, lock, _, nowF, retrySleep) = mkHarness()
     val ep = new Endpoint
@@ -262,7 +318,7 @@ class LandingJobSpec extends AnyFunSuite {
       nowMs = nowF)
     assert(out.isLeft)
     assert(ep.calls.isEmpty, "a rejected start must not touch the endpoint")
-    assert(Upsert.resolvePublished(cfg.landingRoot).isEmpty &&
+    assert(LandingJob.readLanding(spark, cfg.landingRoot).isEmpty &&
       Upsert.resolvePublished(cfg.coverageRoot).isEmpty,
       "a rejected start must not write")
     // the holder finishes; the next scheduled run proceeds normally

@@ -208,4 +208,30 @@ class TokenExactSubstrSpec extends AnyFunSuite {
     assert(snapshot(p2) == before,
       "a query call rewrote the vocab artifact — retraining happened")
   }
+
+  test("frozen vocab: a regenerated corpus changes the fingerprint, so no stale-vocab reads") {
+    // the round-14 advice: /tmp corpora are REBUILT between probe runs
+    // at the same path — an artifact keyed on the dir alone would
+    // silently tokenize round N+1's corpus with round N's vocabulary.
+    // The artifact identity is (dir, content fingerprint): touching any
+    // documents.parquet data file moves the artifact path.
+    val corpus = java.nio.file.Files.createTempDirectory("graft_fp_corpus")
+    val docsDir = corpus.resolve("documents.parquet")
+    java.nio.file.Files.createDirectories(docsDir)
+    val f = docsDir.resolve("part-00000.parquet")
+    java.nio.file.Files.writeString(f, "fake-parquet-bytes")
+    val fp1 = ExactSubstr.corpusFingerprint(corpus.toString)
+    val path1 = ExactSubstr.vocabArtifactPath(corpus.toString)
+    // same content, same identity
+    assert(ExactSubstr.corpusFingerprint(corpus.toString) == fp1)
+    // the rebuild: same path, new mtime (content regenerated)
+    f.toFile.setLastModified(f.toFile.lastModified() + 12345L)
+    val fp2 = ExactSubstr.corpusFingerprint(corpus.toString)
+    assert(fp2 != fp1, "regenerated corpus kept the old fingerprint")
+    assert(ExactSubstr.vocabArtifactPath(corpus.toString) != path1,
+      "regenerated corpus would read the stale vocab artifact")
+    // size changes move it too
+    java.nio.file.Files.writeString(f, "fake-parquet-bytes-longer")
+    assert(ExactSubstr.corpusFingerprint(corpus.toString) != fp2)
+  }
 }
