@@ -157,7 +157,10 @@ object Bench {
     // q215/q217 = the q127 BPE train+encode loop (8 driver-argmax
     // rounds, latency-bound) + token table + token-gram dedup/absorb.
     "q211_exact_substr", "q212_multimodal_dedup", "q215_token_exact_substr",
-    "q217_incr_token_exact_substr")
+    "q217_incr_token_exact_substr",
+    // q219 is control-plane-latency-bound (~45 metadata-sized Spark
+    // actions across 8 landed dates incl. catch-up), ~9s steady
+    "q219_landing_pipeline")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.ScreenMetrics
-import graft.queries.{Advanced, Attribution, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, CoverageProgram, ExactSubstr, FactorVectorProgram, MultimodalDedup, Partitioned, PerBands, Scd2Replay, Screen, SuffixArray, TextQueries, Unigram}
+import graft.queries.{Advanced, Attribution, AnalyticsQueries, BasketProgram, Breadth, CalendarNav, Cleanse, Colocate, ConfigScore, Core, Curation, CoverageProgram, ExactSubstr, FactorVectorProgram, LandingProgram, MultimodalDedup, Partitioned, PerBands, Scd2Replay, Screen, SuffixArray, TextQueries, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -239,6 +239,7 @@ object SparkEntry {
     "q216_restart_exact_substr" -> (ExactSubstr.q216RestartExactSubstr _),
     "q217_incr_token_exact_substr" -> (ExactSubstr.q217IncrTokenExactSubstr _),
     "q218_coverage_catchup" -> (CoverageProgram.q218CoverageCatchup _),
+    "q219_landing_pipeline" -> (LandingProgram.q219LandingPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -570,6 +571,7 @@ object SparkEntry {
     "q216_restart_exact_substr" -> ExactSubstr.oracleQ211,
     "q217_incr_token_exact_substr" -> ExactSubstr.oracleQ217,
     "q218_coverage_catchup" -> CoverageProgram.oracleQ218,
+    "q219_landing_pipeline" -> LandingProgram.oracleQ219,
   )
 
   private val asofOracle: String =

@@ -197,13 +197,15 @@ object LandingJob {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
-    incoming.count()
+    rows.size.toLong // the landed count — incoming is driver-supplied
   }
 
   private def publishCoverage(s: SparkSession, cfg: Config,
                               row: DataFrame): Unit = {
+    // no checkpoint needed: the publish writes a FRESH version dir, so
+    // the plan reads the old version while it still exists (graceKeep
+    // below defers even its prune one full cycle) and is never re-run
     val merged = Coverage.upsert(readLedger(s, cfg.coverageRoot), row)
-      .localCheckpoint() // same read-what-you-replace rule
     Upsert.publishSnapshot(merged, cfg.coverageRoot,
       java.util.UUID.randomUUID().toString)
     // two publishes per date would otherwise grow version dirs forever;
