@@ -98,7 +98,8 @@ object StreamExactSubstr {
     *    generations ON THE READ SIDE — a groupBy on the bucketed key,
     *    so resolution adds no Exchange (least-of-struct is associative:
     *    the min over generation minima IS the global first occurrence)
-    *    — and that read is DELTA-PRUNED ([[resolvedFor]]): a pushed
+    *    — and once the standing state outgrows `pruneStateOverBytes`
+    *    that read is DELTA-PRUNED ([[resolvedFor]]): a pushed
     *    gram-range filter plus a broadcast semi-join on the batch's
     *    distinct grams keep the per-batch resolution work proportional
     *    to the delta, never to the standing state;
@@ -121,8 +122,30 @@ object StreamExactSubstr {
     * non-idempotent window; production schedules it as its own job
     * between batches (the merged relation is eagerly checkpointed
     * before the overwrite — the round-4 DROP-TABLE lesson). */
+  /** @param pruneStateOverBytes delta-prune the state read
+    *   ([[resolvedFor]]) only once the standing state's on-disk size
+    *   exceeds this. The pruning costs two bounded driver round-trips
+    *   per batch (the delta's gram min/max, the broadcast build of its
+    *   distinct grams) plus a broadcast hash join in the absorb plan —
+    *   pure overhead while the state is small enough to scan outright
+    *   (measured: the q216 sf0.1 gate, whose state is ~10 MB, ran
+    *   25.5 s always-pruned vs 17.3 s with the crossover), and pure
+    *   win once the state dwarfs any batch (the 100 TB regime the
+    *   pruning exists for — `tools/Probe216` measures rows-into-merge
+    *   scaling with the delta, not the state). The default crossover
+    *   is deliberately conservative: at 64 MB a full scan-and-merge
+    *   still costs less than a second. */
   final class PersistedAbsorber(table: String, path: String,
-                                compactEvery: Int = 4) {
+                                compactEvery: Int = 4,
+                                pruneStateOverBytes: Long = 64L << 20) {
+
+    /** On-disk size of the standing state — FS metadata only, no job. */
+    private def stateBytes: Long = {
+      def sz(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array()).map(sz).sum
+      sz(new java.io.File(s"$path/state"))
+    }
 
     private def resolved(st: DataFrame): DataFrame =
       st.groupBy(col("gram")).agg(min(col("base_kmin")).as("base_kmin"))
@@ -208,7 +231,10 @@ object StreamExactSubstr {
         }
       }
       val gen = maxGen + 1L
-      val st = if (exists) resolvedFor(s, grams) else emptyState(s)
+      val st =
+        if (!exists) emptyState(s)
+        else if (stateBytes > pruneStateOverBytes) resolvedFor(s, grams)
+        else resolved(s.table(table))
       val out = ExactSubstr.applySpans(docs,
         ExactSubstr.absorbDups(grams, st))
       // idempotent emission: replaying a torn batch re-derives the same

@@ -30,9 +30,11 @@ object Probe216 {
     val tmp = java.nio.file.Files.createTempDirectory("graft_p216")
     val table = "graft_p216_state"
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    // no compaction during the append passes — observe pure deltas
+    // no compaction during the append passes — observe pure deltas;
+    // pruneStateOverBytes = 0 keeps the probe in the pruned (100 TB)
+    // read regime regardless of the toy state's size
     val a = new StreamExactSubstr.PersistedAbsorber(table, tmp.toString,
-      compactEvery = Int.MaxValue)
+      compactEvery = Int.MaxValue, pruneStateOverBytes = 0L)
     val per = docs.grouped(math.max(1, docs.length / nBatches)).toSeq
     var t0 = System.nanoTime()
     // what a rewrite-per-batch absorber would write at batch i is the

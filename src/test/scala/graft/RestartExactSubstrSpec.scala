@@ -67,17 +67,19 @@ class RestartExactSubstrSpec extends AnyFunSuite {
     docs.grouped(math.max(1, docs.length / 4)).toVector
   }
 
-  private def runWithRestart(stopAfter: Int): Seq[org.apache.spark.sql.Row] =
+  private def runWithRestart(stopAfter: Int,
+                             pruneOver: Long = 64L << 20)
+      : Seq[org.apache.spark.sql.Row] =
     withScratch { (table, tmp) =>
       import spark.implicits._
       val batches = docBatches
       // phase 1: k batches through absorber A, then A is garbage
       val a = new StreamExactSubstr.PersistedAbsorber(table, tmp,
-        compactEvery = 3)
+        compactEvery = 3, pruneStateOverBytes = pruneOver)
       batches.take(stopAfter).foreach(b => a.absorb(b.toSeq.toDS()))
       // phase 2: a FRESH absorber against the same storage
       val b = new StreamExactSubstr.PersistedAbsorber(table, tmp,
-        compactEvery = 3)
+        compactEvery = 3, pruneStateOverBytes = pruneOver)
       batches.drop(stopAfter).foreach(bb => b.absorb(bb.toSeq.toDS()))
       // layout pin: the standing state is bucketed on gram
       val desc = spark.sql(s"DESCRIBE FORMATTED $table").collect()
@@ -95,6 +97,16 @@ class RestartExactSubstrSpec extends AnyFunSuite {
     (1 to 3).foreach { k =>
       assert(runWithRestart(k) == batchRows,
         s"restart after batch $k diverged from the batch q211 rebuild")
+    }
+  }
+
+  test("the DELTA-PRUNED state read (production regime) equals the batch rebuild at every stop point") {
+    // pruneStateOverBytes = 0 forces resolvedFor — the range-filter +
+    // broadcast-semi-join path the 100 TB regime uses — through the
+    // same restart/compaction sweep the default path is gated on
+    (1 to 3).foreach { k =>
+      assert(runWithRestart(k, pruneOver = 0L) == batchRows,
+        s"delta-pruned restart after batch $k diverged from the batch rebuild")
     }
   }
 
