@@ -67,7 +67,9 @@ object DailyRefreshJob {
   def run(spark: SparkSession, sfDir: String, outRoot: String,
           version: String,
           stages: Option[Seq[(String, () => DataFrame)]] = None,
-          afterStage: StageResult => Unit = _ => ()): Seq[StageResult] = {
+          afterStage: StageResult => Unit = _ => (),
+          publishGuard: () => Option[String] = () => None)
+      : Seq[StageResult] = {
     // None = the production chain; Some(Nil) is an honest no-op run (an
     // isEmpty sentinel would silently run all ten default stages on a
     // caller whose dynamically-built list came out empty)
@@ -89,6 +91,11 @@ object DailyRefreshJob {
             case Right(_) =>
           }
         }
+        // the guard runs IMMEDIATELY before the publish (stage
+        // DataFrames are lazy — probing any earlier leaves the whole
+        // stage compute + write inside the zombie window)
+        publishGuard().foreach(reason =>
+          throw new IllegalStateException(reason))
         Upsert.publishSnapshot(df, s"$outRoot/$name", version)
         val published = Upsert.resolvePublished(s"$outRoot/$name").get
         StageResult(name, spark.read.parquet(published).count(), None)
@@ -236,18 +243,18 @@ object DailyRefreshJob {
             // discipline): a stale-reclaimed zombie (paused past
             // runningStaleAfterSec) must stop BEFORE publishing a stage
             // snapshot over the new owner's output, not merely report
-            // Left after republishing the whole chain. The probe-to-
-            // publish window that remains is the same optimistic race
-            // JobLock's takeover accepts.
+            // Left after republishing the whole chain. The probe runs
+            // via run()'s publishGuard IMMEDIATELY before each publish
+            // (stage DataFrames are lazy, so a probe at stage start
+            // would leave the whole compute inside the zombie window);
+            // what remains — a hijack during the write itself — is the
+            // same optimistic race JobLock's takeover accepts.
             val attempt = claim.attemptId.get
-            val fenced = stages.getOrElse(defaultStages(spark, sfDir))
-              .map { case (name, mk) => name -> (() => {
-                if (!runs.isCurrentAttempt(claim.runId, attempt))
-                  throw new IllegalStateException("attempt superseded")
-                mk()
-              }) }
-            val out = run(spark, sfDir, outRoot, version, Some(fenced),
-              afterStage = _ => lock.extend(jobName, token, ttlSeconds))
+            val out = run(spark, sfDir, outRoot, version, stages,
+              afterStage = _ => lock.extend(jobName, token, ttlSeconds),
+              publishGuard = () =>
+                if (runs.isCurrentAttempt(claim.runId, attempt)) None
+                else Some("attempt superseded"))
             val failed = out.filter(_.error.isDefined)
             val owned = runs.complete(claim.runId, attempt,
               if (failed.isEmpty) "success" else "failed",

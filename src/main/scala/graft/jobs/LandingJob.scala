@@ -155,12 +155,17 @@ object LandingJob {
     * `target_date`. */
   private[graft] def landingDataPath(root: String): String = s"$root/data"
 
-  /** The published landing table (None until the first date lands). */
+  /** The published landing table (None until the first date lands).
+    * Emptiness ignores Spark metadata entries (`_temporary`,
+    * `_SUCCESS`, dotfiles): a writer that crashed mid-first-write
+    * leaves only `_temporary` behind, and treating that as a published
+    * table would wedge every subsequent land() on a schema-inference
+    * error — the partition dirs (`target_date=...`) are the signal. */
   def readLanding(s: SparkSession, root: String): Option[DataFrame] = {
     val p = new java.io.File(landingDataPath(root))
-    if (p.isDirectory && p.listFiles() != null && p.listFiles().nonEmpty)
-      Some(s.read.parquet(p.toString))
-    else None
+    val real = Option(p.listFiles()).getOrElse(Array())
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+    if (real.nonEmpty) Some(s.read.parquet(p.toString)) else None
   }
 
   /** PARTITION-SCOPED idempotent landing write: upsert the date's rows
@@ -203,16 +208,19 @@ object LandingJob {
   private def publishCoverage(s: SparkSession, cfg: Config,
                               row: DataFrame): Unit = {
     // no checkpoint needed: the publish writes a FRESH version dir, so
-    // the plan reads the old version while it still exists (graceKeep
+    // the plan reads the old version while it still exists (the spare
     // below defers even its prune one full cycle) and is never re-run
+    val prev = Upsert.resolvePublished(cfg.coverageRoot)
+      .map(p => new java.io.File(p).getName).toSet
     val merged = Coverage.upsert(readLedger(s, cfg.coverageRoot), row)
     Upsert.publishSnapshot(merged, cfg.coverageRoot,
       java.util.UUID.randomUUID().toString)
     // two publishes per date would otherwise grow version dirs forever;
-    // graceKeep=1 leaves the immediately superseded version for readers
-    // that resolved the old pointer just before this flip (q218-style
-    // catch-up planners in other processes)
-    Upsert.pruneSnapshots(cfg.coverageRoot, graceKeep = 1)
+    // sparing the JUST-superseded version BY NAME (mtimes can tie at
+    // publish rates below the fs timestamp granularity) leaves it for
+    // readers that resolved the old pointer right before this flip
+    // (q218-style catch-up planners in other processes)
+    Upsert.pruneSnapshots(cfg.coverageRoot, spare = prev)
   }
 
   /** Plan the next run's dates from the published coverage ledger —

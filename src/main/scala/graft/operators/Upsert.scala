@@ -67,26 +67,34 @@ object Upsert {
     * that resolved the PREVIOUS pointer just before the flip can finish
     * its scan of that version before a later prune reclaims it —
     * deleting the old version at the instant of the flip would fail
-    * such a reader mid-read. Returns the number of directories removed. */
-  def pruneSnapshots(root: String, graceKeep: Int = 0): Int =
+    * such a reader mid-read. mtime recency can TIE within the
+    * filesystem's timestamp granularity when versions publish in quick
+    * succession, so callers that know exactly which version was just
+    * superseded pass its directory name via `spare` — name-pinned
+    * survival beats recency heuristics. Returns the number of
+    * directories removed. */
+  def pruneSnapshots(root: String, graceKeep: Int = 0,
+                     spare: Set[String] = Set.empty): Int =
     resolvePublished(root) match {
       case None => 0
       case Some(current) =>
         val keep = new java.io.File(current).getName
         val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
           .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-            f.getName != keep)
+            f.getName != keep && !spare.contains(f.getName))
           .sortBy(-_.lastModified())
           .drop(graceKeep)
-        dirs.foreach { d =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array()).foreach(rm)
-            f.delete()
-          }
-          rm(d)
-        }
+        dirs.foreach(rmTree)
         dirs.length
     }
+
+  /** Recursively delete a file tree — the one shared implementation
+    * (scratch-dir and superseded-snapshot cleanup sites all route
+    * here rather than growing drifting private copies). */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array()).foreach(rmTree)
+    f.delete()
+  }
 
   /** Resolve the currently published snapshot directory, if any. */
   def resolvePublished(root: String): Option[String] = {

@@ -390,10 +390,7 @@ object ExactSubstr {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", savedSp)
       // tidy the scratch storage; results are checkpointed already
-      def rm(f: java.io.File): Unit = {
-        val ch = f.listFiles(); if (ch != null) ch.foreach(rm); f.delete()
-      }
-      rm(tmp.toFile)
+      graft.operators.Upsert.rmTree(tmp.toFile)
     }
   }
 
@@ -583,11 +580,7 @@ object ExactSubstr {
              _: DirectoryNotEmptyException =>
           // another process won the rename race; its artifact is
           // byte-equivalent (deterministic trainer) — drop the stage
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array()).foreach(rm)
-            f.delete()
-          }
-          rm(stage.toFile)
+          graft.operators.Upsert.rmTree(stage.toFile)
       }
     }
     fin.toString

@@ -40,6 +40,13 @@ object LandingProgram {
 
   def q219LandingPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val dbg = sys.env.contains("SPARK_GRAFT_Q219_DEBUG")
+    var tDbg = System.nanoTime()
+    def mark(m: String): Unit = if (dbg) {
+      System.err.println(
+        f"Q219-PROBE $m ${(System.nanoTime() - tDbg) / 1e9}%.2f s")
+      tDbg = System.nanoTime()
+    }
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey").cast("long").as("id"),
         to_date(col("o_orderdate")).as("d"),
@@ -95,12 +102,6 @@ object LandingProgram {
     // one partition per land) — scope the shuffle width down around the
     // pipeline run like the streaming gates do, so ~30 metadata-sized
     // publish cycles don't each schedule 32-partition shuffles
-    val dbg = sys.env.contains("SPARK_GRAFT_Q219_DEBUG")
-    var tDbg = System.nanoTime()
-    def mark(m: String): Unit = if (dbg) {
-      System.err.println(f"Q219-PROBE $m ${(System.nanoTime() - tDbg) / 1e9}%.2f s")
-      tDbg = System.nanoTime()
-    }
     mark("collect-source")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -136,7 +137,7 @@ object LandingProgram {
       .orderBy(col("target_date"))
   }
 
-  /** DuckDB replays the data path directly: the same 10 dates, the same
+  /** DuckDB replays the data path directly: the same 6 dates, the same
     * per-date aggregates over the source rows, `success` everywhere —
     * any date the pipeline failed to heal, any page it dropped, any
     * partition it clobbered breaks row/hash equality. */

@@ -124,9 +124,9 @@ object StreamExactSubstr {
     * before the overwrite — the round-4 DROP-TABLE lesson). */
   /** @param pruneStateOverBytes delta-prune the state read
     *   ([[resolvedFor]]) only once the standing state's on-disk size
-    *   exceeds this. The pruning costs two bounded driver round-trips
-    *   per batch (the delta's gram min/max, the broadcast build of its
-    *   distinct grams) plus a broadcast hash join in the absorb plan —
+    *   exceeds this. The pruning costs one bounded driver round-trip
+    *   per batch (the delta's gram min/max) plus the delta's distinct
+    *   and one delta-sized exchange in the absorb plan —
     *   pure overhead while the state is small enough to scan outright
     *   (measured: the q216 sf0.1 gate, whose state is ~10 MB, ran
     *   25.5 s always-pruned vs 17.3 s with the crossover), and pure
@@ -161,25 +161,27 @@ object StreamExactSubstr {
       *    filter — the bucketed files are SORTED on gram, so parquet
       *    row-group min/max stats skip whole row groups outside the
       *    delta's range (real I/O pruning when the delta is localized);
-      *  - a broadcast LEFT SEMI join on the delta's distinct grams —
-      *    rows fed to the min-merge are delta-matched only, so the
+      *  - a shuffled-hash LEFT SEMI join on the delta's distinct grams
+      *    — rows fed to the min-merge are delta-matched only, so the
       *    resolution aggregation is delta-proportional, not
       *    O(|standing state|), per micro-batch.
       *
       * The state side keeps its bucketed clustering through both (a
-      * filter and a broadcast join preserve partitioning), so the
-      * min-merge still plans with ZERO shuffle Exchange — plan-spec
-      * pinned. The broadcast bounds this to micro-batches whose
-      * distinct-gram set fits the driver (micro-batch sizing's job); a
-      * delta too big to broadcast would fall back to a shuffle-hash
-      * semi-join, which shuffles only the delta — never the state. */
+      * filter preserves partitioning, and the semi-join's state side
+      * is already hash-clustered on the key, so only the DELTA
+      * exchanges — one delta-sized shuffle, never the state, and never
+      * a driver-memory-bounded broadcast: a broadcast hint here would
+      * cap the batch size at what the driver can hold, exactly the
+      * wrong failure mode in the pruned (big-state) regime). The
+      * min-merge on top still plans with ZERO state-side shuffle
+      * Exchange — plan-spec pinned. */
     private def resolvedFor(s: SparkSession, grams: DataFrame): DataFrame = {
       val mm = grams.agg(min(col("gram")), max(col("gram"))).collect()(0)
       if (mm.isNullAt(0)) emptyState(s)
       else resolved(s.table(table)
         .filter(col("gram") >= lit(mm.getString(0)) &&
           col("gram") <= lit(mm.getString(1)))
-        .join(broadcast(grams.select(col("gram")).distinct()),
+        .join(grams.select(col("gram")).distinct().hint("shuffle_hash"),
           Seq("gram"), "left_semi"))
     }
 
@@ -195,8 +197,8 @@ object StreamExactSubstr {
           else s.table(table)
             .filter(col("gram") >= lit(mm.getString(0)) &&
               col("gram") <= lit(mm.getString(1)))
-            .join(broadcast(grams.select(col("gram")).distinct()),
-              Seq("gram"), "left_semi").count()
+            .join(grams.select(col("gram")).distinct()
+              .hint("shuffle_hash"), Seq("gram"), "left_semi").count()
         (s.table(table).count(), pruned)
       }
 

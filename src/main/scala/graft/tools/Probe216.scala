@@ -51,11 +51,15 @@ object Probe216 {
       val grams = ExactSubstr.gramPositions(batch.toDF()).localCheckpoint()
       val (standing, pruned) = a.stateReadRows(spark, grams)
       fullReadSum += standing; prunedReadSum += pruned
+      // time ONLY the absorb — the probe's own counting jobs above and
+      // the resolved-state audit below are instrumentation, not work
+      // the real absorber does
+      t0 = System.nanoTime()
       a.absorb(batch)
+      val dt = (System.nanoTime() - t0) / 1e9
       val resolvedNow = spark.table(table).select(col("gram"))
         .distinct().count()
       rewriteBaseline += resolvedNow
-      val dt = (System.nanoTime() - t0) / 1e9; t0 = System.nanoTime()
       println(f"batch ${i + 1}%2d: docs=${b.length}%5d  ${dt}%6.2f s" +
         f"  resolved-state=$resolvedNow%8d  state-rows-into-merge:" +
         f" full=$standing%8d pruned=$pruned%8d")

@@ -160,8 +160,11 @@ class JobsSpec extends AnyFunSuite {
       "/root/testdata/sf0.001", root, "vz", stages = Some(stages))
     assert(hijack.exists(c => c.claimed && c.reason == "stale_running"))
     assert(out == Left("attempt superseded"))
-    // "slow" was already publishing when superseded (the accepted
-    // probe-to-publish window); "late" must have been fenced PRE-publish
+    // the fence probes IMMEDIATELY before each publish: the stage whose
+    // compute outlived the reclaim is caught before ITS OWN publish,
+    // and every later stage likewise — the zombie publishes NOTHING
+    assert(!new java.io.File(s"$root/slow").exists(),
+      "the superseded attempt published the very stage that outlived the reclaim")
     assert(!new java.io.File(s"$root/late").exists(),
       "a superseded attempt republished a later stage over the new owner")
     // the hijacker (current attempt) completes normally

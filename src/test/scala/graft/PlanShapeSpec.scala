@@ -132,22 +132,28 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(exchanges == 1,
         s"state side must arrive pre-clustered (got $exchanges Exchanges)")
       // the DELTA-PRUNED state read (PersistedAbsorber.resolvedFor):
-      // range filter pushed to the scan, broadcast semi-join on the
-      // delta's distinct grams, min-merge on top — the ONLY shuffle in
-      // the whole resolution is the delta's own distinct (delta-sized);
-      // the state side never exchanges and the range predicate reaches
-      // the parquet scan (row-group skipping off the bucket-sort order)
+      // range filter pushed to the scan, shuffled-hash semi-join on the
+      // delta's distinct grams (NOT a broadcast — the pruned regime is
+      // exactly where a driver-sized broadcast bound would be the wrong
+      // failure mode), min-merge on top — every shuffle in the plan is
+      // DELTA-sized (its distinct + its re-bucketing to the state's
+      // partitioning); the state side never exchanges and the range
+      // predicate reaches the parquet scan (row-group skipping off the
+      // bucket-sort order)
       val delta = Seq(("g1", 1L), ("g5", 2L)).toDF("gram", "d")
         .localCheckpoint()
       val prunedResolved = spark.table(t)
         .filter(col("gram") >= lit("g1") && col("gram") <= lit("g5"))
-        .join(broadcast(delta.select(col("gram")).distinct()),
+        .join(delta.select(col("gram")).distinct().hint("shuffle_hash"),
           Seq("gram"), "left_semi")
         .groupBy(col("gram")).agg(min(col("v")))
       val pp = prunedResolved.queryExecution.executedPlan.toString
-      assert("Exchange hashpartitioning".r.findAllIn(pp).size <= 1,
-        "delta-pruned min-merge must shuffle at most the delta's distinct")
-      assert(pp.contains("BroadcastExchange"))
+      assert("Exchange hashpartitioning".r.findAllIn(pp).size <= 2,
+        "delta-pruned min-merge must shuffle only the delta side")
+      assert(pp.contains("ShuffledHashJoin") && pp.contains("LeftSemi"),
+        "pruned read must plan as a shuffled-hash left-semi join")
+      assert(!pp.contains("BroadcastExchange"),
+        "pruned read must not depend on a driver-bounded broadcast")
       assert(pp.contains("PushedFilters: [IsNotNull(gram), " +
         "GreaterThanOrEqual(gram,g1), LessThanOrEqual(gram,g5)]") ||
         pp.contains("GreaterThanOrEqual(gram,g1)"),
