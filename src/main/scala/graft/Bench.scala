@@ -50,6 +50,8 @@ object Bench {
     * graph tier purely from driver-side load the JSON never recorded.
     * Every BENCHQ line now carries the load read at query start so a
     * suspicious median is attributable (and re-measurable) after the fact. */
+  private def shortKey(k: String): String = k.takeWhile(_ != '_')
+
   private def loadAvg1(): Double =
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
@@ -248,6 +250,41 @@ object Bench {
   private val WideSpreadThreshold = 0.25
   private val HighLoadThreshold = 6.0
 
+  /** Round-15 postmortem: a child whose EVERY rep is uniformly slow looks
+    * perfectly healthy to the load/spread triggers — BENCH_r15 shipped
+    * q185 at 18.8s (spread 0.015, load 3.39) against a 2.0–2.6s isolated
+    * truth. The one signal that catches uniform poisoning is HISTORY:
+    * after pass 1, any query whose fresh median exceeds
+    * [[HistRatio]]× its median in the LAST COMMITTED bench_results.json
+    * (and by more than [[HistMinExcessSec]] absolute — sub-second rows
+    * flap on ratio alone) re-measures ALONE regardless of load/spread,
+    * lower median kept, recorded in `retries` tagged `"hist"`. A REAL
+    * regression survives the re-fork (both medians high — exactly how
+    * the isolated-Time1 arbitration confirmed r15's q216); a poisoned
+    * one collapses back to its historical level. */
+  private val HistRatio = 1.5
+  private val HistMinExcessSec = 0.5
+
+  /** Prior committed medians, keyed by SHORT name ("q185"), read from
+    * the last committed artifact BEFORE this run overwrites it. Missing
+    * or unparsable file → empty map (first round, renamed artifact). */
+  private def priorMedians(): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0) Map.empty
+      else {
+        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        "\"(q[0-9]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
   /** Round-11 postmortem: on a genuinely quiet box the load columns are
     * SELF-INFLICTED — each 32-thread child leaves a 1-min loadavg tail
     * of 5–12 that the next query inherits, and the load trigger then
@@ -347,9 +384,13 @@ object Bench {
         names.filter(midTier).grouped(MidGroup).toSeq ++
         names.filterNot(n => isolated(n) || midTier(n)).grouped(GroupSize).toSeq
     var remeasured: Seq[String] = Seq.empty
-    // (name, first measurement, retry measurement, which was kept: 1|2) —
-    // the lower-median-wins selection stays auditable in the artifact
-    var retriesLog: Seq[(String, QRes, QRes, Int)] = Seq.empty
+    // (name, first measurement, retry measurement, which was kept: 1|2,
+    // why it was suspected: "ls" load/spread, "hist" history-anchored,
+    // "hist+ls" both) — the lower-median-wins selection stays auditable
+    var retriesLog: Seq[(String, QRes, QRes, Int, String)] = Seq.empty
+    // read the LAST COMMITTED artifact before this run overwrites it —
+    // the history anchor for the uniform-poisoning trigger
+    val prior = priorMedians()
     val results: Seq[(String, QRes)] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_INPROC")) {
         isoMode = "session"; runInProcess(names)
@@ -385,6 +426,16 @@ object Bench {
               (isolated(n) && r.spread > SpreadThreshold) ||
               (r.med >= 1.0 && r.spread > WideSpreadThreshold))
           }
+          // HISTORY-ANCHORED trigger (r15 postmortem): uniform poisoning
+          // is invisible to load/spread — compare to the last committed
+          // artifact regardless of either
+          val histSus: Map[String, Double] = pass1.collect {
+            case (n, r) if r.med >= 0 && prior.get(shortKey(n)).exists(p =>
+              p > 0 && r.med > HistRatio * p &&
+                r.med - p > HistMinExcessSec) =>
+              n -> prior(shortKey(n))
+          }.toMap
+          val lsNames = sus0.map(_._1).toSet
           // Slots go to the suspects carrying the most SECONDS OF
           // SUSPECTED ERROR, not the largest absolute medians: round 10
           // sorted by -med and all 12 slots went to heavy-tier queries
@@ -404,16 +455,29 @@ object Bench {
               if (r.load > loadRef)
                 r.med * math.min((r.load - loadRef) / loadRef, 1.0)
               else 0.0
-            math.max(spreadSecs, loadSecs)
+            // a history suspect's suspected error is the whole excess
+            // over its committed median — q185's 18.8 vs 2.0 outranks
+            // any spread-flagged row, as it should
+            val histSecs = histSus.get(n).map(p => r.med - p).getOrElse(0.0)
+            math.max(math.max(spreadSecs, loadSecs), histSecs)
           }
-          val cap = if (sus0.size > 12) 20 else 12
-          val suspects = sus0.sortBy { case (n, r) => -errScore(n, r) }
+          val merged = (sus0 ++ pass1.filter { case (n, _) =>
+            histSus.contains(n) && !lsNames(n) })
+          val cap = if (merged.size > 12) 20 else 12
+          val suspects = merged.sortBy { case (n, r) => -errScore(n, r) }
             .take(cap).map(_._1)
+          def why(n: String): String =
+            (histSus.contains(n), lsNames(n)) match {
+              case (true, true) => "hist+ls"
+              case (true, false) => "hist"
+              case _ => "ls"
+            }
           if (suspects.isEmpty) pass1
           else {
             System.err.println(
-              s"BENCH: re-measuring ${suspects.size} load-suspect queries: " +
-                suspects.map(_.takeWhile(_ != '_')).mkString(","))
+              s"BENCH: re-measuring ${suspects.size} suspect queries: " +
+                suspects.map(n => shortKey(n) + "(" + why(n) + ")")
+                  .mkString(","))
             val retry: Map[String, QRes] = suspects.flatMap { n =>
               runForked(Seq(n), childCp, cds).map(_.toMap).getOrElse(Map.empty)
             }.toMap
@@ -425,7 +489,7 @@ object Bench {
               case (n, r1) if retry.contains(n) =>
                 val r2 = retry(n)
                 val kept = if (r2.med >= 0 && (r1.med < 0 || r2.med < r1.med)) 2 else 1
-                (n, r1, r2, kept)
+                (n, r1, r2, kept, why(n))
             }
             pass1.map { case (n, r1) =>
               retry.get(n) match {
@@ -536,7 +600,7 @@ object Bench {
                    ordered: Seq[(String, QRes)],
                    isoMode: String,
                    remeasured: Seq[String],
-                   retriesLog: Seq[(String, QRes, QRes, Int)]): Unit = {
+                   retriesLog: Seq[(String, QRes, QRes, Int, String)]): Unit = {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     def short(k: String): String = k.takeWhile(_ != '_')
@@ -583,11 +647,11 @@ object Bench {
       "\"" + short(k) + "\":" + f3(r.spread) }.mkString("{", ",", "}")
     // both measurements of every remeasured query, plus which one the
     // lower-median-wins rule adopted — file artifact only
-    val retriesJson = retriesLog.map { case (n, r1, r2, kept) =>
+    val retriesJson = retriesLog.map { case (n, r1, r2, kept, why) =>
       "\"" + short(n) + "\":{\"m1\":" + f3(r1.med) + ",\"l1\":" + f2(r1.load) +
         ",\"s1\":" + f3(r1.spread) + ",\"m2\":" + f3(r2.med) +
         ",\"l2\":" + f2(r2.load) + ",\"s2\":" + f3(r2.spread) +
-        ",\"kept\":" + kept + "}"
+        ",\"kept\":" + kept + ",\"why\":\"" + why + "\"}"
     }.mkString("{", ",", "}")
     val full = line(fullQs,
       s""""load":$loadQs,"spread":$spreadQs,"retries":$retriesJson,""")

@@ -79,33 +79,46 @@ object DailyRefreshJob {
     // has no customer table at all
     lazy val universe = graft.Tables.customer(spark, sfDir)
       .select(org.apache.spark.sql.functions.col("c_custkey"))
+    // once the guard trips (attempt superseded) the chain is DEAD: no
+    // later stage may compute (the gated stages' coverage counts are
+    // real Spark jobs), publish, or keep extending the lease — a zombie
+    // that walks its remaining stages delays the rightful owner for the
+    // whole chain length
+    var fenced = false
     chain.map { case (name, mk) =>
-      val r = try {
-        val df = mk()
-        // entity-keyed snapshots must clear the coverage gate first
-        if (name == "screen_metrics" || name == "factor_vectors" ||
-            name == "per_bands") {
-          coverageGate(df, universe, minCoverage = 0.8) match {
-            case Left(reason) =>
-              throw new IllegalStateException(s"publish blocked: $reason")
-            case Right(_) =>
+      if (fenced)
+        // no afterStage: a fenced chain must stop heartbeating the lease
+        StageResult(name, -1, Some("skipped: attempt superseded"))
+      else {
+        val r = try {
+          val df = mk()
+          // entity-keyed snapshots must clear the coverage gate first
+          if (name == "screen_metrics" || name == "factor_vectors" ||
+              name == "per_bands") {
+            coverageGate(df, universe, minCoverage = 0.8) match {
+              case Left(reason) =>
+                throw new IllegalStateException(s"publish blocked: $reason")
+              case Right(_) =>
+            }
           }
+          // the guard runs IMMEDIATELY before the publish (stage
+          // DataFrames are lazy — probing any earlier leaves the whole
+          // stage compute + write inside the zombie window)
+          publishGuard().foreach { reason =>
+            fenced = true
+            throw new IllegalStateException(reason)
+          }
+          Upsert.publishSnapshot(df, s"$outRoot/$name", version)
+          val published = Upsert.resolvePublished(s"$outRoot/$name").get
+          StageResult(name, spark.read.parquet(published).count(), None)
+        } catch {
+          case e: Throwable =>
+            StageResult(name, -1,
+              Some(Option(e.getMessage).getOrElse(e.toString)))
         }
-        // the guard runs IMMEDIATELY before the publish (stage
-        // DataFrames are lazy — probing any earlier leaves the whole
-        // stage compute + write inside the zombie window)
-        publishGuard().foreach(reason =>
-          throw new IllegalStateException(reason))
-        Upsert.publishSnapshot(df, s"$outRoot/$name", version)
-        val published = Upsert.resolvePublished(s"$outRoot/$name").get
-        StageResult(name, spark.read.parquet(published).count(), None)
-      } catch {
-        case e: Throwable =>
-          StageResult(name, -1,
-            Some(Option(e.getMessage).getOrElse(e.toString)))
+        if (!fenced) afterStage(r)
+        r
       }
-      afterStage(r)
-      r
     }
   }
 

@@ -1,11 +1,12 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.operators.Upsert
 import graft.sources.{Coverage, Ingest, JobLock, RunLedger}
-import graft.sources.Ingest.{Paginate, Retry}
+import graft.sources.Ingest.Retry
 
 /** The end-to-end LANDING job — the reference's direct-cron ingest shape
   * (`scripts/cron/cron-a-direct.ts:115-147`) with every discipline
@@ -18,6 +19,24 @@ import graft.sources.Ingest.{Paginate, Retry}
   * (`00085_create_dataset_coverage.sql`: FAILED placeholder at claim,
   * SUCCESS with the saved row count at commit).
   *
+  * SCHEMA-GENERIC: the job is parameterized over a [[Dataset]] spec —
+  * schema, within-partition key columns, per-dataset chunk size, and a
+  * row transform — the reference's per-endpoint registry shape
+  * (`src/lib/utils/batch.ts:12-30` `BATCH_SIZES` + the endpoint mapping
+  * modules, e.g. the ~50-column fins cleanse of
+  * `src/lib/jquants/endpoints/fins-summary.ts:77-163`). Landing a new
+  * business table means writing a Dataset row, not editing the job.
+  *
+  * CHUNKED: pages are flushed to an attempt-scoped parquet staging dir
+  * every `batchSize` rows (the reference upserts per 500–2000-row chunk,
+  * `batch.ts:81-141`), so driver residency per date is bounded by one
+  * chunk regardless of backfill-day volume; the partition itself is
+  * still written ONCE per landed date (chunk-wise partition rewrites
+  * would be O(chunks²) on an object store — staging-then-one-merge keeps
+  * the day write O(day)). A date small enough to fit one chunk never
+  * touches staging at all — the common daily case stays at the r15
+  * action count.
+  *
   * Spark-first split: the network discipline (bucket/retry/pagination)
   * and control state (lock, run ledger) are DRIVER-side — a fetch loop
   * is inherently sequential per endpoint and its state is a handful of
@@ -28,9 +47,9 @@ import graft.sources.Ingest.{Paginate, Retry}
   * [[Upsert.keyed]] semantics INSIDE the partition, so a landed date
   * touches exactly its own partition: O(day) I/O per ingested date, the
   * reference's per-day `ON CONFLICT` cost (`batch.ts:81-141`, PK
-  * (code, date) — here (target_date, id)), never O(|table|). Untouched
-  * partitions' files are not read, rewritten, or even listed by the
-  * write; a 30-day backfill writes 30 day-sized partitions. The
+  * (code, date) — here (target_date, keyCols)), never O(|table|).
+  * Untouched partitions' files are not read, rewritten, or even listed
+  * by the write; a 30-day backfill writes 30 day-sized partitions. The
   * atomicity unit is the partition (Spark's commit protocol stages then
   * swaps the one overwritten partition); a reader racing a re-land of
   * the SAME date can see that partition mid-commit — the window the
@@ -42,7 +61,10 @@ import graft.sources.Ingest.{Paginate, Retry}
   * a date whose fetch ultimately fails records a FAILED manifest row
   * and a failed run, and the job moves to the next date — the
   * coverage-driven catch-up ([[Coverage.catchUpTargets]]) retries it
-  * on the next scheduled run. A date already successfully run is
+  * on the next scheduled run. A crash mid-date (even mid-chunk) leaves
+  * the manifest FAILED and at worst an attempt-scoped staging dir; the
+  * healing re-land re-fetches and re-merges the whole date, converging
+  * on the same partition content. A date already successfully run is
   * skipped by the claim (`already_executed`). The job heartbeats the
   * lease after every date so a long backfill never loses its lock
   * mid-run; a second concurrent start is rejected by the lock before
@@ -52,9 +74,33 @@ object LandingJob {
   /** One page-fetch response: HTTP-ish status, rows, next cursor. */
   type Fetch = (String, Option[String]) => (Int, Seq[ApiRow], Option[String])
 
+  /** Schema-generic page fetch: rows are [[Row]]s matching the
+    * dataset's [[Dataset.schema]]. */
+  type RowFetch =
+    (String, Option[String]) => (Int, Seq[Row], Option[String])
+
   /** The landing row shape for the gate: (id, target_date, value) —
     * id is the upsert key, target_date ties the row to its manifest. */
   final case class ApiRow(id: Long, target_date: String, value: Double)
+
+  /** Per-dataset landing spec — the reference's endpoint registry row:
+    * fetch-row schema (must contain a `target_date` column; string is
+    * cast to date at landing), the within-partition upsert key (the
+    * endpoint PK minus the date — `batch.ts` PKs like (code, date)),
+    * the per-dataset chunk size (`BATCH_SIZES`, batch.ts:12-30), and
+    * the row transform applied to every fetched chunk BEFORE staging
+    * (the endpoint mapping — e.g. fins-summary's ""→null cleanse). */
+  final case class Dataset(name: String,
+                           schema: StructType,
+                           keyCols: Seq[String],
+                           batchSize: Int = 1000,
+                           transform: DataFrame => DataFrame = identity) {
+    require(schema.fieldNames.contains("target_date"),
+      s"dataset $name schema must carry target_date")
+    require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
+      s"dataset $name keyCols must be schema columns")
+    require(batchSize > 0, s"dataset $name batchSize must be positive")
+  }
 
   final case class Config(jobName: String, dataset: String,
                           landingRoot: String, coverageRoot: String,
@@ -66,6 +112,14 @@ object LandingJob {
   final case class DateResult(date: String, status: String, rows: Long,
                               pages: Int, error: Option[String])
 
+  private val apiRowSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("target_date", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+  }
+
   private def readLedger(s: SparkSession, root: String): DataFrame =
     Upsert.resolvePublished(root)
       .map(s.read.parquet(_))
@@ -73,7 +127,9 @@ object LandingJob {
 
   /** Run the landing job over `targetDates` (oldest first — the
     * forward-fill order). Returns Left(reason) when the lease is held
-    * (double start) — nothing is claimed, fetched, or written. */
+    * (double start) — nothing is claimed, fetched, or written.
+    * Legacy single-shape entry: the gate/probe row [[ApiRow]] via the
+    * generic path (key = id, one chunk — the pre-chunking behavior). */
   def run(s: SparkSession, lock: JobLock, runs: RunLedger, cfg: Config,
           targetDates: Seq[String], fetch: Fetch,
           bucket: Ingest.TokenBucket,
@@ -81,11 +137,30 @@ object LandingJob {
           uniform: () => Double = () => 0.0,
           nowMs: () => Long = () => System.currentTimeMillis())
       : Either[String, Seq[DateResult]] = {
+    val ds = Dataset(cfg.dataset, apiRowSchema, Seq("id"),
+      batchSize = Int.MaxValue)
+    val rowFetch: RowFetch = (date, cursor) => {
+      val (status, rows, next) = fetch(date, cursor)
+      (status, rows.map(r => Row(r.id, r.target_date, r.value)), next)
+    }
+    runDataset(s, lock, runs, cfg, ds, targetDates, rowFetch, bucket,
+      retrySleepMs, uniform, nowMs)
+  }
+
+  /** The schema-generic landing run: one [[Dataset]] over
+    * `targetDates` under the lease, one claim + manifest row per date. */
+  def runDataset(s: SparkSession, lock: JobLock, runs: RunLedger,
+                 cfg: Config, ds: Dataset, targetDates: Seq[String],
+                 fetch: RowFetch, bucket: Ingest.TokenBucket,
+                 retrySleepMs: Long => Unit = Thread.sleep(_),
+                 uniform: () => Double = () => 0.0,
+                 nowMs: () => Long = () => System.currentTimeMillis())
+      : Either[String, Seq[DateResult]] = {
     lock.acquire(cfg.jobName, cfg.ttlSeconds) match {
       case Left(reason) => Left(reason)
       case Right(token) =>
         try Right(targetDates.map { date =>
-          val r = runOneDate(s, runs, cfg, date, fetch, bucket,
+          val r = runOneDate(s, runs, cfg, ds, date, fetch, bucket,
             retrySleepMs, uniform, nowMs)
           // heartbeat: a long backfill must outlive the initial TTL
           lock.extend(cfg.jobName, token, cfg.ttlSeconds)
@@ -96,12 +171,18 @@ object LandingJob {
   }
 
   private def runOneDate(s: SparkSession, runs: RunLedger, cfg: Config,
-                         date: String, fetch: Fetch,
+                         ds: Dataset, date: String, fetch: RowFetch,
                          bucket: Ingest.TokenBucket,
                          retrySleepMs: Long => Unit,
                          uniform: () => Double,
                          nowMs: () => Long): DateResult = {
-    val claim = runs.claim(cfg.jobName, date,
+    // ledger key: the bare job name when the job IS the dataset (the
+    // single-dataset legacy contract the specs and q219 pin); a
+    // multi-dataset job claims per (job, dataset) so one dataset's
+    // failed date never blocks another's claim
+    val claimJob = if (ds.name == cfg.dataset) cfg.jobName
+                   else s"${cfg.jobName}:${ds.name}"
+    val claim = runs.claim(claimJob, date,
       cfg.runningStaleAfterSec, cfg.successStaleAfterSec)
     if (!claim.claimed)
       return DateResult(date, "skipped", 0L, 0, Some(claim.reason))
@@ -110,11 +191,19 @@ object LandingJob {
     // claim-time manifest: FAILED until this attempt proves otherwise —
     // a crash from here on leaves the date visibly uncovered
     publishCoverage(s, cfg,
-      Coverage.claimPlaceholder(s, cfg.dataset, day, claim.runId))
+      Coverage.claimPlaceholder(s, ds.name, day, claim.runId))
     var pages = 0
+    // attempt-scoped staging dir: chunk flushes land here, never in the
+    // partition — a zombie attempt can only dirty its own scratch
+    val stageDir = s"${cfg.landingRoot}/stage/${ds.name}/${date}_$attempt"
     try {
-      val rows = Paginate.fetchAll[ApiRow]({ cursor =>
-        Retry.withRetry({ () =>
+      val spool = new ChunkSpool(s, ds, stageDir)
+      var cursor: Option[String] = None
+      var done = false
+      while (!done) {
+        require(pages < 1000,
+          s"pagination exceeded 1000 pages — refusing to truncate")
+        val (pageRows, next) = Retry.withRetry({ () =>
           bucket.acquire() // every ATTEMPT is rate-limited, retries included
           val (status, pageRows, next) = fetch(date, cursor)
           Retry.classify(status, s"$date cursor=$cursor")
@@ -123,7 +212,10 @@ object LandingJob {
           (pageRows, next)
         }, maxRetries = cfg.maxRetries, uniform = uniform,
           sleepMs = retrySleepMs)
-      })
+        spool.add(pageRows)
+        cursor = next
+        done = next.isEmpty
+      }
       // pre-publish fence: a worker whose long fetch outlived a
       // stale-running reclaim must stop BEFORE overwriting the new
       // owner's landing table (parquet cannot roll back a publish the
@@ -132,8 +224,8 @@ object LandingJob {
       if (!runs.isCurrentAttempt(claim.runId, attempt))
         return DateResult(date, "fenced", 0L, pages,
           Some("attempt superseded before publish"))
-      val landed = land(s, cfg, date, rows)
-      publishCoverage(s, cfg, Coverage.row(s, cfg.dataset, day,
+      val landed = land(s, cfg, ds, spool)
+      publishCoverage(s, cfg, Coverage.row(s, ds.name, day,
         Coverage.Success, landed, 0, Some(nowMs()), Some(claim.runId)))
       if (runs.complete(claim.runId, attempt, "success"))
         DateResult(date, "success", landed, pages, None)
@@ -145,15 +237,102 @@ object LandingJob {
         val msg = Option(e.getMessage).getOrElse(e.toString)
         // only the still-current attempt may rewrite the manifest
         if (runs.complete(claim.runId, attempt, "failed", Some(msg)))
-          publishCoverage(s, cfg, Coverage.row(s, cfg.dataset, day,
+          publishCoverage(s, cfg, Coverage.row(s, ds.name, day,
             Coverage.Failed, 0L, 1, None, Some(claim.runId)))
         DateResult(date, "failed", 0L, pages, Some(msg))
+    } finally Upsert.rmTree(new java.io.File(stageDir))
+  }
+
+  /** Bounded-residency page accumulator: buffers at most one chunk of
+    * rows on the driver; every `batchSize` rows it stamps `__seq`
+    * (arrival order — the last-writer-wins tiebreak for duplicate keys
+    * WITHIN a fetch, e.g. an offset cursor racing upstream inserts),
+    * applies the dataset transform, and APPENDS the chunk to the
+    * attempt's staging dir (O(chunk) each — parquet append never
+    * rewrites earlier chunks). [[dedupedIncoming]] then serves the
+    * date's full incoming relation from staging, or straight from the
+    * buffer when everything fit one chunk (zero staging actions — the
+    * common daily case). Peak driver residency: one chunk. */
+  private final class ChunkSpool(s: SparkSession, ds: Dataset,
+                                 stageDir: String) {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    private var seq = 0L
+    private var staged = false
+    private[jobs] var peakBuffered = 0
+    private val dateIdx = ds.schema.fieldIndex("target_date")
+    private val keyIdx = ("target_date" +: ds.keyCols).map(ds.schema.fieldIndex)
+    // the distinct target dates seen, tracked driver-side as rows arrive
+    // (free — the fetch already materializes every row here), so land()
+    // never runs a collect job just to learn the day set
+    private val datesSeen =
+      scala.collection.mutable.LinkedHashSet.empty[String]
+
+    def dates: Seq[String] = datesSeen.toSeq
+
+    def add(rows: Seq[Row]): Unit = {
+      buf ++= rows
+      rows.foreach(r => datesSeen += String.valueOf(r.get(dateIdx)))
+      peakBuffered = math.max(peakBuffered, buf.size)
+      if (buf.size >= ds.batchSize) flush()
+    }
+
+    private def toDf(rows: Seq[Row]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val withSeq = rows.map { r =>
+        val v = Row.fromSeq(r.toSeq :+ seq); seq += 1; v }
+      val schema = ds.schema.add("__seq", "long", nullable = false)
+      val raw = s.createDataFrame(withSeq.asJava, schema)
+      // the transform must not touch the key/seq bookkeeping
+      ds.transform(raw)
+    }
+
+    private def flush(): Unit = {
+      if (buf.nonEmpty) {
+        toDf(buf.toSeq).coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(stageDir)
+        staged = true
+        buf.clear()
+      }
+    }
+
+    /** The date's incoming rows, deduped LAST-WINS on the dataset key —
+      * the reference's `ON CONFLICT DO UPDATE` applied within one fetch
+      * (ADVICE r15: Upsert.keyed alone lands within-fetch duplicates
+      * twice and over-counts them). None when the fetch produced zero
+      * rows (a checked-empty day: no partition to touch). The second
+      * element is the deduped count when it is already known
+      * driver-side (the one-chunk path — no count job needed). */
+    def dedupedIncoming(): Option[(DataFrame, Option[Long])] = {
+      if (staged) { flush(); Some((dedupDf(s.read.parquet(stageDir)), None)) }
+      else if (buf.isEmpty) None
+      else {
+        // one-chunk path: last-wins dedup ON THE DRIVER (the rows are
+        // already here) — no Spark window, no shuffle, no extra job
+        val seen =
+          scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
+        buf.foreach(r => seen(keyIdx.map(r.get(_))) = r)
+        val rows = seen.values.toSeq
+        Some((toDf(rows).drop("__seq"), Some(rows.size.toLong)))
+      }
+    }
+
+    private def dedupDf(withSeq: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(("target_date" +: ds.keyCols).map(col): _*)
+        .orderBy(col("__seq").desc)
+      withSeq.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__seq")
     }
   }
 
-  /** The landing table's data root: a parquet layout partitioned by
-    * `target_date`. */
+  /** The landing table's data root for `ds` — a parquet layout
+    * partitioned by `target_date`, one root per dataset. The legacy
+    * single-dataset path keeps the bare `data` dir. */
   private[graft] def landingDataPath(root: String): String = s"$root/data"
+  private[graft] def landingDataPath(root: String, ds: Dataset): String =
+    if (ds.schema eq apiRowSchema) landingDataPath(root)
+    else s"$root/data_${ds.name}"
 
   /** The published landing table (None until the first date lands).
     * Emptiness ignores Spark metadata entries (`_temporary`,
@@ -161,48 +340,65 @@ object LandingJob {
     * leaves only `_temporary` behind, and treating that as a published
     * table would wedge every subsequent land() on a schema-inference
     * error — the partition dirs (`target_date=...`) are the signal. */
-  def readLanding(s: SparkSession, root: String): Option[DataFrame] = {
-    val p = new java.io.File(landingDataPath(root))
+  def readLanding(s: SparkSession, root: String): Option[DataFrame] =
+    readLandingPath(s, landingDataPath(root))
+
+  /** The published landing table for one [[Dataset]]. */
+  def readLanding(s: SparkSession, root: String,
+                  ds: Dataset): Option[DataFrame] =
+    readLandingPath(s, landingDataPath(root, ds))
+
+  private def readLandingPath(s: SparkSession,
+                              path: String): Option[DataFrame] = {
+    val p = new java.io.File(path)
     val real = Option(p.listFiles()).getOrElse(Array())
       .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
     if (real.nonEmpty) Some(s.read.parquet(p.toString)) else None
   }
 
   /** PARTITION-SCOPED idempotent landing write: upsert the date's rows
-    * into that date's partition on `id` (the within-partition key — the
-    * reference's (code, date) PK) and overwrite ONLY the partitions the
-    * incoming rows touch (dynamic partition overwrite). Re-landing
-    * identical rows yields an identical partition; every other
-    * partition's files are untouched byte for byte. */
-  private def land(s: SparkSession, cfg: Config, date: String,
-                   rows: Seq[ApiRow]): Long = {
-    import s.implicits._
-    if (rows.isEmpty) return 0L // checked-empty day: no partition to touch
-    val incoming = rows.toDF()
-      .select(col("id"), to_date(col("target_date")).as("target_date"),
-        col("value"))
+    * into that date's partition on the dataset key (the
+    * within-partition key — the reference's (code, date) PK) and
+    * overwrite ONLY the partitions the incoming rows touch (dynamic
+    * partition overwrite). Re-landing identical rows yields an
+    * identical partition; every other partition's files are untouched
+    * byte for byte. Returns the DEDUPED landed row count (the manifest
+    * figure — within-fetch duplicates land, and count, once). */
+  private def land(s: SparkSession, cfg: Config, ds: Dataset,
+                   spool: ChunkSpool): Long = {
+    val (incoming0, knownCount) = spool.dedupedIncoming() match {
+      case None => return 0L // checked-empty day: no partition to touch
+      case Some(t) => t
+    }
+    val typed = incoming0
+      .withColumn("target_date", to_date(col("target_date")))
+    // one-chunk incoming is a LocalRelation (free to re-evaluate);
+    // staged incoming gets pinned so the count below and the merge
+    // don't each re-run the dedup window over the staging files
+    val incoming =
+      if (knownCount.isDefined) typed else typed.localCheckpoint()
     // partition-scoped read: only the incoming dates' partitions are
     // merged against (partition pruning — the rest of the table is
-    // never read); rows is driver-side, so the date set is free
-    val dates = rows.map(_.target_date).distinct
-    val existing = readLanding(s, cfg.landingRoot)
+    // never read); the day set was tracked driver-side by the spool
+    val dates = spool.dates.map(java.sql.Date.valueOf)
+    val existing = readLanding(s, cfg.landingRoot, ds)
       .map(_.filter(col("target_date").isin(dates: _*))
         .select(incoming.columns.map(col): _*))
       .getOrElse(incoming.limit(0))
     val merged = Upsert.keyed(existing, incoming,
-        Seq("target_date", "id"))
+        "target_date" +: ds.keyCols)
       .localCheckpoint() // the write replaces the partition it read
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "dynamic")
     try merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("target_date")
-      .parquet(landingDataPath(cfg.landingRoot))
+      .parquet(landingDataPath(cfg.landingRoot, ds))
     finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
-    rows.size.toLong // the landed count — incoming is driver-supplied
+    knownCount.getOrElse(incoming.count()) // the DEDUPED landed figure
   }
 
   private def publishCoverage(s: SparkSession, cfg: Config,
@@ -228,9 +424,17 @@ object LandingJob {
     * COVERAGE, not output presence. */
   def catchUpDates(s: SparkSession, cfg: Config, calendar: DataFrame,
                    calDateCol: String, today: java.sql.Date,
-                   lookbackDays: Int, maxDays: Int): Seq[String] = {
+                   lookbackDays: Int, maxDays: Int): Seq[String] =
+    catchUpDatesFor(s, cfg, cfg.dataset, calendar, calDateCol, today,
+      lookbackDays, maxDays)
+
+  /** Per-dataset catch-up planning over the shared coverage root. */
+  def catchUpDatesFor(s: SparkSession, cfg: Config, dataset: String,
+                      calendar: DataFrame, calDateCol: String,
+                      today: java.sql.Date, lookbackDays: Int,
+                      maxDays: Int): Seq[String] = {
     import s.implicits._
-    Coverage.catchUpTargets(readLedger(s, cfg.coverageRoot), cfg.dataset,
+    Coverage.catchUpTargets(readLedger(s, cfg.coverageRoot), dataset,
       calendar, calDateCol, today, lookbackDays, maxDays)
       .select(col("target_day")).as[java.sql.Date]
       .collect().toSeq.map(_.toString)

@@ -571,6 +571,13 @@ object ExactSubstr {
     import java.nio.file._
     val fin = vocabArtifactPath(dir)
     if (!Files.exists(fin.resolve("_SUCCESS"))) {
+      // a fin dir WITHOUT _SUCCESS is a corpse (tmp reaper ate the
+      // marker, or a foreign dir squatted the fixed name): left in
+      // place it wedges the install forever — every retrain's
+      // ATOMIC_MOVE fails DirectoryNotEmpty and callers keep reading
+      // the bad dir. Clear it so the winner's rename can land.
+      if (Files.exists(fin))
+        graft.operators.Upsert.rmTree(fin.toFile)
       val stage = fin.resolveSibling(
         "stage_" + java.util.UUID.randomUUID().toString)
       writeVocabArtifact(s, dir, stage.toString)

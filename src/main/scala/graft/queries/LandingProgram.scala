@@ -86,7 +86,18 @@ object LandingProgram {
         (200, page, next)
       }
     }
+    // scratch root removed in the finally below (the bench runs this
+    // gate many reps per round — leaked landing/coverage dirs would
+    // accumulate in /tmp exactly like the ExactSubstr scratch used to)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q219")
+    try q219Body(s, tmp, dates, fetch, () => healed = true, mark)
+    finally graft.operators.Upsert.rmTree(tmp.toFile)
+  }
+
+  private def q219Body(s: SparkSession, tmp: java.nio.file.Path,
+                       dates: Seq[String], fetch: LandingJob.Fetch,
+                       heal: () => Unit, mark: String => Unit): DataFrame = {
+    import s.implicits._
     val cfg = LandingJob.Config("landing_q219", "orders",
       s"$tmp/landing", s"$tmp/coverage")
     var now = 0L
@@ -108,7 +119,7 @@ object LandingProgram {
     try {
       pass(dates) // first pass: planted dates record FAILED manifests
       mark("pass1")
-      healed = true
+      heal()
       // catch-up reads the MANIFEST over the target-date calendar and
       // plans exactly the failed dates, oldest first
       val calendar = dates.map(java.sql.Date.valueOf).toDF("day")
@@ -116,7 +127,9 @@ object LandingProgram {
       val plan = LandingJob.catchUpDates(s, cfg, calendar, "day",
         java.sql.Date.valueOf(dates.last), lookbackDays = 10000,
         maxDays = 100)
-      require(plan == dates.filter(plantedFail),
+      val planted = dates.zipWithIndex
+        .collect { case (d, i) if i % 3 == 2 => d }
+      require(plan == planted,
         s"catch-up planned $plan, expected the planted failures")
       pass(plan) // heal
       mark("pass2")
@@ -127,6 +140,8 @@ object LandingProgram {
     val manifest = s.read.parquet(
       graft.operators.Upsert.resolvePublished(cfg.coverageRoot).get)
       .select(col("target_date"), col("status"))
+    // checkpoint: the caller's action runs AFTER the finally deletes the
+    // scratch root, so the 6-row result must be materialized here
     LandingJob.readLanding(s, cfg.landingRoot).get
       .groupBy(col("target_date"))
       .agg(count(lit(1)).as("n_rows"),
@@ -135,6 +150,7 @@ object LandingProgram {
         max(col("value")).cast("long").as("max_cents"))
       .join(manifest, Seq("target_date"))
       .orderBy(col("target_date"))
+      .localCheckpoint()
   }
 
   /** DuckDB replays the data path directly: the same 6 dates, the same
