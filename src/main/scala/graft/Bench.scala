@@ -160,9 +160,9 @@ object Bench {
     // rounds, latency-bound) + token table + token-gram dedup/absorb.
     "q211_exact_substr", "q212_multimodal_dedup", "q215_token_exact_substr",
     "q217_incr_token_exact_substr",
-    // q219 is control-plane-latency-bound (~45 metadata-sized Spark
-    // actions across 8 landed dates incl. catch-up), ~9s steady
-    "q219_landing_pipeline")
+    // q219/q220 are control-plane-latency-bound (metadata-sized Spark
+    // actions per landed date incl. catch-up), ~9s / ~5s steady
+    "q219_landing_pipeline", "q220_generic_landing")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(

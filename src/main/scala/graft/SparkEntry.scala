@@ -240,6 +240,7 @@ object SparkEntry {
     "q217_incr_token_exact_substr" -> (ExactSubstr.q217IncrTokenExactSubstr _),
     "q218_coverage_catchup" -> (CoverageProgram.q218CoverageCatchup _),
     "q219_landing_pipeline" -> (LandingProgram.q219LandingPipeline _),
+    "q220_generic_landing" -> (LandingProgram.q220GenericLanding _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -572,6 +573,7 @@ object SparkEntry {
     "q217_incr_token_exact_substr" -> ExactSubstr.oracleQ217,
     "q218_coverage_catchup" -> CoverageProgram.oracleQ218,
     "q219_landing_pipeline" -> LandingProgram.oracleQ219,
+    "q220_generic_landing" -> LandingProgram.oracleQ220,
   )
 
   private val asofOracle: String =

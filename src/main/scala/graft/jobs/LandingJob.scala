@@ -253,12 +253,12 @@ object LandingJob {
     * date's full incoming relation from staging, or straight from the
     * buffer when everything fit one chunk (zero staging actions — the
     * common daily case). Peak driver residency: one chunk. */
-  private final class ChunkSpool(s: SparkSession, ds: Dataset,
+  private[graft] final class ChunkSpool(s: SparkSession, ds: Dataset,
                                  stageDir: String) {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
     private var seq = 0L
     private var staged = false
-    private[jobs] var peakBuffered = 0
+    private[graft] var peakBuffered = 0
     private val dateIdx = ds.schema.fieldIndex("target_date")
     private val keyIdx = ("target_date" +: ds.keyCols).map(ds.schema.fieldIndex)
     // the distinct target dates seen, tracked driver-side as rows arrive

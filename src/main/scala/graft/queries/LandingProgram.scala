@@ -153,6 +153,169 @@ object LandingProgram {
       .localCheckpoint()
   }
 
+  // ---------------------------------------------------------------- q220
+
+  /** The 50-column fins-shaped landing schema — the reference's widest
+    * endpoint (`src/lib/jquants/endpoints/fins-summary.ts:77-163` lands
+    * a ~50-field financial-statement row with a ""→null cleanse). Key
+    * (target_date, id); 46 derived value columns + 2 strings. */
+  private[graft] val wideSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      Seq(StructField("id", LongType, nullable = false),
+        StructField("target_date", StringType, nullable = false),
+        StructField("note", StringType, nullable = true),
+        StructField("code", StringType, nullable = false)) ++
+        (1 to 46).map(k =>
+          StructField(f"v$k%02d", LongType, nullable = false)))
+  }
+
+  /** One wide "API" row from an (id, cents) source pair: deterministic
+    * integer derivations both engines can replay exactly. `note` is
+    * empty-string for id % 7 == 0 — the cleanse target. */
+  private[graft] def wideRow(id: Long, date: String,
+                             cents: Long): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row.fromSeq(
+      Seq(id, date,
+        if (id % 7 == 0) "" else "n" + (id % 97),
+        "c" + (id % 1000)) ++
+        (1 to 46).map(k => (cents * k) % 1000003L))
+
+  /** The fins-summary cleanse as the dataset transform: empty strings
+    * become SQL NULL (fins-summary.ts's `parseNumber`/`emptyToNull`
+    * mapping — applied to every chunk before it is staged/landed). */
+  private[graft] val wideCleanse: DataFrame => DataFrame = df =>
+    df.withColumn("note",
+      when(length(col("note")) === 0, lit(null)).otherwise(col("note")))
+
+  /** q220 — SCHEMA-GENERIC landing, oracle-gated: the SAME composed
+    * control plane as q219 (lease → claim → rate-limited paginated
+    * fetch → partition-scoped land → manifest → coverage-driven
+    * catch-up → heal) but run through [[LandingJob.runDataset]] with a
+    * 50-column fins-shaped [[LandingJob.Dataset]] — per-dataset key
+    * spec, per-dataset batch size (pages spool through the chunked
+    * staging path once a date outgrows one chunk, e.g. at sf0.1), and
+    * the ""→null cleanse transform. One planted 401 date heals via the
+    * manifest-driven catch-up. The gate output is per-date aggregates
+    * over the landed WIDE table (sums of two derived columns, the
+    * cleansed-null count, distinct codes) joined with the manifest's
+    * terminal status, hash-matched against DuckDB deriving the same
+    * columns from the source rows directly — a dropped page, a
+    * mis-keyed upsert, a transform that touched the wrong rows, or an
+    * unhealed date all break equality. */
+  def q220GenericLanding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("id"),
+        to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    // 3 oldest dates — the generic gate exercises schema width and the
+    // chunk spool, not the multi-date scheduling q219 already pins
+    val dates = o.select(col("d")).distinct().orderBy(col("d"))
+      .limit(3).as[java.sql.Date].collect().toSeq.map(_.toString)
+    val byDate: Map[String, IndexedSeq[(Long, Long)]] = o
+      .filter(col("d").isin(dates: _*))
+      .select(col("id"), col("d").cast("string"), col("cents"))
+      .as[(Long, String, Long)].collect().toIndexedSeq
+      .groupBy(_._2).map { case (k, v) =>
+        k -> v.map(t => (t._1, t._3)).sortBy(_._1) }
+    val PageSize = 25
+    val plantedFail = dates(1)
+    @volatile var healed = false
+    val fetch: LandingJob.RowFetch = (date, cursor) => {
+      if (!healed && date == plantedFail) (401, Nil, None)
+      else {
+        val rows = byDate.getOrElse(date, IndexedSeq.empty)
+        val start = cursor.map(_.toInt).getOrElse(0)
+        val page = rows.slice(start, start + PageSize)
+          .map { case (id, cents) => wideRow(id, date, cents) }
+        val next = if (start + PageSize < rows.size)
+          Some((start + PageSize).toString) else None
+        (200, page, next)
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q220")
+    try q220Body(s, tmp, dates, plantedFail, fetch, () => healed = true)
+    finally graft.operators.Upsert.rmTree(tmp.toFile)
+  }
+
+  private def q220Body(s: SparkSession, tmp: java.nio.file.Path,
+                       dates: Seq[String], plantedFail: String,
+                       fetch: LandingJob.RowFetch,
+                       heal: () => Unit): DataFrame = {
+    import s.implicits._
+    val cfg = LandingJob.Config("landing_q220", "fins",
+      s"$tmp/landing", s"$tmp/coverage")
+    // batchSize 48: one chunk at the sf0.001/sf0.01 gates (the common
+    // daily-volume path), the STAGED chunk path at sf0.1 (~62 rows per
+    // date) — the same query exercises both write paths across SFs
+    val ds = LandingJob.Dataset("fins", wideSchema, Seq("id"),
+      batchSize = 48, transform = wideCleanse)
+    var now = 0L
+    val bucket = new Ingest.TokenBucket(requestsPerMinute = 60,
+      minIntervalMs = 1000L, nowMs = () => now, sleepMs = now += _)
+    val lock = new JobLock(tmp.resolve("locks"))
+    val runs = new RunLedger(nowMs = () => now)
+    def pass(dd: Seq[String]): Unit =
+      LandingJob.runDataset(s, lock, runs, cfg, ds, dd, fetch, bucket,
+        retrySleepMs = now += _, nowMs = () => now)
+        .fold(r => sys.error(s"landing rejected: $r"), identity)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      pass(dates)
+      heal()
+      val calendar = dates.map(java.sql.Date.valueOf).toDF("day")
+        .withColumn("is_business_day", lit(true))
+      val plan = LandingJob.catchUpDatesFor(s, cfg, ds.name, calendar,
+        "day", java.sql.Date.valueOf(dates.last), lookbackDays = 10000,
+        maxDays = 100)
+      require(plan == Seq(plantedFail),
+        s"catch-up planned $plan, expected Seq($plantedFail)")
+      pass(plan)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val manifest = s.read.parquet(
+      graft.operators.Upsert.resolvePublished(cfg.coverageRoot).get)
+      .select(col("target_date"), col("status"))
+    LandingJob.readLanding(s, cfg.landingRoot, ds).get
+      .groupBy(col("target_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v07")).cast("long").as("sum_v07"),
+        sum(col("v31")).cast("long").as("sum_v31"),
+        count(when(col("note").isNull, 1)).as("n_null_note"),
+        countDistinct(col("code")).as("n_codes"))
+      .join(manifest, Seq("target_date"))
+      .orderBy(col("target_date"))
+      .localCheckpoint()
+  }
+
+  /** DuckDB derives the same wide columns from the source rows
+    * directly: vK = (cents·K) mod 1000003, NULL notes are exactly the
+    * id % 7 == 0 rows the cleanse blanked. */
+  val oracleQ220: String =
+    """WITH d3 AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+      |  FROM orders ORDER BY d LIMIT 3
+      |), src AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS target_date,
+      |         CAST(o_orderkey AS BIGINT) AS id,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) IN (SELECT d FROM d3)
+      |)
+      |SELECT target_date,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM((cents * 7) % 1000003) AS BIGINT) AS sum_v07,
+      |       CAST(SUM((cents * 31) % 1000003) AS BIGINT) AS sum_v31,
+      |       CAST(SUM(CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_null_note,
+      |       CAST(COUNT(DISTINCT 'c' || CAST(id % 1000 AS VARCHAR))
+      |         AS BIGINT) AS n_codes,
+      |       'success' AS status
+      |FROM src
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** DuckDB replays the data path directly: the same 6 dates, the same
     * per-date aggregates over the source rows, `success` everywhere —
     * any date the pipeline failed to heal, any page it dropped, any

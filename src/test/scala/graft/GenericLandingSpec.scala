@@ -1,0 +1,200 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.jobs.LandingJob
+import graft.jobs.LandingJob.{Config, Dataset}
+import graft.operators.Upsert
+import graft.sources.{Ingest, JobLock, RunLedger}
+
+/** The SCHEMA-GENERIC landing job (round-16): per-[[Dataset]] schema /
+  * key / batch-size / transform through the same composed control plane
+  * (reference: the per-endpoint registry of `src/lib/utils/batch.ts:12-30`
+  * and the endpoint mapping modules).
+  *
+  *  1. TWO SCHEMAS, ONE ROOT — a 3-column bars dataset and a wide
+  *     fins-shaped dataset land under one landing root + one coverage
+  *     root + one job lock + one run ledger, without interfering.
+  *  2. CHUNK SPOOL — pages spool to staging every batchSize rows
+  *     (driver residency bounded by one chunk + one page), the spooled
+  *     relation round-trips with last-wins key dedup.
+  *  3. WITHIN-FETCH DUPES — duplicate keys inside one fetch land once,
+  *     LAST page wins (the reference's ON CONFLICT DO UPDATE applied to
+  *     an offset cursor racing upstream inserts), and the manifest
+  *     counts the deduped figure.
+  *  4. CRASH BETWEEN CHUNKS — a fetch that dies after the first chunk
+  *     was staged leaves a FAILED manifest; the coverage-driven
+  *     catch-up re-lands the date and the partition converges to
+  *     exactly the clean-run rows.
+  */
+class GenericLandingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val barsSchema = StructType(Seq(
+    StructField("code", StringType, nullable = false),
+    StructField("target_date", StringType, nullable = false),
+    StructField("close", DoubleType, nullable = false)))
+
+  private val finsSchema = StructType(
+    Seq(StructField("code", StringType, nullable = false),
+      StructField("target_date", StringType, nullable = false),
+      StructField("note", StringType, nullable = true)) ++
+      (1 to 12).map(k => StructField(f"v$k%02d", LongType, nullable = false)))
+
+  private def finsRow(code: String, date: String, note: String,
+                      base: Long): Row =
+    Row.fromSeq(Seq(code, date, note) ++ (1 to 12).map(k => base * k))
+
+  private def mkHarness(job: String) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_genland")
+    var now = 0L
+    val bucket = new Ingest.TokenBucket(requestsPerMinute = 600,
+      minIntervalMs = 1L, nowMs = () => now, sleepMs = now += _)
+    val lock = new JobLock(tmp.resolve("locks"))
+    val runs = new RunLedger(nowMs = () => now)
+    (tmp, bucket, lock, runs, (d: Long) => now += d, () => now)
+  }
+
+  test("two different-schema datasets land under one coverage root") {
+    val (tmp, bucket, lock, runs, sleep, now) = mkHarness("landing_multi")
+    val cfg = Config("landing_multi", "multi",
+      s"$tmp/landing", s"$tmp/coverage")
+    val bars = Dataset("bars", barsSchema, Seq("code"))
+    val fins = Dataset("fins", finsSchema, Seq("code"),
+      transform = df => df.withColumn("note",
+        when(length(col("note")) === 0, lit(null)).otherwise(col("note"))))
+    val barsFetch: LandingJob.RowFetch = (d, _) =>
+      (200, Seq(Row("7203", d, 101.5), Row("9984", d, 55.25)), None)
+    val finsFetch: LandingJob.RowFetch = (d, _) =>
+      (200, Seq(finsRow("7203", d, "", 10L),
+        finsRow("6758", d, "ok", 20L)), None)
+    assert(LandingJob.runDataset(spark, lock, runs, cfg, bars,
+      Seq("2024-06-03"), barsFetch, bucket, sleep, nowMs = now)
+      .toOption.get.map(_.status) == Seq("success"))
+    assert(LandingJob.runDataset(spark, lock, runs, cfg, fins,
+      Seq("2024-06-03"), finsFetch, bucket, sleep, nowMs = now)
+      .toOption.get.map(_.status) == Seq("success"))
+
+    // each dataset's table has its own root, schema, and rows
+    val barsT = LandingJob.readLanding(spark, cfg.landingRoot, bars).get
+    assert(barsT.columns.toSet == Set("code", "target_date", "close"))
+    assert(barsT.count() == 2)
+    val finsT = LandingJob.readLanding(spark, cfg.landingRoot, fins).get
+    assert(finsT.columns.length == 15)
+    assert(finsT.count() == 2)
+    // the transform cleansed ""→null on the fins rows only
+    assert(finsT.filter(col("note").isNull).count() == 1)
+    // ONE coverage root carries one manifest row per (dataset, day)
+    val cov = spark.read.parquet(
+      Upsert.resolvePublished(cfg.coverageRoot).get)
+    assert(cov.select("dataset").distinct().collect().map(_.getString(0))
+      .toSet == Set("bars", "fins"))
+    assert(cov.filter(col("status") === "success").count() == 2)
+    // the shared ledger holds one claim per (job:dataset, day)
+    assert(runs.run("landing_multi:bars", "2024-06-03")
+      .get.status == "success")
+    assert(runs.run("landing_multi:fins", "2024-06-03")
+      .get.status == "success")
+    Upsert.rmTree(tmp.toFile)
+  }
+
+  test("chunk spool: bounded residency, staged round-trip, last-wins dedup") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spool")
+    val ds = Dataset("bars", barsSchema, Seq("code"), batchSize = 8)
+    val spool = new LandingJob.ChunkSpool(spark, ds, s"$tmp/stage")
+    // 5 pages of 10 rows; codes repeat across pages (page p rewrites
+    // codes c0..c9 with close = p) — last page must win per code
+    (1 to 5).foreach { p =>
+      spool.add((0 until 10).map(i =>
+        Row(s"c$i", "2024-06-03", p.toDouble)))
+    }
+    // residency never exceeded one chunk + one page
+    assert(spool.peakBuffered <= 8 + 10,
+      s"peak ${spool.peakBuffered} exceeds chunk+page bound")
+    val (df, known) = spool.dedupedIncoming().get
+    assert(known.isEmpty) // staged path: count comes from the relation
+    val got = df.select("code", "close").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == (0 until 10).map(i => s"c$i").toSet)
+    assert(got.values.toSet == Set(5.0), "last page must win per key")
+    Upsert.rmTree(tmp.toFile)
+  }
+
+  test("within-fetch duplicate keys land once, last wins, count deduped") {
+    val (tmp, bucket, lock, runs, sleep, now) = mkHarness("landing_dup")
+    val cfg = Config("landing_dup", "bars",
+      s"$tmp/landing", s"$tmp/coverage")
+    val ds = Dataset("bars", barsSchema, Seq("code"))
+    // an offset cursor racing upstream inserts re-serves code 7203 on
+    // page 2 with a corrected close
+    val fetch: LandingJob.RowFetch = (d, cursor) => cursor match {
+      case None =>
+        (200, Seq(Row("7203", d, 100.0), Row("9984", d, 50.0)), Some("2"))
+      case Some("2") =>
+        (200, Seq(Row("7203", d, 101.0)), None)
+      case other => fail(s"unexpected cursor $other")
+    }
+    val out = LandingJob.runDataset(spark, lock, runs, cfg, ds,
+      Seq("2024-06-03"), fetch, bucket, sleep, nowMs = now)
+      .toOption.get.head
+    assert(out.status == "success")
+    assert(out.rows == 2, "manifest must count the DEDUPED figure")
+    val t = LandingJob.readLanding(spark, cfg.landingRoot, ds).get
+    assert(t.count() == 2)
+    assert(t.filter(col("code") === "7203").select("close")
+      .collect().map(_.getDouble(0)).toSeq == Seq(101.0),
+      "the LAST served row must win the key collision")
+    Upsert.rmTree(tmp.toFile)
+  }
+
+  test("crash between chunks: FAILED manifest, catch-up heals to clean rows") {
+    val (tmp, bucket, lock, runs, sleep, now) = mkHarness("landing_crash")
+    val cfg = Config("landing_crash", "bars",
+      s"$tmp/landing", s"$tmp/coverage", maxRetries = 0)
+    val ds = Dataset("bars", barsSchema, Seq("code"), batchSize = 8)
+    @volatile var healed = false
+    // 3 pages of 10; page 2 dies hard on the first pass — AFTER page 1
+    // already flushed a staged chunk
+    val fetch: LandingJob.RowFetch = (d, cursor) => {
+      val start = cursor.map(_.toInt).getOrElse(0)
+      if (start == 10 && !healed) (500, Nil, None)
+      else {
+        val page = (start until math.min(start + 10, 30)).map(i =>
+          Row(s"c$i", d, i.toDouble))
+        val next = if (start + 10 < 30) Some((start + 10).toString) else None
+        (200, page, next)
+      }
+    }
+    val first = LandingJob.runDataset(spark, lock, runs, cfg, ds,
+      Seq("2024-06-03"), fetch, bucket, sleep, nowMs = now)
+      .toOption.get.head
+    assert(first.status == "failed")
+    // the failed attempt left no staging behind and no landed partition
+    assert(!new java.io.File(s"${cfg.landingRoot}/stage/bars").exists() ||
+      new java.io.File(s"${cfg.landingRoot}/stage/bars").list().isEmpty)
+    // manifest says FAILED — the catch-up signal
+    val cov0 = spark.read.parquet(
+      Upsert.resolvePublished(cfg.coverageRoot).get)
+    assert(cov0.filter(col("dataset") === "bars" &&
+      col("status") === "failed").count() == 1)
+    healed = true
+    import spark.implicits._
+    val cal = Seq(java.sql.Date.valueOf("2024-06-03")).toDF("day")
+      .withColumn("is_business_day", lit(true))
+    val plan = LandingJob.catchUpDatesFor(spark, cfg, "bars", cal, "day",
+      java.sql.Date.valueOf("2024-06-03"), 10, 10)
+    assert(plan == Seq("2024-06-03"))
+    val second = LandingJob.runDataset(spark, lock, runs, cfg, ds,
+      plan, fetch, bucket, sleep, nowMs = now).toOption.get.head
+    assert(second.status == "success" && second.rows == 30)
+    val rows = LandingJob.readLanding(spark, cfg.landingRoot, ds).get
+      .select("code", "close").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSet
+    assert(rows == (0 until 30).map(i => s"c$i" -> i.toDouble).toSet,
+      "healed partition must hold exactly the clean-run rows")
+    Upsert.rmTree(tmp.toFile)
+  }
+}
