@@ -31,11 +31,17 @@ object ScreenMetrics {
 
   private val D2 = "decimal(18,2)"
 
-  def run(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(s, dir)
-    val lineitem = Tables.lineitem(s, dir)
-    val customer = Tables.customer(s, dir)
+  def run(s: SparkSession, dir: String): DataFrame =
+    fromTables(Tables.orders(s, dir), Tables.lineitem(s, dir),
+      Tables.customer(s, dir))
 
+  /** The same program over explicit input relations — the landed-table
+    * refresh mode ([[graft.jobs.DailyRefreshJob]] points this at the
+    * tables the landing job just wrote, the reference's cron-A
+    * post-step shape, `cron-a-direct.ts:115-147`). Inputs must carry
+    * the testdata column names. */
+  def fromTables(orders: DataFrame, lineitem: DataFrame,
+                 customer: DataFrame): DataFrame = {
     // px: latest/5th/10th reference prices per entity — single-scan pivot,
     // NOT a 5-way self-join (the 00049 regression).
     val wRank = Window.partitionBy(col("o_custkey"))

@@ -79,9 +79,16 @@ object TechnicalJob {
     * first value of the day, close = last, high/low = extremes, volume =
     * event count) and run the kernel per user. Driver-testdata adapter for
     * the q31 rows-only check. */
-  def fromEvents(s: SparkSession, dir: String): DataFrame = {
+  def fromEvents(s: SparkSession, dir: String): DataFrame =
+    fromEventsDf(Tables.events(s, dir))
+
+  /** The same kernel over an explicit events relation — the
+    * landed-table refresh mode (the composed pipeline points this at
+    * the landing job's output). Must carry the testdata events column
+    * names (user_id, ts, event_id, value). */
+  def fromEventsDf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
-    val ev = Tables.events(s, dir)
     val wAsc = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts"), col("event_id"))
     val wFull = wAsc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

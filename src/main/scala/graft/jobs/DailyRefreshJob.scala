@@ -171,21 +171,23 @@ object DailyRefreshJob {
       }))
   }
 
-  /** Is `targetDate`'s landing marked SUCCESS in the coverage manifest?
-    * The refresh trusts the MANIFEST, not output presence — a date whose
-    * landing failed (or never ran) has a partition that is stale or
-    * absent, and deriving analytics from it would publish wrong
-    * snapshots silently. */
+  /** Is `targetDate`'s landing marked SUCCESS in the coverage manifest
+    * for EVERY dataset in `datasets`? The refresh trusts the MANIFEST,
+    * not output presence — a date whose landing failed (or never ran)
+    * has a partition that is stale or absent, and deriving analytics
+    * from it would publish wrong snapshots silently. One read, one
+    * distinct-count — never a per-dataset scan loop. */
   private def landingCovered(spark: SparkSession,
                              cfg: LandingJob.Config,
-                             targetDate: String): Boolean = {
+                             targetDate: String,
+                             datasets: Seq[String]): Boolean = {
     import org.apache.spark.sql.functions._
     Upsert.resolvePublished(cfg.coverageRoot).exists { dir =>
       spark.read.parquet(dir)
-        .filter(col("dataset") === lit(cfg.dataset) &&
+        .filter(col("dataset").isin(datasets: _*) &&
           col("target_date") === to_date(lit(targetDate)) &&
           col("status") === lit(graft.sources.Coverage.Success))
-        .limit(1).count() > 0
+        .select(col("dataset")).distinct().count() == datasets.size
     }
   }
 
@@ -211,13 +213,74 @@ object DailyRefreshJob {
                               runningStaleAfterSec: Option[Long] =
                                 Some(3600L))
       : Either[String, Seq[StageResult]] =
-    if (landingCovered(spark, landingCfg, targetDate))
+    runRefreshIfCovered(spark, lock, runs, landingCfg, targetDate,
+      Seq(landingCfg.dataset), outRoot, version, jobName, ttlSeconds,
+      runningStaleAfterSec,
+      landingStages(spark, landingCfg.landingRoot, targetDate))
+
+  /** The PRODUCTION refresh DAG over LANDED tables: the real derived
+    * stages (the flagship stock-metrics program + the technical-kernel
+    * snapshot — the reference cron-A post-step chain,
+    * `cron-a-direct.ts:115-147`) computed FROM THE TABLES THE LANDING
+    * JOB WROTE, plus the O(day) per-date landing stats. Gated on the
+    * coverage manifest of EVERY input dataset for `targetDate`: one
+    * unlanded input blocks the whole chain via a recorded failed claim
+    * (reclaimable once the landing catch-up heals). `orders`,
+    * `lineitem`, `customer`, `events` are the landed [[LandingJob.Dataset]]
+    * specs whose tables carry the testdata column names.
+    *
+    * Scale shape: the derived programs read the landed tables' FULL
+    * history (stock metrics ranks the latest-10 orders per entity;
+    * technicals fold a 400-bar lookback) — the reference's refresh
+    * cost, O(lookback·entities), not O(day); the landing-stat stages
+    * prune to the one target_date partition. */
+  def runProductionRefresh(spark: SparkSession,
+                           lock: graft.sources.JobLock,
+                           runs: graft.sources.RunLedger,
+                           landingCfg: LandingJob.Config,
+                           orders: LandingJob.Dataset,
+                           lineitem: LandingJob.Dataset,
+                           customer: LandingJob.Dataset,
+                           events: LandingJob.Dataset,
+                           targetDate: String, outRoot: String,
+                           version: String,
+                           jobName: String = "daily_refresh",
+                           ttlSeconds: Long = 600L,
+                           runningStaleAfterSec: Option[Long] =
+                             Some(3600L))
+      : Either[String, Seq[StageResult]] = {
+    def landed(ds: LandingJob.Dataset) =
+      LandingJob.readLanding(spark, landingCfg.landingRoot, ds)
+        .getOrElse(sys.error(s"no landed ${ds.name} table under " +
+          landingCfg.landingRoot))
+    val stages: Seq[(String, () => DataFrame)] = Seq(
+      "stock_metrics" -> (() => graft.analytics.ScreenMetrics.fromTables(
+        landed(orders), landed(lineitem), landed(customer))),
+      "technical_snapshot" -> (() =>
+        graft.analytics.TechnicalJob.fromEventsDf(landed(events))))
+    runRefreshIfCovered(spark, lock, runs, landingCfg, targetDate,
+      Seq(orders, lineitem, customer, events).map(_.name), outRoot,
+      version, jobName, ttlSeconds, runningStaleAfterSec, stages)
+  }
+
+  private def runRefreshIfCovered(spark: SparkSession,
+                                  lock: graft.sources.JobLock,
+                                  runs: graft.sources.RunLedger,
+                                  landingCfg: LandingJob.Config,
+                                  targetDate: String,
+                                  datasets: Seq[String],
+                                  outRoot: String, version: String,
+                                  jobName: String, ttlSeconds: Long,
+                                  runningStaleAfterSec: Option[Long],
+                                  stages: Seq[(String, () => DataFrame)])
+      : Either[String, Seq[StageResult]] =
+    if (landingCovered(spark, landingCfg, targetDate, datasets))
       runClaimed(spark, lock, runs, targetDate, landingCfg.landingRoot,
         outRoot, version, jobName, ttlSeconds, runningStaleAfterSec,
-        stages = Some(landingStages(spark, landingCfg.landingRoot,
-          targetDate)))
+        stages = Some(stages))
     else {
-      val why = s"landing not covered for $targetDate"
+      val why = s"landing not covered for $targetDate " +
+        s"(need ${datasets.mkString(",")})"
       // record the blocked attempt: a failed run row the next scheduled
       // invocation reclaims after the landing catch-up heals the date
       val claim = runs.claim(jobName, targetDate,
