@@ -68,7 +68,8 @@ object DailyRefreshJob {
           version: String,
           stages: Option[Seq[(String, () => DataFrame)]] = None,
           afterStage: StageResult => Unit = _ => (),
-          publishGuard: () => Option[String] = () => None)
+          publishGuard: () => Option[String] = () => None,
+          retainVersions: Option[Int] = None)
       : Seq[StageResult] = {
     // None = the production chain; Some(Nil) is an honest no-op run (an
     // isEmpty sentinel would silently run all ten default stages on a
@@ -109,6 +110,13 @@ object DailyRefreshJob {
             throw new IllegalStateException(reason)
           }
           Upsert.publishSnapshot(df, s"$outRoot/$name", version)
+          // under daily cadence versioned snapshots accumulate one
+          // v=* dir per day per stage forever; callers that don't want
+          // the full audit history bound it to the N most recent
+          // superseded versions (readers of the just-flipped pointer
+          // keep their grace window)
+          retainVersions.foreach(n =>
+            Upsert.pruneSnapshots(s"$outRoot/$name", graceKeep = n))
           val published = Upsert.resolvePublished(s"$outRoot/$name").get
           StageResult(name, spark.read.parquet(published).count(), None)
         } catch {
@@ -211,12 +219,14 @@ object DailyRefreshJob {
                               jobName: String = "daily_refresh",
                               ttlSeconds: Long = 600L,
                               runningStaleAfterSec: Option[Long] =
-                                Some(3600L))
+                                Some(3600L),
+                              retainVersions: Option[Int] = None)
       : Either[String, Seq[StageResult]] =
     runRefreshIfCovered(spark, lock, runs, landingCfg, targetDate,
       Seq(landingCfg.dataset), outRoot, version, jobName, ttlSeconds,
       runningStaleAfterSec,
-      landingStages(spark, landingCfg.landingRoot, targetDate))
+      landingStages(spark, landingCfg.landingRoot, targetDate),
+      retainVersions)
 
   /** The PRODUCTION refresh DAG over LANDED tables: the real derived
     * stages (the flagship stock-metrics program + the technical-kernel
@@ -272,12 +282,13 @@ object DailyRefreshJob {
                                   outRoot: String, version: String,
                                   jobName: String, ttlSeconds: Long,
                                   runningStaleAfterSec: Option[Long],
-                                  stages: Seq[(String, () => DataFrame)])
+                                  stages: Seq[(String, () => DataFrame)],
+                                  retainVersions: Option[Int] = None)
       : Either[String, Seq[StageResult]] =
     if (landingCovered(spark, landingCfg, targetDate, datasets))
       runClaimed(spark, lock, runs, targetDate, landingCfg.landingRoot,
         outRoot, version, jobName, ttlSeconds, runningStaleAfterSec,
-        stages = Some(stages))
+        stages = Some(stages), retainVersions = retainVersions)
     else {
       val why = s"landing not covered for $targetDate " +
         s"(need ${datasets.mkString(",")})"
@@ -305,7 +316,8 @@ object DailyRefreshJob {
                  jobName: String = "daily_refresh",
                  ttlSeconds: Long = 600L,
                  runningStaleAfterSec: Option[Long] = Some(3600L),
-                 stages: Option[Seq[(String, () => DataFrame)]] = None)
+                 stages: Option[Seq[(String, () => DataFrame)]] = None,
+                 retainVersions: Option[Int] = None)
       : Either[String, Seq[StageResult]] =
     lock.acquire(jobName, ttlSeconds) match {
       case Left(reason) => Left(reason)
@@ -330,7 +342,8 @@ object DailyRefreshJob {
               afterStage = _ => lock.extend(jobName, token, ttlSeconds),
               publishGuard = () =>
                 if (runs.isCurrentAttempt(claim.runId, attempt)) None
-                else Some("attempt superseded"))
+                else Some("attempt superseded"),
+              retainVersions = retainVersions)
             val failed = out.filter(_.error.isDefined)
             val owned = runs.complete(claim.runId, attempt,
               if (failed.isEmpty) "success" else "failed",

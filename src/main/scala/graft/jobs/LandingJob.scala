@@ -428,6 +428,58 @@ object LandingJob {
     catchUpDatesFor(s, cfg, cfg.dataset, calendar, calDateCol, today,
       lookbackDays, maxDays)
 
+  /** One multi-dataset schedule entry: a dataset, its endpoint, and
+    * the dates to land — listed in PRIORITY order (the reference's
+    * cron-A dataset loop runs endpoints in a fixed priority order with
+    * continue-on-error, `cron-a-direct.ts:115-147`). */
+  final case class Scheduled(ds: Dataset, fetch: RowFetch,
+                             dates: Seq[String])
+
+  /** The MULTI-DATASET scheduler pass: land every entry's dates, in
+    * entry (priority) order, under ONE lease and ONE shared run
+    * ledger/coverage root. Failure isolation is two-level, matching
+    * the reference's continue-on-error chain: a failed DATE moves to
+    * the dataset's next date (runOneDate already records the failed
+    * claim + FAILED manifest), and a fully-failing DATASET moves to
+    * the next dataset — one broken endpoint never blocks the others.
+    * The lease heartbeats after every date, so an N-dataset backfill
+    * never loses its lock mid-pass. Returns (dataset, result) per
+    * attempted date, in execution order. */
+  def runSchedule(s: SparkSession, lock: JobLock, runs: RunLedger,
+                  cfg: Config, entries: Seq[Scheduled],
+                  bucket: Ingest.TokenBucket,
+                  retrySleepMs: Long => Unit = Thread.sleep(_),
+                  uniform: () => Double = () => 0.0,
+                  nowMs: () => Long = () => System.currentTimeMillis())
+      : Either[String, Seq[(String, DateResult)]] =
+    lock.acquire(cfg.jobName, cfg.ttlSeconds) match {
+      case Left(reason) => Left(reason)
+      case Right(token) =>
+        try Right(entries.flatMap { e =>
+          e.dates.map { date =>
+            val r = runOneDate(s, runs, cfg, e.ds, date, e.fetch,
+              bucket, retrySleepMs, uniform, nowMs)
+            lock.extend(cfg.jobName, token, cfg.ttlSeconds)
+            e.ds.name -> r
+          }
+        })
+        finally lock.release(cfg.jobName, token)
+    }
+
+  /** Plan catch-up ACROSS datasets from the shared coverage root:
+    * per-dataset missing/failed business days ([[Coverage.catchUpTargets]]),
+    * ordered by the given dataset priority, oldest dates first within a
+    * dataset — the order [[runSchedule]] executes. Datasets with
+    * nothing to heal are omitted. */
+  def scheduleCatchUp(s: SparkSession, cfg: Config,
+                      datasets: Seq[String], calendar: DataFrame,
+                      calDateCol: String, today: java.sql.Date,
+                      lookbackDays: Int, maxDays: Int)
+      : Seq[(String, Seq[String])] =
+    datasets.map(d => d -> catchUpDatesFor(s, cfg, d, calendar,
+        calDateCol, today, lookbackDays, maxDays))
+      .filter(_._2.nonEmpty)
+
   /** Per-dataset catch-up planning over the shared coverage root. */
   def catchUpDatesFor(s: SparkSession, cfg: Config, dataset: String,
                       calendar: DataFrame, calDateCol: String,

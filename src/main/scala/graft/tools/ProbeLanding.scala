@@ -85,6 +85,37 @@ object ProbeLanding {
       f"rows total; per-date full-snapshot rewrite (the r14 LandingJob) " +
       f"would have written $rewriteSum%d rows " +
       f"(${rewriteSum.toDouble / cumRows}%.1fx)")
+
+    // REFRESH LEG (round-16): simulate the daily cadence — one
+    // landing-derived refresh per landed date, retention bounded to the
+    // 2 most recent superseded versions. Measures (a) per-date refresh
+    // INPUT rows (must stay O(day) — the stages prune to the one
+    // target_date partition) and (b) snapshot version-dir counts per
+    // stage (must stay bounded at retain+1, not grow with the cadence).
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val outRoot = s"$tmp/refresh"
+    val refreshLock = new graft.sources.JobLock(tmp.resolve("rlocks"))
+    var tR = System.nanoTime()
+    dates.foreach { d =>
+      val out = graft.jobs.DailyRefreshJob.runRefreshForLandedDate(
+        spark, refreshLock, runs, cfg, d, outRoot, version = s"d$d",
+        retainVersions = Some(2))
+      val stages = out.fold(e => sys.error(s"refresh blocked: $e"), identity)
+      require(stages.forall(_.error.isEmpty), stages.toString)
+      // what the pruned stage scan actually read: the files feeding the
+      // one target_date partition
+      val inputRows = LandingJob.readLanding(spark, cfg.landingRoot).get
+        .filter(col("target_date") === to_date(lit(d))).count()
+      val vDirs = Seq("landing_daily_stats", "landing_value_ranks").map { st =>
+        Option(new java.io.File(s"$outRoot/$st").listFiles())
+          .getOrElse(Array()).count(f => f.isDirectory &&
+            f.getName.startsWith("v="))
+      }
+      val dt = (System.nanoTime() - tR) / 1e9; tR = System.nanoTime()
+      println(f"refresh $d: ${dt}%5.2f s  input rows $inputRows%9d " +
+        f"(O(day), table holds $cumRows%9d)  version dirs " +
+        f"${vDirs.mkString("/")} (retain=2 -> bounded at 3)")
+    }
     spark.stop()
   }
 }

@@ -95,7 +95,7 @@ class ComposedPipelineSpec extends AnyFunSuite {
     // 3. the failed landing date BLOCKS its refresh via the claim:
     // failed run row in the ledger, nothing published under its version
     val blocked = h.refresh("2024-06-05", "v3")
-    assert(blocked == Left("landing not covered for 2024-06-05"))
+    assert(blocked == Left("landing not covered for 2024-06-05 (need orders)"))
     val r5 = h.runs.run("daily_refresh", "2024-06-05").get
     assert(r5.status == "failed" &&
       r5.error.exists(_.contains("landing not covered")))

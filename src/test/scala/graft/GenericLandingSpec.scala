@@ -150,6 +150,54 @@ class GenericLandingSpec extends AnyFunSuite {
     Upsert.rmTree(tmp.toFile)
   }
 
+  test("scheduler: a failing dataset blocks nothing; ordered cross-dataset heal") {
+    val (tmp, bucket, lock, runs, sleep, now) = mkHarness("landing_sched")
+    val cfg = Config("landing_sched", "sched",
+      s"$tmp/landing", s"$tmp/coverage", maxRetries = 0)
+    val bars = Dataset("bars", barsSchema, Seq("code"))
+    val fins = Dataset("fins", finsSchema, Seq("code"))
+    val dates = Seq("2024-06-03", "2024-06-04")
+    @volatile var barsOk = false
+    val barsFetch: LandingJob.RowFetch = (d, _) =>
+      if (!barsOk) (500, Nil, None)
+      else (200, Seq(Row("7203", d, 1.0)), None)
+    val finsFetch: LandingJob.RowFetch = (d, _) =>
+      (200, Seq(finsRow("7203", d, "x", 5L)), None)
+    // pass 1: bars (higher priority) fails every date — fins must still
+    // run and land (two-level continue-on-error)
+    val out = LandingJob.runSchedule(spark, lock, runs, cfg, Seq(
+      LandingJob.Scheduled(bars, barsFetch, dates),
+      LandingJob.Scheduled(fins, finsFetch, dates)),
+      bucket, sleep, nowMs = now).toOption.get
+    assert(out.map { case (n, r) => (n, r.date, r.status) } == Seq(
+      ("bars", "2024-06-03", "failed"), ("bars", "2024-06-04", "failed"),
+      ("fins", "2024-06-03", "success"), ("fins", "2024-06-04", "success")))
+    assert(LandingJob.readLanding(spark, cfg.landingRoot, fins)
+      .get.count() == 2)
+    // cross-dataset catch-up: only bars needs healing, oldest first
+    import spark.implicits._
+    val cal = dates.map(java.sql.Date.valueOf).toDF("day")
+      .withColumn("is_business_day", lit(true))
+    val plan = LandingJob.scheduleCatchUp(spark, cfg,
+      Seq("bars", "fins"), cal, "day",
+      java.sql.Date.valueOf(dates.last), 10, 10)
+    assert(plan == Seq("bars" -> dates))
+    // heal: run exactly the planned schedule
+    barsOk = true
+    val healed = LandingJob.runSchedule(spark, lock, runs, cfg,
+      plan.map { case (n, dd) =>
+        LandingJob.Scheduled(if (n == "bars") bars else fins,
+          barsFetch, dd) },
+      bucket, sleep, nowMs = now).toOption.get
+    assert(healed.forall(_._2.status == "success"))
+    assert(LandingJob.readLanding(spark, cfg.landingRoot, bars)
+      .get.count() == 2)
+    // nothing left to heal for either dataset
+    assert(LandingJob.scheduleCatchUp(spark, cfg, Seq("bars", "fins"),
+      cal, "day", java.sql.Date.valueOf(dates.last), 10, 10).isEmpty)
+    Upsert.rmTree(tmp.toFile)
+  }
+
   test("crash between chunks: FAILED manifest, catch-up heals to clean rows") {
     val (tmp, bucket, lock, runs, sleep, now) = mkHarness("landing_crash")
     val cfg = Config("landing_crash", "bars",
