@@ -241,6 +241,7 @@ object SparkEntry {
     "q218_coverage_catchup" -> (CoverageProgram.q218CoverageCatchup _),
     "q219_landing_pipeline" -> (LandingProgram.q219LandingPipeline _),
     "q220_generic_landing" -> (LandingProgram.q220GenericLanding _),
+    "q221_scheduled_refresh" -> (LandingProgram.q221ScheduledRefresh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -574,6 +575,7 @@ object SparkEntry {
     "q218_coverage_catchup" -> CoverageProgram.oracleQ218,
     "q219_landing_pipeline" -> LandingProgram.oracleQ219,
     "q220_generic_landing" -> LandingProgram.oracleQ220,
+    "q221_scheduled_refresh" -> LandingProgram.oracleQ221,
   )
 
   private val asofOracle: String =

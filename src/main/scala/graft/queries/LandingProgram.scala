@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.jobs.LandingJob
+import graft.jobs.{DailyRefreshJob, LandingJob}
 import graft.jobs.LandingJob.ApiRow
 import graft.sources.{Ingest, JobLock, RunLedger}
 
@@ -315,6 +315,223 @@ object LandingProgram {
       |FROM src
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q221
+
+  import org.apache.spark.sql.types._
+
+  /** The four business-table landing schemas the production DAG reads —
+    * the reference lands ~11 real endpoints (`fins-summary.ts`,
+    * `equity-bars-daily.ts`, …) and chains the derived suite over
+    * exactly those tables (`cron-a-direct.ts:115-147`). Each carries a
+    * unique endpoint row key plus the landing partition column. */
+  private[graft] val q221OrdersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType, nullable = false),
+    StructField("o_custkey", LongType, nullable = false),
+    StructField("o_totalprice", DoubleType, nullable = false),
+    StructField("o_orderdate", StringType, nullable = false),
+    StructField("target_date", StringType, nullable = false)))
+  private[graft] val q221LineitemSchema = StructType(Seq(
+    StructField("l_rowid", LongType, nullable = false),
+    StructField("l_orderkey", LongType, nullable = false),
+    StructField("l_quantity", DoubleType, nullable = false),
+    StructField("l_extendedprice", DoubleType, nullable = false),
+    StructField("l_discount", DoubleType, nullable = false),
+    StructField("target_date", StringType, nullable = false)))
+  private[graft] val q221CustomerSchema = StructType(Seq(
+    StructField("c_custkey", LongType, nullable = false),
+    StructField("c_mktsegment", StringType, nullable = false),
+    StructField("c_acctbal", DoubleType, nullable = false),
+    StructField("target_date", StringType, nullable = false)))
+  private[graft] val q221EventsSchema = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("target_date", StringType, nullable = false)))
+
+  /** q221 — the MULTI-DATASET SCHEDULER + PRODUCTION REFRESH DAG,
+    * oracle-gated end to end: the reference's whole cron-A day
+    * (`cron-a-direct.ts:115-147` — the priority-ordered endpoint loop
+    * with continue-on-error, then the derived post-step chain over the
+    * tables the loop just wrote) as ONE driver-verified query.
+    *
+    *  1. [[LandingJob.runSchedule]] lands four business datasets
+    *     (orders / lineitem / customer / events slices) in priority
+    *     order under one lease + one shared ledger/coverage root; the
+    *     lineitem endpoint 401s on the first pass — the scheduler must
+    *     land the other three anyway (two-level continue-on-error).
+    *  2. [[DailyRefreshJob.runProductionRefresh]] for the business date
+    *     must BLOCK (coverage requires every input dataset) via a
+    *     recorded failed claim.
+    *  3. [[LandingJob.scheduleCatchUp]] over all four datasets must
+    *     plan exactly the lineitem heal; re-running the planned
+    *     schedule lands it.
+    *  4. The production refresh reclaims and runs the REAL derived
+    *     stages — the flagship stock-metrics program + the
+    *     technical-kernel snapshot — over the landed tables.
+    *
+    * The gate output is the PUBLISHED stock_metrics snapshot,
+    * hash-matched against DuckDB running the q10 oracle over the same
+    * source slices directly — a dataset the scheduler skipped, a page
+    * the fetch dropped, a mis-keyed upsert, a refresh that ran against
+    * stale coverage, or a snapshot that published partial stage output
+    * all break equality. Slices: the 3 oldest order dates, their
+    * lineitems, their customers (the stock-metrics join is inner on
+    * custkey, so restricting the customer slice to the slice's buyers
+    * is result-identity), and the 2 oldest event days. The driver-side
+    * collect of those slices is the fetch transport (SURVEY §2.1's
+    * ingest shape) — bounded by the date window, never
+    * fact-table-sized. */
+  def q221ScheduledRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Row
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+        col("o_totalprice").cast("double"),
+        to_date(col("o_orderdate")).cast("string").as("d"))
+      .as[(Long, Long, Double, String)]
+    val dates = o.map(_._4).distinct().orderBy(col("value"))
+      .limit(3).collect().toSeq.sorted
+    val dateSet = dates.toSet
+    val oSlice = o.collect().toIndexedSeq.filter(r => dateSet(r._4))
+    val keys = oSlice.map(_._1).toSet
+    val custKeys = oSlice.map(_._2).toSet
+    val liSlice = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").cast("long"), col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"), col("l_discount").cast("double"))
+      .as[(Long, Double, Double, Double)].collect().toIndexedSeq
+      .filter(r => keys(r._1))
+    val cuSlice = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal").cast("double"))
+      .as[(Long, String, Double)].collect().toIndexedSeq
+      .filter(r => custKeys(r._1))
+    val ev0 = Tables.events(s, dir)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts"), col("value").cast("double"),
+        to_date(col("ts")).cast("string").as("day"))
+      .as[(Long, Long, java.sql.Timestamp, Double, String)]
+    val evDays = ev0.map(_._5).distinct().orderBy(col("value"))
+      .limit(2).collect().toSet
+    val evSlice = ev0.collect().toIndexedSeq.filter(r => evDays(r._5))
+    val D = dates.last // the business date everything lands under
+    val payloads: Map[String, IndexedSeq[Row]] = Map(
+      "orders" -> oSlice.map(r => Row(r._1, r._2, r._3, r._4, D)),
+      "lineitem" -> liSlice.zipWithIndex.map { case (r, i) =>
+        Row(i.toLong, r._1, r._2, r._3, r._4, D) },
+      "customer" -> cuSlice.map(r => Row(r._1, r._2, r._3, D)),
+      "events" -> evSlice.map(r => Row(r._1, r._2, r._3, r._4, D)))
+    val PageSize = 200
+    @volatile var healed = false
+    def fetchFor(name: String): LandingJob.RowFetch = (_, cursor) =>
+      if (name == "lineitem" && !healed) (401, Nil, None)
+      else {
+        val rows = payloads(name)
+        val start = cursor.map(_.toInt).getOrElse(0)
+        val page = rows.slice(start, start + PageSize)
+        val next = if (start + PageSize < rows.size)
+          Some((start + PageSize).toString) else None
+        (200, page, next)
+      }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q221")
+    try q221Body(s, tmp, D, fetchFor, () => healed = true)
+    finally graft.operators.Upsert.rmTree(tmp.toFile)
+  }
+
+  private def q221Body(s: SparkSession, tmp: java.nio.file.Path, D: String,
+                       fetchFor: String => LandingJob.RowFetch,
+                       heal: () => Unit): DataFrame = {
+    import s.implicits._
+    val cfg = LandingJob.Config("landing_q221", "orders",
+      s"$tmp/landing", s"$tmp/coverage")
+    val dsO = LandingJob.Dataset("orders", q221OrdersSchema, Seq("o_orderkey"))
+    val dsL = LandingJob.Dataset("lineitem", q221LineitemSchema, Seq("l_rowid"))
+    val dsC = LandingJob.Dataset("customer", q221CustomerSchema, Seq("c_custkey"))
+    val dsE = LandingJob.Dataset("events", q221EventsSchema, Seq("event_id"))
+    val all = Seq(dsO, dsL, dsC, dsE)
+    var now = 0L
+    val bucket = new Ingest.TokenBucket(requestsPerMinute = 60,
+      minIntervalMs = 1000L, nowMs = () => now, sleepMs = now += _)
+    val lock = new JobLock(tmp.resolve("locks"))
+    val runs = new RunLedger(nowMs = () => now)
+    def schedule(entries: Seq[(LandingJob.Dataset, Seq[String])]): Unit = {
+      val out = LandingJob.runSchedule(s, lock, runs, cfg,
+        entries.map { case (ds, dd) =>
+          LandingJob.Scheduled(ds, fetchFor(ds.name), dd) },
+        bucket, retrySleepMs = now += _, nowMs = () => now)
+        .fold(r => sys.error(s"schedule rejected: $r"), identity)
+      require(out.nonEmpty, "schedule ran nothing")
+    }
+    val outRoot = s"$tmp/refresh"
+    def refresh(version: String) =
+      DailyRefreshJob.runProductionRefresh(s, lock, runs, cfg,
+        dsO, dsL, dsC, dsE, D, outRoot, version)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      // pass 1: lineitem 401s; the other three land anyway
+      schedule(all.map(_ -> Seq(D)))
+      // the production refresh must BLOCK on the uncovered input
+      require(refresh("vb").isLeft,
+        "refresh must block while an input dataset is unlanded")
+      // cross-dataset catch-up plans EXACTLY the lineitem heal
+      val calendar = Seq(D).map(java.sql.Date.valueOf).toDF("day")
+        .withColumn("is_business_day", lit(true))
+      val plan = LandingJob.scheduleCatchUp(s, cfg, all.map(_.name),
+        calendar, "day", java.sql.Date.valueOf(D), 10000, 100)
+      require(plan == Seq("lineitem" -> Seq(D)),
+        s"catch-up planned $plan, expected the lineitem heal")
+      heal()
+      schedule(plan.map { case (n, dd) =>
+        all.find(_.name == n).get -> dd })
+      // the blocked refresh reclaims and runs the REAL derived chain
+      val out = refresh("vh")
+        .fold(r => sys.error(s"healed refresh rejected: $r"), identity)
+      require(out.forall(_.error.isEmpty), out.toString)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // the gate output: the PUBLISHED flagship snapshot (scratch is
+    // deleted in the caller's finally — materialize before returning)
+    s.read.parquet(graft.operators.Upsert
+        .resolvePublished(s"$outRoot/stock_metrics").get)
+      .orderBy(col("c_custkey"))
+      .localCheckpoint()
+  }
+
+  /** DuckDB replays the q10 stock-metrics oracle over the SAME slices
+    * directly: the landed-table refresh must be indistinguishable from
+    * computing on the source rows. Built from [[graft.analytics
+    * .ScreenMetrics.oracle]] verbatim with the base tables swapped for
+    * slice CTEs (3 oldest order dates, their lineitems, their
+    * customers), so the two gates can never drift apart. */
+  val oracleQ221: String = {
+    val base = graft.analytics.ScreenMetrics.oracle
+    require(base.startsWith("WITH ranked AS ("), "q10 oracle shape moved")
+    // each replacement must hit exactly the sites counted here — a
+    // reshaped q10 oracle fails loudly instead of gating the wrong SQL
+    def subst(sql: String, from: String, to: String, n: Int): String = {
+      require(sql.sliding(from.length).count(_ == from) == n,
+        s"expected $n sites for '$from' in the q10 oracle")
+      sql.replace(from, to)
+    }
+    val sliced = subst(subst(subst(base.stripPrefix("WITH "),
+      "FROM orders", "FROM orders2", 2),
+      "JOIN lineitem ON", "JOIN lineitem2 ON", 1),
+      "JOIN customer c ON", "JOIN customer2 c ON", 1)
+    """WITH d3 AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+      |  FROM orders ORDER BY d LIMIT 3
+      |), orders2 AS (
+      |  SELECT * FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) IN (SELECT d FROM d3)
+      |), lineitem2 AS (
+      |  SELECT * FROM lineitem
+      |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders2)
+      |), customer2 AS (
+      |  SELECT * FROM customer
+      |  WHERE c_custkey IN (SELECT o_custkey FROM orders2)
+      |), """.stripMargin + sliced
+  }
 
   /** DuckDB replays the data path directly: the same 6 dates, the same
     * per-date aggregates over the source rows, `success` everywhere —
