@@ -386,6 +386,13 @@ object LandingProgram {
   def q221ScheduledRefresh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.Row
+    val dbg = sys.env.contains("SPARK_GRAFT_Q221_DEBUG")
+    var tDbg = System.nanoTime()
+    def mark(m: String): Unit = if (dbg) {
+      System.err.println(
+        f"Q221-PROBE $m ${(System.nanoTime() - tDbg) / 1e9}%.2f s")
+      tDbg = System.nanoTime()
+    }
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
         col("o_totalprice").cast("double"),
@@ -393,28 +400,31 @@ object LandingProgram {
       .as[(Long, Long, Double, String)]
     val dates = o.map(_._4).distinct().orderBy(col("value"))
       .limit(3).collect().toSeq.sorted
-    val dateSet = dates.toSet
-    val oSlice = o.collect().toIndexedSeq.filter(r => dateSet(r._4))
-    val keys = oSlice.map(_._1).toSet
-    val custKeys = oSlice.map(_._2).toSet
+    // the slice filters run IN Spark (pushed to the scans) — only the
+    // day-window slices ever reach the driver, never a fact table
+    val oSlice = o.filter(col("d").isin(dates: _*))
+      .collect().toIndexedSeq
+    val keys = oSlice.map(_._1).toSeq
+    val custKeys = oSlice.map(_._2).distinct.toSeq
     val liSlice = Tables.lineitem(s, dir)
       .select(col("l_orderkey").cast("long"), col("l_quantity").cast("double"),
         col("l_extendedprice").cast("double"), col("l_discount").cast("double"))
+      .filter(col("l_orderkey").isin(keys: _*))
       .as[(Long, Double, Double, Double)].collect().toIndexedSeq
-      .filter(r => keys(r._1))
     val cuSlice = Tables.customer(s, dir)
       .select(col("c_custkey").cast("long"), col("c_mktsegment"),
         col("c_acctbal").cast("double"))
+      .filter(col("c_custkey").isin(custKeys: _*))
       .as[(Long, String, Double)].collect().toIndexedSeq
-      .filter(r => custKeys(r._1))
     val ev0 = Tables.events(s, dir)
       .select(col("event_id").cast("long"), col("user_id").cast("long"),
         col("ts"), col("value").cast("double"),
         to_date(col("ts")).cast("string").as("day"))
       .as[(Long, Long, java.sql.Timestamp, Double, String)]
     val evDays = ev0.map(_._5).distinct().orderBy(col("value"))
-      .limit(2).collect().toSet
-    val evSlice = ev0.collect().toIndexedSeq.filter(r => evDays(r._5))
+      .limit(2).collect().toSeq
+    val evSlice = ev0.filter(col("day").isin(evDays: _*))
+      .collect().toIndexedSeq
     val D = dates.last // the business date everything lands under
     val payloads: Map[String, IndexedSeq[Row]] = Map(
       "orders" -> oSlice.map(r => Row(r._1, r._2, r._3, r._4, D)),
@@ -435,13 +445,13 @@ object LandingProgram {
         (200, page, next)
       }
     val tmp = java.nio.file.Files.createTempDirectory("graft_q221")
-    try q221Body(s, tmp, D, fetchFor, () => healed = true)
+    try q221Body(s, tmp, D, fetchFor, () => healed = true, mark)
     finally graft.operators.Upsert.rmTree(tmp.toFile)
   }
 
   private def q221Body(s: SparkSession, tmp: java.nio.file.Path, D: String,
                        fetchFor: String => LandingJob.RowFetch,
-                       heal: () => Unit): DataFrame = {
+                       heal: () => Unit, mark: String => Unit): DataFrame = {
     import s.implicits._
     val cfg = LandingJob.Config("landing_q221", "orders",
       s"$tmp/landing", s"$tmp/coverage")
@@ -470,11 +480,14 @@ object LandingProgram {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
+      mark("collect-source")
       // pass 1: lineitem 401s; the other three land anyway
       schedule(all.map(_ -> Seq(D)))
+      mark("pass1")
       // the production refresh must BLOCK on the uncovered input
       require(refresh("vb").isLeft,
         "refresh must block while an input dataset is unlanded")
+      mark("blocked-refresh")
       // cross-dataset catch-up plans EXACTLY the lineitem heal
       val calendar = Seq(D).map(java.sql.Date.valueOf).toDF("day")
         .withColumn("is_business_day", lit(true))
@@ -485,10 +498,12 @@ object LandingProgram {
       heal()
       schedule(plan.map { case (n, dd) =>
         all.find(_.name == n).get -> dd })
+      mark("heal")
       // the blocked refresh reclaims and runs the REAL derived chain
       val out = refresh("vh")
         .fold(r => sys.error(s"healed refresh rejected: $r"), identity)
       require(out.forall(_.error.isEmpty), out.toString)
+      mark("refresh")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // the gate output: the PUBLISHED flagship snapshot (scratch is
     // deleted in the caller's finally — materialize before returning)
