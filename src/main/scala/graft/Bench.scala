@@ -269,15 +269,20 @@ object Bench {
   /** Prior committed medians, keyed by SHORT name ("q185"), read from
     * the last committed artifact BEFORE this run overwrites it. Missing
     * or unparsable file → empty map (first round, renamed artifact). */
-  private def priorMedians(): Map[String, Double] = {
+  private def priorMedians(sfDir: String): Map[String, Double] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
+      // a prior measured at a DIFFERENT scale factor anchors nothing:
+      // comparing sf1 medians against an sf0.1 artifact would flag
+      // essentially every query and re-fork the 20 heaviest for free
+      val sfOk = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+        .forall(_.group(1) == sfDir)
       val qStart = txt.indexOf("\"queries\":{")
-      if (qStart < 0) Map.empty
+      if (qStart < 0 || !sfOk) Map.empty
       else {
         val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
         "\"(q[0-9]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
@@ -340,7 +345,7 @@ object Bench {
     * and wins any last-line parse. */
   private def emitPartial(done: Seq[(String, QRes)], qn: Int): Unit = {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    def short(k: String): String = k.takeWhile(_ != '_')
+    def short(k: String): String = shortKey(k)
     val total = done.map(_._2.med).filter(_ >= 0).sum
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","partial":true,"qn_done":${done.size},"qn":$qn,"sf":"$sfDir","queries":"""
@@ -354,6 +359,7 @@ object Bench {
   }
 
   private def coordinate(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // wait (bounded) for ambient load to decay, THEN sample the regime
     // BEFORE any child inflates loadavg (lazy val — forced here so the
     // reading is the true pre-bench ambient load)
@@ -391,7 +397,7 @@ object Bench {
     var retriesLog: Seq[(String, QRes, QRes, Int, String)] = Seq.empty
     // read the LAST COMMITTED artifact before this run overwrites it —
     // the history anchor for the uniform-poisoning trigger
-    val prior = priorMedians()
+    val prior = priorMedians(sfDir)
     val results: Seq[(String, QRes)] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_INPROC")) {
         isoMode = "session"; runInProcess(names)
@@ -604,7 +610,7 @@ object Bench {
                    retriesLog: Seq[(String, QRes, QRes, Int, String)]): Unit = {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-    def short(k: String): String = k.takeWhile(_ != '_')
+    def short(k: String): String = shortKey(k)
     val total = ordered.map(_._2.med).filter(_ >= 0).sum
     // containment invariants: subset must not exceed superset by >10%
     // (10% = rep noise allowance); any hit names the violated pair

@@ -109,6 +109,13 @@ object DailyRefreshJob {
             fenced = true
             throw new IllegalStateException(reason)
           }
+          // capture the about-to-be-superseded version BY NAME before
+          // the flip: mtimes can tie at publish rates below the fs
+          // timestamp granularity, and graceKeep's recency sort alone
+          // could then prune the version a concurrent reader resolved
+          // just before the pointer moved (the publishCoverage rule)
+          val prevPublished = Upsert.resolvePublished(s"$outRoot/$name")
+            .map(p => new java.io.File(p).getName).toSet
           Upsert.publishSnapshot(df, s"$outRoot/$name", version)
           // under daily cadence versioned snapshots accumulate one
           // v=* dir per day per stage forever; callers that don't want
@@ -116,7 +123,8 @@ object DailyRefreshJob {
           // superseded versions (readers of the just-flipped pointer
           // keep their grace window)
           retainVersions.foreach(n =>
-            Upsert.pruneSnapshots(s"$outRoot/$name", graceKeep = n))
+            Upsert.pruneSnapshots(s"$outRoot/$name", graceKeep = n,
+              spare = prevPublished))
           val published = Upsert.resolvePublished(s"$outRoot/$name").get
           StageResult(name, spark.read.parquet(published).count(), None)
         } catch {
@@ -159,9 +167,13 @@ object DailyRefreshJob {
     * table is date-partitioned), so a daily refresh touches O(day)
     * input regardless of table history. */
   def landingStages(spark: SparkSession, landingRoot: String,
-                    targetDate: String): Seq[(String, () => DataFrame)] = {
+                    targetDate: String,
+                    dataset: String = ""): Seq[(String, () => DataFrame)] = {
     import org.apache.spark.sql.functions._
-    def landed = LandingJob.readLanding(spark, landingRoot)
+    // named fallback: a generic Dataset sharing the config's dataset
+    // name lands under data_<name>; its covered dates must refresh,
+    // not error on the legacy bare-`data` path
+    def landed = LandingJob.readLandingNamed(spark, landingRoot, dataset)
       .getOrElse(sys.error(s"no landing table under $landingRoot"))
       .filter(col("target_date") === to_date(lit(targetDate)))
     Seq(
@@ -225,7 +237,8 @@ object DailyRefreshJob {
     runRefreshIfCovered(spark, lock, runs, landingCfg, targetDate,
       Seq(landingCfg.dataset), outRoot, version, jobName, ttlSeconds,
       runningStaleAfterSec,
-      landingStages(spark, landingCfg.landingRoot, targetDate),
+      landingStages(spark, landingCfg.landingRoot, targetDate,
+        landingCfg.dataset),
       retainVersions)
 
   /** The PRODUCTION refresh DAG over LANDED tables: the real derived

@@ -198,12 +198,11 @@ object LandingJob {
     val stageDir = s"${cfg.landingRoot}/stage/${ds.name}/${date}_$attempt"
     try {
       val spool = new ChunkSpool(s, ds, stageDir)
-      var cursor: Option[String] = None
-      var done = false
-      while (!done) {
-        require(pages < 1000,
-          s"pagination exceeded 1000 pages — refusing to truncate")
-        val (pageRows, next) = Retry.withRetry({ () =>
+      // ONE pagination discipline (cursor-to-exhaustion + loud page
+      // cap) lives in Ingest.Paginate; this job only supplies the
+      // rate-limited/retried fetch and the chunk-spooling page sink
+      Ingest.Paginate.foreachPage[Row]({ cursor =>
+        Retry.withRetry({ () =>
           bucket.acquire() // every ATTEMPT is rate-limited, retries included
           val (status, pageRows, next) = fetch(date, cursor)
           Retry.classify(status, s"$date cursor=$cursor")
@@ -212,10 +211,7 @@ object LandingJob {
           (pageRows, next)
         }, maxRetries = cfg.maxRetries, uniform = uniform,
           sleepMs = retrySleepMs)
-        spool.add(pageRows)
-        cursor = next
-        done = next.isEmpty
-      }
+      })(spool.add)
       // pre-publish fence: a worker whose long fetch outlived a
       // stale-running reclaim must stop BEFORE overwriting the new
       // owner's landing table (parquet cannot roll back a publish the
@@ -281,9 +277,13 @@ object LandingJob {
       val withSeq = rows.map { r =>
         val v = Row.fromSeq(r.toSeq :+ seq); seq += 1; v }
       val schema = ds.schema.add("__seq", "long", nullable = false)
-      val raw = s.createDataFrame(withSeq.asJava, schema)
-      // the transform must not touch the key/seq bookkeeping
-      ds.transform(raw)
+      // RAW rows only: the dataset transform runs once, in land(), on
+      // the deduped incoming relation — never per chunk. Applying it
+      // here made the two write paths disagree (staged: transform →
+      // dedup on possibly-rewritten keys; one-chunk: dedup raw →
+      // transform) and let a row-count-changing transform skew the
+      // staged manifest figure.
+      s.createDataFrame(withSeq.asJava, schema)
     }
 
     private def flush(): Unit = {
@@ -308,7 +308,9 @@ object LandingJob {
       else if (buf.isEmpty) None
       else {
         // one-chunk path: last-wins dedup ON THE DRIVER (the rows are
-        // already here) — no Spark window, no shuffle, no extra job
+        // already here) — no Spark window, no shuffle, no extra job.
+        // Both paths dedup the RAW endpoint rows on the endpoint key;
+        // the transform runs downstream in land().
         val seen =
           scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
         buf.foreach(r => seen(keyIdx.map(r.get(_))) = r)
@@ -331,7 +333,7 @@ object LandingJob {
     * single-dataset path keeps the bare `data` dir. */
   private[graft] def landingDataPath(root: String): String = s"$root/data"
   private[graft] def landingDataPath(root: String, ds: Dataset): String =
-    if (ds.schema eq apiRowSchema) landingDataPath(root)
+    if (ds.schema == apiRowSchema) landingDataPath(root)
     else s"$root/data_${ds.name}"
 
   /** The published landing table (None until the first date lands).
@@ -348,6 +350,17 @@ object LandingJob {
                   ds: Dataset): Option[DataFrame] =
     readLandingPath(s, landingDataPath(root, ds))
 
+  /** The published landing table for a dataset known only BY NAME
+    * (the refresh side holds a [[Config]], not the [[Dataset]]): the
+    * legacy bare `data` layout when present, else the generic
+    * `data_<name>` root — so a generic dataset that shares the
+    * config's dataset name refreshes instead of erroring on the
+    * legacy path. */
+  def readLandingNamed(s: SparkSession, root: String,
+                       name: String): Option[DataFrame] =
+    readLandingPath(s, landingDataPath(root))
+      .orElse(readLandingPath(s, s"$root/data_$name"))
+
   private def readLandingPath(s: SparkSession,
                               path: String): Option[DataFrame] = {
     val p = new java.io.File(path)
@@ -362,21 +375,29 @@ object LandingJob {
     * overwrite ONLY the partitions the incoming rows touch (dynamic
     * partition overwrite). Re-landing identical rows yields an
     * identical partition; every other partition's files are untouched
-    * byte for byte. Returns the DEDUPED landed row count (the manifest
-    * figure — within-fetch duplicates land, and count, once). */
+    * byte for byte. Returns the DEDUPED fetched row count (the manifest
+    * figure — within-fetch duplicates land, and count, once; computed
+    * pre-transform so both chunk regimes report the same number). */
   private def land(s: SparkSession, cfg: Config, ds: Dataset,
                    spool: ChunkSpool): Long = {
-    val (incoming0, knownCount) = spool.dedupedIncoming() match {
+    val (raw, knownCount) = spool.dedupedIncoming() match {
       case None => return 0L // checked-empty day: no partition to touch
       case Some(t) => t
     }
-    val typed = incoming0
-      .withColumn("target_date", to_date(col("target_date")))
     // one-chunk incoming is a LocalRelation (free to re-evaluate);
     // staged incoming gets pinned so the count below and the merge
     // don't each re-run the dedup window over the staging files
-    val incoming =
-      if (knownCount.isDefined) typed else typed.localCheckpoint()
+    val rawPinned =
+      if (knownCount.isDefined) raw else raw.localCheckpoint()
+    // the manifest figure in BOTH write paths: deduped FETCHED rows
+    // (the endpoint's upsert count, the reference's batch figure) —
+    // computed before the transform so a row-count-changing cleanse
+    // cannot skew it differently across chunk regimes
+    val landedCount = knownCount.getOrElse(rawPinned.count())
+    // the dataset transform (cleanse) runs ONCE, on the deduped
+    // incoming relation — identically in both write paths
+    val incoming = ds.transform(rawPinned)
+      .withColumn("target_date", to_date(col("target_date")))
     // partition-scoped read: only the incoming dates' partitions are
     // merged against (partition pruning — the rest of the table is
     // never read); the day set was tracked driver-side by the spool
@@ -398,7 +419,7 @@ object LandingJob {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
-    knownCount.getOrElse(incoming.count()) // the DEDUPED landed figure
+    landedCount
   }
 
   private def publishCoverage(s: SparkSession, cfg: Config,

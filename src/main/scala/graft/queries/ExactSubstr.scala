@@ -575,19 +575,46 @@ object ExactSubstr {
       // marker, or a foreign dir squatted the fixed name): left in
       // place it wedges the install forever — every retrain's
       // ATOMIC_MOVE fails DirectoryNotEmpty and callers keep reading
-      // the bad dir. Clear it so the winner's rename can land.
-      if (Files.exists(fin))
-        graft.operators.Upsert.rmTree(fin.toFile)
-      val stage = fin.resolveSibling(
-        "stage_" + java.util.UUID.randomUUID().toString)
-      writeVocabArtifact(s, dir, stage.toString)
-      try Files.move(stage, fin, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: FileAlreadyExistsException | _: AccessDeniedException |
-             _: DirectoryNotEmptyException =>
-          // another process won the rename race; its artifact is
-          // byte-equivalent (deterministic trainer) — drop the stage
-          graft.operators.Upsert.rmTree(stage.toFile)
+      // the bad dir. Clearing it in place is a check-then-act race (a
+      // concurrent trainer's rename can land a VALID artifact between
+      // our _SUCCESS check and the delete), so: atomically move the
+      // suspect dir ASIDE, re-check it there, and restore it if the
+      // race gave us a finished artifact instead of a corpse.
+      if (Files.exists(fin)) {
+        val aside = fin.resolveSibling(
+          "corpse_" + java.util.UUID.randomUUID().toString)
+        try {
+          Files.move(fin, aside, StandardCopyOption.ATOMIC_MOVE)
+          if (Files.exists(aside.resolve("_SUCCESS"))) {
+            // we stole a just-finished artifact: put it back (or drop
+            // ours if yet another writer installed meanwhile — the
+            // trainer is deterministic, any installed copy is right)
+            try Files.move(aside, fin, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: FileAlreadyExistsException |
+                   _: AccessDeniedException |
+                   _: DirectoryNotEmptyException =>
+                graft.operators.Upsert.rmTree(aside.toFile)
+            }
+          } else graft.operators.Upsert.rmTree(aside.toFile)
+        } catch {
+          case _: NoSuchFileException => () // another cleaner got it first
+        }
+      }
+      // the corpse handling may have RESTORED a valid artifact —
+      // re-check before paying for a retrain
+      if (!Files.exists(fin.resolve("_SUCCESS"))) {
+        val stage = fin.resolveSibling(
+          "stage_" + java.util.UUID.randomUUID().toString)
+        writeVocabArtifact(s, dir, stage.toString)
+        try Files.move(stage, fin, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: FileAlreadyExistsException | _: AccessDeniedException |
+               _: DirectoryNotEmptyException =>
+            // another process won the rename race; its artifact is
+            // byte-equivalent (deterministic trainer) — drop the stage
+            graft.operators.Upsert.rmTree(stage.toFile)
+        }
       }
     }
     fin.toString

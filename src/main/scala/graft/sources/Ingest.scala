@@ -154,6 +154,17 @@ object Ingest {
     def fetchAll[T](fetch: Option[String] => (Seq[T], Option[String]),
                     maxPages: Int = 1000): Vector[T] = {
       val out = Vector.newBuilder[T]
+      foreachPage(fetch, maxPages)(out ++= _)
+      out.result()
+    }
+
+    /** The same cursor-to-exhaustion loop, streaming each page to
+      * `onPage` instead of accumulating — the chunked-landing sink
+      * shape ([[graft.jobs.LandingJob]] spools pages to staging with
+      * bounded driver residency). One copy of the pagination/
+      * truncation discipline serves both. */
+    def foreachPage[T](fetch: Option[String] => (Seq[T], Option[String]),
+                       maxPages: Int = 1000)(onPage: Seq[T] => Unit): Unit = {
       var cursor: Option[String] = None
       var pages = 0
       var done = false
@@ -161,12 +172,11 @@ object Ingest {
         require(pages < maxPages,
           s"pagination exceeded $maxPages pages — refusing to truncate")
         val (rows, next) = fetch(cursor)
-        out ++= rows
+        onPage(rows)
         pages += 1
         cursor = next
         done = next.isEmpty
       }
-      out.result()
     }
   }
 }

@@ -48,7 +48,7 @@ class GenericLandingSpec extends AnyFunSuite {
                       base: Long): Row =
     Row.fromSeq(Seq(code, date, note) ++ (1 to 12).map(k => base * k))
 
-  private def mkHarness(job: String) = {
+  private def mkHarness() = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_genland")
     var now = 0L
     val bucket = new Ingest.TokenBucket(requestsPerMinute = 600,
@@ -59,7 +59,7 @@ class GenericLandingSpec extends AnyFunSuite {
   }
 
   test("two different-schema datasets land under one coverage root") {
-    val (tmp, bucket, lock, runs, sleep, now) = mkHarness("landing_multi")
+    val (tmp, bucket, lock, runs, sleep, now) = mkHarness()
     val cfg = Config("landing_multi", "multi",
       s"$tmp/landing", s"$tmp/coverage")
     val bars = Dataset("bars", barsSchema, Seq("code"))
@@ -124,7 +124,7 @@ class GenericLandingSpec extends AnyFunSuite {
   }
 
   test("within-fetch duplicate keys land once, last wins, count deduped") {
-    val (tmp, bucket, lock, runs, sleep, now) = mkHarness("landing_dup")
+    val (tmp, bucket, lock, runs, sleep, now) = mkHarness()
     val cfg = Config("landing_dup", "bars",
       s"$tmp/landing", s"$tmp/coverage")
     val ds = Dataset("bars", barsSchema, Seq("code"))
@@ -151,7 +151,7 @@ class GenericLandingSpec extends AnyFunSuite {
   }
 
   test("scheduler: a failing dataset blocks nothing; ordered cross-dataset heal") {
-    val (tmp, bucket, lock, runs, sleep, now) = mkHarness("landing_sched")
+    val (tmp, bucket, lock, runs, sleep, now) = mkHarness()
     val cfg = Config("landing_sched", "sched",
       s"$tmp/landing", s"$tmp/coverage", maxRetries = 0)
     val bars = Dataset("bars", barsSchema, Seq("code"))
@@ -199,7 +199,7 @@ class GenericLandingSpec extends AnyFunSuite {
   }
 
   test("crash between chunks: FAILED manifest, catch-up heals to clean rows") {
-    val (tmp, bucket, lock, runs, sleep, now) = mkHarness("landing_crash")
+    val (tmp, bucket, lock, runs, sleep, now) = mkHarness()
     val cfg = Config("landing_crash", "bars",
       s"$tmp/landing", s"$tmp/coverage", maxRetries = 0)
     val ds = Dataset("bars", barsSchema, Seq("code"), batchSize = 8)
