@@ -198,6 +198,77 @@ class GenericLandingSpec extends AnyFunSuite {
     Upsert.rmTree(tmp.toFile)
   }
 
+  test("row-count-changing transform: one-chunk and staged regimes agree on rows AND manifest count") {
+    // the round-16 review finding: the two write paths used to disagree
+    // on transform/dedup order, and a transform that drops rows skewed
+    // the staged manifest figure. Contract now: dedup the RAW fetch on
+    // the endpoint key, transform ONCE on the deduped relation, and
+    // the manifest counts the deduped FETCHED rows in both regimes.
+    val (tmp, bucket, lock, runs, sleep, now) = mkHarness()
+    val dropOdd: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(col("close") >= 0) // drops the planted negatives
+    val rows = (0 until 10).map(i =>
+      Row(s"c$i", "2024-06-03", if (i % 2 == 1) -1.0 else i.toDouble)) :+
+      Row("c0", "2024-06-03", 100.0) // within-fetch dup key, last wins
+    val fetch: LandingJob.RowFetch = (_, _) => (200, rows, None)
+    def landOnce(sub: String, batchSize: Int) = {
+      val cfg = Config(s"landing_tc_$sub", "bars",
+        s"$tmp/$sub/landing", s"$tmp/$sub/coverage")
+      val ds = Dataset("bars", barsSchema, Seq("code"),
+        batchSize = batchSize, transform = dropOdd)
+      val out = LandingJob.runDataset(spark, lock, runs, cfg, ds,
+        Seq("2024-06-03"), fetch, bucket, sleep, nowMs = now)
+        .toOption.get.head
+      val landed = LandingJob.readLanding(spark, cfg.landingRoot, ds).get
+        .select(col("code"), col("close"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      (out.rows, landed)
+    }
+    val (n1, t1) = landOnce("one", batchSize = 1000) // one-chunk path
+    val (n2, t2) = landOnce("stg", batchSize = 3)    // staged path
+    assert(t1 == t2, "the two write regimes landed different rows")
+    assert(n1 == n2, "the two write regimes reported different manifest counts")
+    assert(n1 == 10, "manifest must count deduped FETCHED rows (10), pre-transform")
+    assert(t1 == Set("c0" -> 100.0, "c2" -> 2.0, "c4" -> 4.0,
+      "c6" -> 6.0, "c8" -> 8.0),
+      "dedup on raw key (c0 last wins) then transform (negatives dropped)")
+    Upsert.rmTree(tmp.toFile)
+  }
+
+  test("a generic dataset named like the config refreshes via the data_<name> fallback") {
+    // the round-16 review footgun: coverage gating is keyed by NAME but
+    // the legacy refresh read the bare data dir — a generic dataset
+    // sharing cfg.dataset passed the gate then failed every stage
+    val (tmp, bucket, lock, runs, sleep, now) = mkHarness()
+    val cfg = Config("landing_fb", "rows",
+      s"$tmp/landing", s"$tmp/coverage")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("target_date", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("extra", StringType, nullable = true)))
+    val ds = Dataset(cfg.dataset, schema, Seq("id"))
+    val fetch: LandingJob.RowFetch = (d, _) =>
+      (200, Seq(Row(1L, d, 10.0, "x"), Row(2L, d, 30.0, null)), None)
+    assert(LandingJob.runDataset(spark, lock, runs, cfg, ds,
+      Seq("2024-06-03"), fetch, bucket, sleep, nowMs = now)
+      .toOption.get.head.status == "success")
+    // the landed table sits under data_rows, NOT the legacy data dir
+    assert(!new java.io.File(s"${cfg.landingRoot}/data").exists())
+    val out = graft.jobs.DailyRefreshJob.runRefreshForLandedDate(
+      spark, lock, runs, cfg, "2024-06-03", s"$tmp/refresh", "v1")
+    val stages = out.fold(e => fail(s"refresh blocked: $e"), identity)
+    assert(stages.forall(_.error.isEmpty), stages.toString)
+    import spark.implicits._
+    val stats = spark.read.parquet(Upsert.resolvePublished(
+        s"$tmp/refresh/landing_daily_stats").get)
+      .select(col("n_rows"), col("sum_value"))
+      .as[(Long, Double)].collect().toSeq
+    assert(stats == Seq((2L, 40.0)),
+      "the refresh must aggregate the generically-landed rows")
+    Upsert.rmTree(tmp.toFile)
+  }
+
   test("crash between chunks: FAILED manifest, catch-up heals to clean rows") {
     val (tmp, bucket, lock, runs, sleep, now) = mkHarness()
     val cfg = Config("landing_crash", "bars",

@@ -215,4 +215,18 @@ class IngestSpec extends AnyFunSuite {
     assert(jl.cleanupExpired() == 1)
     assert(jl.holder("j2").nonEmpty)
   }
+  test("Paginate.foreachPage streams pages in order and enforces the cap") {
+    import graft.sources.Ingest.Paginate
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    Paginate.foreachPage[Int]({ cursor =>
+      val i = cursor.map(_.toInt).getOrElse(0)
+      (Seq(i, i + 1), if (i < 4) Some((i + 2).toString) else None)
+    })(seen += _)
+    assert(seen.toSeq == Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5)))
+    val e = intercept[IllegalArgumentException] {
+      Paginate.foreachPage[Int](_ => (Seq(1), Some("loop")),
+        maxPages = 5)(_ => ())
+    }
+    assert(e.getMessage.contains("refusing to truncate"))
+  }
 }

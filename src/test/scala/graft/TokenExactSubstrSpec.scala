@@ -209,6 +209,35 @@ class TokenExactSubstrSpec extends AnyFunSuite {
       "a query call rewrote the vocab artifact — retraining happened")
   }
 
+  test("frozen vocab: a corpse fin dir (no _SUCCESS) heals; a valid one is never cleared") {
+    import java.nio.file._
+    // a private corpus so the corpse cannot collide with other tests'
+    // artifacts: copy the real sf0.001 documents table
+    val corpus = Files.createTempDirectory("graft_corpse_corpus")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      corpus.resolve("documents.parquet"))
+    val fin = ExactSubstr.vocabArtifactPath(corpus.toString)
+    // plant the corpse: a fin dir with junk and NO _SUCCESS (the tmp
+    // reaper ate the marker, or a foreign dir squatted the fixed name)
+    Files.createDirectories(fin)
+    Files.writeString(fin.resolve("junk.bin"), "not a vocab")
+    val p1 = ExactSubstr.vocabArtifactFor(spark, corpus.toString)
+    assert(p1 == fin.toString)
+    assert(Files.exists(fin.resolve("_SUCCESS")),
+      "the corpse must be cleared and a fresh artifact installed")
+    assert(!Files.exists(fin.resolve("junk.bin")),
+      "the corpse's content must not survive into the artifact")
+    assert(spark.read.parquet(p1).count() > 0, "artifact must be readable")
+    // and a VALID artifact is never cleared or retrained
+    def snap = Files.list(fin).toArray.map(_.toString).sorted.toSeq ->
+      fin.resolve("_SUCCESS").toFile.lastModified()
+    val before = snap
+    assert(ExactSubstr.vocabArtifactFor(spark, corpus.toString) == p1)
+    assert(snap == before, "a valid artifact was rewritten")
+    graft.operators.Upsert.rmTree(fin.getParent.toFile)
+    graft.operators.Upsert.rmTree(corpus.toFile)
+  }
+
   test("frozen vocab: a regenerated corpus changes the fingerprint, so no stale-vocab reads") {
     // the round-14 advice: /tmp corpora are REBUILT between probe runs
     // at the same path — an artifact keyed on the dir alone would
