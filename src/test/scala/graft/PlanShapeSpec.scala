@@ -269,6 +269,56 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("landed-table refresh stages prune to the ONE target_date partition") {
+    // the O(day) refresh claim, structurally: the landing table is
+    // date-partitioned, and a refresh stage's scan must carry the
+    // target_date in PartitionFilters and select exactly one of the
+    // landed partition dirs (ProbeLanding proves the same by counts at
+    // sf1 volume; this pins the plan so a layout regression fails fast)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_planland")
+    var now = 0L
+    val bucket = new graft.sources.Ingest.TokenBucket(600, 1L,
+      nowMs = () => now, sleepMs = now += _)
+    val lock = new graft.sources.JobLock(tmp.resolve("locks"))
+    val runs = new graft.sources.RunLedger(nowMs = () => now)
+    val cfg = graft.jobs.LandingJob.Config("landing_plan", "rows",
+      s"$tmp/landing", s"$tmp/coverage")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("target_date", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+    val ds = graft.jobs.LandingJob.Dataset(cfg.dataset, schema, Seq("id"))
+    val fetch: graft.jobs.LandingJob.RowFetch = (d, _) =>
+      (200, Seq(Row(1L, d, 1.0), Row(2L, d, 2.0)), None)
+    val dates = Seq("2024-06-03", "2024-06-04", "2024-06-05")
+    assert(graft.jobs.LandingJob.runDataset(spark, lock, runs, cfg, ds,
+      dates, fetch, bucket, now += _, nowMs = () => now)
+      .toOption.get.forall(_.status == "success"))
+    val stage = graft.jobs.DailyRefreshJob.landingStages(spark,
+      cfg.landingRoot, "2024-06-04", cfg.dataset).head._2()
+    val plan = stage.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-06-04"),
+      "target_date must reach the scan as a partition filter:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("\n"))
+    // the agg stage is AQE-wrapped: descend into the adaptive plan to
+    // reach the actual file scan
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(stage.queryExecution.executedPlan)
+      .map(_.selectedPartitions.partitionCount)
+    assert(scanned.nonEmpty && scanned.forall(_ == 1),
+      s"a daily refresh must scan exactly 1 of the 3 landed partition dirs, got $scanned")
+    graft.operators.Upsert.rmTree(tmp.toFile)
+  }
+
   test("incremental refresh over the partitioned layout touches only [wm, newest] dirs") {
     // the q198 composition: watermark/overlap-by-1 refresh READING the
     // date-partitioned layout must schedule scans for exactly the
