@@ -163,7 +163,7 @@ object Bench {
     // q219/q220 are control-plane-latency-bound (metadata-sized Spark
     // actions per landed date incl. catch-up), ~9s / ~5s steady
     "q219_landing_pipeline", "q220_generic_landing",
-    "q221_scheduled_refresh")
+    "q221_scheduled_refresh", "q222_corrections_window")
 
   /** 1.2-2.5s tier: grouped [[MidGroup]] to a child. */
   private val midTier: Set[String] = Set(

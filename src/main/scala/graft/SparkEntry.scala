@@ -242,6 +242,7 @@ object SparkEntry {
     "q219_landing_pipeline" -> (LandingProgram.q219LandingPipeline _),
     "q220_generic_landing" -> (LandingProgram.q220GenericLanding _),
     "q221_scheduled_refresh" -> (LandingProgram.q221ScheduledRefresh _),
+    "q222_corrections_window" -> (LandingProgram.q222CorrectionsWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -576,6 +577,7 @@ object SparkEntry {
     "q219_landing_pipeline" -> LandingProgram.oracleQ219,
     "q220_generic_landing" -> LandingProgram.oracleQ220,
     "q221_scheduled_refresh" -> LandingProgram.oracleQ221,
+    "q222_corrections_window" -> LandingProgram.oracleQ222,
   )
 
   private val asofOracle: String =

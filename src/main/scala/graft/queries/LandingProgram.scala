@@ -513,6 +513,178 @@ object LandingProgram {
       .localCheckpoint()
   }
 
+  // ---------------------------------------------------------------- q222
+
+  private[graft] val q222Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("target_date", StringType, nullable = false),
+    StructField("published_date", StringType, nullable = false),
+    StructField("value", LongType, nullable = false)))
+
+  /** q222 — the SLIDING-WINDOW corrections sync (cron C), oracle-gated:
+    * the reference's weekly re-pull re-fetches the last N days and
+    * upserts with `published_date` IN the key, so a correction or
+    * re-publication lands as a NEW first-class row next to the
+    * original instead of overwriting it (`cron-c.ts:29-60`,
+    * `investor-types.ts:19` — ON_CONFLICT includes published_date),
+    * and re-pulling an already-SUCCESS day is the designed behavior
+    * (stale-success reclaim), not an anomaly.
+    *
+    * Two windowed passes over the 6 oldest order dates: pass 1 pulls
+    * the window [d1..d4] (corrections published by d4 land — only the
+    * earliest periods' ones), the clock advances past the
+    * success-stale threshold, pass 2 SLIDES the window to [d3..d6]
+    * (the overlap re-lands idempotently via the keyed upsert; the
+    * newly published corrections for d3/d4 appear; d5/d6 land fresh).
+    * A correction for period dᵢ is synthesized deterministically for
+    * ids divisible by 5, published at dᵢ₊₂ with value + 7.
+    *
+    * The gate output is the bitemporal per-period state: total version
+    * rows, corrected-row count, the LATEST-published sum (corrections
+    * supersede) and the FIRST-published sum (the original vintage
+    * stays readable — the PIT property q06/q33 query). DuckDB derives
+    * the same state from the source rows and the publication algebra
+    * directly — a correction that overwrote its original, a re-pull
+    * that duplicated rows, a window that leaked future publications,
+    * or a success day that refused its re-pull all break equality. */
+  def q222CorrectionsWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.Row
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("long").as("id"),
+        to_date(col("o_orderdate")).as("d"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val dates = o.select(col("d")).distinct().orderBy(col("d"))
+      .limit(6).as[java.sql.Date].collect().toSeq.map(_.toString)
+    val byDate: Map[String, IndexedSeq[(Long, Long)]] = o
+      .filter(col("d").isin(dates: _*))
+      .select(col("id"), col("d").cast("string"), col("cents"))
+      .as[(Long, String, Long)].collect().toIndexedSeq
+      .groupBy(_._2).map { case (k, v) =>
+        k -> v.map(t => (t._1, t._3)).sortBy(_._1) }
+    // period i (0-based) corrects at publication date i+2 — beyond the
+    // 6-date universe (i >= 4) nothing is ever published
+    def corrections(i: Int): IndexedSeq[(Long, String, Long)] =
+      if (i + 2 >= dates.length) IndexedSeq.empty
+      else byDate.getOrElse(dates(i), IndexedSeq.empty)
+        .collect { case (id, c) if id % 5 == 0 =>
+          (id, dates(i + 2), c + 7) }
+    @volatile var baseIdx = 0 // the pass's "today": publications visible
+    val PageSize = 50
+    val fetch: LandingJob.RowFetch = (date, cursor) => {
+      val i = dates.indexOf(date)
+      val orig = byDate.getOrElse(date, IndexedSeq.empty)
+        .map { case (id, c) => Row(id, date, date, c) }
+      val corr = corrections(i)
+        .filter { case (_, pub, _) => dates.indexOf(pub) <= baseIdx }
+        .map { case (id, pub, v) => Row(id, date, pub, v) }
+      val rows = orig ++ corr
+      val start = cursor.map(_.toInt).getOrElse(0)
+      val page = rows.slice(start, start + PageSize)
+      val next = if (start + PageSize < rows.size)
+        Some((start + PageSize).toString) else None
+      (200, page, next)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q222")
+    try q222Body(s, tmp, dates, fetch, i => baseIdx = i)
+    finally graft.operators.Upsert.rmTree(tmp.toFile)
+  }
+
+  private def q222Body(s: SparkSession, tmp: java.nio.file.Path,
+                       dates: Seq[String],
+                       fetch: LandingJob.RowFetch,
+                       setBase: Int => Unit): DataFrame = {
+    import s.implicits._
+    val cfg = LandingJob.Config("landing_q222", "corrections",
+      s"$tmp/landing", s"$tmp/coverage",
+      successStaleAfterSec = Some(1)) // a SUCCESS day re-pulls freely
+    // published_date rides IN the key: the correction is a sibling row
+    val ds = LandingJob.Dataset("corrections", q222Schema,
+      Seq("id", "published_date"))
+    var now = 0L
+    val bucket = new Ingest.TokenBucket(requestsPerMinute = 60,
+      minIntervalMs = 1000L, nowMs = () => now, sleepMs = now += _)
+    val lock = new JobLock(tmp.resolve("locks"))
+    val runs = new RunLedger(nowMs = () => now)
+    def pull(windowDates: Seq[String]): Unit =
+      LandingJob.runDataset(s, lock, runs, cfg, ds, windowDates, fetch,
+        bucket, retrySleepMs = now += _, nowMs = () => now)
+        .fold(r => sys.error(s"window pull rejected: $r"), rs =>
+          require(rs.forall(_.status == "success"), rs.toString))
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      setBase(3)
+      pull(dates.slice(0, 4)) // window [d1..d4]
+      // visibility invariant: nothing published after d4 may be on disk
+      val early = LandingJob.readLanding(s, cfg.landingRoot, ds).get
+        .filter(col("published_date") > lit(dates(3))).count()
+      require(early == 0L,
+        s"pass 1 landed $early rows published after its base date")
+      now += 10_000L // past the success-stale threshold: re-pull allowed
+      setBase(5)
+      pull(dates.slice(2, 6)) // the SLID window [d3..d6]
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val manifest = s.read.parquet(
+      graft.operators.Upsert.resolvePublished(cfg.coverageRoot).get)
+      .select(col("target_date"), col("status"))
+    val landed = LandingJob.readLanding(s, cfg.landingRoot, ds).get
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("target_date"), col("id"))
+      .orderBy(col("published_date"))
+    val versioned = landed
+      .withColumn("vfirst", first(col("value")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("vlast", last(col("value")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(w))
+    versioned
+      .groupBy(col("target_date"))
+      .agg(count(lit(1)).as("n_versions"),
+        count(when(col("published_date") =!= col("target_date"), 1))
+          .as("n_corrected"),
+        sum(when(col("rn") === 1, col("vlast"))).cast("long")
+          .as("sum_latest"),
+        sum(when(col("rn") === 1, col("vfirst"))).cast("long")
+          .as("sum_first"))
+      .join(manifest, Seq("target_date"))
+      .orderBy(col("target_date"))
+      .localCheckpoint()
+  }
+
+  /** DuckDB derives the bitemporal end-state from orders + the
+    * publication algebra directly: all six periods carry their
+    * originals; periods ranked 1–4 additionally carry a correction
+    * (value + 7) for every id divisible by 5 — published at rank+2,
+    * which the two sliding windows make fully visible by the second
+    * pass — and the latest-published sum supersedes exactly those. */
+  val oracleQ222: String =
+    """WITH d6 AS (
+      |  SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM (
+      |    SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+      |    FROM orders ORDER BY d LIMIT 6)
+      |), src AS (
+      |  SELECT d6.d AS target_date, d6.rn,
+      |         CAST(o_orderkey AS BIGINT) AS id,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |         (o_orderkey % 5 = 0 AND d6.rn <= 4) AS corrected
+      |  FROM orders JOIN d6 ON CAST(o_orderdate AS DATE) = d6.d
+      |)
+      |SELECT target_date,
+      |       CAST(COUNT(*) + SUM(CASE WHEN corrected THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_versions,
+      |       CAST(SUM(CASE WHEN corrected THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_corrected,
+      |       CAST(SUM(CASE WHEN corrected THEN cents + 7 ELSE cents END)
+      |         AS BIGINT) AS sum_latest,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_first,
+      |       'success' AS status
+      |FROM src
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** DuckDB replays the q10 stock-metrics oracle over the SAME slices
     * directly: the landed-table refresh must be indistinguishable from
     * computing on the source rows. Built from [[graft.analytics
