@@ -62,7 +62,9 @@ object Bench {
     def mark(s: String): Unit =
       System.err.println(f"BENCHMARK-$s ${(System.nanoTime() - t00) / 1e9}%.2f")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // per-child rep override (deadline shedding) wins over the global knob
+    val reps = sys.props.getOrElse("graft.bench.reps",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")).toInt
     val spark = session()
     mark("session")
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -306,18 +308,31 @@ object Bench {
     * fix): the driver's own post-processing leaves a loadavg tail, so
     * ITS bench reruns started loaded (loadmax 14, 20 remeasures) while
     * the builder's were quiet — poll the 1-min loadavg until it decays
-    * below [[QuietStartLoad]] (give up after [[QuietWaitMaxSec]]) so
+    * below [[QuietStartLoad]] (give up after the cap) so
     * driver-initiated runs qualify for the quiet regime too. The wait
     * is recorded in the artifact; SPARK_GRAFT_BENCH_NOWAIT=1 skips it
-    * for local iteration. */
-  private val QuietWaitMaxSec = 600
+    * for local iteration.
+    *
+    * Round-17 harness-fit: the cap dropped 600 → 120 s
+    * (SPARK_GRAFT_BENCH_QUIET_MAX_SEC overrides) and shrinks further
+    * under a deadline. Two of the last three driver bench artifacts
+    * were rc-124/unparsed with the kill landing BEFORE the first child
+    * finished — a 10-minute silent wait was spending the driver's whole
+    * budget on not measuring. r13 needed 45 s and r15 90 s of wait for
+    * a quiet run, so 120 s preserves the quiet-regime fix while keeping
+    * the worst-case time-to-first-median bounded. */
+  private def quietWaitCapSec: Long = {
+    val base = sys.env.get("SPARK_GRAFT_BENCH_QUIET_MAX_SEC")
+      .map(_.toLong).getOrElse(120L)
+    deadlineSec.map(d => math.min(base, d / 5)).getOrElse(base)
+  }
   private var quietWaitedSec = 0L
   private def awaitQuietBox(): Unit = {
     if (sys.env.contains("SPARK_GRAFT_BENCH_NOWAIT")) return
     val t0 = System.nanoTime()
     var l = loadAvg1()
     while (l >= QuietStartLoad &&
-        (System.nanoTime() - t0) / 1e9 < QuietWaitMaxSec) {
+        (System.nanoTime() - t0) / 1e9 < quietWaitCapSec) {
       System.err.println(f"BENCH: waiting for quiet box (load $l%.2f >= " +
         f"$QuietStartLoad%.1f)")
       Thread.sleep(15000)
@@ -325,6 +340,23 @@ object Bench {
     }
     quietWaitedSec = ((System.nanoTime() - t0) / 1e9).toLong
   }
+
+  /** Optional wall-clock budget (seconds) for the WHOLE coordinator run
+    * (the round-16 "make the bench fit the driver's harness" ask). When
+    * set, the coordinator (a) caps the quiet-wait at deadline/5, (b)
+    * sheds reps 3 → 1 for the remaining children once the projected
+    * full-rep finish would overrun the budget — coverage is shed last,
+    * reps first — and (c) skips the stability remeasure pass when the
+    * remaining budget cannot pay for it. Shedding events are recorded
+    * in the JSON (`"shed"` = children forked at reps=1). Unset = the
+    * classic unbounded run (local iteration, committed artifacts). */
+  private lazy val deadlineSec: Option[Long] =
+    sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC").flatMap(s =>
+      scala.util.Try(s.trim.toLong).toOption).filter(_ > 0)
+  private val tStartNanos = System.nanoTime()
+  private def elapsedSec: Double = (System.nanoTime() - tStartNanos) / 1e9
+  private def remainingSec: Double =
+    deadlineSec.map(_ - elapsedSec).getOrElse(Double.MaxValue)
 
   private lazy val quietBoxRegime: Boolean = {
     val l0 = loadAvg1()
@@ -336,13 +368,14 @@ object Bench {
 
   /** PARTIAL stdout emission (the round-14 postmortem: the driver killed
     * its bench child ~72s in and got `parsed: null` even though every
-    * completed query's median existed in memory). After every finished
-    * child group the coordinator prints a one-line JSON snapshot —
-    * same shape as the final line, `"partial":true`, heaviest medians
-    * that fit the driver's ~2000-char tail buffer — so a killed run's
-    * stdout tail always ends in a parseable line covering everything
-    * measured so far. The final (non-partial) line still prints last
-    * and wins any last-line parse. */
+    * completed query's median existed in memory). After EVERY measured
+    * query (round-17: per BENCHQ line, not per finished child group —
+    * the r16 kill landed inside the FIRST child) the coordinator prints
+    * a one-line JSON snapshot — same shape as the final line,
+    * `"partial":true`, heaviest medians that fit the driver's
+    * ~2000-char tail buffer — so a killed run's stdout tail always ends
+    * in a parseable line covering everything measured so far. The final
+    * (non-partial) line still prints last and wins any last-line parse. */
   private def emitPartial(done: Seq[(String, QRes)], qn: Int): Unit = {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def short(k: String): String = shortKey(k)
@@ -385,11 +418,19 @@ object Bench {
     // heavy queries ride alone; the sub-second tail shares children in
     // groups of GroupSize — full isolation for all 93 cost ~9s/child in
     // pure session+warmup overhead (~15 min wall), which risks any
-    // driver-side bench budget for no measurement benefit on 0.2s queries
+    // driver-side bench budget for no measurement benefit on 0.2s queries.
+    // Round-17 harness-fit: ONE cheap group runs FIRST — its sub-second
+    // queries put the first parseable partial line on stdout within
+    // seconds of the first fork, where the old heavy-first order left a
+    // budget-killed run (r16 rc-124, killed inside child #1) with
+    // nothing. The heavy tier follows immediately after.
+    val cheapGroups = names.filterNot(n => isolated(n) || midTier(n))
+      .grouped(GroupSize).toSeq
     val groups: Seq[Seq[String]] =
-      names.filter(isolated).map(Seq(_)) ++
+      cheapGroups.take(1) ++
+        names.filter(isolated).map(Seq(_)) ++
         names.filter(midTier).grouped(MidGroup).toSeq ++
-        names.filterNot(n => isolated(n) || midTier(n)).grouped(GroupSize).toSeq
+        cheapGroups.drop(1)
     var remeasured: Seq[String] = Seq.empty
     // (name, first measurement, retry measurement, which was kept: 1|2,
     // why it was suspected: "ls" load/spread, "hist" history-anchored,
@@ -398,10 +439,30 @@ object Bench {
     // read the LAST COMMITTED artifact before this run overwrites it —
     // the history anchor for the uniform-poisoning trigger
     val prior = priorMedians(sfDir)
+    // live per-query snapshot for partial emission: updated on every
+    // BENCHQ line any child prints (including the stability pass, where
+    // the lower median wins — the final selection rule), so whatever
+    // instant the driver kills the run, the stdout tail ends in a
+    // parseable line with the best-known medians
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, QRes]
+    def onHit(n: String, r: QRes): Unit = {
+      live(n) = live.get(n) match {
+        case Some(p) if p.med >= 0 && (r.med < 0 || p.med <= r.med) => p
+        case _ => r
+      }
+      emitPartial(live.toSeq, names.size)
+    }
+    val repsConf = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // projected child cost from the prior committed medians (unknown
+    // queries estimated at 0.7 s) + ~5 s fixed per-child overhead
+    def estSec(g: Seq[String], r: Int): Double =
+      5.0 + r * g.map(n => prior.getOrElse(shortKey(n), 0.7)).sum
+    var shedChildren = 0
     val results: Seq[(String, QRes)] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_INPROC")) {
         isoMode = "session"; runInProcess(names)
-      } else runForked(groups.head, childCp, Seq(s"-XX:ArchiveClassesAtExit=$jsa")) match {
+      } else runForked(groups.head, childCp,
+          Seq(s"-XX:ArchiveClassesAtExit=$jsa"), onHit) match {
         case None =>
           // fork failed outright (classpath/launcher mismatch in this
           // environment) — fall back to the r06 single-session harness so
@@ -413,10 +474,26 @@ object Bench {
             Seq(s"-XX:SharedArchiveFile=$jsa") else Seq.empty
           val acc = scala.collection.mutable.ListBuffer.empty[(String, QRes)]
           acc ++= first
-          emitPartial(acc.toSeq, names.size)
-          groups.tail.foreach { g =>
-            acc ++= runForked(g, childCp, cds).getOrElse(g.map(_ -> NoRes))
-            emitPartial(acc.toSeq, names.size)
+          // deadline rep-shedding: the first time the projected full-rep
+          // finish overruns the budget, the REST of the children fork at
+          // reps=1 — reps are shed before coverage, coverage never
+          // silently (every shed child is counted in the JSON)
+          var shedNow = false
+          val restGroups = groups.tail
+          restGroups.zipWithIndex.foreach { case (g, i) =>
+            if (!shedNow && deadlineSec.isDefined && repsConf > 1) {
+              val needFull = restGroups.drop(i).map(estSec(_, repsConf)).sum
+              if (needFull > remainingSec) {
+                shedNow = true
+                System.err.println(f"BENCH: deadline $remainingSec%.0fs left" +
+                  f" < $needFull%.0fs projected at reps=$repsConf —" +
+                  " shedding remaining children to reps=1")
+              }
+            }
+            val flags = if (shedNow) cds :+ "-Dgraft.bench.reps=1" else cds
+            if (shedNow) shedChildren += 1
+            acc ++= runForked(g, childCp, flags, onHit)
+              .getOrElse(g.map(_ -> NoRes))
           }
           val pass1 = acc.toSeq
           // STABILITY PASS: medians measured under load or with wide warm
@@ -479,14 +556,23 @@ object Bench {
               case (true, false) => "hist"
               case _ => "ls"
             }
-          if (suspects.isEmpty) pass1
+          // under a deadline the stability pass runs only if the budget
+          // can pay for it — a clean-but-partial artifact beats a kill
+          // mid-remeasure (the partial lines protect either way)
+          val retryBudgetOk = deadlineSec.isEmpty ||
+            remainingSec > suspects.map(n => estSec(Seq(n), repsConf)).sum
+          if (suspects.nonEmpty && !retryBudgetOk)
+            System.err.println(f"BENCH: deadline $remainingSec%.0fs left —" +
+              s" skipping the stability pass (${suspects.size} suspects)")
+          if (suspects.isEmpty || !retryBudgetOk) pass1
           else {
             System.err.println(
               s"BENCH: re-measuring ${suspects.size} suspect queries: " +
                 suspects.map(n => shortKey(n) + "(" + why(n) + ")")
                   .mkString(","))
             val retry: Map[String, QRes] = suspects.flatMap { n =>
-              runForked(Seq(n), childCp, cds).map(_.toMap).getOrElse(Map.empty)
+              runForked(Seq(n), childCp, cds, onHit)
+                .map(_.toMap).getOrElse(Map.empty)
             }.toMap
             // only queries whose re-fork actually produced a measurement
             // count as remeasured (a failed fork used to be reported as
@@ -511,7 +597,7 @@ object Bench {
       Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
     } catch { case _: Throwable => }
-    emit(results.toMap, results, isoMode, remeasured, retriesLog)
+    emit(results.toMap, results, isoMode, remeasured, retriesLog, shedChildren)
   }
 
   /** The parent's classpath with every directory entry replaced by a jar of
@@ -546,7 +632,9 @@ object Bench {
     * driver's stdout keeps exactly one JSON line. Returns None only if the
     * fork itself failed (no BENCHQ lines at all). */
   private def runForked(group: Seq[String], cp: String,
-                        extraFlags: Seq[String]): Option[Seq[(String, QRes)]] = {
+                        extraFlags: Seq[String],
+                        onHit: (String, QRes) => Unit = (_, _) => ())
+      : Option[Seq[(String, QRes)]] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
@@ -563,9 +651,11 @@ object Bench {
       while ({ line = out.readLine(); line != null })
         if (line.startsWith("BENCHQ ")) {
           val parts = line.split(" ")
-          hits(parts(1)) = QRes(parts(2).toDouble, parts(3).toDouble,
+          val r = QRes(parts(2).toDouble, parts(3).toDouble,
             if (parts.length > 4) parts(4).toDouble else -1.0,
             if (parts.length > 5) parts(5).toDouble else -1.0)
+          hits(parts(1)) = r
+          onHit(parts(1), r)
         } else System.err.println(line)
       p.waitFor()
       if (hits.isEmpty) None
@@ -607,7 +697,8 @@ object Bench {
                    ordered: Seq[(String, QRes)],
                    isoMode: String,
                    remeasured: Seq[String],
-                   retriesLog: Seq[(String, QRes, QRes, Int, String)]): Unit = {
+                   retriesLog: Seq[(String, QRes, QRes, Int, String)],
+                   shedChildren: Int = 0): Unit = {
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     def short(k: String): String = shortKey(k)
@@ -637,7 +728,7 @@ object Bench {
       case (n, r) if isolated(n) && r.spread >= 0 => r.spread }
     val spreadMax = if (isoSpreads.isEmpty) -1.0 else isoSpreads.max
     val loadSummary =
-      s""""loadmax":${f2(loadMax)},"iso_spreadmax":${f3(spreadMax)},"quiet":$quietBoxRegime,"quiet_waited_sec":$quietWaitedSec,"remeasured":${remeasured.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")},"""
+      s""""loadmax":${f2(loadMax)},"iso_spreadmax":${f3(spreadMax)},"quiet":$quietBoxRegime,"quiet_waited_sec":$quietWaitedSec,"shed":$shedChildren,"remeasured":${remeasured.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")},"""
     def line(qs: String, extra: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$extra$loadSummary"reps":$reps,"iso":"$isoMode","inv":"$inv","sf":"$sfDir"}"""
     // FULL artifact — every median + total + inv — goes to a FILE the
