@@ -119,8 +119,10 @@ object DailyRefreshJob {
           Upsert.publishSnapshot(df, s"$outRoot/$name", version)
           // under daily cadence versioned snapshots accumulate one
           // v=* dir per day per stage forever; callers that don't want
-          // the full audit history bound it to the N most recent
-          // superseded versions (readers of the just-flipped pointer
+          // the full audit history bound retention. Steady state is
+          // retain+2 dirs: current + the name-pinned spared previous +
+          // graceKeep=N superseded (the spare is IN ADDITION to
+          // graceKeep — r16 ADVICE; readers of the just-flipped pointer
           // keep their grace window)
           retainVersions.foreach(n =>
             Upsert.pruneSnapshots(s"$outRoot/$name", graceKeep = n,
@@ -207,7 +209,9 @@ object DailyRefreshJob {
         .filter(col("dataset").isin(datasets: _*) &&
           col("target_date") === to_date(lit(targetDate)) &&
           col("status") === lit(graft.sources.Coverage.Success))
-        .select(col("dataset")).distinct().count() == datasets.size
+        // distinct on BOTH sides (r16 ADVICE): a caller passing the same
+        // dataset name twice must not block forever on count < size
+        .select(col("dataset")).distinct().count() == datasets.distinct.size
     }
   }
 

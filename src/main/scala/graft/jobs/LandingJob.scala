@@ -94,7 +94,8 @@ object LandingJob {
                            schema: StructType,
                            keyCols: Seq[String],
                            batchSize: Int = 1000,
-                           transform: DataFrame => DataFrame = identity) {
+                           transform: DataFrame => DataFrame = identity,
+                           legacyLayout: Boolean = false) {
     require(schema.fieldNames.contains("target_date"),
       s"dataset $name schema must carry target_date")
     require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains),
@@ -125,6 +126,50 @@ object LandingJob {
       .map(s.read.parquet(_))
       .getOrElse(Coverage.emptyLedger(s))
 
+  /** Write-through coverage-ledger buffer for ONE leased landing run
+    * (round-17, guide §1.2/"do fewer passes"): the published snapshot is
+    * loaded ONCE per run (bounded metadata — one row per dataset-day,
+    * the same class as the catch-up planner's collect), upserts apply
+    * driver-side, and every publish writes the complete merged ledger
+    * from the buffer as a single-partition snapshot. This removes, per
+    * publish (2 per landed date), the parquet re-read of the snapshot
+    * this same process just wrote plus the left-anti merge shuffle —
+    * the lease makes this process the sole ledger writer for the run's
+    * duration, so the buffer cannot go stale. Durability and readers
+    * are untouched: every publish is still a complete snapshot plus the
+    * atomic `_PUBLISHED` pointer flip, and cross-process planners
+    * ([[catchUpDatesFor]], q218-style) keep reading storage. */
+  private final class LedgerBuf(s: SparkSession, cfg: Config) {
+    private val schema = Coverage.emptyLedger(s).schema
+    private val rows =
+      scala.collection.mutable.LinkedHashMap.empty[(String, String), Row]
+    readLedger(s, cfg.coverageRoot).collect().foreach { r =>
+      rows((r.getString(0), String.valueOf(r.getDate(1)))) = r
+    }
+
+    def publish(dataset: String, day: java.sql.Date, status: String,
+                rowCount: Long, errorCount: Int, obsMs: Option[Long],
+                runId: Option[String]): Unit = {
+      Coverage.validate(status, rowCount, errorCount, obsMs)
+      rows((dataset, day.toString)) = Row(dataset, day, status, rowCount,
+        errorCount, obsMs.map(Long.box).orNull, runId.orNull)
+      val prev = Upsert.resolvePublished(cfg.coverageRoot)
+        .map(p => new java.io.File(p).getName).toSet
+      import scala.jdk.CollectionConverters._
+      // one partition: the ledger is metadata-sized — a single file per
+      // version keeps listing/footer costs flat for every reader (§6)
+      val df = s.createDataFrame(rows.values.toSeq.asJava, schema).coalesce(1)
+      Upsert.publishSnapshot(df, cfg.coverageRoot,
+        java.util.UUID.randomUUID().toString)
+      // two publishes per date would otherwise grow version dirs forever;
+      // sparing the JUST-superseded version BY NAME (mtimes can tie at
+      // publish rates below the fs timestamp granularity) leaves it for
+      // readers that resolved the old pointer right before this flip
+      // (q218-style catch-up planners in other processes)
+      Upsert.pruneSnapshots(cfg.coverageRoot, spare = prev)
+    }
+  }
+
   /** Run the landing job over `targetDates` (oldest first — the
     * forward-fill order). Returns Left(reason) when the lease is held
     * (double start) — nothing is claimed, fetched, or written.
@@ -138,7 +183,7 @@ object LandingJob {
           nowMs: () => Long = () => System.currentTimeMillis())
       : Either[String, Seq[DateResult]] = {
     val ds = Dataset(cfg.dataset, apiRowSchema, Seq("id"),
-      batchSize = Int.MaxValue)
+      batchSize = Int.MaxValue, legacyLayout = true)
     val rowFetch: RowFetch = (date, cursor) => {
       val (status, rows, next) = fetch(date, cursor)
       (status, rows.map(r => Row(r.id, r.target_date, r.value)), next)
@@ -159,13 +204,16 @@ object LandingJob {
     lock.acquire(cfg.jobName, cfg.ttlSeconds) match {
       case Left(reason) => Left(reason)
       case Right(token) =>
-        try Right(targetDates.map { date =>
-          val r = runOneDate(s, runs, cfg, ds, date, fetch, bucket,
-            retrySleepMs, uniform, nowMs)
-          // heartbeat: a long backfill must outlive the initial TTL
-          lock.extend(cfg.jobName, token, cfg.ttlSeconds)
-          r
-        })
+        try {
+          val ledger = new LedgerBuf(s, cfg)
+          Right(targetDates.map { date =>
+            val r = runOneDate(s, runs, cfg, ds, date, fetch, bucket,
+              retrySleepMs, uniform, nowMs, ledger)
+            // heartbeat: a long backfill must outlive the initial TTL
+            lock.extend(cfg.jobName, token, cfg.ttlSeconds)
+            r
+          })
+        }
         finally lock.release(cfg.jobName, token)
     }
   }
@@ -175,7 +223,8 @@ object LandingJob {
                          bucket: Ingest.TokenBucket,
                          retrySleepMs: Long => Unit,
                          uniform: () => Double,
-                         nowMs: () => Long): DateResult = {
+                         nowMs: () => Long,
+                         ledger: LedgerBuf): DateResult = {
     // ledger key: the bare job name when the job IS the dataset (the
     // single-dataset legacy contract the specs and q219 pin); a
     // multi-dataset job claims per (job, dataset) so one dataset's
@@ -190,8 +239,9 @@ object LandingJob {
     val day = java.sql.Date.valueOf(date)
     // claim-time manifest: FAILED until this attempt proves otherwise —
     // a crash from here on leaves the date visibly uncovered
-    publishCoverage(s, cfg,
-      Coverage.claimPlaceholder(s, ds.name, day, claim.runId))
+    // (the 00085 claim placeholder: FAILED, one error, no observation)
+    ledger.publish(ds.name, day, Coverage.Failed, 0L, 1, None,
+      Some(claim.runId))
     var pages = 0
     // attempt-scoped staging dir: chunk flushes land here, never in the
     // partition — a zombie attempt can only dirty its own scratch
@@ -221,8 +271,8 @@ object LandingJob {
         return DateResult(date, "fenced", 0L, pages,
           Some("attempt superseded before publish"))
       val landed = land(s, cfg, ds, spool)
-      publishCoverage(s, cfg, Coverage.row(s, ds.name, day,
-        Coverage.Success, landed, 0, Some(nowMs()), Some(claim.runId)))
+      ledger.publish(ds.name, day, Coverage.Success, landed, 0,
+        Some(nowMs()), Some(claim.runId))
       if (runs.complete(claim.runId, attempt, "success"))
         DateResult(date, "success", landed, pages, None)
       else // fenced between probe and completion: report it, never "success"
@@ -233,8 +283,8 @@ object LandingJob {
         val msg = Option(e.getMessage).getOrElse(e.toString)
         // only the still-current attempt may rewrite the manifest
         if (runs.complete(claim.runId, attempt, "failed", Some(msg)))
-          publishCoverage(s, cfg, Coverage.row(s, ds.name, day,
-            Coverage.Failed, 0L, 1, None, Some(claim.runId)))
+          ledger.publish(ds.name, day, Coverage.Failed, 0L, 1, None,
+            Some(claim.runId))
         DateResult(date, "failed", 0L, pages, Some(msg))
     } finally Upsert.rmTree(new java.io.File(stageDir))
   }
@@ -329,11 +379,15 @@ object LandingJob {
   }
 
   /** The landing table's data root for `ds` — a parquet layout
-    * partitioned by `target_date`, one root per dataset. The legacy
-    * single-dataset path keeps the bare `data` dir. */
+    * partitioned by `target_date`, one root per dataset. ONLY the legacy
+    * single-dataset `run()` wrapper keeps the bare `data` dir, via the
+    * explicit [[Dataset.legacyLayout]] marker (r16 ADVICE: dispatching on
+    * structural schema equality routed any generic dataset that happened
+    * to use the 3-column ApiRow shape to the SHARED bare dir — two such
+    * datasets would silently mix tables while coverage stayed per-name). */
   private[graft] def landingDataPath(root: String): String = s"$root/data"
   private[graft] def landingDataPath(root: String, ds: Dataset): String =
-    if (ds.schema == apiRowSchema) landingDataPath(root)
+    if (ds.legacyLayout) landingDataPath(root)
     else s"$root/data_${ds.name}"
 
   /** The published landing table (None until the first date lands).
@@ -352,14 +406,17 @@ object LandingJob {
 
   /** The published landing table for a dataset known only BY NAME
     * (the refresh side holds a [[Config]], not the [[Dataset]]): the
-    * legacy bare `data` layout when present, else the generic
-    * `data_<name>` root — so a generic dataset that shares the
-    * config's dataset name refreshes instead of erroring on the
-    * legacy path. */
+    * generic `data_<name>` root when present, else the legacy bare
+    * `data` layout (r16 ADVICE: preferring the legacy dir meant a
+    * dataset migrated from the ApiRow shape to a generic schema under
+    * the same name would silently refresh from the STALE legacy table;
+    * generic-first means a migrated dataset always reads its new
+    * layout, and pure-legacy jobs — which never create `data_<name>` —
+    * still resolve the bare dir). */
   def readLandingNamed(s: SparkSession, root: String,
                        name: String): Option[DataFrame] =
-    readLandingPath(s, landingDataPath(root))
-      .orElse(readLandingPath(s, s"$root/data_$name"))
+    readLandingPath(s, s"$root/data_$name")
+      .orElse(readLandingPath(s, landingDataPath(root)))
 
   private def readLandingPath(s: SparkSession,
                               path: String): Option[DataFrame] = {
@@ -402,13 +459,27 @@ object LandingJob {
     // merged against (partition pruning — the rest of the table is
     // never read); the day set was tracked driver-side by the spool
     val dates = spool.dates.map(java.sql.Date.valueOf)
-    val existing = readLanding(s, cfg.landingRoot, ds)
-      .map(_.filter(col("target_date").isin(dates: _*))
-        .select(incoming.columns.map(col): _*))
-      .getOrElse(incoming.limit(0))
-    val merged = Upsert.keyed(existing, incoming,
-        "target_date" +: ds.keyCols)
-      .localCheckpoint() // the write replaces the partition it read
+    // FIRST-LAND fast path (r17, guide §1.2 "don't compute things you
+    // throw away"): when none of the incoming dates' partition dirs
+    // exist yet — every forward-fill day, every heal of a never-landed
+    // date — the merge would union against a provably empty relation
+    // and the pre-write checkpoint would only be protecting a read of
+    // partitions that don't exist. Skip both (one FS listing decides;
+    // the re-land/idempotence path below is untouched).
+    val dataPath = landingDataPath(cfg.landingRoot, ds)
+    val anyExistingPartition = readLanding(s, cfg.landingRoot, ds)
+      .isDefined && dates.exists(d =>
+        new java.io.File(s"$dataPath/target_date=$d").exists())
+    val merged =
+      if (!anyExistingPartition) incoming
+      else {
+        val existing = readLanding(s, cfg.landingRoot, ds)
+          .map(_.filter(col("target_date").isin(dates: _*))
+            .select(incoming.columns.map(col): _*))
+          .getOrElse(incoming.limit(0))
+        Upsert.keyed(existing, incoming, "target_date" +: ds.keyCols)
+          .localCheckpoint() // the write replaces the partition it read
+      }
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "dynamic")
@@ -420,24 +491,6 @@ object LandingJob {
       case None => s.conf.unset(key)
     }
     landedCount
-  }
-
-  private def publishCoverage(s: SparkSession, cfg: Config,
-                              row: DataFrame): Unit = {
-    // no checkpoint needed: the publish writes a FRESH version dir, so
-    // the plan reads the old version while it still exists (the spare
-    // below defers even its prune one full cycle) and is never re-run
-    val prev = Upsert.resolvePublished(cfg.coverageRoot)
-      .map(p => new java.io.File(p).getName).toSet
-    val merged = Coverage.upsert(readLedger(s, cfg.coverageRoot), row)
-    Upsert.publishSnapshot(merged, cfg.coverageRoot,
-      java.util.UUID.randomUUID().toString)
-    // two publishes per date would otherwise grow version dirs forever;
-    // sparing the JUST-superseded version BY NAME (mtimes can tie at
-    // publish rates below the fs timestamp granularity) leaves it for
-    // readers that resolved the old pointer right before this flip
-    // (q218-style catch-up planners in other processes)
-    Upsert.pruneSnapshots(cfg.coverageRoot, spare = prev)
   }
 
   /** Plan the next run's dates from the published coverage ledger —
@@ -476,14 +529,17 @@ object LandingJob {
     lock.acquire(cfg.jobName, cfg.ttlSeconds) match {
       case Left(reason) => Left(reason)
       case Right(token) =>
-        try Right(entries.flatMap { e =>
-          e.dates.map { date =>
-            val r = runOneDate(s, runs, cfg, e.ds, date, e.fetch,
-              bucket, retrySleepMs, uniform, nowMs)
-            lock.extend(cfg.jobName, token, cfg.ttlSeconds)
-            e.ds.name -> r
-          }
-        })
+        try {
+          val ledger = new LedgerBuf(s, cfg)
+          Right(entries.flatMap { e =>
+            e.dates.map { date =>
+              val r = runOneDate(s, runs, cfg, e.ds, date, e.fetch,
+                bucket, retrySleepMs, uniform, nowMs, ledger)
+              lock.extend(cfg.jobName, token, cfg.ttlSeconds)
+              e.ds.name -> r
+            }
+          })
+        }
         finally lock.release(cfg.jobName, token)
     }
 

@@ -41,4 +41,32 @@ object Materialize {
   def withMaterialized2[A](df1: DataFrame, df2: DataFrame)(
       body: (DataFrame, DataFrame) => A): A =
     withMaterialized(df1)(a => withMaterialized(df2)(b => body(a, b)))
+
+  /** Run INDEPENDENT Spark action chains from a bounded driver thread
+    * pool and return their results in input order — the optimization
+    * guide's §2.6 "overlap independent jobs" pattern: Spark's scheduler
+    * happily runs several jobs at once inside one application; chains of
+    * eager actions (iterative `localCheckpoint` loops, per-config
+    * trainings) are only sequential because the driver calls them
+    * sequentially. Overlapping them lets one chain's stage tail backfill
+    * with the next chain's tasks — a wall-clock win at ANY scale, and a
+    * pure scheduling change: each chain's computation (and therefore the
+    * query result) is untouched.
+    *
+    * Only for thunks with no data dependencies between them. Failures
+    * propagate with the original cause (the first failing thunk's
+    * exception), after all threads settle. */
+  def concurrently[A](thunks: Seq[() => A], parallelism: Int = 4): Seq[A] = {
+    if (thunks.size <= 1) return thunks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, thunks.size))
+    try {
+      val fs = thunks.map(t => pool.submit(
+        new java.util.concurrent.Callable[A] { def call(): A = t() }))
+      fs.map(f => try f.get() catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      })
+    } finally pool.shutdown()
+  }
 }

@@ -218,7 +218,13 @@ object Similarity {
       .withColumn("v",
         expr("transform(vd, x -> CAST(floor(x * 1e6 + 0.5) AS DOUBLE))"))
     Materialize.withMaterialized(vecs0) { vecs =>
-      ks.map { k =>
+      // the per-k training chains are independent given the materialized
+      // carrier, but each is a SEQUENCE of eager actions (lloyd's
+      // per-iteration localCheckpoints) — run the k's from a driver
+      // thread pool (guide §2.6) so one k's stage tail backfills with
+      // the next k's tasks; each chain's computation is unchanged and
+      // the ordered union keeps the output deterministic
+      Materialize.concurrently(ks.map { k => () =>
         val cents = lloyd(vecs, idCol, k, iters)
         kmAssignUnder(vecs, idCol, cents)
           .withColumn("__d2", col("__score") + dotProduct(col("v"), col("v")))
@@ -228,7 +234,8 @@ object Similarity {
           .withColumn("k", lit(k.toLong))
           .select(col("k"), col("n_vecs"), col("n_cells_used"),
             col("inertia6"))
-      }.reduce(_ unionByName _)
+          .localCheckpoint() // 1-row: pin this k's result inside its thread
+      }).reduce(_ unionByName _)
         .orderBy(col("k"))
         .localCheckpoint()
     }

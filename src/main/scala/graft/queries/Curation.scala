@@ -587,27 +587,34 @@ object Curation {
       // the gate expressions
       val withToks = base.select(col("doc_id"), col("pred_lang"),
         col("quality"), split(col("__norm"), " ").as("t"))
-      val clean = cleanGated(cleanFeatures(withToks),
-          repetitionSignalsFromTokens(withToks.select(col("doc_id"), col("t"))))
-        .filter(col("keep")).select(col("doc_id"))
-        .localCheckpoint()
-      // near-dup drop set (q14/q15/q61's exact pipeline) from the
-      // carrier's precomputed hash arrays
-      val pairs = {
-        val h = base.filter(col("__h5").isNotNull)
-          .select(col("doc_id"), col("__h5").as("harr"))
-        val sig = Dedup.minhashSignaturesFromHashes(h, "doc_id",
-          TextQueries.NumHashes)
-        val cand = Dedup.minhashCandidates(sig, "doc_id",
-          TextQueries.RowsPerBand)
-        Dedup.jaccardForCandidatesHashes(cand, h, "doc_id")
-          .filter(col("jaccard") >= TextQueries.JaccardThreshold)
-          .select(col("id1"), col("id2"))
-          .localCheckpoint()
-      }
-      val dupDrop = Dedup.connectedComponentsAdaptive(pairs)
-        .filter(col("doc_id") =!= col("cluster"))
-        .select(col("doc_id"), lit(true).as("__dup"))
+      // the cleaning-verdict chain and the near-dup chain (LSH pipeline →
+      // CC) are independent given the materialized carrier, but each is a
+      // sequence of eager checkpoints — overlap them from a driver thread
+      // pool (guide §2.6); both computations are unchanged
+      val branches = Materialize.concurrently(Seq(
+        () => cleanGated(cleanFeatures(withToks),
+            repetitionSignalsFromTokens(withToks.select(col("doc_id"), col("t"))))
+          .filter(col("keep")).select(col("doc_id"))
+          .localCheckpoint(),
+        // near-dup drop set (q14/q15/q61's exact pipeline) from the
+        // carrier's precomputed hash arrays
+        () => {
+          val h = base.filter(col("__h5").isNotNull)
+            .select(col("doc_id"), col("__h5").as("harr"))
+          val sig = Dedup.minhashSignaturesFromHashes(h, "doc_id",
+            TextQueries.NumHashes)
+          val cand = Dedup.minhashCandidates(sig, "doc_id",
+            TextQueries.RowsPerBand)
+          val pairs = Dedup.jaccardForCandidatesHashes(cand, h, "doc_id")
+            .filter(col("jaccard") >= TextQueries.JaccardThreshold)
+            .select(col("id1"), col("id2"))
+            .localCheckpoint()
+          Dedup.connectedComponentsAdaptive(pairs)
+            .filter(col("doc_id") =!= col("cluster"))
+            .select(col("doc_id"), lit(true).as("__dup"))
+            .localCheckpoint() // cluster-count-sized; pin inside the thread
+        }))
+      val (clean, dupDrop) = (branches(0), branches(1))
       // contamination (q68's exact semantics) from the carrier at k=16
       val contam = Dedup.ngramContaminationFromHashes(
           harr(base.filter(col("source") =!= DecontamEvalSource), DecontamK),

@@ -124,15 +124,23 @@ object ExactSubstr {
   /** Shared span-cut + reassembly tail: non-keeper dup positions →
     * merged removal spans → per-doc sorted span arrays → one `aggregate`
     * fold rebuilding the kept text. `docs` must carry (doc_id, text)
-    * normalized; output one row per doc in `docs`. */
-  private[graft] def applySpans(docs: DataFrame, dup: DataFrame): DataFrame =
-    applyCharSpans(docs, removalSpans(dup))
+    * normalized; output one row per doc in `docs`.
+    *
+    * `ordered = false` (r17) skips the final global sort — the absorb
+    * loops (q214/q216) call this once PER MICRO-BATCH and their gates
+    * re-sort the accumulated emissions at the end anyway, so the
+    * per-batch range exchange + sort was pure overhead; the batch gates
+    * (q211/q213) keep the ordered default. */
+  private[graft] def applySpans(docs: DataFrame, dup: DataFrame,
+                                ordered: Boolean = true): DataFrame =
+    applyCharSpans(docs, removalSpans(dup), ordered)
 
   /** The reassembly fold alone, over ready-made char spans (doc_id, s, e)
     * — spans must be disjoint with positive gaps (the island rule
     * guarantees this for both char-gram and token-gram producers). */
   private[graft] def applyCharSpans(docs: DataFrame,
-                                    spans: DataFrame): DataFrame = {
+                                    spans: DataFrame,
+                                    ordered: Boolean = true): DataFrame = {
     val sp = spans.groupBy(col("doc_id")).agg(
       sort_array(collect_list(struct(col("s"), col("e")))).as("sarr"),
       count(lit(1)).as("n_spans"),
@@ -148,7 +156,7 @@ object ExactSubstr {
         |      CAST(x.s - acc.c AS INT))), x.e),
         |  acc -> concat(acc.t, substring(text, CAST(acc.c + 1 AS INT),
         |    CAST(length(text) - acc.c AS INT))))""".stripMargin)
-    docs.join(sp, Seq("doc_id"), "left")
+    val out = docs.join(sp, Seq("doc_id"), "left")
       .withColumn("__kept",
         when(col("sarr").isNull, col("text")).otherwise(fold))
       .select(col("doc_id"),
@@ -158,7 +166,7 @@ object ExactSubstr {
         length(col("__kept")).cast("long").as("kept_len"),
         when(length(col("__kept")) > 0,
           md5(col("__kept").cast("binary"))).as("kept_fp"))
-      .orderBy(col("doc_id"))
+    if (ordered) out.orderBy(col("doc_id")) else out
   }
 
   /** Base/delta split threshold for the incremental gate: documents

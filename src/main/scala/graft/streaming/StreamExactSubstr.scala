@@ -41,6 +41,19 @@ object StreamExactSubstr {
         StructField("base_kmin", kT, nullable = true))))
   }
 
+  /** Env-gated per-stage wall marks for the absorb loops (the r17
+    * job-count-floor probe — SPARK_GRAFT_Q216_DEBUG=1). */
+  private def marker(tag: String): String => Unit =
+    if (!sys.env.contains("SPARK_GRAFT_Q216_DEBUG")) _ => ()
+    else {
+      var t = System.nanoTime()
+      m => {
+        System.err.println(
+          f"$tag $m ${(System.nanoTime() - t) / 1e9}%.2f s")
+        t = System.nanoTime()
+      }
+    }
+
   /** Mutable standing state + accumulated emissions for an in-process
     * run. Each state and emission is eagerly checkpointed so lineage
     * never chains across batches. */
@@ -49,19 +62,32 @@ object StreamExactSubstr {
     @volatile private var emitted: List[DataFrame] = Nil
 
     def absorb(batch: Dataset[SDoc]): Unit = synchronized {
+      val mark = marker("Q214-PROBE")
       val docs = batch.toDF().localCheckpoint()
+      mark("docs-ckpt")
       val grams = ExactSubstr.gramPositions(docs).localCheckpoint()
+      mark("grams-ckpt")
       val st = state.getOrElse(emptyState(docs.sparkSession))
-      val out = ExactSubstr.applySpans(docs,
-        ExactSubstr.absorbDups(grams, st))
-      emitted = out.localCheckpoint() :: emitted
+      // the batch's emission and its state extension both derive from the
+      // SAME checkpointed (grams, st) inputs and write to independent
+      // in-memory results — overlap the two action chains (guide §2.6).
+      // No durability protocol here (contrast PersistedAbsorber, where
+      // emission-before-state-append is the torn-batch replay contract
+      // and MUST stay sequential).
       val mins = grams.groupBy(col("gram")).agg(min(col("__k")).as("__m"))
-      state = Some(st
-        .join(mins, Seq("gram"), "full_outer")
-        .select(col("gram"),
-          least(coalesce(col("base_kmin"), col("__m")),
-            coalesce(col("__m"), col("base_kmin"))).as("base_kmin"))
-        .localCheckpoint())
+      val both = graft.operators.Materialize.concurrently(Seq(
+        () => ExactSubstr.applySpans(docs,
+          ExactSubstr.absorbDups(grams, st), ordered = false)
+          .localCheckpoint(),
+        () => st
+          .join(mins, Seq("gram"), "full_outer")
+          .select(col("gram"),
+            least(coalesce(col("base_kmin"), col("__m")),
+              coalesce(col("__m"), col("base_kmin"))).as("base_kmin"))
+          .localCheckpoint()))
+      emitted = both(0) :: emitted
+      state = Some(both(1))
+      mark("emit+state-ckpt")
     }
 
     def results: DataFrame = emitted match {
@@ -220,9 +246,12 @@ object StreamExactSubstr {
     private var genMeta: Option[(Long, Long)] = None
 
     def absorb(batch: Dataset[SDoc]): Unit = synchronized {
+      val mark = marker("Q216-PROBE")
       val s = batch.sparkSession
       val docs = batch.toDF().localCheckpoint()
+      mark("docs-ckpt")
       val grams = ExactSubstr.gramPositions(docs).localCheckpoint()
+      mark("grams-ckpt")
       val exists = s.catalog.tableExists(table)
       val (maxGen, nGens) = genMeta.getOrElse {
         if (!exists) (0L, 0L)
@@ -237,12 +266,14 @@ object StreamExactSubstr {
         if (!exists) emptyState(s)
         else if (stateBytes > pruneStateOverBytes) resolvedFor(s, grams)
         else resolved(s.table(table))
+      mark("state-resolve")
       val out = ExactSubstr.applySpans(docs,
-        ExactSubstr.absorbDups(grams, st))
+        ExactSubstr.absorbDups(grams, st), ordered = false)
       // idempotent emission: replaying a torn batch re-derives the same
       // gen and overwrites the same partition instead of double-appending
       out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/emitted/gen=$gen")
+      mark("emit-write")
       val mins = grams.groupBy(col("gram"))
         .agg(min(col("__k")).as("base_kmin"))
         .withColumn("gen", lit(gen))
@@ -251,9 +282,11 @@ object StreamExactSubstr {
       else
         graft.sources.Bucketed.writeBucketed(mins, table,
           s"$path/state", "gram", 16)
+      mark("state-append")
       genMeta = Some((gen, nGens + 1L))
       if (nGens + 1L >= compactEvery.toLong) { compact(s, gen)
-        genMeta = Some((gen, 1L)) }
+        genMeta = Some((gen, 1L))
+        mark("compact") }
     }
 
     /** Fold all generations back to one: the state-sized job, amortized

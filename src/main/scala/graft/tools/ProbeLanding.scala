@@ -91,7 +91,8 @@ object ProbeLanding {
     // 2 most recent superseded versions. Measures (a) per-date refresh
     // INPUT rows (must stay O(day) — the stages prune to the one
     // target_date partition) and (b) snapshot version-dir counts per
-    // stage (must stay bounded at retain+1, not grow with the cadence).
+    // stage (must stay bounded at retain+2, not grow with the cadence:
+    // current + the name-pinned spared previous + retain superseded).
     import org.apache.spark.sql.functions.{col, lit, to_date}
     val outRoot = s"$tmp/refresh"
     val refreshLock = new graft.sources.JobLock(tmp.resolve("rlocks"))
@@ -114,7 +115,7 @@ object ProbeLanding {
       val dt = (System.nanoTime() - tR) / 1e9; tR = System.nanoTime()
       println(f"refresh $d: ${dt}%5.2f s  input rows $inputRows%9d " +
         f"(O(day), table holds $cumRows%9d)  version dirs " +
-        f"${vDirs.mkString("/")} (retain=2 -> bounded at 3)")
+        f"${vDirs.mkString("/")} (retain=2 -> bounded at 4)")
     }
     spark.stop()
   }
