@@ -44,10 +44,11 @@ object KCore {
     // against degrees treats missing degree as 0, so such nodes peel in
     // the following round, as standard k-core semantics demand.
     var alive = nodes.localCheckpoint()
-    var removed = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row],
-      StructType(Seq(StructField("node", LongType),
-        StructField("peel_round", LongType))))
+    // per-round peel sets, accumulated LAZILY (r17, guide §1.2): each
+    // round's weak set is already checkpointed, so re-checkpointing the
+    // growing union every round was one extra full-union job per round —
+    // the final classification unions the bounded list once instead
+    var removedRounds = List.empty[DataFrame]
     var round = 1L
     var weakCount = 1L
     while (weakCount > 0 && round <= maxRounds) {
@@ -57,21 +58,33 @@ object KCore {
         .select(col("node").as("x")).localCheckpoint()
       weakCount = weak.count()
       if (weakCount > 0) {
-        removed = removed.unionByName(weak
-          .select(col("x").as("node"), lit(round).as("peel_round")))
-          .localCheckpoint()
-        alive = alive
-          .join(weak.select(col("x").as("node")), Seq("node"), "left_anti")
-          .localCheckpoint()
-        g = g.join(weak.select(col("x").as("u")), Seq("u"), "left_anti")
-          .join(weak.select(col("x").as("v")), Seq("v"), "left_anti")
-          .select(col("u"), col("v"))
-          .localCheckpoint()
+        removedRounds ::= weak
+          .select(col("x").as("node"), lit(round).as("peel_round"))
+        // the surviving-node update and the surviving-edge update both
+        // read only (alive/g, weak) and feed the NEXT round — overlap
+        // their checkpoints (guide §2.6); each computation is unchanged
+        val next = graft.operators.Materialize.concurrently(Seq(
+          () => alive
+            .join(weak.select(col("x").as("node")), Seq("node"), "left_anti")
+            .localCheckpoint(),
+          () => g.join(weak.select(col("x").as("u")), Seq("u"), "left_anti")
+            .join(weak.select(col("x").as("v")), Seq("v"), "left_anti")
+            .select(col("u"), col("v"))
+            .localCheckpoint()))
+        alive = next(0)
+        g = next(1)
         round += 1
       }
     }
     require(weakCount == 0,
       s"KCore.peel: did not converge within $maxRounds rounds")
+    val removed = removedRounds match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("node", LongType),
+          StructField("peel_round", LongType))))
+      case hd :: tl => tl.foldLeft(hd)(_ unionByName _)
+    }
     nodes
       .join(removed, Seq("node"), "left")
       .join(degrees(g).select(col("x").as("node"), col("d").as("core_deg")),
