@@ -67,13 +67,16 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")).toInt
     val spark = session()
     mark("session")
-    // the range-sum JVM warmup only protects the FIRST measured rep;
-    // with reps ≥ 2 the median discards rep 1 by design (it already
-    // absorbs the parquet footer reads), so the ~2 s warmup is pure
-    // per-child overhead — ~2 min across the ~55 children of a full
-    // run (r18 harness fit, VERDICT #2). Single-rep children (deadline
-    // shedding) keep it: there rep 1 IS the measurement.
-    if (reps == 1) {
+    // the range-sum JVM warmup is skipped for GROUPED (multi-query)
+    // children only: there the later queries run warm anyway and the
+    // first query's median discards its cold rep — ~2 s × ~14 grouped
+    // children of a full run saved (r18 harness fit, VERDICT #2).
+    // ISOLATED children (the heavy tier) keep it: without the warmup,
+    // rep 2 still carries a JIT tail on multi-stage queries and the
+    // median (which keeps rep 2) read ~5-10% high in r18 A/B minis —
+    // a comparability poison, not a saving. Single-rep children
+    // (deadline shedding) keep it too: there rep 1 IS the measurement.
+    if (reps == 1 || names.size == 1) {
       spark.range(1000000).selectExpr("sum(id)").collect()
       mark("warmup")
     }

@@ -274,19 +274,14 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(wantRows.exists(_._4 > 0), "fixture removed nothing — vacuous")
   }
 
-  test("long docs: total corpus ranks equal brute suffix order; packed == wide") {
+  test("long docs: total corpus ranks equal brute suffix order; " +
+      "non-total head ranks share brute equality classes") {
     import spark.implicits._
     import graft.queries.SuffixArray
-    val packed = SuffixArray.corpusRanks(spark, longDocsDf,
+    val got = SuffixArray.corpusRanks(spark, longDocsDf,
         SuffixArray.SaRounds, total = true)
       .select(col("doc_id"), col("pos"), col("r"))
       .as[(Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
-    val wide = SuffixArray.corpusRanks(spark, longDocsDf,
-        SuffixArray.SaRounds, total = true, forceWide = true)
-      .select(col("doc_id"), col("pos"), col("r"))
-      .as[(Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
-    assert(packed.sameElements(wide),
-      "packed single-long pair carrier diverges from the wide two-long path")
     // brute: dense rank of each suffix among DISTINCT suffix strings
     val sufs = longDocs.toSeq.flatMap { case (d, t) =>
       (0 until t.length).map(p => ((d, p.toLong), t.substring(p)))
@@ -294,8 +289,26 @@ class ExactSubstrSpec extends AnyFunSuite {
     val rankOf = sufs.map(_._2).distinct.sorted.zipWithIndex
       .map { case (s, i) => s -> (i + 1L) }.toMap
     val want = sufs.map { case (k, s) => k -> rankOf(s) }.toMap
-    assert(packed.forall { case (d, p, r) => want((d, p)) == r },
+    assert(got.forall { case (d, p, r) => want((d, p)) == r },
       "corpus suffix ranks diverge from brute-force suffix sort")
+    // non-total callers get HEAD ranks (r18): values are group
+    // representatives, but equality classes AND order must match the
+    // brute 16-gram prefix classes — all any consumer uses
+    val lvl4 = SuffixArray.corpusRanks(spark, longDocsDf, 4)
+      .select(col("doc_id"), col("pos"), col("r"))
+      .as[(Long, Long, Long)].collect()
+    val pfx16 = sufs.toMap.map { case (k, s) => k -> s.take(16) }
+    val byRank = lvl4.groupBy(_._3)
+    assert(byRank.values.forall(g =>
+      g.map(x => pfx16((x._1, x._2))).distinct.length == 1),
+      "a level-4 head-rank group mixes distinct 16-char prefixes")
+    val rankToPfx = byRank.map { case (r, g) =>
+      r -> pfx16((g.head._1, g.head._2)) }
+    assert(rankToPfx.values.toSeq.distinct.size == rankToPfx.size,
+      "two level-4 head ranks share one 16-char prefix")
+    assert(rankToPfx.toSeq.sortBy(_._1).map(_._2) ==
+      rankToPfx.values.toSeq.sorted,
+      "level-4 head-rank order diverges from 16-char prefix order")
   }
 
   test("reassembly conserves chars: kept_len + dup_chars == doc_len") {

@@ -143,24 +143,22 @@ class UnicodeCorpusSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "fixture removed nothing — vacuous")
   }
 
-  test("unicode total corpus ranks equal brute suffix order; packed == wide") {
+  test("unicode total corpus ranks equal brute suffix order " +
+      "(code-point pair seed end to end)") {
     import spark.implicits._
-    val packed = SuffixArray.corpusRanks(spark, jpDocsDf,
+    SuffixArray.lastSeedOk = None
+    val got = SuffixArray.corpusRanks(spark, jpDocsDf,
         SuffixArray.SaRounds, total = true)
       .select(col("doc_id"), col("pos"), col("r"))
       .as[(Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
-    val wide = SuffixArray.corpusRanks(spark, jpDocsDf,
-        SuffixArray.SaRounds, total = true, forceWide = true)
-      .select(col("doc_id"), col("pos"), col("r"))
-      .as[(Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
-    assert(packed.sameElements(wide),
-      "packed pair carrier diverges from wide on non-ASCII input")
+    assert(SuffixArray.lastSeedOk.contains(false),
+      "the rank build must have run through the code-point fallback seed")
     val sufs = jpDocs.toSeq.flatMap { case (d, t) =>
       (0 until t.length).map(p => ((d, p.toLong), t.substring(p)))
     }
     val rankOf = sufs.map(_._2).distinct.sorted.zipWithIndex
       .map { case (s, i) => s -> (i + 1L) }.toMap
-    assert(packed.forall { case (d, p, r) => rankOf(jpDocs(d).substring(p.toInt)) == r },
+    assert(got.forall { case (d, p, r) => rankOf(jpDocs(d).substring(p.toInt)) == r },
       "unicode corpus suffix ranks diverge from brute-force suffix sort")
   }
 }
