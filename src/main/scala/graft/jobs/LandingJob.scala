@@ -158,7 +158,7 @@ object LandingJob {
     *    this run itself wrote (`dirty`), restoring the old
     *    read-merge-publish semantics where a race costs at most the
     *    single racing row, never the whole run. */
-  private final class LedgerBuf(s: SparkSession, cfg: Config,
+  private[jobs] final class LedgerBuf(s: SparkSession, cfg: Config,
                                 datasets: Set[String], days0: Set[String]) {
     // normalized ISO form — callers may pass unpadded dates that
     // java.sql.Date accepts but whose canonical toString differs
@@ -194,9 +194,17 @@ object LandingJob {
     }
     sync()
 
+    /** Rows currently buffered on the driver — the bounded-residency
+      * observable the spec pins (must be O(run window), not
+      * O(ledger history)). */
+    private[jobs] def bufferedRows: Int = synchronized { rows.size }
+
+    // synchronized: one leased run is normally one thread, but nothing
+    // in the protocol forbids a caller overlapping datasets — the
+    // buffer, dirty set, and publish/prune sequence must not interleave
     def publish(dataset: String, day: java.sql.Date, status: String,
                 rowCount: Long, errorCount: Int, obsMs: Option[Long],
-                runId: Option[String]): Unit = {
+                runId: Option[String]): Unit = synchronized {
       Coverage.validate(status, rowCount, errorCount, obsMs)
       require(datasets.contains(dataset) && days.contains(day.toString),
         s"publish outside the run window: ($dataset, $day)")
@@ -546,12 +554,8 @@ object LandingJob {
     // partition overwrite, instead of merging). java.io.File remains
     // fine for scratch dirs; it must never gate merge-vs-overwrite.
     val dataPath = landingDataPath(cfg.landingRoot, ds)
-    val hconf = s.sparkContext.hadoopConfiguration
     val anyExistingPartition = readLanding(s, cfg.landingRoot, ds)
-      .isDefined && dates.exists { d =>
-        val p = new org.apache.hadoop.fs.Path(s"$dataPath/target_date=$d")
-        p.getFileSystem(hconf).exists(p)
-      }
+      .isDefined && dates.exists(d => partitionExists(s, dataPath, d))
     val merged =
       if (!anyExistingPartition) incoming
       else {
@@ -562,17 +566,29 @@ object LandingJob {
         Upsert.keyed(existing, incoming, "target_date" +: ds.keyCols)
           .localCheckpoint() // the write replaces the partition it read
       }
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "dynamic")
-    try merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // PER-WRITE option, not a session-conf flip (r18): the save/restore
+    // pattern races any concurrent writer in the same session — a
+    // restore landing inside another write's window would flip it to
+    // STATIC overwrite, which truncates the whole table. The write
+    // option scopes the mode to exactly this write.
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("target_date")
       .parquet(landingDataPath(cfg.landingRoot, ds))
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
     landedCount
+  }
+
+  /** The merge-vs-fast-path partition probe, through the Hadoop
+    * FileSystem resolved FROM THE PATH — never `java.io.File`, which
+    * answers false for any non-local filesystem (HDFS/S3) AND for any
+    * URI-style path string, and a false negative here lets dynamic
+    * partition overwrite REPLACE an existing partition with only the
+    * incoming rows instead of merging. Exposed for the spec that pins
+    * exactly that failure mode (a `file:`-scheme root). */
+  private[jobs] def partitionExists(s: SparkSession, dataPath: String,
+                                    d: java.sql.Date): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dataPath/target_date=$d")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Plan the next run's dates from the published coverage ledger —
