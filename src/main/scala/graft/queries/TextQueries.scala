@@ -88,6 +88,12 @@ object TextQueries {
       Dedup.jaccardForCandidatesHashes(cand, harrs, "doc_id")
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("id1"), col("id2"), col("jaccard"))
+        // barrier BEFORE the output sort (r18): orderBy's range sampling
+        // re-evaluates its child, so sorting the lazy verify tail
+        // computed the whole candidate+verify chain TWICE (measured on
+        // q112's identical shape: tail+sort 5.1 s vs 2.6 s with the
+        // barrier); the pair-sized extra checkpoint is noise
+        .localCheckpoint()
         .orderBy(col("id1"), col("id2"))
         .localCheckpoint()
     }
@@ -121,6 +127,10 @@ object TextQueries {
         AllPairsK),
       "doc_id", AllPairsTau)
       .select(col("id1"), col("id2"), col("jaccard"))
+      // barrier before the output sort (r18, the q15 rule): the sort's
+      // sampling pass must read the pair-sized result, not re-run the
+      // prefix self-join chain
+      .localCheckpoint()
       .orderBy(col("id1"), col("id2"))
 
   lazy val oracleQ123: String =
@@ -728,6 +738,8 @@ FROM reach GROUP BY a ORDER BY doc_id"""
         .filter(col("rk") <= ClusterLabelTopK)
         .select(col("cluster"), col("term"), col("tf"), col("ft"),
           col("idf6"), col("score"), col("rk").cast("long").as("rk"))
+        // barrier before the output sort (r18, the q15 rule)
+        .localCheckpoint()
         .orderBy(col("cluster"), col("rk"))
         .localCheckpoint()
     }
@@ -2904,11 +2916,19 @@ GROUP BY d.source ORDER BY d.source"""
         Dedup.shingleHashCol("__norm", ShingleK).as("harr"),
         substring(col("__norm"), 1, LevPrefix).as("p"))
     Materialize.withMaterialized(carrier) { carr =>
+      val dbg = sys.env.contains("SPARK_GRAFT_Q112_DEBUG")
+      var tDbg = System.nanoTime()
+      def mark(m: String): Unit = if (dbg) {
+        System.err.println(
+          f"Q112-PROBE $m ${(System.nanoTime() - tDbg) / 1e9}%.2f s")
+        tDbg = System.nanoTime()
+      }
+      mark("carrier-materialize")
       val sig = Dedup.minhashSignaturesFromHashes(
         carr.select(col("doc_id"), col("harr")), "doc_id", NumHashes)
       val cand = Dedup.minhashCandidates(sig, "doc_id", RowsPerBand)
       val pfx = carr.select(col("doc_id"), col("p"))
-      cand
+      val out = cand
         .join(pfx.select(col("doc_id").as("id1"), col("p").as("p1"))
           .hint("shuffle_hash"), Seq("id1"))
         .join(pfx.select(col("doc_id").as("id2"), col("p").as("p2"))
@@ -2920,8 +2940,13 @@ GROUP BY d.source ORDER BY d.source"""
           levenshtein(col("p1"), col("p2"), LevMaxDist)
             .cast("long").as("lev"))
         .filter(col("lev") >= 0)
+        // barrier before the output sort (r18): the sort's sampling pass
+        // re-ran the candidate+join+lev tail — measured 5.1 s vs 2.6 s
+        .localCheckpoint()
         .orderBy(col("id1"), col("id2"))
         .localCheckpoint()
+      mark("cand+join+lev+sort+ckpt")
+      out
     }
   }
 
