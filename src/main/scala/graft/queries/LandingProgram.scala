@@ -398,33 +398,52 @@ object LandingProgram {
         col("o_totalprice").cast("double"),
         to_date(col("o_orderdate")).cast("string").as("d"))
       .as[(Long, Long, Double, String)]
-    val dates = o.map(_._4).distinct().orderBy(col("value"))
-      .limit(3).collect().toSeq.sorted
     // the slice filters run IN Spark (pushed to the scans) — only the
-    // day-window slices ever reach the driver, never a fact table
-    val oSlice = o.filter(col("d").isin(dates: _*))
-      .collect().toIndexedSeq
-    val keys = oSlice.map(_._1).toSeq
-    val custKeys = oSlice.map(_._2).distinct.toSeq
-    val liSlice = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").cast("long"), col("l_quantity").cast("double"),
-        col("l_extendedprice").cast("double"), col("l_discount").cast("double"))
-      .filter(col("l_orderkey").isin(keys: _*))
-      .as[(Long, Double, Double, Double)].collect().toIndexedSeq
-    val cuSlice = Tables.customer(s, dir)
-      .select(col("c_custkey").cast("long"), col("c_mktsegment"),
-        col("c_acctbal").cast("double"))
-      .filter(col("c_custkey").isin(custKeys: _*))
-      .as[(Long, String, Double)].collect().toIndexedSeq
-    val ev0 = Tables.events(s, dir)
-      .select(col("event_id").cast("long"), col("user_id").cast("long"),
-        col("ts"), col("value").cast("double"),
-        to_date(col("ts")).cast("string").as("day"))
-      .as[(Long, Long, java.sql.Timestamp, Double, String)]
-    val evDays = ev0.map(_._5).distinct().orderBy(col("value"))
-      .limit(2).collect().toSeq
-    val evSlice = ev0.filter(col("day").isin(evDays: _*))
-      .collect().toIndexedSeq
+    // day-window slices ever reach the driver, never a fact table.
+    // The orders→lineitem/customer chain and the events chain are
+    // independent action sequences feeding the in-process test
+    // transport — overlap them (guide §2.6); within the orders chain
+    // the lineitem and customer lookups share only the already-
+    // collected keys, so they overlap too.
+    var dates: Seq[String] = null
+    var oSlice: IndexedSeq[(Long, Long, Double, String)] = null
+    var liSlice: IndexedSeq[(Long, Double, Double, Double)] = null
+    var cuSlice: IndexedSeq[(Long, String, Double)] = null
+    var evSlice: IndexedSeq[(Long, Long, java.sql.Timestamp, Double, String)] =
+      null
+    graft.operators.Materialize.concurrently(Seq[() => Unit](
+      () => {
+        dates = o.map(_._4).distinct().orderBy(col("value"))
+          .limit(3).collect().toSeq.sorted
+        oSlice = o.filter(col("d").isin(dates: _*))
+          .collect().toIndexedSeq
+        val keys = oSlice.map(_._1).toSeq
+        val custKeys = oSlice.map(_._2).distinct.toSeq
+        graft.operators.Materialize.concurrently(Seq[() => Unit](
+          () => liSlice = Tables.lineitem(s, dir)
+            .select(col("l_orderkey").cast("long"),
+              col("l_quantity").cast("double"),
+              col("l_extendedprice").cast("double"),
+              col("l_discount").cast("double"))
+            .filter(col("l_orderkey").isin(keys: _*))
+            .as[(Long, Double, Double, Double)].collect().toIndexedSeq,
+          () => cuSlice = Tables.customer(s, dir)
+            .select(col("c_custkey").cast("long"), col("c_mktsegment"),
+              col("c_acctbal").cast("double"))
+            .filter(col("c_custkey").isin(custKeys: _*))
+            .as[(Long, String, Double)].collect().toIndexedSeq))
+      },
+      () => {
+        val ev0 = Tables.events(s, dir)
+          .select(col("event_id").cast("long"), col("user_id").cast("long"),
+            col("ts"), col("value").cast("double"),
+            to_date(col("ts")).cast("string").as("day"))
+          .as[(Long, Long, java.sql.Timestamp, Double, String)]
+        val evDays = ev0.map(_._5).distinct().orderBy(col("value"))
+          .limit(2).collect().toSeq
+        evSlice = ev0.filter(col("day").isin(evDays: _*))
+          .collect().toIndexedSeq
+      }))
     val D = dates.last // the business date everything lands under
     val payloads: Map[String, IndexedSeq[Row]] = Map(
       "orders" -> oSlice.map(r => Row(r._1, r._2, r._3, r._4, D)),
